@@ -1,0 +1,18 @@
+"""kinesis_iterator_spark — a PySpark-native engine with the capabilities of
+``luanruisong/kinesis_iterator`` (a checkpointed, reshard-aware AWS Kinesis
+consumer; see /root/reference and SURVEY.md), extended with the relational /
+LLM-data-pipeline operator surface mandated by the build contract.
+
+Layout
+------
+- ``session``   : SparkSession construction (AQE, UTC, arrow).
+- ``tables``    : fixture-table loading / view registration.
+- ``streaming`` : reference-parity stream consumption — simulated sharded
+  source, ``SequenceSaver``-style offset store, ``Iterator`` handler API
+  (mirrors kinesis.go / sequence.go semantics, Spark-first).
+- ``queries``   : the registered operator library — every entry has a
+  ``(spark, sf_dir) -> DataFrame`` builder and (where SQL-expressible) a
+  DuckDB oracle SQL string.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,60 @@
+"""Operator/query registry.
+
+Every implemented operator from SURVEY.md §2 registers here via the
+:func:`query` decorator with a ``(spark, sf_dir) -> DataFrame`` builder and,
+where ANSI-SQL-expressible, the equivalent DuckDB oracle SQL string. The
+driver (``__spark_entry__.py``) exposes these dicts verbatim.
+
+Determinism contract with the oracle (order-insensitive value hash):
+- Alias EVERY computed column identically in Spark and SQL.
+- Multi-row accumulations over doubles (SUM/AVG) are order-dependent in IEEE
+  arithmetic, so money-like aggregates are computed over ``decimal`` casts
+  (exact, identical in both engines); ratio aggregates are expressed as
+  exact-decimal-sum / count so the final double division is bit-identical.
+- Per-row double expressions are IEEE-deterministic and need no rounding.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from importlib import import_module
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+_MODULES = (
+    "relational",
+    "functions",
+    "analytic",
+    "stream_batch",
+    "dedup",
+    "similarity",
+    "text",
+    "multimodal",
+    "stream_parity",
+)
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register ``fn`` under ``name``; ``oracle`` is DuckDB SQL or None for
+    non-SQL-expressible ops (driver then does a weaker rows-only check)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name {name!r}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_all() -> None:
+    """Import every query module so registrations run (idempotent)."""
+    for mod in _MODULES:
+        import_module(f"{__name__}.{mod}")

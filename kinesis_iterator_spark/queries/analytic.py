@@ -1,0 +1,147 @@
+"""Analytic / statistical aggregates (`[EXT]`, SURVEY.md §2.C).
+
+Exact percentiles are cross-engine-checkable (both interpolate linearly
+over sorted doubles). Moment statistics (variance/stddev/corr) are
+accumulation-order-dependent in their native implementations, so the
+oracle-checked forms here are derived from exact decimal power sums —
+bit-identical in both engines. Sketch aggregates (HLL, approx quantile)
+are inherently engine-specific → registered without an oracle (rows-only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from . import query
+
+
+@query(
+    "analytic_exact_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.5)  AS p50,
+           quantile_cont(l_extendedprice, 0.9)  AS p90,
+           quantile_cont(l_extendedprice, 0.99) AS p99
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def analytic_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile with linear interpolation. Scale note: exact
+    percentile requires a per-group sort; at 100 TB switch to
+    approx_percentile (t-digest) — registered below as the rows-only
+    variant."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.5).alias("p50"),
+        F.percentile("l_extendedprice", 0.9).alias("p90"),
+        F.percentile("l_extendedprice", 0.99).alias("p99"),
+    )
+
+
+@query(
+    "analytic_moments_exact",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           n,
+           sx / n AS mean_qty,
+           (sxx - sx * sx / n) / (n - 1) AS var_qty,
+           SQRT((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
+           ROUND((sxy - sx * sy / n)
+             / SQRT((sxx - sx * sx / n) * (syy - sy * sy / n)), 10) AS corr_qty_price
+    FROM s
+    """,
+)
+def analytic_moments_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance/stddev/correlation from exact decimal power sums: the sums
+    are order-independent (decimal), and the final double arithmetic is
+    identical expressions on identical inputs in both engines. (Native
+    var_samp/corr use Welford-style merging whose FP result depends on
+    partition boundaries — fine for real use, wrong for a bit-exact oracle;
+    native forms are exercised in tests instead.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    p = F.col("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(q.cast("decimal(18,2)")).cast("double").alias("sx"),
+        F.sum((q * q).cast("decimal(28,4)")).cast("double").alias("sxx"),
+        F.sum(p.cast("decimal(18,2)")).cast("double").alias("sy"),
+        F.sum((p * p).cast("decimal(28,4)")).cast("double").alias("syy"),
+        F.sum((q * p).cast("decimal(28,4)")).cast("double").alias("sxy"),
+    )
+    n = F.col("n")
+    sx, sxx, sy, syy, sxy = (F.col(c) for c in ("sx", "sxx", "sy", "syy", "sxy"))
+    var_qty = (sxx - sx * sx / n) / (n - 1)
+    return s.select(
+        "l_returnflag",
+        n.alias("n"),
+        (sx / n).alias("mean_qty"),
+        var_qty.alias("var_qty"),
+        F.sqrt(var_qty).alias("stddev_qty"),
+        # one engine contracts a*b-c into FMA here → 1-ulp divergence;
+        # round to 10dp (far above the ulp, far below data noise).
+        F.round(
+            (sxy - sx * sy / n)
+            / F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)),
+            10,
+        ).alias("corr_qty_price"),
+    )
+
+
+@query("analytic_approx_count_distinct")  # sketch-based → rows-only check
+def analytic_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimate — THE 100 TB cardinality primitive
+    (constant memory vs a full distinct shuffle). Engine-specific sketch →
+    no value oracle; tests assert relative error vs exact count."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+    )
+
+
+@query("analytic_approx_percentile")  # sketch-based → rows-only check
+def analytic_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentile — replaces the exact per-group sort at scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias(
+            "approx_pcts"
+        )
+    )
+
+
+@query(
+    "analytic_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(value / 50) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           MIN(value) AS lo,
+           MAX(value) AS hi
+    FROM events
+    GROUP BY 1
+    """,
+)
+def analytic_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via floor-bucketing — one shuffle at bucket
+    cardinality regardless of input size."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.floor(F.col("value") / 50).cast("long").alias("bucket")
+    ).agg(
+        F.count("*").alias("n"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )

@@ -1,0 +1,230 @@
+"""Scalar function surface — string / date / math / array / map / JSON
+(`[EXT]`, SURVEY.md §2.C). The reference has zero expression language
+(SURVEY.md §2.B), so this is the driver-mandated extension surface.
+
+All functions are Catalyst built-ins (JVM-side, whole-stage-codegen'd) —
+no Python UDFs anywhere in this module. Array-typed intermediates are
+reduced to scalars before returning so the cross-engine value hash is
+well-defined.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from . import query
+
+
+@query(
+    "fn_string_suite",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_name) AS name_upper,
+           LOWER(p_brand) AS brand_lower,
+           LENGTH(p_name) AS name_len,
+           SUBSTRING(p_name, 1, 5) AS name_prefix,
+           CONCAT(p_brand, ':', p_type) AS brand_type,
+           REPLACE(p_type, ' ', '_') AS type_snake,
+           TRIM(p_name) AS name_trim,
+           LPAD(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           REGEXP_EXTRACT(p_brand, '([0-9]+)', 1) AS brand_num,
+           CONTAINS(p_type, 'ECONOMY') AS is_economy,
+           STARTS_WITH(p_brand, 'Brand#1') AS brand1x,
+           REVERSE(p_name) AS name_rev
+    FROM part
+    """,
+)
+def fn_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pa = load_table(spark, sf_dir, "part")
+    return pa.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.trim("p_name").alias("name_trim"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.regexp_extract("p_brand", r"([0-9]+)", 1).alias("brand_num"),
+        F.contains("p_type", F.lit("ECONOMY")).alias("is_economy"),
+        F.startswith("p_brand", F.lit("Brand#1")).alias("brand1x"),
+        F.reverse("p_name").alias("name_rev"),
+    )
+
+
+@query(
+    "fn_date_suite",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+           CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mo,
+           CAST(EXTRACT(day FROM o_orderdate) AS BIGINT) AS dy,
+           CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS qtr,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(DATEDIFF('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS days_since_epoch_start,
+           CAST(CAST(o_orderdate AS DATE) + 30 AS DATE) AS plus_30d,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(isodow(o_orderdate) AS BIGINT) AS iso_weekday,
+           strftime(o_orderdate, '%Y-%m-%d') AS date_str
+    FROM orders
+    """,
+)
+def fn_date_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    return od.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("long").alias("dy"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp"))
+        .cast("long")
+        .alias("days_since_epoch_start"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("plus_30d"),
+        F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
+        # ISO weekday 1=Mon..7=Sun in both engines: Spark weekday() is 0=Mon.
+        (F.weekday("o_orderdate") + 1).cast("long").alias("iso_weekday"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("date_str"),
+    )
+
+
+@query(
+    "fn_math_suite",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice / 7, 2) AS rounded,
+           FLOOR(l_quantity) AS qty_floor,
+           CEIL(l_discount * 100) AS disc_pct_ceil,
+           ABS(l_quantity - 25.0) AS dist_from_25,
+           SQRT(l_extendedprice) AS price_sqrt,
+           ROUND(LN(l_extendedprice + 1), 6) AS price_ln,
+           POW(l_quantity, 2) AS qty_sq,
+           CAST(l_quantity AS BIGINT) % 7 AS qty_mod7,
+           CAST(SIGN(l_quantity - 25.0) AS DOUBLE) AS sign_off,
+           GREATEST(l_quantity, l_discount * 100) AS g,
+           LEAST(l_quantity, l_discount * 100) AS l
+    FROM lineitem
+    """,
+)
+def fn_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") / 7, 2).alias("rounded"),
+        F.floor("l_quantity").cast("double").alias("qty_floor"),
+        F.ceil(F.col("l_discount") * 100).cast("double").alias("disc_pct_ceil"),
+        F.abs(F.col("l_quantity") - 25.0).alias("dist_from_25"),
+        F.sqrt("l_extendedprice").alias("price_sqrt"),
+        # ln is not IEEE correctly-rounded — round to 6dp so a 1-ulp libm
+        # difference between engines cannot surface in the value hash.
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+        F.pow("l_quantity", F.lit(2)).alias("qty_sq"),
+        (F.col("l_quantity").cast("long") % 7).alias("qty_mod7"),
+        F.signum(F.col("l_quantity") - 25.0).alias("sign_off"),
+        F.greatest(F.col("l_quantity"), F.col("l_discount") * 100).alias("g"),
+        F.least(F.col("l_quantity"), F.col("l_discount") * 100).alias("l"),
+    )
+
+
+@query(
+    "fn_array_suite",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_words,
+           len(list_distinct(string_split(text, ' '))) AS n_unique_words,
+           list_contains(string_split(text, ' '), 'spark') AS has_spark,
+           string_split(text, ' ')[1] AS first_word,
+           array_to_string(list_slice(string_split(text, ' '), 1, 3), '-') AS first3,
+           list_sort(list_distinct(string_split(text, ' ')))[1] AS min_word
+    FROM documents
+    """,
+)
+def fn_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array functions (split/size/distinct/contains/slice/sort), reduced to
+    scalars for the oracle hash."""
+    doc = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    return doc.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        F.size(F.array_distinct(words)).cast("long").alias("n_unique_words"),
+        F.array_contains(words, "spark").alias("has_spark"),
+        F.element_at(words, 1).alias("first_word"),
+        F.array_join(F.slice(words, 1, 3), "-").alias("first3"),
+        F.element_at(F.array_sort(F.array_distinct(words)), 1).alias("min_word"),
+    )
+
+
+@query(
+    "fn_explode_word_frequencies",
+    oracle="""
+    SELECT word, COUNT(*) AS n
+    FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
+    GROUP BY word
+    HAVING COUNT(*) >= 10
+    """,
+)
+def fn_explode_word_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode (UNNEST) + re-aggregate: the lateral-view pattern. At scale the
+    explode multiplies rows ~20× — the partial agg immediately after keeps
+    the shuffle small (word cardinality, not token count)."""
+    doc = load_table(spark, sf_dir, "documents")
+    return (
+        doc.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 10)
+    )
+
+
+@query(
+    "fn_json_suite",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+           json_valid(props) AS is_valid_json,
+           CAST(json_extract_string(props, '$.missing') AS VARCHAR) AS missing_field
+    FROM events
+    """,
+)
+def fn_json_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the opaque payload column — the engine-level
+    equivalent of the reference handler parsing ``Record.Data`` bytes
+    (kinesis.go:193-196 hands raw bytes to user code; here parsing is a
+    declarative, codegen'd expression instead)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_value"),
+        F.when(F.isnotnull(F.try_parse_json(F.col("props"))), F.lit(True))
+        .otherwise(F.lit(False))
+        .alias("is_valid_json"),
+        F.get_json_object("props", "$.missing").alias("missing_field"),
+    )
+
+
+@query(
+    "fn_hash_suite",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS text_md5,
+           sha256(text) AS text_sha256,
+           LENGTH(text) AS text_len
+    FROM documents
+    """,
+)
+def fn_hash_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic digests agree across engines (unlike xxhash/murmur which
+    are engine-specific) — these anchor content-addressed dedup."""
+    doc = load_table(spark, sf_dir, "documents")
+    return doc.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2("text", 256).alias("text_sha256"),
+        F.length("text").cast("long").alias("text_len"),
+    )

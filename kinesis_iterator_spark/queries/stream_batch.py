@@ -1,0 +1,198 @@
+"""Batch-equivalent streaming queries over ``events`` (oracle-checkable).
+
+These are the batch forms of the streaming window/session/dedup operators in
+``kinesis_iterator_spark.streaming`` — the same DataFrame expressions run
+under ``readStream`` (see streaming/windows.py); registering the batch form
+gives the DuckDB oracle something to diff (SURVEY.md §2.C, §7 phase 4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..tables import load_table
+from . import query
+
+# ---------------------------------------------------------------------------
+# Flagship: per-event-type tumbling 1-hour window aggregate.
+# Streaming form: withWatermark("ts", ...) + groupBy(window(...)) — identical
+# expression; Spark's window("1 hour") is epoch-aligned = date_trunc('hour').
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_tumbling_1h",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(value AS DECIMAL(18,2))) AS sum_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "min_value",
+            "max_value",
+        )
+    )
+
+
+@query(
+    "events_sliding_30m",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, value,
+             CAST(to_timestamp(FLOOR(epoch(ts) / 900) * 900) AS TIMESTAMP) AS w0
+      FROM events
+    ),
+    slid AS (
+      SELECT event_type, value, w0 AS window_start FROM base
+      UNION ALL
+      SELECT event_type, value, w0 - INTERVAL 15 MINUTE FROM base
+    )
+    SELECT window_start, event_type, COUNT(*) AS n_events,
+           SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+    FROM slid GROUP BY 1, 2
+    """,
+)
+def events_sliding_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window: 30-minute length, 15-minute slide (each event lands in
+    exactly 2 windows). Streaming form: groupBy(window(ts, '30 minutes',
+    '15 minutes'))."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "30 minutes", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "events_sessionize_30m",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def events_sessionize_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute inactivity gap — the batch equivalent
+    of streaming ``session_window(ts, '30 minutes')``, expressed as
+    lag + cumulative-sum so the oracle can replicate it exactly.
+
+    Scale note: the only shuffle is the hash partition on user_id; the
+    per-user sort is within-partition. No driver-side loops."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+    )
+
+
+@query(
+    "events_dedup_by_key",
+    oracle="""
+    SELECT user_id, event_type,
+           MIN(event_id) AS first_event_id,
+           MIN(ts) AS first_ts
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+)
+def events_dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-dedup batch equivalent: first event per (user_id,
+    event_type), deterministic via min — dropDuplicates() in a stream keeps
+    the first arrival; batch dropDuplicates keeps an arbitrary row, so the
+    oracle-checkable form pins "first" with an aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type").agg(
+        F.min("event_id").alias("first_event_id"),
+        F.min("ts").alias("first_ts"),
+    )
+
+
+@query(
+    "events_late_data_policy",
+    oracle="""
+    WITH maxts AS (SELECT MAX(ts) AS m FROM events)
+    SELECT date_trunc('hour', e.ts) AS window_start,
+           COUNT(*) AS n_events
+    FROM events e, maxts
+    WHERE e.ts >= maxts.m - INTERVAL 6 HOUR
+    GROUP BY 1
+    """,
+)
+def events_late_data_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark semantics, batch-expressible slice: with watermark = max
+    event time - 6h, only windows at or after the watermark would still
+    accept rows; this computes the per-window counts inside the live
+    horizon. (The true streaming watermark drop is unit-tested in
+    tests/test_streaming_windows.py.)"""
+    ev = load_table(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts").alias("m"))
+    return (
+        ev.crossJoin(F.broadcast(max_ts))
+        .filter(F.col("ts") >= F.col("m") - F.expr("INTERVAL 6 HOURS"))
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )

@@ -1,0 +1,283 @@
+"""Text analysis over ``documents`` (`[EXT]`, SURVEY.md §2.C / §7 phase 5):
+quality scoring, language ID, token counting, fingerprinting, tf / n-grams.
+
+All built-in expressions (codegen'd); the heuristics are deliberately
+SQL-expressible so every operator here has a real DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from . import query
+
+# Tiny stopword-marker lists per language for the n-gram/stopword heuristic
+# language ID. Deliberately small + fixed: deterministic, embedded in both
+# the Spark plan and the oracle SQL.
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "is"),
+    "es": ("el", "la", "de", "que", "los"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+STOPWORDS = ("the", "and", "of", "to", "a", "in", "is", "it", "for", "on")
+
+
+def _sql_list(words: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+@query(
+    "text_quality_scores",
+    oracle=f"""
+    SELECT doc_id,
+           LENGTH(text) AS n_chars,
+           len(string_split(text, ' ')) AS n_words,
+           CAST(LENGTH(text) AS DOUBLE) / len(string_split(text, ' ')) AS avg_word_len,
+           CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE)
+             / LENGTH(text) AS punct_ratio,
+           CAST(len(list_filter(string_split(text, ' '),
+                                w -> w IN ({_sql_list(STOPWORDS)}))) AS DOUBLE)
+             / len(string_split(text, ' ')) AS stopword_ratio,
+           len(list_distinct(string_split(text, ' '))) AS n_unique,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / len(string_split(text, ' ')) AS lexical_diversity
+    FROM documents
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals: length, word stats, punctuation ratio,
+    stopword ratio, lexical diversity — the standard pre-training corpus
+    filters (C4/Gopher-style). Pure map-side: zero shuffles."""
+    doc = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words).cast("long")
+    n_chars = F.length("text").cast("long")
+    n_stop = F.size(
+        F.filter(words, lambda w: w.isin(*STOPWORDS))
+    ).cast("long")
+    n_unique = F.size(F.array_distinct(words)).cast("long")
+    return doc.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        (n_chars.cast("double") / n_words).alias("avg_word_len"),
+        (
+            (
+                n_chars - F.length(F.regexp_replace("text", "[^a-zA-Z ]", ""))
+            ).cast("double")
+            / n_chars
+        ).alias("punct_ratio"),
+        (n_stop.cast("double") / n_words).alias("stopword_ratio"),
+        n_unique.alias("n_unique"),
+        (n_unique.cast("double") / n_words).alias("lexical_diversity"),
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    return (
+        f"len(list_filter(string_split(text, ' '), "
+        f"w -> w IN ({_sql_list(LANG_MARKERS[lang])})))"
+    )
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    WITH scores AS (
+      SELECT doc_id, lang AS labeled_lang,
+             {_lang_score_sql("en")} AS s_en,
+             {_lang_score_sql("es")} AS s_es,
+             {_lang_score_sql("fr")} AS s_fr,
+             {_lang_score_sql("de")} AS s_de,
+             {_lang_score_sql("zh")} AS s_zh
+      FROM documents
+    )
+    SELECT doc_id, labeled_lang,
+           CASE
+             WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de AND s_en >= s_zh THEN 'en'
+             WHEN s_es >= s_fr AND s_es >= s_de AND s_es >= s_zh THEN 'es'
+             WHEN s_fr >= s_de AND s_fr >= s_zh THEN 'fr'
+             WHEN s_de >= s_zh THEN 'de'
+             ELSE 'zh'
+           END AS predicted_lang,
+           CAST(s_en + s_es + s_fr + s_de + s_zh AS BIGINT) AS marker_hits
+    FROM scores
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID (n-gram-heuristic family): count stopword
+    markers per language, argmax with a fixed priority order for ties.
+    Map-side only."""
+    doc = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+
+    def score(lang: str):
+        return F.size(F.filter(words, lambda w: w.isin(*LANG_MARKERS[lang]))).cast(
+            "long"
+        )
+
+    scored = doc.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        score("en").alias("s_en"),
+        score("es").alias("s_es"),
+        score("fr").alias("s_fr"),
+        score("de").alias("s_de"),
+        score("zh").alias("s_zh"),
+    )
+    s = {k: F.col(f"s_{k}") for k in ("en", "es", "fr", "de", "zh")}
+    pred = (
+        F.when(
+            (s["en"] >= s["es"])
+            & (s["en"] >= s["fr"])
+            & (s["en"] >= s["de"])
+            & (s["en"] >= s["zh"]),
+            "en",
+        )
+        .when((s["es"] >= s["fr"]) & (s["es"] >= s["de"]) & (s["es"] >= s["zh"]), "es")
+        .when((s["fr"] >= s["de"]) & (s["fr"] >= s["zh"]), "fr")
+        .when(s["de"] >= s["zh"], "de")
+        .otherwise("zh")
+    )
+    return scored.select(
+        "doc_id",
+        "labeled_lang",
+        pred.alias("predicted_lang"),
+        (s["en"] + s["es"] + s["fr"] + s["de"] + s["zh"]).alias("marker_hits"),
+    )
+
+
+@query(
+    "text_token_counts",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS bpe_ish_tokens,
+           CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT) AS byte_estimate_tokens
+    FROM documents
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace split, a BPE-ish regex
+    (letter-runs / digit-runs / single punctuation), and the bytes/4
+    rule-of-thumb. Map-side."""
+    doc = load_table(spark, sf_dir, "documents")
+    return doc.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("ws_tokens"),
+        F.size(
+            F.expr(r"regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]', 0)")
+        )
+        .cast("long")
+        .alias("bpe_ish_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("long").alias("byte_estimate_tokens"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           CAST(list_reduce(
+             list_prepend(0::BIGINT,
+               list_transform(range(1, LENGTH(text) + 1),
+                              i -> unicode(substring(text, i, 1))::BIGINT)),
+             (acc, c) -> (acc * 31 + c) % 2147483647) AS BIGINT) AS fingerprint,
+           md5(text) AS digest
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: a rolling 31-polynomial hash over the
+    character stream (mod 2^31-1) plus the md5 digest. The polynomial form
+    is the building block of Rabin-Karp chunk fingerprints."""
+    doc = load_table(spark, sf_dir, "documents")
+    chars = F.split(F.col("text"), "")
+    poly = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % F.lit(2147483647),
+    )
+    return doc.select(
+        "doc_id",
+        poly.alias("fingerprint"),
+        F.md5("text").alias("digest"),
+    )
+
+
+@query(
+    "text_tf_per_source",
+    oracle="""
+    WITH toks AS (
+      SELECT source, UNNEST(string_split(text, ' ')) AS word FROM documents
+    ),
+    counts AS (
+      SELECT source, word, COUNT(*) AS tf FROM toks GROUP BY source, word
+    )
+    SELECT source, word, tf, rnk FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source
+                       ORDER BY tf DESC, word) AS BIGINT) AS rnk
+      FROM counts
+    ) WHERE rnk <= 5
+    """,
+)
+def text_tf_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term frequency + top-5 terms per source: explode → two-phase count
+    (partial agg before the shuffle) → windowed top-k."""
+    doc = load_table(spark, sf_dir, "documents")
+    counts = (
+        doc.select("source", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("source").orderBy(F.desc("tf"), "word")
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+    )
+
+
+@query(
+    "text_ngrams",
+    oracle="""
+    WITH grams AS (
+      SELECT UNNEST(list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - 1, 0) + 1),
+               i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+             )) AS bigram
+      FROM documents
+    )
+    SELECT bigram, COUNT(*) AS n
+    FROM grams
+    GROUP BY bigram
+    HAVING COUNT(*) >= 5
+    """,
+)
+def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram extraction + frequency — built with sequence/transform (no
+    UDF, no pyspark.ml featurizer needed)."""
+    doc = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bigrams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.element_at(words, i), F.element_at(words, i + 1)
+        ),
+    )
+    return (
+        doc.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 5)
+    )

@@ -1,0 +1,114 @@
+"""Behavioral tests for the LLM-pipeline operators: dedup finds planted
+duplicates, LSH recall vs brute force, multimodal decode shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kinesis_iterator_spark.queries import QUERIES, load_all
+from kinesis_iterator_spark.queries.dedup import _shingles, _with_minhash_signature
+from kinesis_iterator_spark.queries.multimodal import decode_media, media_table
+
+load_all()
+
+
+def test_exact_dedup_is_idempotent(spark, sf_dir):
+    out = QUERIES["dedup_exact"](spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert out.count() == docs.select("text").distinct().count()
+    # survivors are unique
+    assert out.select("keep_doc_id").distinct().count() == out.count()
+
+
+def test_minhash_lsh_finds_planted_near_duplicates(spark):
+    """Plant pairs with known overlap; LSH must find the high-jaccard pair
+    and exact verification must reject the low-jaccard one."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")  # ~1 shingle different
+    far = "completely different words about spark shuffles and parquet files"
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, far), (4, base)],
+        "doc_id long, text string",
+    )
+    sig = _with_minhash_signature(docs)
+    rows = {r["doc_id"]: r["sig"] for r in sig.collect()}
+    assert rows[1] == rows[4], "identical docs must have identical signatures"
+    overlap_12 = sum(a == b for a, b in zip(rows[1], rows[2]))
+    overlap_13 = sum(a == b for a, b in zip(rows[1], rows[3]))
+    assert overlap_12 > overlap_13, "minhash must reflect jaccard ordering"
+
+
+def test_shingles_shape(spark):
+    df = spark.createDataFrame([(1, "a b c d"), (2, "a b")], "id long, text string")
+    out = df.select(_shingles(F.col("text")).alias("s")).collect()
+    assert sorted(out[0]["s"]) == ["a b c", "b c d"]
+    assert out[1]["s"] == []  # shorter than one shingle
+
+
+def test_simhash_close_for_similar_docs(spark, sf_dir):
+    out = QUERIES["dedup_simhash"](spark, sf_dir)
+    assert out.count() == spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    # 48-bit range
+    mx = out.agg(F.max("simhash")).collect()[0][0]
+    assert 0 <= mx < (1 << 48)
+
+
+def test_lsh_recall_vs_bruteforce(spark, sf_dir):
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in QUERIES["similarity_bruteforce_topk"](spark, sf_dir).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in QUERIES["similarity_lsh_topk"](spark, sf_dir).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"LSH recall collapsed: {recall}"
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in QUERIES["similarity_bruteforce_topk"](spark, sf_dir).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in QUERIES["similarity_ivf_topk"](spark, sf_dir).collect()
+    }
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.3, f"IVF recall collapsed: {recall}"
+
+
+def test_cosine_self_similarity_is_one(spark, sf_dir):
+    from kinesis_iterator_spark.queries.similarity import _dot
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(5)
+    rows = emb.select(
+        (
+            _dot(F.col("embedding"), F.col("embedding"))
+            / (
+                F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+                * F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+            )
+        ).alias("c")
+    ).collect()
+    for r in rows:
+        assert abs(r["c"] - 1.0) < 1e-12
+
+
+def test_multimodal_blob_and_decode(spark, sf_dir):
+    m = media_table(spark, sf_dir)
+    assert dict(m.dtypes)["blob"] == "binary"
+    feats = decode_media(m)
+    rows = feats.collect()
+    assert all(0.0 <= r["fake_luma"] <= 255.0 for r in rows)
+    assert all(1 <= r["sampled_frames"] <= 4 for r in rows)
+    assert {r["kind"] for r in rows} == {"image", "audio", "video"}
+
+
+def test_lang_id_deterministic_and_total(spark, sf_dir):
+    out = QUERIES["text_lang_id"](spark, sf_dir)
+    assert out.filter(F.col("predicted_lang").isNull()).count() == 0
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, QUERIES["text_lang_id"](spark, sf_dir).collect()))
+    assert a == b

@@ -1,0 +1,77 @@
+"""Physical-plan shape assertions — the 100 TB posture checks.
+
+These pin the *plan*, not the output: pushdown reaching the parquet scan,
+broadcasts where a dim is small, top-k not becoming a total sort,
+rank-filter becoming a window group limit. If a Spark upgrade or a query
+edit regresses one of these, correctness tests stay green but scale dies —
+hence plan tests."""
+
+from __future__ import annotations
+
+from kinesis_iterator_spark.queries import QUERIES, load_all
+
+load_all()
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    return QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_and_projection_reach_parquet_scan(spark, sf_dir):
+    df = QUERIES["filter_project_pushdown"](spark, sf_dir)
+    plan = formatted(df)
+    assert "PushedFilters" in plan
+    assert "LessThan(p_size,15)" in plan.replace(" ", "").replace("\n", "") or (
+        "p_size" in plan and "PushedFilters: [" in plan
+    )
+    # column pruning: only the 4 needed columns in ReadSchema
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "p_name" in read_schema and "p_brand" not in read_schema
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q5_local_supplier_volume")
+    assert "BroadcastHashJoin" in plan, "dims must broadcast, not shuffle"
+
+
+def test_top100_is_take_ordered_not_global_sort(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "orderby_limit_top100")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_topk_per_group_uses_window_group_limit(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "topk_per_group")
+    assert "WindowGroupLimit" in plan, "rank<=k filter should push into window"
+
+
+def test_q1_partial_aggregation_before_shuffle(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q1_pricing_summary")
+    # two HashAggregates (partial + final) around exactly one shuffle
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange") == 1, "Q1 must shuffle exactly once"
+
+
+def test_lsh_band_join_is_hash_join_not_nested_loop(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "dedup_minhash_lsh")
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    ), "band join must be an equi-join on band_key"
+    assert "CartesianProduct" not in plan
+
+
+def test_similarity_broadcasts_query_set(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "similarity_bruteforce_topk")
+    assert "Broadcast" in plan, "query set must broadcast; corpus must not shuffle"
+
+
+def test_no_python_row_udfs_in_relational_core(spark, sf_dir):
+    for name in ("q1_pricing_summary", "events_tumbling_1h", "dedup_simhash",
+                 "text_quality_scores", "fn_string_suite"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, f"{name} fell off codegen into Python"

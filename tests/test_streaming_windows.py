@@ -1,0 +1,179 @@
+"""Genuine Structured Streaming tests: the events fixture staged as
+multiple files → readStream with bounded triggers → windowed aggregation
+with watermark, streaming dedup — the Spark-native form of the reference's
+poll loop (trigger ≙ GetRecords poll, checkpointLocation ≙ SequenceSaver).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from kinesis_iterator_spark.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def staged_events_dir(spark, sf_dir):
+    """Split events into 4 time-ordered parquet files (≙ 4 GetRecords
+    batches arriving in order)."""
+    d = tempfile.mkdtemp(prefix="staged_events_")
+    ev = load_table(spark, sf_dir, "events")
+    qs = ev.approxQuantile("event_id", [0.25, 0.5, 0.75], 0.01)
+    bounds = [None, *qs, None]
+    for i in range(4):
+        part = ev
+        if bounds[i] is not None:
+            part = part.filter(F.col("event_id") > bounds[i])
+        if bounds[i + 1] is not None:
+            part = part.filter(F.col("event_id") <= bounds[i + 1])
+        part.coalesce(1).write.mode("overwrite").parquet(f"{d}/slice_{i}")
+    flat = f"{d}/flat"
+    os.makedirs(flat)
+    n = 0
+    for i in range(4):
+        for f in sorted(os.listdir(f"{d}/slice_{i}")):
+            if f.endswith(".parquet"):
+                shutil.copy(f"{d}/slice_{i}/{f}", f"{flat}/{i:02d}.parquet")
+                n += 1
+    assert n == 4
+    yield flat
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_tumbling_window_matches_batch(spark, sf_dir, staged_events_dir):
+    """Micro-batched stream over 4 files must produce the same tumbling
+    1-hour aggregate as the batch query (complete output mode)."""
+    ev_batch = load_table(spark, sf_dir, "events")
+    schema = spark.read.parquet(staged_events_dir).schema
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged_events_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+    )
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("tumbling_out")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["ws"], r["event_type"]): r["n"]
+        for r in spark.sql("select * from tumbling_out").collect()
+    }
+    want = {
+        (r["ws"], r["event_type"]): r["n"]
+        for r in ev_batch.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+        .collect()
+    }
+    assert got == want
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_streaming_dedup_with_watermark(spark, staged_events_dir):
+    """dropDuplicates on a stream keeps first arrival per key."""
+    schema = spark.read.parquet(staged_events_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged_events_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    dedup = stream.withWatermark("ts", "10 days").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    ckpt = tempfile.mkdtemp(prefix="ckpt_dd_")
+    q = (
+        dedup.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.sql(
+        "select user_id, event_type, count(*) c from dedup_out "
+        "group by 1,2 having count(*) > 1"
+    ).collect()
+    assert out == [], "streaming dedup emitted duplicate keys"
+    n_keys = spark.sql("select count(*) c from dedup_out").collect()[0]["c"]
+    batch_keys = (
+        spark.read.parquet(staged_events_dir)
+        .select("user_id", "event_type")
+        .distinct()
+        .count()
+    )
+    assert n_keys == batch_keys
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_streaming_resume_from_checkpoint(spark, staged_events_dir):
+    """Stop after partial progress, restart with the same checkpointLocation
+    → the query resumes (offset log ≙ SequenceSaver, SURVEY §1.1) and ends
+    with the complete result."""
+    schema = spark.read.parquet(staged_events_dir).schema
+    ckpt = tempfile.mkdtemp(prefix="ckpt_resume_")
+    totals: list[int] = []
+
+    def sink(df, epoch_id):
+        totals.append(df.collect()[0]["n"])
+
+    def start():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staged_events_dir)
+        )
+        counted = stream.groupBy().agg(F.count("*").alias("n"))
+        return (
+            counted.writeStream.outputMode("complete")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q1 = start()
+    # let at least one micro-batch commit, then stop mid-stream
+    import time
+
+    while not totals:
+        time.sleep(0.2)
+    q1.stop()
+    n_after_stop = max(totals)
+
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    all_rows = spark.read.parquet(staged_events_dir).count()
+    assert max(totals) == all_rows
+    # the restart recovered aggregation state rather than starting at zero
+    assert n_after_stop <= all_rows
+    shutil.rmtree(ckpt, ignore_errors=True)
