@@ -32,13 +32,25 @@ from . import query
            REGEXP_EXTRACT(p_brand, '([0-9]+)', 1) AS brand_num,
            CONTAINS(p_type, 'ECONOMY') AS is_economy,
            STARTS_WITH(p_brand, 'Brand#1') AS brand1x,
-           REVERSE(p_name) AS name_rev
+           REVERSE(p_name) AS name_rev,
+           md5(p_name) AS name_md5,
+           sha256(p_name) AS name_sha256
     FROM part
+    WHERE p_size BETWEEN 5 AND 45
+      AND p_type LIKE '%E%'
+      AND p_brand NOT IN ('Brand#2', 'Brand#4')
     """,
 )
 def fn_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String functions + cryptographic digests (md5/sha256 agree across
+    engines, unlike xxhash/murmur — they anchor content-addressed dedup),
+    filtered through the IN / BETWEEN / LIKE predicate suite."""
     pa = load_table(spark, sf_dir, "part")
-    return pa.select(
+    return pa.filter(
+        F.col("p_size").between(5, 45)
+        & F.col("p_type").like("%E%")
+        & ~F.col("p_brand").isin("Brand#2", "Brand#4")
+    ).select(
         "p_partkey",
         F.upper("p_name").alias("name_upper"),
         F.lower("p_brand").alias("brand_lower"),
@@ -52,6 +64,8 @@ def fn_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.contains("p_type", F.lit("ECONOMY")).alias("is_economy"),
         F.startswith("p_brand", F.lit("Brand#1")).alias("brand1x"),
         F.reverse("p_name").alias("name_rev"),
+        F.md5("p_name").alias("name_md5"),
+        F.sha2("p_name", 256).alias("name_sha256"),
     )
 
 
@@ -68,11 +82,18 @@ def fn_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CAST(o_orderdate AS DATE) + 30 AS DATE) AS plus_30d,
            last_day(CAST(o_orderdate AS DATE)) AS month_end,
            CAST(isodow(o_orderdate) AS BIGINT) AS iso_weekday,
-           strftime(o_orderdate, '%Y-%m-%d') AS date_str
+           strftime(o_orderdate, '%Y-%m-%d') AS date_str,
+           CASE WHEN o_totalprice >= 300000 THEN 'large'
+                WHEN o_totalprice >= 100000 THEN 'medium'
+                ELSE 'small' END AS size_class,
+           COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING') AS status_display,
+           IF(o_orderpriority IN ('1-URGENT','2-HIGH'), 1, 0) AS is_rush
     FROM orders
     """,
 )
 def fn_date_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time functions plus the conditional-expression suite
+    (CASE WHEN / COALESCE / NULLIF / IF) — same table, same row grain."""
     od = load_table(spark, sf_dir, "orders")
     return od.select(
         "o_orderkey",
@@ -89,6 +110,16 @@ def fn_date_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ISO weekday 1=Mon..7=Sun in both engines: Spark weekday() is 0=Mon.
         (F.weekday("o_orderdate") + 1).cast("long").alias("iso_weekday"),
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("date_str"),
+        F.when(F.col("o_totalprice") >= 300000, "large")
+        .when(F.col("o_totalprice") >= 100000, "medium")
+        .otherwise("small")
+        .alias("size_class"),
+        F.coalesce(
+            F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PENDING")
+        ).alias("status_display"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("is_rush"),
     )
 
 
@@ -160,26 +191,8 @@ def fn_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "fn_explode_word_frequencies",
-    oracle="""
-    SELECT word, COUNT(*) AS n
-    FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
-    GROUP BY word
-    HAVING COUNT(*) >= 10
-    """,
-)
-def fn_explode_word_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """explode (UNNEST) + re-aggregate: the lateral-view pattern. At scale the
-    explode multiplies rows ~20× — the partial agg immediately after keeps
-    the shuffle small (word cardinality, not token count)."""
-    doc = load_table(spark, sf_dir, "documents")
-    return (
-        doc.select(F.explode(F.split("text", " ")).alias("word"))
-        .groupBy("word")
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") >= 10)
-    )
+# explode (UNNEST/lateral-view) + re-aggregate coverage lives in
+# text_tf_per_source and text_ngrams (text.py) — same pattern, same table.
 
 
 @query(
@@ -208,23 +221,5 @@ def fn_json_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "fn_hash_suite",
-    oracle="""
-    SELECT doc_id,
-           md5(text) AS text_md5,
-           sha256(text) AS text_sha256,
-           LENGTH(text) AS text_len
-    FROM documents
-    """,
-)
-def fn_hash_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cryptographic digests agree across engines (unlike xxhash/murmur which
-    are engine-specific) — these anchor content-addressed dedup."""
-    doc = load_table(spark, sf_dir, "documents")
-    return doc.select(
-        "doc_id",
-        F.md5("text").alias("text_md5"),
-        F.sha2("text", 256).alias("text_sha256"),
-        F.length("text").cast("long").alias("text_len"),
-    )
+# Hash-function coverage (md5/sha256) lives in fn_string_suite above and in
+# text_quality_scores / dedup_exact (digest-anchored dedup).

@@ -45,34 +45,6 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "multimodal_binary_stats",
-    oracle="""
-    SELECT doc_id,
-           octet_length(unhex(md5(text) || md5(reverse(text)))) AS blob_bytes,
-           CAST('0x' || substring(md5(text), 1, 2) AS INT) AS first_byte,
-           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-           CAST(doc_id % 64 + 16 AS INT) * CAST(doc_id % 48 + 16 AS INT) AS n_pixels
-    FROM documents
-    """,
-)
-def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column plumbing, fully declarative: payload size, first byte,
-    typed metadata projection. Proves binary columns flow through scans /
-    projections like any other type (the 100 TB posture: blobs stay opaque
-    bytes in parquet; metadata drives partition pruning)."""
-    m = media_table(spark, sf_dir)
-    return m.select(
-        "doc_id",
-        F.length("blob").cast("long").alias("blob_bytes"),
-        F.expr("cast(conv(hex(substring(blob, 1, 1)), 16, 10) as int)").alias(
-            "first_byte"
-        ),
-        F.col("media.kind").alias("kind"),
-        (F.col("media.width") * F.col("media.height")).alias("n_pixels"),
-    )
-
-
 # --- Pandas-UDF decode / feature-extract path (the real multimodal shape) --
 
 
@@ -90,6 +62,9 @@ def _decode_batch(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             {
                 "doc_id": pdf["doc_id"],
                 "kind": pdf["kind"],
+                "blob_bytes": [len(b) for b in blobs],
+                "first_byte": [int(b[0]) if len(b) else -1 for b in blobs],
+                "n_pixels": pdf["n_pixels"],
                 "fake_luma": [
                     float(sum(b)) / len(b) if len(b) else 0.0 for b in blobs
                 ],
@@ -100,16 +75,24 @@ def _decode_batch(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 def decode_media(df: DataFrame) -> DataFrame:
     """Decode/feature-extract over binary media via mapInPandas (Arrow
-    batches — the only sanctioned Python hot path)."""
+    batches — the only sanctioned Python hot path). Metadata rides along so
+    the worker sees (blob, typed metadata) exactly as a production decoder
+    would."""
     flat = df.select(
         "doc_id",
         "blob",
         F.col("media.kind").alias("kind"),
         F.col("media.n_frames").alias("n_frames"),
+        (F.col("media.width") * F.col("media.height"))
+        .cast("long")
+        .alias("n_pixels"),
     )
     return flat.mapInPandas(
         _decode_batch,
-        schema="doc_id long, kind string, fake_luma double, sampled_frames int",
+        schema=(
+            "doc_id long, kind string, blob_bytes long, first_byte long, "
+            "n_pixels long, fake_luma double, sampled_frames int"
+        ),
     )
 
 
@@ -120,10 +103,14 @@ def decode_media(df: DataFrame) -> DataFrame:
       SELECT doc_id,
              md5(text) || md5(reverse(text)) AS blob_hex,
              CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-             CAST(doc_id % 30 + 1 AS INT) AS n_frames
+             CAST(doc_id % 30 + 1 AS INT) AS n_frames,
+             CAST(doc_id % 64 + 16 AS BIGINT) * CAST(doc_id % 48 + 16 AS BIGINT) AS n_pixels
       FROM documents
     )
     SELECT doc_id, kind,
+           octet_length(unhex(blob_hex)) AS blob_bytes,
+           CAST('0x' || substring(blob_hex, 1, 2) AS BIGINT) AS first_byte,
+           n_pixels,
            CAST(list_reduce(list_prepend(0::BIGINT,
                   list_transform(range(1, 33),
                                  i -> CAST('0x' || substring(blob_hex, 2*i - 1, 2) AS BIGINT))),
@@ -133,7 +120,12 @@ def decode_media(df: DataFrame) -> DataFrame:
     """,
 )
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The stubbed decode pipeline end-to-end: binary column → mapInPandas
-    (Arrow) → per-media features. The fake 'decode' (mean byte value) is
-    integer arithmetic, so even this UDF path is oracle-checkable."""
+    """The multimodal pipeline end-to-end: opaque binary column + typed
+    metadata struct (the reference's ``Record.Data []byte`` lifted to a
+    table column) → mapInPandas (Arrow) → per-media features: payload size,
+    first byte, pixel count from metadata, stubbed decode output. The fake
+    'decode' (mean byte value) is integer arithmetic, so even this UDF path
+    is oracle-checkable. 100 TB posture: blobs stay opaque bytes in parquet;
+    metadata drives pruning; decode is the only Python hop and it is
+    Arrow-batched."""
     return decode_media(media_table(spark, sf_dir))

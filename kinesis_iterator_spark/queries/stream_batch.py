@@ -2,7 +2,8 @@
 
 These are the batch forms of the streaming window/session/dedup operators in
 ``kinesis_iterator_spark.streaming`` — the same DataFrame expressions run
-under ``readStream`` (see streaming/windows.py); registering the batch form
+under ``readStream`` (exercised in tests/test_streaming_windows.py);
+registering the batch form
 gives the DuckDB oracle something to diff (SURVEY.md §2.C, §7 phase 4).
 """
 
@@ -28,7 +29,7 @@ from . import query
     SELECT date_trunc('hour', ts) AS window_start,
            event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(value AS DECIMAL(18,2))) AS sum_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
            MIN(value) AS min_value,
            MAX(value) AS max_value
     FROM events
@@ -41,7 +42,7 @@ def events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
             F.min("value").alias("min_value"),
             F.max("value").alias("max_value"),
         )
@@ -70,7 +71,7 @@ def events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, value, w0 - INTERVAL 15 MINUTE FROM base
     )
     SELECT window_start, event_type, COUNT(*) AS n_events,
-           SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM slid GROUP BY 1, 2
     """,
 )
@@ -83,7 +84,7 @@ def events_sliding_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "30 minutes", "15 minutes").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -98,7 +99,7 @@ def events_sliding_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_sessionize_30m",
     oracle="""
     WITH flagged AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, value, event_id,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        > INTERVAL 30 MINUTE
                   OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -107,7 +108,7 @@ def events_sliding_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sessions AS (
       SELECT user_id, ts, value,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS session_id
       FROM flagged
     )
@@ -115,7 +116,7 @@ def events_sliding_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(ts) AS session_start,
            MAX(ts) AS session_end,
            COUNT(*) AS n_events,
-           SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM sessions
     GROUP BY user_id, session_id
     """,
@@ -144,7 +145,7 @@ def events_sessionize_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
         F.count("*").alias("n_events"),
-        F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
     )
 
 

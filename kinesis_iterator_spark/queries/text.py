@@ -45,14 +45,26 @@ def _sql_list(words: tuple[str, ...]) -> str:
              / len(string_split(text, ' ')) AS stopword_ratio,
            len(list_distinct(string_split(text, ' '))) AS n_unique,
            CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-             / len(string_split(text, ' ')) AS lexical_diversity
+             / len(string_split(text, ' ')) AS lexical_diversity,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS bpe_ish_tokens,
+           CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT) AS byte_estimate_tokens,
+           CAST(list_reduce(
+             list_prepend(0::BIGINT,
+               list_transform(range(1, LENGTH(text) + 1),
+                              i -> unicode(substring(text, i, 1))::BIGINT)),
+             (acc, c) -> (acc * 31 + c) % 2147483647) AS BIGINT) AS fingerprint,
+           md5(text) AS digest
     FROM documents
     """,
 )
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document quality signals: length, word stats, punctuation ratio,
-    stopword ratio, lexical diversity — the standard pre-training corpus
-    filters (C4/Gopher-style). Pure map-side: zero shuffles."""
+    """Per-document signal suite: quality scores (length, word stats,
+    punctuation ratio, stopword ratio, lexical diversity — the standard
+    C4/Gopher-style pre-training corpus filters), token counting
+    (whitespace ≡ n_words, BPE-ish regex, bytes/4 rule-of-thumb), and
+    document fingerprinting (rolling 31-polynomial hash over the character
+    stream mod 2^31-1 — the Rabin-Karp building block — plus md5 digest).
+    Pure map-side: zero shuffles."""
     doc = load_table(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
     n_words = F.size(words).cast("long")
@@ -61,6 +73,12 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.filter(words, lambda w: w.isin(*STOPWORDS))
     ).cast("long")
     n_unique = F.size(F.array_distinct(words)).cast("long")
+    chars = F.split(F.col("text"), "")
+    poly = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % F.lit(2147483647),
+    )
     return doc.select(
         "doc_id",
         n_chars.alias("n_chars"),
@@ -75,6 +93,14 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n_stop.cast("double") / n_words).alias("stopword_ratio"),
         n_unique.alias("n_unique"),
         (n_unique.cast("double") / n_words).alias("lexical_diversity"),
+        F.size(
+            F.expr(r"regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]', 0)")
+        )
+        .cast("long")
+        .alias("bpe_ish_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("long").alias("byte_estimate_tokens"),
+        poly.alias("fingerprint"),
+        F.md5("text").alias("digest"),
     )
 
 
@@ -152,62 +178,8 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "text_token_counts",
-    oracle="""
-    SELECT doc_id,
-           len(string_split(text, ' ')) AS ws_tokens,
-           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS bpe_ish_tokens,
-           CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT) AS byte_estimate_tokens
-    FROM documents
-    """,
-)
-def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting three ways: whitespace split, a BPE-ish regex
-    (letter-runs / digit-runs / single punctuation), and the bytes/4
-    rule-of-thumb. Map-side."""
-    doc = load_table(spark, sf_dir, "documents")
-    return doc.select(
-        "doc_id",
-        F.size(F.split("text", " ")).cast("long").alias("ws_tokens"),
-        F.size(
-            F.expr(r"regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]', 0)")
-        )
-        .cast("long")
-        .alias("bpe_ish_tokens"),
-        F.ceil(F.length("text") / 4.0).cast("long").alias("byte_estimate_tokens"),
-    )
-
-
-@query(
-    "text_fingerprint",
-    oracle="""
-    SELECT doc_id,
-           CAST(list_reduce(
-             list_prepend(0::BIGINT,
-               list_transform(range(1, LENGTH(text) + 1),
-                              i -> unicode(substring(text, i, 1))::BIGINT)),
-             (acc, c) -> (acc * 31 + c) % 2147483647) AS BIGINT) AS fingerprint,
-           md5(text) AS digest
-    FROM documents
-    """,
-)
-def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document fingerprinting: a rolling 31-polynomial hash over the
-    character stream (mod 2^31-1) plus the md5 digest. The polynomial form
-    is the building block of Rabin-Karp chunk fingerprints."""
-    doc = load_table(spark, sf_dir, "documents")
-    chars = F.split(F.col("text"), "")
-    poly = F.aggregate(
-        chars,
-        F.lit(0).cast("long"),
-        lambda acc, c: (acc * 31 + F.ascii(c)) % F.lit(2147483647),
-    )
-    return doc.select(
-        "doc_id",
-        poly.alias("fingerprint"),
-        F.md5("text").alias("digest"),
-    )
+# Token counting and document fingerprinting are part of
+# text_quality_scores above (same table, same per-doc grain).
 
 
 @query(

@@ -63,7 +63,7 @@ def test_lsh_recall_vs_bruteforce(spark, sf_dir):
         for r in QUERIES["similarity_lsh_topk"](spark, sf_dir).collect()
     }
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.3, f"LSH recall collapsed: {recall}"
+    assert recall >= 0.6, f"LSH recall collapsed: {recall}"
 
 
 def test_ivf_recall_vs_bruteforce(spark, sf_dir):
@@ -75,6 +75,10 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
         (r["query_id"], r["neighbor_id"])
         for r in QUERIES["similarity_ivf_topk"](spark, sf_dir).collect()
     }
+    # IVF probes 2 of 10 cells; the fixture's labels do NOT cluster the
+    # vectors (intra≈inter cosine), so the information-theoretic recall
+    # ceiling here is low — the assertion pins the plumbing, not the
+    # codebook quality (which on clustered real embeddings is the win).
     recall = len(exact & ivf) / len(exact)
     assert recall >= 0.3, f"IVF recall collapsed: {recall}"
 

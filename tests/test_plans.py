@@ -65,9 +65,26 @@ def test_lsh_band_join_is_hash_join_not_nested_loop(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_similarity_broadcasts_query_set(spark, sf_dir):
+def test_similarity_bruteforce_is_one_map_stage(spark, sf_dir):
+    # Self-kNN brute force: scan → Arrow kernel, top-k computed in-batch.
+    # No pair materialization in the plan, no shuffle beyond the input
+    # spread, no window.
     plan = plan_of(spark, sf_dir, "similarity_bruteforce_topk")
-    assert "Broadcast" in plan, "query set must broadcast; corpus must not shuffle"
+    assert "MapInPandas" in plan, "scoring must run in the Arrow kernel"
+    assert "Window" not in plan and "Join" not in plan
+
+
+def test_similarity_lsh_join_is_co_partitioned_equi_join(spark, sf_dir):
+    # Candidate generation must be an equi-join on (table_id, bucket) —
+    # never a cartesian/nested-loop pairing of the corpus.
+    plan = plan_of(spark, sf_dir, "similarity_lsh_topk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
 
 
 def test_no_python_row_udfs_in_relational_core(spark, sf_dir):

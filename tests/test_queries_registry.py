@@ -16,10 +16,12 @@ def test_every_oracle_has_a_query():
     assert set(ORACLE) <= set(QUERIES)
 
 
-def test_registry_is_substantial():
-    assert len(QUERIES) >= 60
-    # ≥90% of the surface must be value-checked, not rows-only
-    assert len(ORACLE) >= 0.9 * len(QUERIES)
+def test_registry_fits_driver_window():
+    # The driver's correctness gate checks the FIRST 50 registry entries —
+    # every entry must land inside that window, and every entry must carry
+    # a real value oracle (no rows-only escapes left).
+    assert 40 <= len(QUERIES) <= 50
+    assert set(ORACLE) == set(QUERIES)
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
@@ -30,5 +32,4 @@ def test_query_runs_and_schema_stable(spark, sf_dir, name):
     assert n >= 0
     df2 = QUERIES[name](spark, sf_dir)
     assert df2.schema == schema1
-    if name not in ("join_anti_customers_without_orders",):
-        assert n > 0, f"{name} returned no rows at sf0.001"
+    assert n > 0, f"{name} returned no rows at sf0.001"
