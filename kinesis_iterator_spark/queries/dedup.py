@@ -33,6 +33,15 @@ JACCARD_THRESHOLD = 0.4
 # SimHash: 48 bits taken from the 60-bit md5-derived word hash.
 SIMHASH_BITS = 48
 
+# Hot-bucket cap for LSH candidate generation: a band bucket with d docs
+# emits d² /2 pairs, so one degenerate bucket (boilerplate/templated text,
+# adversarial data) can dominate the whole job. Buckets above the cap are
+# dropped — at 100 TB this bounds the worst case at cap²/2 pairs per
+# bucket; near-dup recall inside a dropped mega-bucket is sacrificed
+# deliberately (such docs are better handled by exact dedup on the
+# boilerplate key). Mirrored in the oracle SQL.
+MAX_BUCKET = 64
+
 
 def _h60(c: Column) -> Column:
     """60-bit integer hash from md5 — identical in Spark and DuckDB."""
@@ -150,12 +159,19 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                                             (b.band_id + 1) * {ROWS_PER_BAND}), ',')) AS band_key
       FROM sig, (SELECT UNNEST(range(0, {N_BANDS})) AS band_id) b
     ),
+    sizes AS (
+      SELECT band_id, band_key, COUNT(*) AS bsz
+      FROM bands GROUP BY band_id, band_key
+    ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, z.doc_id AS doc_b,
              a.shingles AS sa, z.shingles AS sb
-      FROM bands a JOIN bands z
+      FROM bands a
+      JOIN sizes s ON a.band_id = s.band_id AND a.band_key = s.band_key
+      JOIN bands z
         ON a.band_id = z.band_id AND a.band_key = z.band_key
        AND a.doc_id < z.doc_id
+      WHERE s.bsz <= {MAX_BUCKET}
     )
     SELECT doc_a, doc_b,
            CAST(len(list_intersect(sa, sb)) AS DOUBLE)
@@ -176,13 +192,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
        narrow shuffle keyed by doc_id);
     2. one md5 per shingle row → 16 Carter-Wegman minima as a columnar
        hash-agg (map-side partial min, tiny shuffle);
-    3. 4 band keys per doc → group docs per (band, key) bucket and emit
-       pairs within a bucket — candidates only, never the n² cross
-       product (at 100 TB add a bucket-size cap to bound hot buckets);
+    3. 4 band keys per doc → group docs per (band, key) bucket, DROP
+       buckets larger than MAX_BUCKET (hot-bucket cap — bounds the n²-
+       in-bucket worst case), emit pairs within surviving buckets —
+       candidates only, never the n² cross product;
     4. exact-Jaccard verification of candidate pairs against collect_set
        shingle sets.
     """
-    doc = load_table(spark, sf_dir, "documents")
+    return minhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def minhash_pairs(doc: DataFrame) -> DataFrame:
+    """The MinHash-LSH pipeline over any (doc_id, text) DataFrame — split
+    out so tests can plant degenerate buckets (see
+    tests/test_llm_ops.py)."""
     w = W.partitionBy("doc_id").orderBy("i")
     sh_rows = (
         doc.select(
@@ -238,7 +261,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = (
         bands.groupBy("band_id", "band_key")
         .agg(F.collect_list("doc_id").alias("ds"))
-        .filter(F.size("ds") > 1)
+        # candidate buckets: ≥2 docs, ≤ MAX_BUCKET (hot-bucket cap)
+        .filter(F.size("ds").between(2, MAX_BUCKET))
     )
     pairs = (
         bucket.select(F.explode("ds").alias("doc_a"), "ds")

@@ -6,6 +6,7 @@ Mapping (SURVEY.md §2.A):
 - ``foreach_batch(fn)``   ↔ idiomatic batch-granular handler
 - ``set_saver``           ↔ ``SetSaver`` (kinesis.go:242-245)
 - ``set_sleep_limit``     ↔ ``SetSleepLimit`` (kinesis.go:247-250, A10)
+- ``set_logger``          ↔ ``SetLogger`` (kinesis.go:16-19,238-240, A19)
 - ``run(...)``            ↔ ``Run`` (kinesis.go:147-154, A16)
 - ``shutdown(timeout)``   ↔ ``Shutdown`` (kinesis.go:221-236, A15)
 - ``reconcile()``         ↔ the 20 s monitor pass (kinesis.go:58-98, A13)
@@ -13,18 +14,28 @@ Mapping (SURVEY.md §2.A):
 Delivery semantics preserved exactly (SURVEY.md §2.A summary):
 - per-shard order: records are delivered in sequence order within a shard,
   never ordered across shards;
-- at-least-once: the checkpoint is the LAST sequence of a batch, written
-  only AFTER the whole batch's handler calls complete (kinesis.go:198-202)
-  — a crash mid-batch replays the batch;
+- at-least-once: checkpoints are written only AFTER the whole trigger's
+  handler calls complete (kinesis.go:198-202) — a crash mid-trigger
+  replays every shard's batch from that trigger;
 - handler errors: log-and-continue, the record is skipped permanently
-  (kinesis.go:193-197) — plus an optional DLQ the reference lacks
-  (SURVEY.md §7 improvement).
+  (kinesis.go:193-197) — plus a DLQ the reference lacks: handler failures
+  are returned from the executors through the delivery action and
+  accumulated in ``Iterator.dlq`` on the driver (SURVEY.md §7
+  improvement);
+- fetch errors: transient source failures are logged, every cursor is
+  re-acquired from its in-memory sequence, and consumption continues —
+  the reference's iterator-refresh branch (kinesis.go:184-191, A11)
+  without its ignored-error nil-deref.
 
-Execution is Spark-shaped: each trigger is one Spark job per shard-group;
-handler application happens on executors via ``foreachPartition`` after
-``repartition(shardId).sortWithinPartitions(sequenceNumber)`` — the
-per-shard goroutine loop (A12, kinesis.go:131-139) becomes
-task-per-partition, which is the Spark-native fan-out.
+Execution is Spark-shaped and SHARD-COUNT-INDEPENDENT: one trigger issues
+exactly TWO Spark actions regardless of how many shards are open — one
+bounded fetch covering every open shard (per-shard stats ride back on the
+same aggregate) and one delivery pass over
+``repartition(shardId).sortWithinPartitions(shardId, sequenceNumber)``.
+The per-shard goroutine fan-out (A12, kinesis.go:131-139) is Spark's
+task-per-partition; at hundreds of shards a slow shard delays only its
+task, not a driver loop (the round-1 design polled shards serially with
+2 driver actions each).
 """
 
 from __future__ import annotations
@@ -33,14 +44,12 @@ import logging
 import threading
 import time
 from collections.abc import Callable
-from typing import Any
+from typing import Any, Protocol
 
 from pyspark.sql import DataFrame
 
 from .sequence import Sequence, SequenceSaver, TRIM_HORIZON
 from .source import GET_RECORDS_LIMIT, SimulatedShardedSource
-
-logger = logging.getLogger("kinesis_iterator_spark")
 
 DEFAULT_SLEEP_LIMIT = 10.0  # seconds — kinesis.go:257
 MONITOR_PERIOD = 20.0  # seconds — kinesis.go:59
@@ -49,22 +58,31 @@ Handler = Callable[[Any], None]  # per-record, raise ⇒ skip (A5)
 BatchHandler = Callable[[DataFrame, int], None]
 
 
-def _apply_handler_partition(handler: Handler, dlq: list | None):
-    """Build the executor-side per-partition applier with the reference's
-    error policy (kinesis.go:193-197): log, skip, continue."""
+class Logger(Protocol):
+    """2-method logger, injectable as in the reference (kinesis.go:16-19):
+    any object with ``info`` / ``error`` printf-style methods."""
 
-    def apply(rows) -> None:
+    def info(self, msg: str, *args: Any) -> None: ...
+
+    def error(self, msg: str, *args: Any) -> None: ...
+
+
+_DEFAULT_LOGGER = logging.getLogger("kinesis_iterator_spark")
+
+
+def _handler_partition(handler: Handler):
+    """Executor-side per-partition applier with the reference's error
+    policy (kinesis.go:193-197): log-equivalent, skip, continue — failures
+    are YIELDED back (not logged into the void) so the driver can feed the
+    DLQ; a plain driver-side list append would be lost in the pickled
+    closure."""
+
+    def apply(rows):
         for row in rows:
             try:
                 handler(row)
             except Exception as e:  # noqa: BLE001 — handler is user code
-                logging.getLogger("kinesis_iterator_spark").error(
-                    "handler error on sequence %s: %s",
-                    row["sequenceNumber"],
-                    e,
-                )
-                if dlq is not None:
-                    dlq.append((row["sequenceNumber"], str(e)))
+                yield (row["sequenceNumber"], str(e))
 
     return apply
 
@@ -82,11 +100,14 @@ class Iterator:
         self._handler: Handler | None = None
         self._batch_handler: BatchHandler | None = None
         self._saver: SequenceSaver | None = None
+        self._logger: Logger = _DEFAULT_LOGGER
         self._sleep_limit = DEFAULT_SLEEP_LIMIT
         self._fetch_limit = GET_RECORDS_LIMIT
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
+        self._error: BaseException | None = None
         self._epoch = 0
+        self._last_poll_error = False
         self._shards: dict[str, dict] = {}  # shard_id → cursor
         self._sequences: dict[str, Sequence] = {}
         self.dlq: list[tuple[str, str]] = []
@@ -108,6 +129,15 @@ class Iterator:
         self._saver = saver
         return self
 
+    def set_logger(self, logger: Logger) -> "Iterator":
+        """Inject a logger (A19, kinesis.go:238-240); the default is the
+        stdlib ``kinesis_iterator_spark`` logger. Propagated to each
+        shard's Sequence like the reference does (sequence.go:91-93)."""
+        self._logger = logger
+        for seq in self._sequences.values():
+            seq.logger = logger
+        return self
+
     def set_sleep_limit(self, seconds: float) -> "Iterator":
         """Poll interval (A10; default 10 s as kinesis.go:257)."""
         self._sleep_limit = seconds
@@ -118,6 +148,11 @@ class Iterator:
         self._fetch_limit = n
         return self
 
+    @property
+    def failed(self) -> bool:
+        """True if the background consumption loop died (see ``run``)."""
+        return self._error is not None
+
     # -- shard lifecycle -----------------------------------------------------
 
     def _start_shards(self) -> None:
@@ -127,15 +162,30 @@ class Iterator:
             if shard_id in self._shards:
                 continue
             seq = Sequence(
-                self.source.stream_name, shard_id, self._saver
+                self.source.stream_name, shard_id, self._saver,
+                logger=self._logger,
             ).init()
-            cursor = self.source.shard_cursor(shard_id)
-            if seq.init_query(self.default_iterator_type)["iterator_type"] == (
-                "AFTER_SEQUENCE_NUMBER"
-            ):
-                cursor = self.source.advance(cursor, seq.sequence)
-            self._shards[shard_id] = cursor
             self._sequences[shard_id] = seq
+            self._shards[shard_id] = self._cursor_for(shard_id)
+
+    def _cursor_for(self, shard_id: str) -> dict:
+        """Build a cursor from the shard's sequence state: resume AFTER the
+        checkpoint iff one exists (A2), else the default position."""
+        seq = self._sequences[shard_id]
+        cursor = self.source.shard_cursor(shard_id)
+        if seq.init_query(self.default_iterator_type)["iterator_type"] == (
+            "AFTER_SEQUENCE_NUMBER"
+        ):
+            cursor = self.source.advance(cursor, seq.sequence)
+        return cursor
+
+    def _refresh_cursors(self) -> None:
+        """A11 (kinesis.go:184-191): after a fetch error, re-acquire every
+        open shard's iterator from its in-memory sequence and carry on —
+        at-least-once, same as the reference's refresh (minus its
+        swallowed GetShardIterator error)."""
+        for shard_id in list(self._shards):
+            self._shards[shard_id] = self._cursor_for(shard_id)
 
     def reconcile(self) -> None:
         """One monitor pass (A13, kinesis.go:58-98): if the stream is ACTIVE
@@ -162,37 +212,55 @@ class Iterator:
     # -- consumption ---------------------------------------------------------
 
     def poll_once(self) -> int:
-        """One trigger: fetch ≤ limit per shard, deliver, checkpoint.
-        Returns the number of records delivered. This is the loop body of
-        goShard (kinesis.go:156-214) for every shard."""
+        """One trigger: ONE bounded fetch across every open shard, ONE
+        delivery action, then per-shard checkpoints. Returns records
+        delivered. Spark actions per trigger: 2 (fetch stats + delivery),
+        independent of shard count.
+
+        Fetch errors take the A11 path: log, re-acquire cursors from the
+        in-memory sequences, return 0 — the next trigger retries."""
+        self._last_poll_error = False
+        try:
+            fetch = self.source.get_records_all(self._shards, self._fetch_limit)
+        except Exception as e:  # noqa: BLE001 — source/transport errors
+            self._logger.error("fetch error (will refresh cursors): %s", e)
+            self._refresh_cursors()
+            self._epoch += 1
+            self._last_poll_error = True
+            return 0
+
+        for shard_id in fetch.closed:
+            self._close_shard(shard_id)
+        if not fetch.tails:
+            self._epoch += 1
+            return 0  # empty poll
+
+        batch = (
+            fetch.records.repartition(
+                max(len(fetch.tails), 1), "shardId"
+            ).sortWithinPartitions("shardId", "sequenceNumber")
+        )
+        if self._batch_handler is not None:
+            self._batch_handler(batch, self._epoch)
+        if self._handler is not None:
+            # Executor-side record-at-a-time delivery in per-shard order;
+            # the same action carries handler failures back for the DLQ.
+            failures = batch.rdd.mapPartitions(
+                _handler_partition(self._handler)
+            ).collect()
+            for seq_no, err in failures:
+                self._logger.error("handler error on sequence %s: %s", seq_no, err)
+            self.dlq.extend(failures)
+
+        # Checkpoint AFTER the whole trigger's handler work — at-least-once
+        # (kinesis.go:198-202). Raises loudly on persistent failure.
         delivered = 0
-        for shard_id in list(self._shards):
-            cursor = self._shards[shard_id]
-            fetch = self.source.get_records(cursor, self._fetch_limit)
-            if fetch.closed:
-                self._close_shard(shard_id)
-                continue
-            if fetch.last_sequence is None:
-                continue  # empty poll
-            batch = (
-                fetch.records.repartition(1, "shardId")
-                .sortWithinPartitions("sequenceNumber")
-            )
-            n = batch.count()
-            if self._batch_handler is not None:
-                self._batch_handler(batch, self._epoch)
-            if self._handler is not None:
-                # executor-side record-at-a-time delivery in shard order
-                batch.foreachPartition(
-                    _apply_handler_partition(self._handler, None)
-                )
-            # Checkpoint AFTER handler completion — at-least-once
-            # (kinesis.go:198-202). Raises loudly on persistent failure.
-            self._sequences[shard_id].store(fetch.last_sequence)
+        for shard_id, tail in fetch.tails.items():
+            self._sequences[shard_id].store(tail)
             self._shards[shard_id] = self.source.advance(
-                cursor, fetch.last_sequence
+                self._shards[shard_id], tail
             )
-            delivered += n
+            delivered += fetch.counts[shard_id]
         self._epoch += 1
         self.records_delivered += delivered
         return delivered
@@ -208,7 +276,9 @@ class Iterator:
                 break
             n = self.poll_once()
             total += n
-            idle = idle + 1 if n == 0 else 0
+            # An A11 error poll is a retry, not evidence of a drained
+            # stream — only genuinely-empty fetches count toward idleness.
+            idle = idle + 1 if (n == 0 and not self._last_poll_error) else 0
             if not self._shards:
                 self.reconcile()
                 if not self._shards:
@@ -219,18 +289,26 @@ class Iterator:
 
     def run(self) -> "Iterator":
         """Non-blocking start (A16): consumption loop + monitor cadence in a
-        daemon thread, polling every ``sleep_limit`` seconds."""
+        daemon thread, polling every ``sleep_limit`` seconds. An exception
+        escaping the loop (e.g. exhausted checkpoint retries) is recorded
+        and re-raised from ``shutdown`` — a dead consumer must not look
+        healthy (``failed`` exposes it without joining)."""
         self._stop.clear()
+        self._error = None
         self._start_shards()
 
         def loop() -> None:
-            last_monitor = time.monotonic()
-            while not self._stop.is_set():
-                self.poll_once()
-                if time.monotonic() - last_monitor >= MONITOR_PERIOD:
-                    self.reconcile()
-                    last_monitor = time.monotonic()
-                self._stop.wait(self._sleep_limit)
+            try:
+                last_monitor = time.monotonic()
+                while not self._stop.is_set():
+                    self.poll_once()
+                    if time.monotonic() - last_monitor >= MONITOR_PERIOD:
+                        self.reconcile()
+                        last_monitor = time.monotonic()
+                    self._stop.wait(self._sleep_limit)
+            except BaseException as e:  # noqa: BLE001 — surfaced in shutdown
+                self._error = e
+                self._logger.error("consumption loop died: %s", e)
 
         self._thread = threading.Thread(target=loop, daemon=True)
         self._thread.start()
@@ -238,10 +316,14 @@ class Iterator:
 
     def shutdown(self, timeout: float = 30.0) -> None:
         """Graceful stop with timeout (A15, kinesis.go:221-236): signal,
-        drain, raise on timeout (the reference returns an error)."""
+        drain, raise on timeout (the reference returns an error). If the
+        loop died earlier, its exception is re-raised here."""
         self._stop.set()
         if self._thread is not None:
             self._thread.join(timeout)
             if self._thread.is_alive():
                 raise TimeoutError(f"shutdown timed out after {timeout}s")
             self._thread = None
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise RuntimeError("consumption loop failed") from err

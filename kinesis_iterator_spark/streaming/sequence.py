@@ -126,7 +126,8 @@ class JsonFileSaver:
 
 
 class Sequence:
-    """Per-shard cursor state (sequence.go:12-18)."""
+    """Per-shard cursor state (sequence.go:12-18). Accepts an injectable
+    2-method logger like the reference (sequence.go:91-93, A19)."""
 
     def __init__(
         self,
@@ -134,11 +135,13 @@ class Sequence:
         shard: str,
         saver: SequenceSaver | None = None,
         retries: int = DEFAULT_RETRIES,
+        logger=None,
     ) -> None:
         self.stream = stream
         self.shard = shard
         self.saver = saver
         self.retries = retries
+        self.logger = logger
         self.sequence: str | None = None
 
     def init(self) -> "Sequence":
@@ -165,12 +168,20 @@ class Sequence:
         if self.saver is None:
             return
         last_err: Exception | None = None
-        for _ in range(max(self.retries, 1)):
+        for attempt in range(max(self.retries, 1)):
             try:
                 self.saver.set(self.stream, self.shard, sequence)
                 return
             except Exception as e:  # noqa: BLE001 — saver is user code
                 last_err = e
+                if self.logger is not None:
+                    self.logger.error(
+                        "checkpoint write attempt %d failed for %s/%s: %s",
+                        attempt + 1,
+                        self.stream,
+                        self.shard,
+                        e,
+                    )
         raise RuntimeError(
             f"checkpoint write failed after {self.retries} retries "
             f"for {self.stream}/{self.shard}"

@@ -33,6 +33,16 @@ class FetchResult:
     closed: bool  # NextShardIterator == nil analogue (A9)
 
 
+@dataclass
+class MultiFetchResult:
+    """One trigger's fetch across every open shard (A3×A12 in one plan)."""
+
+    records: DataFrame  # all shards' batches, record schema
+    tails: dict[str, str]  # shard_id → highest sequence fetched (∅ if empty)
+    counts: dict[str, int]  # shard_id → rows fetched
+    closed: list[str]  # shards whose cursors predate the topology (A9)
+
+
 class SimulatedShardedSource:
     """A 'stream' = the events table sharded by ``user_id % n_shards``.
 
@@ -115,6 +125,61 @@ class SimulatedShardedSource:
             # closed only after a reshard — otherwise it's just an empty poll.
             return FetchResult(records=batch, last_sequence=None, closed=False)
         return FetchResult(records=batch, last_sequence=tail, closed=False)
+
+    def get_records_all(
+        self, cursors: dict[str, dict], limit: int = GET_RECORDS_LIMIT
+    ) -> MultiFetchResult:
+        """One bounded fetch covering EVERY open shard (the scale form of
+        A3): the cursor set joins in as a broadcast dim, the per-shard
+        row_number caps each shard at ``limit``, and the per-shard tail
+        sequence + row count come back from a single aggregate — one Spark
+        action total, versus one-fetch-plus-two-actions per shard in the
+        naive loop. At hundreds of shards this is the difference between a
+        trigger and a driver-side crawl.
+
+        Shards whose cursor generation predates a reshard are reported in
+        ``closed`` without touching Spark (driver-side metadata, as
+        ListShards would be)."""
+        closed = [
+            sid
+            for sid, c in cursors.items()
+            if c["generation"] != self._generation
+        ]
+        live = {sid: c for sid, c in cursors.items() if sid not in set(closed)}
+        if not live:
+            empty = self.spark.createDataFrame([], self._records().schema)
+            return MultiFetchResult(empty, {}, {}, closed)
+
+        # sequenceNumber is zero-padded, so "" orders before every real
+        # sequence — a None cursor ("start of shard") becomes the empty
+        # string and the predicate stays a single comparison.
+        cur_df = self.spark.createDataFrame(
+            [(sid, c["after"] or "") for sid, c in live.items()],
+            "shardId string, after string",
+        )
+        rec = (
+            self._records()
+            .join(F.broadcast(cur_df), "shardId")
+            .filter(F.col("sequenceNumber") > F.col("after"))
+            .drop("after")
+        )
+        w = W.partitionBy("shardId").orderBy("sequenceNumber")
+        batch = (
+            rec.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= limit)
+            .drop("_rn")
+        )
+        stats = (
+            batch.groupBy("shardId")
+            .agg(
+                F.max("sequenceNumber").alias("tail"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        tails = {r["shardId"]: r["tail"] for r in stats}
+        counts = {r["shardId"]: r["n"] for r in stats}
+        return MultiFetchResult(batch, tails, counts, closed)
 
     def advance(self, cursor: dict, last_sequence: str) -> dict:
         """NextShardIterator (A4, kinesis.go:203)."""

@@ -38,6 +38,25 @@ def test_minhash_lsh_finds_planted_near_duplicates(spark):
     assert overlap_12 > overlap_13, "minhash must reflect jaccard ordering"
 
 
+def test_minhash_hot_bucket_cap(spark):
+    """A degenerate bucket (here: MAX_BUCKET+8 identical docs, which share
+    every band key) must be dropped by the hot-bucket cap, while a normal
+    near-dup pair in a small bucket is still found."""
+    from kinesis_iterator_spark.queries.dedup import MAX_BUCKET, minhash_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    rows = [(i, "common boilerplate text repeated verbatim in every document here")
+            for i in range(MAX_BUCKET + 8)]
+    rows += [(1000, base), (1001, near)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["doc_a"], r["doc_b"]) for r in minhash_pairs(docs).collect()}
+    assert (1000, 1001) in pairs, "near-dup pair in a small bucket must survive"
+    assert not any(a < 900 and b < 900 for a, b in pairs), (
+        "pairs from the degenerate bucket must be dropped by the cap"
+    )
+
+
 def test_shingles_shape(spark):
     df = spark.createDataFrame([(1, "a b c d"), (2, "a b")], "id long, text string")
     out = df.select(_shingles(F.col("text")).alias("s")).collect()

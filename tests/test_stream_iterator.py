@@ -99,7 +99,7 @@ def test_at_least_once_crash_mid_batch_replays(spark, sf_dir):
             for r in df.select("shardId", "sequenceNumber").collect()
         ]
         delivered1.extend(rows)
-        if epoch == 1:  # second shard's batch in the first poll
+        if epoch == 1:  # second trigger: delivered but never checkpointed
             raise boom
 
     it1.foreach_batch(crashing_batch)
@@ -119,8 +119,10 @@ def test_at_least_once_crash_mid_batch_replays(spark, sf_dir):
 
 def test_handler_error_skips_record_and_continues(spark, sf_dir):
     """Per-record handler error ⇒ log, skip, keep consuming
-    (kinesis.go:193-197). The stream is NOT torn down and the checkpoint
-    still advances past the failed record."""
+    (kinesis.go:193-197). The stream is NOT torn down, the checkpoint
+    still advances past the failed record, and — unlike the reference —
+    the failure lands in the DLQ (executor → driver via the delivery
+    action, not a lost closure-side append)."""
     saver = InMemorySaver()
     it = Iterator(make_source(spark, sf_dir)).set_saver(saver)
 
@@ -133,6 +135,104 @@ def test_handler_error_skips_record_and_continues(spark, sf_dir):
     assert total == N_EVENTS  # all records fetched & offered
     # checkpoints advanced to each shard's tail despite the poison record
     assert len(saver._data) == 4
+    assert it.dlq == [("000000000007", "poison record")]
+
+
+class FlakySource(SimulatedShardedSource):
+    """Test double for A11: the first ``fail_n`` fetches raise."""
+
+    def __init__(self, *args, fail_n: int = 0, **kwargs) -> None:
+        super().__init__(*args, **kwargs)
+        self.fail_n = fail_n
+        self.fetches = 0
+
+    def get_records_all(self, cursors, limit=1000):
+        self.fetches += 1
+        if self.fetches <= self.fail_n:
+            raise OSError(f"simulated GetRecords failure #{self.fetches}")
+        return super().get_records_all(cursors, limit)
+
+
+def test_fetch_error_refreshes_cursor_and_continues(spark, sf_dir):
+    """A11 (kinesis.go:184-191): a transient fetch error is logged, the
+    shard iterators are re-acquired from the in-memory sequences, and
+    consumption continues — nothing lost, the loop does not die."""
+    src = FlakySource(spark, sf_dir, n_shards=4, fail_n=2)
+    it = Iterator(src).set_saver(InMemorySaver())
+    seen = collect_batches(it)
+    total = it.run_until_drained()
+    assert src.fetches > 2
+    assert total == N_EVENTS
+    assert len(set(seen)) == N_EVENTS
+
+
+def test_fetch_error_resumes_after_checkpoint_not_from_scratch(spark, sf_dir):
+    """The A11 refresh must resume AFTER the last checkpoint (the
+    reference reuses InitQuery with the in-memory sequence): records
+    checkpointed before the error are not redelivered."""
+    src = FlakySource(spark, sf_dir, n_shards=4, fail_n=0)
+    it = Iterator(src).set_saver(InMemorySaver()).set_fetch_limit(100)
+    seen = collect_batches(it)
+    it._start_shards()
+    it.poll_once()  # 400 records checkpointed
+    src.fail_n = src.fetches + 1  # next fetch fails once
+    it.poll_once()  # error → refresh, no delivery
+    before = len(seen)
+    assert before == 400
+    it.run_until_drained()
+    assert len(seen) == N_EVENTS
+    assert len(set(seen)) == N_EVENTS, "refresh must not replay checkpointed data"
+
+
+class ListLogger:
+    """A19 test double: 2-method logger capturing messages."""
+
+    def __init__(self) -> None:
+        self.infos: list[str] = []
+        self.errors: list[str] = []
+
+    def info(self, msg, *args):
+        self.infos.append(msg % args if args else msg)
+
+    def error(self, msg, *args):
+        self.errors.append(msg % args if args else msg)
+
+
+def test_pluggable_logger_receives_fetch_and_checkpoint_errors(spark, sf_dir):
+    """A19 (kinesis.go:16-19,238-240; sequence.go:91-93): an injected
+    2-method logger observes both fetch errors (iterator) and checkpoint
+    retry failures (sequence)."""
+    src = FlakySource(spark, sf_dir, n_shards=4, fail_n=1)
+    lg = ListLogger()
+    it = (
+        Iterator(src)
+        .set_saver(FlakySaver(fail_n=1))
+        .set_logger(lg)
+    )
+    it.run_until_drained()
+    assert any("fetch error" in m for m in lg.errors)
+    assert any("checkpoint write attempt" in m for m in lg.errors)
+
+
+def test_run_loop_failure_is_reraised_from_shutdown(spark, sf_dir):
+    """A dead consumption loop must not look healthy: an exception escaping
+    poll_once (here: exhausted checkpoint retries) is recorded, exposed via
+    ``failed``, and re-raised from shutdown()."""
+    import time as _t
+
+    it = (
+        Iterator(make_source(spark, sf_dir))
+        .set_saver(FlakySaver(fail_n=99))
+        .set_sleep_limit(0.05)
+    )
+    collect_batches(it)
+    it.run()
+    deadline = _t.monotonic() + 120
+    while not it.failed and _t.monotonic() < deadline:
+        _t.sleep(0.1)
+    assert it.failed
+    with pytest.raises(RuntimeError, match="consumption loop failed"):
+        it.shutdown(timeout=60.0)
 
 
 def test_checkpoint_retry_then_success(spark, sf_dir):
