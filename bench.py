@@ -52,11 +52,16 @@ def main() -> None:
 
     # warmup: JVM JIT, parquet footer caches, codegen + decimal-agg +
     # window machinery — run the first headline query once untimed so the
-    # first timed entry doesn't absorb session warmup.
+    # first timed entry doesn't absorb session warmup. Also start the
+    # Python/Arrow workers (numpy+pandas imports) so pandas-kernel queries
+    # measure steady state, not interpreter boot.
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
     QUERIES[HEADLINE[0]](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    spark.range(1000).repartition(32).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -112,27 +112,42 @@ def _np_corpus(spark: SparkSession, sf_dir: str):
     return ids, labels, M, nrm
 
 
-def _pair_scorer(ids, labels, M, nrm):
-    """mapInPandas kernel: (query_id, neighbor_id) pairs in → + exact
-    left-fold cosine out. Arrow-batched, fully vectorized."""
+def _pair_topk_scorer(ids, labels, M, nrm):
+    """mapInPandas kernel over candidate (query_id, neighbor_id) pairs that
+    have been repartitioned by query_id: dedupe, exact left-fold cosine,
+    and per-query top-k — all inside ONE partition pass. Replaces a
+    DISTINCT shuffle + a window shuffle with a single repartition; the
+    partition's Arrow batches are accumulated first because one query's
+    candidates may span batches."""
     import numpy as np
     import pandas as pd
 
     def score(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            qi = np.searchsorted(ids, pdf["query_id"].to_numpy())
-            ci = np.searchsorted(ids, pdf["neighbor_id"].to_numpy())
-            dots = np.add.accumulate(M[qi] * M[ci], axis=1)[:, -1]
-            yield pd.DataFrame(
-                {
-                    "query_id": pdf["query_id"],
-                    "neighbor_id": pdf["neighbor_id"],
-                    "neighbor_label": labels[ci].astype("int32"),
-                    "cosine": dots / (nrm[qi] * nrm[ci]),
-                }
-            )
+        chunks = [pdf for pdf in batches if len(pdf)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True).drop_duplicates()
+        qi = np.searchsorted(ids, pdf["query_id"].to_numpy())
+        ci = np.searchsorted(ids, pdf["neighbor_id"].to_numpy())
+        dots = np.add.accumulate(M[qi] * M[ci], axis=1)[:, -1]
+        out = pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].to_numpy(),
+                "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                "neighbor_label": labels[ci].astype("int32"),
+                "cosine": dots / (nrm[qi] * nrm[ci]),
+            }
+        )
+        # ORDER BY query_id, cosine DESC, neighbor_id — same total order as
+        # the oracle's window; pandas mergesort-stable multi-key sort.
+        out = out.sort_values(
+            ["query_id", "cosine", "neighbor_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+            ignore_index=True,
+        )
+        out["rnk"] = out.groupby("query_id").cumcount() + 1
+        yield out[out["rnk"] <= TOP_K]
 
     return score
 
@@ -392,17 +407,14 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe_side.join(capped, ["table_id", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
-        .distinct()
     )
-    # Exact-score the deduped slim pairs in the Arrow kernel, then a
-    # JVM window top-k (WindowGroupLimit prunes map-side).
-    scored = cand.mapInPandas(
-        _pair_scorer(ids_np, labels_np, M, nrm), schema=_PAIR_SCHEMA
-    )
-    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
-    return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= TOP_K)
+    # One repartition co-locates each query's candidates, then the Arrow
+    # kernel dedupes (multi-table/probe collisions), exact-scores, and
+    # emits the per-query top-k — no DISTINCT shuffle, no window shuffle.
+    par = spark.sparkContext.defaultParallelism
+    return cand.repartition(par, "query_id").mapInPandas(
+        _pair_topk_scorer(ids_np, labels_np, M, nrm),
+        schema=_PAIR_SCHEMA + ", rnk long",
     )
 
 
@@ -527,11 +539,8 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
     )
     ids_np, labels_np, M, nrm = _np_corpus(spark, sf_dir)
-    scored = pairs.mapInPandas(
-        _pair_scorer(ids_np, labels_np, M, nrm), schema=_PAIR_SCHEMA
-    )
-    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
-    return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= TOP_K)
+    par = spark.sparkContext.defaultParallelism
+    return pairs.repartition(par, "query_id").mapInPandas(
+        _pair_topk_scorer(ids_np, labels_np, M, nrm),
+        schema=_PAIR_SCHEMA + ", rnk long",
     )
