@@ -17,6 +17,7 @@ those semantics Spark-first:
   log-and-continue per-record error policy (kinesis.go:193-197).
 """
 
-from .iterator import Iterator  # noqa: F401
+from .iterator import Iterator, Logger  # noqa: F401
+from .option import Option, new_iterator  # noqa: F401
 from .sequence import InMemorySaver, JsonFileSaver, Sequence  # noqa: F401
 from .source import SimulatedShardedSource  # noqa: F401

@@ -299,6 +299,31 @@ def test_stream_not_active_stops_readers(spark, sf_dir):
     assert not it._shards
 
 
+def test_option_builder_parity(spark, sf_dir):
+    """A17 (option.go:10-43): fluent builder → config map + consumer.
+    Region/STS ride through to the connector-options map (the sandbox has
+    no AWS, so they configure nothing further — same as SURVEY §2.A17)."""
+    from kinesis_iterator_spark.streaming import Option, new_iterator
+
+    opt = (
+        Option()
+        .with_region("us-east-1")
+        .with_sts()
+        .with_stream_name("events")
+        .with_shards(2)
+        .with_sf_dir(sf_dir)
+    )
+    assert opt.get_config() == {
+        "streamName": "events",
+        "region": "us-east-1",
+        "credentialsProfile": "sts",
+    }
+    it = new_iterator(spark, opt).set_saver(InMemorySaver())
+    collect_batches(it)
+    assert it.run_until_drained() == N_EVENTS
+    assert len(it.source.list_shards()) == 2
+
+
 def test_graceful_shutdown(spark, sf_dir):
     """Run non-blocking, then shutdown within timeout (kinesis.go:147-154,
     221-236)."""
