@@ -92,3 +92,34 @@ def test_no_python_row_udfs_in_relational_core(spark, sf_dir):
                  "text_quality_scores", "fn_string_suite"):
         plan = plan_of(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan, f"{name} fell off codegen into Python"
+
+
+def test_tumbling_window_has_partial_aggregation(spark, sf_dir):
+    # Streaming-shaped agg must combine map-side: two HashAggregates
+    # around one exchange, so the shuffle carries (window, type) groups,
+    # not raw events.
+    plan = plan_of(spark, sf_dir, "events_tumbling_1h")
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange") == 1
+
+
+def test_blocked_jaccard_is_equi_join(spark, sf_dir):
+    # The (lang, length-decile) blocking must surface as an equi-join —
+    # a cartesian pairing here would be the O(n²) failure mode at scale.
+    plan = plan_of(spark, sf_dir, "dedup_ngram_jaccard")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sessionize_single_shuffle_on_user(spark, sf_dir):
+    # lag + cumulative-sum sessionization: the only exchange is the hash
+    # partition on user_id (plus the final agg reuses it). No extra sorts
+    # beyond the per-user window sort.
+    plan = plan_of(spark, sf_dir, "events_sessionize_30m")
+    assert plan.count("Exchange") <= 2
+
+
+def test_pivot_is_single_pass(spark, sf_dir):
+    # Explicit pivot values ⇒ one aggregate pass, no distinct-value scan job.
+    plan = plan_of(spark, sf_dir, "pivot_event_counts")
+    assert plan.count("Exchange") <= 2
