@@ -165,21 +165,43 @@ def fn_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "fn_array_suite",
     oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             string_split(text, ' ') AS words,
+             list_sort(list_distinct(string_split(text, ' '))) AS dw
+      FROM documents
+    ),
+    mapped AS (
+      SELECT *,
+             map(list_slice(dw, 1, 3),
+                 list_transform(list_slice(dw, 1, 3), w -> LENGTH(w))) AS m
+      FROM base
+    )
     SELECT doc_id,
-           len(string_split(text, ' ')) AS n_words,
-           len(list_distinct(string_split(text, ' '))) AS n_unique_words,
-           list_contains(string_split(text, ' '), 'spark') AS has_spark,
-           string_split(text, ' ')[1] AS first_word,
-           array_to_string(list_slice(string_split(text, ' '), 1, 3), '-') AS first3,
-           list_sort(list_distinct(string_split(text, ' ')))[1] AS min_word
-    FROM documents
+           len(words) AS n_words,
+           len(list_distinct(words)) AS n_unique_words,
+           list_contains(words, 'spark') AS has_spark,
+           words[1] AS first_word,
+           array_to_string(list_slice(words, 1, 3), '-') AS first3,
+           dw[1] AS min_word,
+           CAST(cardinality(m) AS BIGINT) AS map_size,
+           CAST(m[dw[1]][1] AS BIGINT) AS first_key_len,
+           CAST(list_reduce(list_prepend(0::BIGINT, map_values(m)),
+                            (a, b) -> a + b) AS BIGINT) AS map_values_sum
+    FROM mapped
     """,
 )
 def fn_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array functions (split/size/distinct/contains/slice/sort), reduced to
-    scalars for the oracle hash."""
+    """Array functions (split/size/distinct/contains/slice/sort) and MAP
+    functions (map_from_arrays/element_at/map_keys/map_values/size),
+    reduced to scalars for the oracle hash. Spark's element_at(map, k)
+    returns a scalar; DuckDB's m[k] returns a list, hence m[k][1] in the
+    oracle."""
     doc = load_table(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
+    dw = F.array_sort(F.array_distinct(words))
+    keys = F.slice(dw, 1, 3)
+    m = F.map_from_arrays(keys, F.transform(keys, lambda w: F.length(w)))
     return doc.select(
         "doc_id",
         F.size(words).cast("long").alias("n_words"),
@@ -187,7 +209,12 @@ def fn_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_contains(words, "spark").alias("has_spark"),
         F.element_at(words, 1).alias("first_word"),
         F.array_join(F.slice(words, 1, 3), "-").alias("first3"),
-        F.element_at(F.array_sort(F.array_distinct(words)), 1).alias("min_word"),
+        F.element_at(dw, 1).alias("min_word"),
+        F.size(m).cast("long").alias("map_size"),
+        F.element_at(m, F.element_at(dw, 1)).cast("long").alias("first_key_len"),
+        F.aggregate(
+            F.map_values(m), F.lit(0).cast("long"), lambda a, b: a + b
+        ).alias("map_values_sum"),
     )
 
 

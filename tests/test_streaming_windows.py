@@ -133,6 +133,121 @@ def test_streaming_dedup_with_watermark(spark, staged_events_dir):
     shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def test_streaming_session_window_matches_batch(spark, sf_dir, staged_events_dir):
+    """Native session_window on a stream (complete mode) equals the batch
+    session_window aggregate — the engine-native form of
+    events_sessionize_30m's lag+cumsum batch formulation."""
+    schema = spark.read.parquet(staged_events_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged_events_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    agg = (
+        # watermark far beyond the fixture's whole time span so no session
+        # is finalized early (files are event_id-sliced, not ts-sliced, so
+        # later micro-batches carry "late" events)
+        stream.withWatermark("ts", "3650 days")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), F.col("w.end").alias("we"), "user_id", "n")
+    )
+    ckpt = tempfile.mkdtemp(prefix="ckpt_sess_")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("session_out")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["ws"], r["we"], r["user_id"]): r["n"]
+        for r in spark.sql("select * from session_out").collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        (r["ws"], r["we"], r["user_id"]): r["n"]
+        for r in ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("ws"), F.col("w.end").alias("we"), "user_id", "n"
+        )
+        .collect()
+    }
+    assert got == want
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_custom_stateful_operator_apply_in_pandas_with_state(
+    spark, staged_events_dir
+):
+    """Custom stateful streaming operator (applyInPandasWithState): a
+    running per-event-type count whose GroupState survives across
+    micro-batches — the escape hatch for operators Spark lacks natively.
+    The final state must equal the batch count."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    schema = spark.read.parquet(staged_events_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged_events_dir)
+    )
+
+    def running_count(key, pdf_iter, state: GroupState):
+        total = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"event_type": [key[0]], "n": [total]})
+
+    out = stream.groupBy("event_type").applyInPandasWithState(
+        running_count,
+        outputStructType="event_type string, n long",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    ckpt = tempfile.mkdtemp(prefix="ckpt_state_")
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("state_out")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # update-mode memory sink accumulates one row per (key, batch); the max
+    # per key is the final running count.
+    got = {
+        r["event_type"]: r["mx"]
+        for r in spark.sql(
+            "select event_type, max(n) mx from state_out group by 1"
+        ).collect()
+    }
+    want = {
+        r["event_type"]: r["n"]
+        for r in spark.read.parquet(staged_events_dir)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def test_streaming_resume_from_checkpoint(spark, staged_events_dir):
     """Stop after partial progress, restart with the same checkpointLocation
     → the query resumes (offset log ≙ SequenceSaver, SURVEY §1.1) and ends
