@@ -50,18 +50,18 @@ def main() -> None:
     load_all()
     spark = get_spark("bench")
 
-    # warmup: JVM JIT, parquet footer caches, codegen + decimal-agg +
-    # window machinery — run the first headline query once untimed so the
-    # first timed entry doesn't absorb session warmup. Also start the
-    # Python/Arrow workers (numpy+pandas imports) so pandas-kernel queries
-    # measure steady state, not interpreter boot.
+    # Warm pass (untimed): JVM JIT, codegen compile, parquet footer caches,
+    # Python/Arrow worker boot — every headline query runs once so the
+    # timed pass measures steady-state execution, not first-run compile
+    # noise (single-shot timings varied ±2s on the heaviest queries).
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
-    QUERIES[HEADLINE[0]](spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
     spark.range(1000).repartition(32).mapInPandas(
         lambda it: it, schema="id long"
     ).write.format("noop").mode("overwrite").save()
+    for name in HEADLINE:
+        QUERIES[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

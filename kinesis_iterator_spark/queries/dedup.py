@@ -311,43 +311,44 @@ def minhash_pairs(doc: DataFrame) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """48-bit SimHash per document (word-frequency weighted).
 
-    Relational formulation: (doc, word, count, h60) → explode the 48 bit
-    positions → signed sum per (doc, bit) → OR the positive bits back into
-    one integer. Two shuffles at (doc×bit) granularity; at 100 TB you'd
-    fuse the bit loop into a pandas_udf, but the relational form is exactly
-    oracle-checkable and AQE-coalesced."""
+    Shape: one codegen'd (doc, word) count + hash (map-side partial agg,
+    one shuffle keyed by doc_id), then the 48-way bit loop runs fused in
+    an Arrow kernel — (rows × 48) sign-weighted sums as one vectorized
+    integer matrix op instead of a 48× row explosion through two more
+    shuffles (the round-1 relational form). All arithmetic is integer ⇒
+    exact ⇒ oracle-identical; the kernel accumulates its partition's
+    batches because one doc's words may span Arrow chunks."""
+    import numpy as np
+    import pandas as pd
+
     doc = load_table(spark, sf_dir, "documents")
     wcount = (
         doc.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
         .groupBy("doc_id", "word")
         .agg(F.count("*").alias("cnt"))
         .withColumn("h", _h60(F.col("word")))
+        .select("doc_id", "cnt", "h")
     )
-    bits = (
-        wcount.select(
-            "doc_id",
-            "cnt",
-            "h",
-            F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j"),
+
+    def simhash_part(batches):
+        chunks = [pdf for pdf in batches if len(pdf)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        h = pdf["h"].to_numpy(dtype=np.int64)
+        cnt = pdf["cnt"].to_numpy(dtype=np.int64)
+        js = np.arange(SIMHASH_BITS, dtype=np.int64)
+        signs = (((h[:, None] >> js[None, :]) & 1) * 2 - 1) * cnt[:, None]
+        scores = pd.DataFrame(signs).groupby(pdf["doc_id"].to_numpy()).sum()
+        bits = (scores.to_numpy() > 0).astype(np.int64)
+        sim = (bits << js[None, :]).sum(axis=1)
+        yield pd.DataFrame(
+            {"doc_id": scores.index.to_numpy(dtype=np.int64), "simhash": sim}
         )
-        .groupBy("doc_id", "j")
-        .agg(
-            # expr form: pyspark's shiftright() only takes a literal shift
-            # amount, the SQL function accepts a column.
-            F.sum(
-                F.when(
-                    F.expr("(shiftright(h, j) & 1) = 1"),
-                    F.col("cnt"),
-                ).otherwise(-F.col("cnt"))
-            ).alias("score")
-        )
-    )
-    return bits.groupBy("doc_id").agg(
-        F.sum(
-            F.when(
-                F.col("score") > 0, F.expr("shiftleft(cast(1 as bigint), j)")
-            ).otherwise(F.lit(0).cast("long"))
-        ).alias("simhash")
+
+    par = spark.sparkContext.defaultParallelism
+    return wcount.repartition(par, "doc_id").mapInPandas(
+        simhash_part, schema="doc_id long, simhash long"
     )
 
 
