@@ -1,0 +1,162 @@
+"""Property-based spot checks (SURVEY.md §5.2.4): windowed aggregation vs
+brute force on tiny random frames, dedup idempotence, top-k kernel vs a
+naive exact scan, sessionization gap invariants.
+
+Spark-touching properties keep max_examples small (each example runs real
+jobs); the pure-numpy kernel property runs many examples.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+SLOW = settings(max_examples=8, deadline=None)
+FAST = settings(max_examples=100, deadline=None)
+
+
+@SLOW
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(-100, 100)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_running_sum_window_matches_prefix_sums(spark, rows):
+    """SUM OVER (ROWS UNBOUNDED PRECEDING) ≡ per-group prefix sums."""
+    df = spark.createDataFrame(
+        [(g, i, v) for i, (g, v) in enumerate(rows)], "g int, i int, v long"
+    )
+    w = W.partitionBy("g").orderBy("i").rowsBetween(W.unboundedPreceding, 0)
+    got = {
+        (r["g"], r["i"]): r["rs"]
+        for r in df.withColumn("rs", F.sum("v").over(w)).collect()
+    }
+    acc: dict[int, int] = {}
+    for i, (g, v) in enumerate(rows):
+        acc[g] = acc.get(g, 0) + v
+        assert got[(g, i)] == acc[g]
+
+
+@SLOW
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=8), min_size=1, max_size=20
+    )
+)
+def test_exact_dedup_is_idempotent_and_minimal(spark, texts):
+    """dedup(dedup(X)) == dedup(X); survivors = min doc_id per content."""
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    dedup1 = df.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    out1 = {(r["text"], r["doc_id"]) for r in dedup1.collect()}
+    dedup2 = dedup1.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    out2 = {(r["text"], r["doc_id"]) for r in dedup2.collect()}
+    assert out1 == out2
+    want = {}
+    for i, t in enumerate(texts):
+        want.setdefault(t, i)
+    assert out1 == {(t, i) for t, i in want.items()}
+
+
+@FAST
+@given(st.data())
+def test_pair_topk_kernel_matches_naive_scan(data):
+    """The similarity top-k kernel (dedupe + left-fold cosine + tie-broken
+    top-k) equals a naive python implementation on random corpora."""
+    import numpy as np
+    import pandas as pd
+
+    from kinesis_iterator_spark.queries.similarity import (
+        TOP_K,
+        _pair_topk_scorer,
+    )
+
+    n = data.draw(st.integers(2, 12))
+    d = 4
+    M = np.array(
+        data.draw(
+            st.lists(
+                st.lists(
+                    st.floats(-1, 1, allow_nan=False, width=32),
+                    min_size=d,
+                    max_size=d,
+                ),
+                min_size=n,
+                max_size=n,
+            )
+        ),
+        dtype=np.float64,
+    )
+    # avoid zero-norm vectors (cosine undefined)
+    M[np.linalg.norm(M, axis=1) < 1e-6] += 0.5
+    ids = np.arange(n, dtype=np.int64)
+    labels = np.zeros(n, dtype=np.int64)
+    nrm = np.sqrt(np.add.accumulate(M * M, axis=1)[:, -1])
+    pairs = pd.DataFrame(
+        [(q, c) for q in range(n) for c in range(n) if q != c],
+        columns=["query_id", "neighbor_id"],
+    )
+    # duplicate some pairs to exercise the dedupe
+    pairs = pd.concat([pairs, pairs.head(3)], ignore_index=True)
+    out = pd.concat(
+        list(_pair_topk_scorer(ids, labels, M, nrm)([pairs])),
+        ignore_index=True,
+    )
+    for q in range(n):
+        cos = {
+            c: float(np.add.accumulate(M[q] * M[c])[-1] / (nrm[q] * nrm[c]))
+            for c in range(n)
+            if c != q
+        }
+        want = sorted(cos, key=lambda c: (-cos[c], c))[:TOP_K]
+        got = out[out["query_id"] == q].sort_values("rnk")["neighbor_id"].tolist()
+        assert got == want
+
+
+@SLOW
+@given(
+    ts_offsets=st.lists(
+        st.integers(0, 6 * 3600), min_size=1, max_size=25
+    )
+)
+def test_sessionize_gap_invariants(spark, ts_offsets):
+    """lag+cumsum sessionization: within a session no gap exceeds 30 min;
+    consecutive sessions are separated by > 30 min; every event lands in
+    exactly one session."""
+    base = 1_700_000_000
+    rows = [
+        (1, i, base + off) for i, off in enumerate(sorted(ts_offsets))
+    ]
+    df = spark.createDataFrame(rows, "user_id int, event_id int, epoch long")
+    ev = df.withColumn("ts", F.col("epoch").cast("timestamp"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    sess = (
+        ev.withColumn(
+            "new_session",
+            F.when(
+                gap.isNull() | (gap > 30 * 60 * 1_000_000), F.lit(1)
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0)),
+        )
+        .select("event_id", "epoch", "session_id")
+        .collect()
+    )
+    assert len(sess) == len(rows)
+    by_session: dict[int, list[int]] = {}
+    for r in sorted(sess, key=lambda r: r["epoch"]):
+        by_session.setdefault(r["session_id"], []).append(r["epoch"])
+    sessions = [by_session[k] for k in sorted(by_session)]
+    for epochs in sessions:
+        for a, b in zip(epochs, epochs[1:]):
+            assert b - a <= 30 * 60
+    for prev, nxt in zip(sessions, sessions[1:]):
+        assert nxt[0] - prev[-1] > 30 * 60

@@ -248,6 +248,87 @@ def test_custom_stateful_operator_apply_in_pandas_with_state(
     shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def test_streaming_watermark_drops_late_data(spark):
+    """The actual watermark DROP: stage two files where the second contains
+    an event far older than (max event time − watermark); in append mode
+    the late event must not reopen its finalized window."""
+    import pandas as pd
+
+    d = tempfile.mkdtemp(prefix="late_")
+    on_time = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1],
+            "ts": pd.to_datetime(
+                ["2024-01-01 10:05", "2024-01-01 12:05", "2024-01-01 14:05"]
+            ),
+        }
+    )
+    # Spark applies the LATE-EVENT filter with the watermark of the
+    # PREVIOUS batch (eviction watermark lags one batch behind the data
+    # that advanced it), so the late record must arrive two batches after
+    # the watermark-advancing events — hence the filler file in between.
+    filler = pd.DataFrame(
+        {"user_id": [1], "ts": pd.to_datetime(["2024-01-01 14:06"])}
+    )
+    late = pd.DataFrame(
+        {
+            "user_id": [1],
+            # 4 h older than the max event time seen in file 0; watermark
+            # is 1 h, so the 10:00 window is already finalized.
+            "ts": pd.to_datetime(["2024-01-01 10:10"]),
+        }
+    )
+    import glob, shutil as sh
+    import time as _t
+
+    flat = f"{d}/flat"
+    os.makedirs(flat)
+    now = _t.time()
+    for i, pdf in enumerate((on_time, filler, late)):
+        spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+            f"{d}/tmp_{i}"
+        )
+        dst = f"{flat}/{i:02d}.parquet"
+        sh.copy(glob.glob(f"{d}/tmp_{i}/*.parquet")[0], dst)
+        # FileStreamSource orders micro-batches by modification time — pin
+        # it so file i forms batch i.
+        os.utime(dst, (now - 300 + 100 * i, now - 300 + 100 * i))
+
+    schema = spark.read.parquet(flat).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    ckpt = tempfile.mkdtemp(prefix="ckpt_late_")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_out")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["ws"].isoformat(): r["n"]
+        for r in spark.sql("select * from late_out").collect()
+    }
+    # The 10:00 window was finalized with n=1 when the watermark passed
+    # 11:05; the late 10:10 event must NOT appear as an extra count.
+    assert got.get("2024-01-01T10:00:00") == 1, got
+    shutil.rmtree(d, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def test_streaming_resume_from_checkpoint(spark, staged_events_dir):
     """Stop after partial progress, restart with the same checkpointLocation
     → the query resumes (offset log ≙ SequenceSaver, SURVEY §1.1) and ends
