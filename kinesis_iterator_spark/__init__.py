@@ -15,4 +15,15 @@ Layout
   DuckDB oracle SQL string.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+from .streaming import (  # noqa: F401,E402
+    InMemorySaver,
+    Iterator,
+    JsonFileSaver,
+    Logger,
+    Option,
+    Sequence,
+    SimulatedShardedSource,
+    new_iterator,
+)
