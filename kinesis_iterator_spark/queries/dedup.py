@@ -270,7 +270,19 @@ def minhash_pairs(doc: DataFrame) -> DataFrame:
         .filter(F.col("doc_a") < F.col("doc_b"))
         .distinct()
     )
-    sets = sh_rows.groupBy("doc_id").agg(F.collect_set("s").alias("shingles"))
+    # Materialize shingle SETS only for docs that appear in a candidate
+    # pair (left-semi BEFORE the collect_set agg): the exact-verify stage
+    # never aggregates or shuffles the non-candidate 99%+ of the corpus.
+    cand_ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sets = (
+        sh_rows.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("s").alias("shingles"))
+    )
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb"))
     jaccard = F.size(F.array_intersect("sa", "sb")).cast("double") / F.size(
