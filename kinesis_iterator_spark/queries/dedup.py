@@ -273,6 +273,10 @@ def minhash_pairs(doc: DataFrame) -> DataFrame:
     # Materialize shingle SETS only for docs that appear in a candidate
     # pair (left-semi BEFORE the collect_set agg): the exact-verify stage
     # never aggregates or shuffles the non-candidate 99%+ of the corpus.
+    # pairs is persisted because it feeds both the broadcast of candidate
+    # ids and the final verify join — without it the whole shingle→sig→
+    # band pipeline would run twice (measured 2×).
+    pairs = pairs.persist()
     cand_ids = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
