@@ -20,4 +20,5 @@ those semantics Spark-first:
 from .iterator import Iterator, Logger  # noqa: F401
 from .option import Option, new_iterator  # noqa: F401
 from .sequence import InMemorySaver, JsonFileSaver, Sequence  # noqa: F401
+from .sink import ParquetEpochSink  # noqa: F401
 from .source import SimulatedShardedSource  # noqa: F401

@@ -299,6 +299,45 @@ def test_stream_not_active_stops_readers(spark, sf_dir):
     assert not it._shards
 
 
+def test_parquet_sink_exactly_once_across_crash(spark, sf_dir, tmp_path):
+    """ParquetEpochSink: at-least-once redelivery + batch-keyed idempotent
+    overwrite = exactly-once output. Crash after delivery but before
+    checkpoint, restart with a FRESH Iterator on the same saver + sink
+    root: the replayed trigger rewrites the same batch directory and the
+    read-back equals the stream exactly once."""
+    from kinesis_iterator_spark.streaming import ParquetEpochSink
+
+    saver = InMemorySaver()
+    src = make_source(spark, sf_dir)
+    sink = ParquetEpochSink(str(tmp_path / "out"))
+
+    crash_after = 2
+    calls = {"n": 0}
+
+    def crashing_sink(df, epoch):
+        sink(df, epoch)
+        calls["n"] += 1
+        if calls["n"] == crash_after:
+            raise RuntimeError("crash after write, before checkpoint")
+
+    it1 = Iterator(src).set_saver(saver).set_fetch_limit(100)
+    it1.foreach_batch(crashing_sink)
+    it1._start_shards()
+    with pytest.raises(RuntimeError):
+        while True:
+            it1.poll_once()
+
+    it2 = Iterator(src).set_saver(saver).set_fetch_limit(100)
+    it2.foreach_batch(sink)
+    it2.run_until_drained()
+
+    out = sink.read(spark)
+    assert out.count() == N_EVENTS, "exactly-once violated (dupes or loss)"
+    assert out.select("sequenceNumber").distinct().count() == N_EVENTS
+    # the crash trigger's batch key was written twice — same directory
+    assert len(sink.batches_written) > len(set(sink.batches_written))
+
+
 def test_option_builder_parity(spark, sf_dir):
     """A17 (option.go:10-43): fluent builder → config map + consumer.
     Region/STS ride through to the connector-options map (the sandbox has
