@@ -26,8 +26,17 @@ def test_registry_fits_driver_window():
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_runs_and_schema_stable(spark, sf_dir, name):
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
     df = QUERIES[name](spark, sf_dir)
     schema1 = df.schema
+    # The driver's pandas-based canonicalizer crashes on non-atomic cells
+    # (round 1: array<double> → "unhashable type: 'list'"): every output
+    # column must be a scalar type.
+    for f in schema1.fields:
+        assert not isinstance(
+            f.dataType, (ArrayType, MapType, StructType)
+        ), f"{name}.{f.name} outputs non-atomic type {f.dataType}"
     n = df.count()
     assert n >= 0
     df2 = QUERIES[name](spark, sf_dir)
