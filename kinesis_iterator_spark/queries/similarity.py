@@ -45,7 +45,7 @@ TOP_K = 5
 # log₂ n). A bounded external query set is the same plan with a filter
 # pushed into the query side.
 N_TABLES = 5  # LSH hash tables (independent plane sets)
-ORACLE_BITS = 4  # bits per table at sf0.01 (n=500) — see _bits_for()
+B_CAP = 12  # max bits/table the SQL oracle carries planes for (n ≤ ~131k)
 DIM = 64
 
 
@@ -53,8 +53,11 @@ def _bits_for(n: int) -> int:
     """Bits per LSH table: target ~32 vectors per bucket, so b grows with
     log2(n) — bucket occupancy stays bounded as the corpus scales (the
     round-1 failure was a fixed 16-bucket table whose occupancy grew
-    linearly with n). n=500 → 4 bits; n=2e3 → 6; n=1e9 → 25."""
-    return max(4, math.ceil(math.log2(max(n, 64) / 32)))
+    linearly with n). n=500 → 4 bits; n=2e3 → 6. Capped at B_CAP so the
+    oracle (whose plane table is a literal) stays equivalent at every
+    fixture scale; production with stored signatures lifts the cap
+    (n=1e9 → 25 bits)."""
+    return min(B_CAP, max(4, math.ceil(math.log2(max(n, 64) / 32))))
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -241,23 +244,31 @@ def _plane(j: int) -> list[float]:
     return out
 
 
-def _planes_sql(n_tables: int, bits: int) -> str:
-    """(table_id, bit_id, plane) literal rows; plane j = table_id*bits+bit_id."""
+def _planes_sql(n_tables: int) -> str:
+    """(table_id, bit_id, plane) literal rows for every bit up to B_CAP;
+    plane j = table_id*B_CAP + bit_id — the index is b-INDEPENDENT so the
+    same plane set serves any bits-per-table the data implies."""
     rows = ", ".join(
-        f"({t}, {i}, [{', '.join(repr(v) for v in _plane(t * bits + i))}]::DOUBLE[])"
+        f"({t}, {i}, [{', '.join(repr(v) for v in _plane(t * B_CAP + i))}]::DOUBLE[])"
         for t in range(n_tables)
-        for i in range(bits)
+        for i in range(B_CAP)
     )
     return f"(VALUES {rows}) p(table_id, bit_id, plane)"
 
 
 def _lsh_oracle() -> str:
-    """DuckDB mirror of similarity_lsh_topk at the driver's check scale
-    (sf0.01: n=500 → bits=4; the Spark side derives bits from the corpus
-    count at runtime, so both sides agree wherever the driver compares)."""
-    b, L = ORACLE_BITS, N_TABLES
+    """DuckDB mirror of similarity_lsh_topk, scale-factor-agnostic: b and
+    the hot-bucket cap are derived from COUNT(*) inside the SQL with the
+    same formula as _bits_for, so Spark and the oracle agree at ANY
+    fixture scale (round-2 fix: a hardcoded b matched only sf0.01)."""
+    L = N_TABLES
     return f"""
-    WITH params AS (SELECT COUNT(*) AS n FROM embeddings),
+    WITH params AS (
+      SELECT n,
+             LEAST({B_CAP}, GREATEST(4,
+               CAST(CEIL(LOG2(GREATEST(n, 64) / 32.0)) AS BIGINT))) AS b
+      FROM (SELECT COUNT(*) AS n FROM embeddings)
+    ),
     normed AS (
       SELECT vec_id, label, embedding,
              SQRT({_DOT_SQL.format(a="embedding", b="embedding")}) AS nrm
@@ -267,7 +278,8 @@ def _lsh_oracle() -> str:
       SELECT n.vec_id, p.table_id,
              CAST(SUM(CASE WHEN {_DOT_SQL.format(a="n.embedding", b="p.plane")} >= 0
                       THEN (1::BIGINT << p.bit_id) ELSE 0 END) AS BIGINT) AS bucket
-      FROM normed n, {_planes_sql(L, b)}
+      FROM normed n, {_planes_sql(L)}, params
+      WHERE p.bit_id < params.b
       GROUP BY n.vec_id, p.table_id
     ),
     sizes AS (SELECT table_id, bucket, COUNT(*) AS bsz FROM sig GROUP BY 1, 2),
@@ -275,13 +287,14 @@ def _lsh_oracle() -> str:
       SELECT s.vec_id, s.table_id, s.bucket
       FROM sig s JOIN sizes z ON s.table_id = z.table_id AND s.bucket = z.bucket,
            params
-      WHERE z.bsz <= 32 + 8 * params.n // {1 << b}
+      WHERE z.bsz <= 32 + 8 * params.n // (1::BIGINT << params.b)
     ),
     probes AS (
       SELECT q.vec_id, q.table_id,
              CASE WHEN g.k < 0 THEN q.bucket
                   ELSE xor(q.bucket, (1::BIGINT << g.k)) END AS probe_bucket
-      FROM sig q, (SELECT UNNEST(range(-1, {b})) AS k) g
+      FROM sig q, (SELECT UNNEST(range(-1, {B_CAP})) AS k) g, params
+      WHERE g.k < params.b
     ),
     cand AS (
       SELECT DISTINCT p.vec_id AS query_id, c.vec_id AS neighbor_id
@@ -337,7 +350,13 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = len(ids_np)
     b = _bits_for(n)
     cap = 32 + 8 * n // (1 << b)
-    planes = [_plane(j) for j in range(N_TABLES * b)]
+    # plane index is t*B_CAP + i (b-independent) — same as the oracle's
+    # literal plane table, so any b selects the same plane subset.
+    planes = {
+        t * B_CAP + i: _plane(t * B_CAP + i)
+        for t in range(N_TABLES)
+        for i in range(b)
+    }
 
     # Signature computation is a single projection: each bucket is b sign
     # bits of dots against literal plane vectors, evaluated per row in one
@@ -362,7 +381,7 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def bucket_sql(t: int) -> str:
         bits = " + ".join(
-            f"(CASE WHEN {dot_sql(t * b + i)} >= 0 THEN {1 << i} ELSE 0 END)"
+            f"(CASE WHEN {dot_sql(t * B_CAP + i)} >= 0 THEN {1 << i} ELSE 0 END)"
             for i in range(b)
         )
         return f"cast({bits} as bigint)"

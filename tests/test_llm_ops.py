@@ -129,6 +129,42 @@ def test_multimodal_blob_and_decode(spark, sf_dir):
     assert {r["kind"] for r in rows} == {"image", "audio", "video"}
 
 
+def test_pandas_grouped_agg_udaf(spark, sf_dir):
+    """The UDAF surface: a vectorized grouped-aggregate pandas_udf
+    (Arrow-batched per group) — here a value-weighted mean per event_type
+    — must equal the exact built-in formulation. This is the blessed
+    escape hatch for aggregations Catalyst can't express."""
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # two-argument grouped-agg UDFs need the explicit functionType (the
+    # annotation-based inference only handles single-Series signatures)
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def weighted_mean(v: pd.Series, w: pd.Series) -> float:
+        return float((v * w).sum() / w.sum())
+
+    from kinesis_iterator_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("value").alias("v"), (F.col("user_id") % 5 + 1).alias("w")
+    )
+    got = {
+        r["event_type"]: r["wm"]
+        for r in ev.groupBy("event_type").agg(
+            weighted_mean("v", "w").alias("wm")
+        ).collect()
+    }
+    want = {
+        r["event_type"]: r["wm"]
+        for r in ev.groupBy("event_type")
+        .agg((F.sum(F.col("v") * F.col("w")) / F.sum("w")).alias("wm"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in got:
+        assert abs(got[k] - want[k]) < 1e-9 * max(1.0, abs(want[k]))
+
+
 def test_lang_id_deterministic_and_total(spark, sf_dir):
     out = QUERIES["text_lang_id"](spark, sf_dir)
     assert out.filter(F.col("predicted_lang").isNull()).count() == 0
