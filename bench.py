@@ -30,9 +30,11 @@ HEADLINE = [
     "window_rank_functions",
     "topk_per_group",
     "agg_multi_function",
+    "join_asof_click_purchase",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_embedding_cosine",
     "similarity_bruteforce_topk",
     "similarity_lsh_topk",
     "text_quality_scores",

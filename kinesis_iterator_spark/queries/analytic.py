@@ -125,35 +125,48 @@ def analytic_moments_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "analytic_approx_count_distinct",
+    "analytic_histogram_hll",
     oracle="""
     SELECT event_type,
+           CAST(FLOOR(value / 50) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           MIN(value) AS lo,
+           MAX(value) AS hi,
            COUNT(DISTINCT user_id) AS exact_users,
-           COUNT(*) AS n_events,
            TRUE AS approx_within_tol
     FROM events
-    GROUP BY event_type
+    GROUP BY 1, 2
     """,
 )
-def analytic_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct estimate — THE 100 TB cardinality primitive
-    (constant memory vs a full distinct shuffle). The sketch value is
-    engine-specific, so the query emits the exact distinct count plus a
-    boolean asserting the HLL estimate lands within 5% of it (rsd is
-    configured at 1%, so 5% is a hard-fail bound, not a tautology); the
-    oracle computes exact + literal TRUE."""
+def analytic_histogram_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (floor-bucketing — one shuffle at bucket
+    cardinality regardless of input size) crossed with the HyperLogLog++
+    distinct estimate, THE 100 TB cardinality primitive (constant memory
+    vs a full distinct shuffle). The sketch value is engine-specific, so
+    each histogram cell emits the exact distinct count plus a boolean
+    asserting the HLL estimate lands within 5% of it (rsd is configured at
+    1%, so 5% is a hard-fail bound, not a tautology); the oracle computes
+    exact + literal TRUE."""
     ev = load_table(spark, sf_dir, "events")
     return (
-        ev.groupBy("event_type")
+        ev.groupBy(
+            "event_type",
+            F.floor(F.col("value") / 50).cast("long").alias("bucket"),
+        )
         .agg(
+            F.count("*").alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
             F.countDistinct("user_id").alias("exact_users"),
-            F.count("*").alias("n_events"),
             F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
         )
         .select(
             "event_type",
+            "bucket",
+            "n",
+            "lo",
+            "hi",
             "exact_users",
-            "n_events",
             (
                 F.abs(F.col("approx_users") - F.col("exact_users"))
                 / F.col("exact_users")
@@ -163,25 +176,3 @@ def analytic_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-@query(
-    "analytic_histogram",
-    oracle="""
-    SELECT CAST(FLOOR(value / 50) AS BIGINT) AS bucket,
-           COUNT(*) AS n,
-           MIN(value) AS lo,
-           MAX(value) AS hi
-    FROM events
-    GROUP BY 1
-    """,
-)
-def analytic_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-width histogram via floor-bucketing — one shuffle at bucket
-    cardinality regardless of input size."""
-    ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy(
-        F.floor(F.col("value") / 50).cast("long").alias("bucket")
-    ).agg(
-        F.count("*").alias("n"),
-        F.min("value").alias("lo"),
-        F.max("value").alias("hi"),
-    )

@@ -419,3 +419,153 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= 0.6)
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup (the vector-space member of the dedup family)
+# ---------------------------------------------------------------------------
+
+# Near-dup threshold. The synthetic fixture's vectors are near-random
+# (max pairwise cosine ≈ 0.5), so the demonstration threshold sits inside
+# the fixture's actual similarity range; production near-dup runs the same
+# pipeline at τ ≈ 0.9 — τ is a parameter, the plan does not change.
+COSINE_TAU = 0.35
+
+
+def _emb_cosine_oracle() -> str:
+    from .similarity import B_CAP, N_TABLES, _DOT_SQL, _planes_sql
+
+    return f"""
+    WITH params AS (
+      SELECT n,
+             LEAST({B_CAP}, GREATEST(4,
+               CAST(CEIL(LOG2(GREATEST(n, 64) / 32.0)) AS BIGINT))) AS b
+      FROM (SELECT COUNT(*) AS n FROM embeddings)
+    ),
+    normed AS (
+      SELECT vec_id, label, embedding,
+             SQRT({_DOT_SQL.format(a="embedding", b="embedding")}) AS nrm
+      FROM embeddings
+    ),
+    sig AS (
+      SELECT n.vec_id, p.table_id,
+             CAST(SUM(CASE WHEN {_DOT_SQL.format(a="n.embedding", b="p.plane")} >= 0
+                      THEN (1::BIGINT << p.bit_id) ELSE 0 END) AS BIGINT) AS bucket
+      FROM normed n, {_planes_sql(N_TABLES)}, params
+      WHERE p.bit_id < params.b
+      GROUP BY n.vec_id, p.table_id
+    ),
+    sizes AS (SELECT table_id, bucket, COUNT(*) AS bsz FROM sig GROUP BY 1, 2),
+    capped AS (
+      SELECT s.vec_id, s.table_id, s.bucket
+      FROM sig s JOIN sizes z ON s.table_id = z.table_id AND s.bucket = z.bucket,
+           params
+      WHERE z.bsz <= 32 + 8 * params.n // (1::BIGINT << params.b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
+      FROM capped a JOIN capped c
+        ON a.table_id = c.table_id AND a.bucket = c.bucket
+      WHERE a.vec_id < c.vec_id
+    ),
+    dup AS (
+      SELECT cand.vec_a, cand.vec_b
+      FROM cand
+      JOIN normed x ON x.vec_id = cand.vec_a
+      JOIN normed y ON y.vec_id = cand.vec_b
+      WHERE {_DOT_SQL.format(a="x.embedding", b="y.embedding")}
+              / (x.nrm * y.nrm) >= {COSINE_TAU!r}
+    ),
+    removed AS (SELECT vec_b, COUNT(*) AS n_pairs FROM dup GROUP BY vec_b)
+    SELECT e.label,
+           COUNT(*) AS n_vectors,
+           COUNT(r.vec_b) AS n_removed,
+           COUNT(*) - COUNT(r.vec_b) AS n_survivors,
+           CAST(COALESCE(SUM(r.n_pairs), 0) AS BIGINT) AS n_dup_pairs
+    FROM embeddings e LEFT JOIN removed r ON e.vec_id = r.vec_b
+    GROUP BY e.label
+    """
+
+
+@query("dedup_embedding_cosine", oracle=_emb_cosine_oracle())
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: LSH-blocked candidate pairs, exact
+    left-fold cosine verify at τ, greedy keep-smallest-id survivor policy,
+    reported as per-label dedup stats.
+
+    Pipeline (the vector analogue of dedup_minhash_lsh's shingle path):
+    1. sign-LSH signatures — ONE projection, bits scale with log₂ n,
+       shared with similarity_lsh_topk (`sig_array_expr`);
+    2. hot-bucket cap (the window count rides the same (table_id, bucket)
+       exchange the self-join shuffles on);
+    3. candidates = same-bucket pairs with vec_a < vec_b — an equi-join,
+       never all-pairs;
+    4. exact cosine in an Arrow kernel (`np.add.accumulate` sequential
+       fold ≡ the oracle's `list_reduce`), pairs globally deduped by
+       hash-repartitioning on the pair key;
+    5. dedup policy: drop any vector that has a near-dup with a smaller
+       id (single-pass approximation of connected components — the
+       iterative union-find a production pipeline might add changes only
+       step 5, not the candidate machinery).
+
+    Per-label output: n_vectors / n_removed / n_survivors / n_dup_pairs —
+    scalars, so the result is value-hash-checkable at any scale factor."""
+    from .similarity import _bits_for, _np_corpus, sig_array_expr
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ids, labels, M, nrm = _np_corpus(spark, sf_dir)
+    n = len(ids)
+    b = _bits_for(n)
+    cap = 32 + 8 * n // (1 << b)
+    par = spark.sparkContext.defaultParallelism
+    sig = emb.repartition(par).select(
+        "vec_id", F.posexplode(sig_array_expr(b)).alias("table_id", "bucket")
+    )
+    capped = (
+        sig.withColumn(
+            "bsz", F.count("*").over(W.partitionBy("table_id", "bucket"))
+        )
+        .filter(F.col("bsz") <= cap)
+        .drop("bsz")
+    )
+    a = capped.select(F.col("vec_id").alias("vec_a"), "table_id", "bucket")
+    c = capped.select(F.col("vec_id").alias("vec_b"), "table_id", "bucket")
+    cand = (
+        a.join(c, ["table_id", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+    )
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        chunks = [pdf for pdf in batches if len(pdf)]
+        if not chunks:
+            return
+        # Hash-repartitioned on the pair key, so multi-table collisions of
+        # the same pair are co-located → per-partition drop_duplicates is
+        # globally exact.
+        pdf = pd.concat(chunks, ignore_index=True).drop_duplicates()
+        ai = np.searchsorted(ids, pdf["vec_a"].to_numpy())
+        bi = np.searchsorted(ids, pdf["vec_b"].to_numpy())
+        dots = np.add.accumulate(M[ai] * M[bi], axis=1)[:, -1]
+        cos = dots / (nrm[ai] * nrm[bi])
+        keep = cos >= COSINE_TAU
+        yield pd.DataFrame({"vec_b": pdf["vec_b"].to_numpy()[keep]})
+
+    dup_b = cand.repartition(par, "vec_a", "vec_b").mapInPandas(
+        score, "vec_b long"
+    )
+    removed = dup_b.groupBy("vec_b").agg(F.count("*").alias("n_pairs"))
+    e = emb.select("vec_id", "label")
+    return (
+        e.join(removed, e.vec_id == removed.vec_b, "left")
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.count("vec_b").alias("n_removed"),
+            (F.count("*") - F.count("vec_b")).alias("n_survivors"),
+            F.coalesce(F.sum("n_pairs"), F.lit(0)).cast("long").alias("n_dup_pairs"),
+        )
+    )

@@ -428,6 +428,93 @@ def join_range_quantity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "join_asof_click_purchase",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts,
+             MAX(event_id) AS purchase_event_id,
+             MAX(value) AS purchase_value
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, ts
+    ),
+    c AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'click'
+    )
+    SELECT c.event_id, c.user_id, c.ts AS click_ts, c.value AS click_value,
+           p.purchase_event_id, p.ts AS purchase_ts, p.purchase_value
+    FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def join_asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join — each click matched to the user's most recent purchase
+    at or before the click (the event-time point lookup behind feature
+    backfills and trade/quote alignment). Spark has no ASOF JOIN operator
+    (DuckDB does — the oracle uses it natively), so this implements it the
+    scale-honest way: UNION both sides with a side marker, then one window
+    pass per user carrying the last non-null purchase attributes forward
+    (`last(..., ignorenulls=True)` over rows unbounded-preceding..current,
+    ordered by (ts, side) so a same-instant purchase sorts before the
+    click, matching the oracle's `>=`).
+
+    Why not a range join: `c.ts >= p.ts` as a join predicate is O(clicks ×
+    purchases) per user; the union+window form is ONE shuffle on user_id
+    and a linear scan per partition — it survives 100× where the range
+    join quadratically dies. Purchases are first deduped per (user_id, ts)
+    with MAX so the as-of pick is tie-free in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    ts_type = ev.schema["ts"].dataType
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("purchase_event_id"),
+            F.max("value").alias("purchase_value"),
+        )
+        .select(
+            "user_id",
+            "ts",
+            F.lit(0).alias("side"),
+            "purchase_event_id",
+            F.col("ts").alias("purchase_ts"),
+            "purchase_value",
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(None).cast("double").alias("click_value"),
+        )
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        F.lit(None).cast("long").alias("purchase_event_id"),
+        F.lit(None).cast(ts_type).alias("purchase_ts"),
+        F.lit(None).cast("double").alias("purchase_value"),
+        "event_id",
+        F.col("value").alias("click_value"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = p.unionByName(c).select(
+        "*",
+        F.last("purchase_event_id", ignorenulls=True).over(w).alias("pe"),
+        F.last("purchase_ts", ignorenulls=True).over(w).alias("pt"),
+        F.last("purchase_value", ignorenulls=True).over(w).alias("pv"),
+    )
+    return filled.filter(F.col("side") == 1).select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        "click_value",
+        F.col("pe").alias("purchase_event_id"),
+        F.col("pt").alias("purchase_ts"),
+        F.col("pv").alias("purchase_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Aggregation variants
 # ---------------------------------------------------------------------------

@@ -256,6 +256,43 @@ def _planes_sql(n_tables: int) -> str:
     return f"(VALUES {rows}) p(table_id, bit_id, plane)"
 
 
+def sig_array_expr(b: int) -> "Column":
+    """The LSH signature as ONE projection expression: an array of
+    N_TABLES bucket ids, bucket t = b sign bits of dots against literal
+    plane vectors (plane index t*B_CAP + i — b-independent, matching the
+    oracle's literal plane table, so any b selects the same plane subset).
+
+    Built as ONE SQL string — building it from per-element F.lit Columns
+    costs thousands of py4j round trips (~2.7 s of pure driver time per
+    call, measured). The per-plane dot is an HOF fold, deliberately NOT
+    unrolled: N_TABLES·b unrolled 64-term dots in one projection is a
+    ~6000-node expression whose Janino compile time dwarfs the work (n
+    rows is small here; interpretation is cheap, and only the SIGN of the
+    dot is consumed). Shared by similarity_lsh_topk and
+    dedup_embedding_cosine (dedup.py)."""
+    planes = {
+        t * B_CAP + i: _plane(t * B_CAP + i)
+        for t in range(N_TABLES)
+        for i in range(b)
+    }
+
+    def dot_sql(j: int) -> str:
+        vals = ", ".join(f"{v!r}D" for v in planes[j])
+        return (
+            f"aggregate(zip_with(embedding, array({vals}), "
+            "(x, y) -> cast(x as double) * y), 0.0D, (acc, v) -> acc + v)"
+        )
+
+    def bucket_sql(t: int) -> str:
+        bits = " + ".join(
+            f"(CASE WHEN {dot_sql(t * B_CAP + i)} >= 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(b)
+        )
+        return f"cast({bits} as bigint)"
+
+    return F.expr(f"array({', '.join(bucket_sql(t) for t in range(N_TABLES))})")
+
+
 def _lsh_oracle() -> str:
     """DuckDB mirror of similarity_lsh_topk, scale-factor-agnostic: b and
     the hot-bucket cap are derived from COUNT(*) inside the SQL with the
@@ -350,46 +387,15 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = len(ids_np)
     b = _bits_for(n)
     cap = 32 + 8 * n // (1 << b)
-    # plane index is t*B_CAP + i (b-independent) — same as the oracle's
-    # literal plane table, so any b selects the same plane subset.
-    planes = {
-        t * B_CAP + i: _plane(t * B_CAP + i)
-        for t in range(N_TABLES)
-        for i in range(b)
-    }
-
-    # Signature computation is a single projection: each bucket is b sign
-    # bits of dots against literal plane vectors, evaluated per row in one
-    # stage. The whole expression is built as ONE SQL string — building it
-    # from per-element F.lit Columns costs thousands of py4j round trips
-    # (~2.7 s of pure driver time per call, measured). The posexplode emits
-    # slim (vec_id, table, bucket) rows; the embedding itself never flows
-    # past this projection.
+    # Signature computation is a single projection (sig_array_expr); the
+    # posexplode emits slim (vec_id, table, bucket) rows; the embedding
+    # itself never flows past this projection.
     # The repartition exists because the fixture is ONE parquet file → one
     # input partition; at 100 TB the scan has thousands of splits and the
     # signature is a write-time stored column anyway.
-    def dot_sql(j: int) -> str:
-        # HOF fold, deliberately NOT unrolled: 30 unrolled 64-term dots in
-        # one projection is a ~6000-node expression whose Janino compile
-        # time dwarfs the work (n rows is small here; interpretation is
-        # cheap, and only the SIGN of the dot is consumed).
-        vals = ", ".join(f"{v!r}D" for v in planes[j])
-        return (
-            f"aggregate(zip_with(embedding, array({vals}), "
-            "(x, y) -> cast(x as double) * y), 0.0D, (acc, v) -> acc + v)"
-        )
-
-    def bucket_sql(t: int) -> str:
-        bits = " + ".join(
-            f"(CASE WHEN {dot_sql(t * B_CAP + i)} >= 0 THEN {1 << i} ELSE 0 END)"
-            for i in range(b)
-        )
-        return f"cast({bits} as bigint)"
-
-    arr = F.expr(f"array({', '.join(bucket_sql(t) for t in range(N_TABLES))})")
     par = spark.sparkContext.defaultParallelism
     sig = emb.repartition(par).select(
-        "vec_id", F.posexplode(arr).alias("table_id", "bucket")
+        "vec_id", F.posexplode(sig_array_expr(b)).alias("table_id", "bucket")
     )
     # Persist the signature index: three consumers below (cap filter,
     # probes, candidate join) would otherwise each re-run the scan+sig

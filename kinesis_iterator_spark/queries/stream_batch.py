@@ -150,50 +150,71 @@ def events_sessionize_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "events_dedup_by_key",
+    "events_dedup_late_policy",
     oracle="""
-    SELECT user_id, event_type,
-           MIN(event_id) AS first_event_id,
-           MIN(ts) AS first_ts
-    FROM events
-    GROUP BY user_id, event_type
-    """,
-)
-def events_dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming-dedup batch equivalent: first event per (user_id,
-    event_type), deterministic via min — dropDuplicates() in a stream keeps
-    the first arrival; batch dropDuplicates keeps an arbitrary row, so the
-    oracle-checkable form pins "first" with an aggregate."""
-    ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("user_id", "event_type").agg(
-        F.min("event_id").alias("first_event_id"),
-        F.min("ts").alias("first_ts"),
+    WITH maxts AS (SELECT MAX(ts) AS m FROM events),
+    live AS (
+      SELECT e.* FROM events e, maxts
+      WHERE e.ts >= maxts.m - INTERVAL 6 HOUR
+    ),
+    raw AS (
+      SELECT date_trunc('hour', ts) AS window_start, COUNT(*) AS n_events
+      FROM live GROUP BY 1
+    ),
+    firsts AS (
+      SELECT user_id, event_type, MIN(ts) AS first_ts
+      FROM live GROUP BY 1, 2
+    ),
+    fw AS (
+      SELECT date_trunc('hour', first_ts) AS window_start,
+             COUNT(*) AS n_first_arrivals
+      FROM firsts GROUP BY 1
     )
-
-
-@query(
-    "events_late_data_policy",
-    oracle="""
-    WITH maxts AS (SELECT MAX(ts) AS m FROM events)
-    SELECT date_trunc('hour', e.ts) AS window_start,
-           COUNT(*) AS n_events
-    FROM events e, maxts
-    WHERE e.ts >= maxts.m - INTERVAL 6 HOUR
-    GROUP BY 1
+    SELECT r.window_start, r.n_events,
+           CAST(COALESCE(f.n_first_arrivals, 0) AS BIGINT) AS n_first_arrivals
+    FROM raw r LEFT JOIN fw f ON r.window_start = f.window_start
     """,
 )
-def events_late_data_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermark semantics, batch-expressible slice: with watermark = max
-    event time - 6h, only windows at or after the watermark would still
-    accept rows; this computes the per-window counts inside the live
-    horizon. (The true streaming watermark drop is unit-tested in
-    tests/test_streaming_windows.py.)"""
+def events_dedup_late_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data policy + streaming dedup in one pipeline, the
+    batch-expressible slice of `dropDuplicates` behind `withWatermark`:
+
+    - watermark = max event time - 6h; only rows inside the live horizon
+      are admitted (a streaming sink would DROP anything older);
+    - within the horizon, dedup keeps the FIRST arrival per
+      (user_id, event_type) — a stream's dropDuplicates keeps the first
+      arrival, so the oracle-checkable batch form pins "first" with
+      MIN(ts);
+    - per hourly window: raw admitted count vs first-arrival count.
+
+    The true streaming forms (watermark drop, state-backed dedup) are
+    unit-tested in tests/test_streaming_windows.py. The horizon filter is
+    one broadcast of a 1-row aggregate; `live` feeds two aggregations —
+    at 100 TB you'd persist it (or fuse both counts into one grouping-sets
+    pass); at fixture scale the double scan is cheaper than a persist
+    barrier."""
     ev = load_table(spark, sf_dir, "events")
     max_ts = ev.agg(F.max("ts").alias("m"))
-    return (
-        ev.crossJoin(F.broadcast(max_ts))
-        .filter(F.col("ts") >= F.col("m") - F.expr("INTERVAL 6 HOURS"))
-        .groupBy(F.window("ts", "1 hour").alias("w"))
+    live = ev.crossJoin(F.broadcast(max_ts)).filter(
+        F.col("ts") >= F.col("m") - F.expr("INTERVAL 6 HOURS")
+    )
+    raw = (
+        live.groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(F.count("*").alias("n_events"))
         .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+    firsts = live.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("first_ts")
+    )
+    fw = (
+        firsts.groupBy(F.window("first_ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n_first_arrivals"))
+        .select(F.col("w.start").alias("window_start"), "n_first_arrivals")
+    )
+    return raw.join(fw, "window_start", "left").select(
+        "window_start",
+        "n_events",
+        F.coalesce(F.col("n_first_arrivals"), F.lit(0).cast("long")).alias(
+            "n_first_arrivals"
+        ),
     )
