@@ -53,11 +53,14 @@ def _decode_batch(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
     A real deployment decodes here (PIL / torchaudio / pyav). Those codecs
     are not in this container, so decode is STUBBED with a deterministic
-    fake: "luma" = mean byte value, "frames sampled" = n_frames capped at 4.
-    The batch shape, schema, and Arrow transfer are the production path.
+    fake: "luma" = mean byte value, "frames sampled" = n_frames capped at
+    4, "resize" = integer aspect-fit of (width, height) into a 16×16
+    thumbnail box. The batch shape, schema, and Arrow transfer are the
+    production path.
     """
     for pdf in batch_iter:
         blobs = pdf["blob"]
+        longest = pdf[["width", "height"]].max(axis=1)
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
@@ -69,6 +72,10 @@ def _decode_batch(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     float(sum(b)) / len(b) if len(b) else 0.0 for b in blobs
                 ],
                 "sampled_frames": pdf["n_frames"].clip(upper=4).astype("int32"),
+                # aspect-preserving fit into 16×16, integer arithmetic
+                # (floor), min 1px — a real resize calls the codec here
+                "thumb_w": (pdf["width"] * 16 // longest).clip(lower=1).astype("int32"),
+                "thumb_h": (pdf["height"] * 16 // longest).clip(lower=1).astype("int32"),
             }
         )
 
@@ -83,6 +90,8 @@ def decode_media(df: DataFrame) -> DataFrame:
         "blob",
         F.col("media.kind").alias("kind"),
         F.col("media.n_frames").alias("n_frames"),
+        F.col("media.width").alias("width"),
+        F.col("media.height").alias("height"),
         (F.col("media.width") * F.col("media.height"))
         .cast("long")
         .alias("n_pixels"),
@@ -91,7 +100,8 @@ def decode_media(df: DataFrame) -> DataFrame:
         _decode_batch,
         schema=(
             "doc_id long, kind string, blob_bytes long, first_byte long, "
-            "n_pixels long, fake_luma double, sampled_frames int"
+            "n_pixels long, fake_luma double, sampled_frames int, "
+            "thumb_w int, thumb_h int"
         ),
     )
 
@@ -104,6 +114,8 @@ def decode_media(df: DataFrame) -> DataFrame:
              md5(text) || md5(reverse(text)) AS blob_hex,
              CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
              CAST(doc_id % 30 + 1 AS INT) AS n_frames,
+             doc_id % 64 + 16 AS w,
+             doc_id % 48 + 16 AS h,
              CAST(doc_id % 64 + 16 AS BIGINT) * CAST(doc_id % 48 + 16 AS BIGINT) AS n_pixels
       FROM documents
     )
@@ -115,7 +127,9 @@ def decode_media(df: DataFrame) -> DataFrame:
                   list_transform(range(1, 33),
                                  i -> CAST('0x' || substring(blob_hex, 2*i - 1, 2) AS BIGINT))),
                 (a, b) -> a + b) AS DOUBLE) / 32 AS fake_luma,
-           CAST(LEAST(n_frames, 4) AS INT) AS sampled_frames
+           CAST(LEAST(n_frames, 4) AS INT) AS sampled_frames,
+           CAST(GREATEST(w * 16 // GREATEST(w, h), 1) AS INT) AS thumb_w,
+           CAST(GREATEST(h * 16 // GREATEST(w, h), 1) AS INT) AS thumb_h
     FROM blobs
     """,
 )

@@ -15,8 +15,14 @@ those semantics Spark-first:
   kinesis.go:34,143-154,221-236) with batch-granular post-handler
   checkpointing (at-least-once, kinesis.go:198-202) and the
   log-and-continue per-record error policy (kinesis.go:193-197).
+- ``datasource`` — the same stream as a REAL PySpark streaming
+  DataSource (``sim_kinesis``): Structured Streaming owns the trigger,
+  offset WAL (= the checkpoint) and recovery; exactly-once offset
+  tracking via the query's checkpointLocation.
 """
 
+from .datasource import SimKinesisDataSource  # noqa: F401
+from .datasource import register as register_sim_kinesis  # noqa: F401
 from .iterator import Iterator, Logger  # noqa: F401
 from .option import Option, new_iterator  # noqa: F401
 from .sequence import InMemorySaver, JsonFileSaver, Sequence  # noqa: F401

@@ -1,0 +1,217 @@
+"""``sim_kinesis`` — a real PySpark streaming DataSource for the simulated
+sharded stream, so the reference's consumption loop also exists in its
+idiomatic Structured Streaming form.
+
+This is the Spark-native counterpart of `Iterator.poll_once`
+(iterator.py): instead of a hand-rolled driver loop, the engine owns the
+trigger cadence, offset log, and recovery —
+
+- **offset = the checkpoint**: the streaming offset is the per-shard
+  cursor map ``{shard_id: last_sequence}`` — exactly what
+  ``Sequence``/``SequenceSaver`` persist in the library form (reference
+  ``sequence.go:26-36``), but written to the query's checkpointLocation
+  by Spark's WAL, giving exactly-once offset tracking for free.
+- **partition = shard**: each micro-batch plans one ``InputPartition``
+  per advancing shard (reference: one goroutine per shard,
+  ``kinesis.go:131-139``); reads happen executor-side in parallel.
+- **bounded admission**: ``latestOffset`` advances every shard by at most
+  ``limit`` records per micro-batch — the GetRecords page bound
+  (``kinesis.go:182``, 1000 records) as admission control.
+
+Scale notes: per-shard tail discovery here scans the fixture's parquet
+footer-driven metadata once on the driver (a real connector asks the
+service for shard tails — O(shards), not O(rows)); executor reads use
+pyarrow predicate pushdown on (shard, sequence] ranges. The record
+schema matches ``records.RECORD_SCHEMA`` so every downstream query is
+identical between the library Iterator and this source.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+from .records import RECORD_SCHEMA, SEQ_PAD
+
+FORMAT_NAME = "sim_kinesis"
+
+
+def _shard_name(i: int) -> str:
+    return f"shardId-{i:012d}"
+
+
+@dataclass
+class _ShardSlice(InputPartition):
+    path: str
+    n_shards: int
+    shard_index: int
+    stream_name: str
+    after: str  # exclusive lower bound (zero-padded sequence, "" = start)
+    upto: str  # inclusive upper bound
+
+
+class SimKinesisStreamReader(DataSourceStreamReader):
+    def __init__(self, options: dict):
+        self._path = options.get("path") or options.get("sf_dir")
+        if not self._path:
+            raise ValueError("sim_kinesis requires option 'path' (sf_dir)")
+        if os.path.isdir(self._path) and not self._path.endswith(".parquet"):
+            self._path = os.path.join(self._path, "events.parquet")
+        self._n_shards = int(options.get("n_shards", "8"))
+        # limit = 0 (default): latestOffset returns the live tail and each
+        # micro-batch admits everything available (right for availableNow
+        # drains). limit > 0: bounded admission — latestOffset advances an
+        # internal cursor by at most `limit` records per shard per call,
+        # the GetRecords page bound (kinesis.go:182) for processingTime
+        # triggers. After a checkpoint restart the cursor re-advances from
+        # TRIM_HORIZON until it passes the WAL offset (empty planned
+        # batches until then) — bounded mode trades restart triggers for
+        # paging, exactly-once either way since partitions() always covers
+        # (start, end] precisely.
+        self._limit = int(options.get("limit", "0"))
+        self._stream = options.get("stream_name", "events")
+        self._cursor: dict[int, int] = {}  # shard → index into _seqs
+        # Per-shard sorted sequence arrays: the driver-side shard index a
+        # real connector gets from the service (ListShards + tip). Built
+        # once from the columns needed only (event_id, user_id).
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(self._path, columns=["event_id", "user_id"])
+        eid = t.column("event_id").to_numpy()
+        uid = t.column("user_id").to_numpy()
+        self._seqs = {}
+        for s in range(self._n_shards):
+            shard_eids = np.sort(eid[uid % self._n_shards == s])
+            self._seqs[s] = [f"{int(e):0{SEQ_PAD}d}" for e in shard_eids]
+
+    # -- offset protocol ----------------------------------------------------
+    def initialOffset(self) -> dict:
+        # TRIM_HORIZON: before every sequence (A2). "" sorts before all
+        # zero-padded sequences.
+        return {_shard_name(s): "" for s in range(self._n_shards)}
+
+    def latestOffset(self) -> dict:
+        if self._limit <= 0:
+            return {
+                _shard_name(s): (seqs[-1] if seqs else "")
+                for s, seqs in self._seqs.items()
+            }
+        out = {}
+        for s, seqs in self._seqs.items():
+            pos = min(self._cursor.get(s, 0) + self._limit, len(seqs))
+            self._cursor[s] = pos
+            out[_shard_name(s)] = seqs[pos - 1] if pos > 0 else ""
+        return out
+
+    def partitions(self, start: dict, end: dict):
+        import bisect
+
+        out = []
+        for s in range(self._n_shards):
+            name = _shard_name(s)
+            after = start.get(name, "")
+            tail = end.get(name, "")
+            seqs = self._seqs[s]
+            lo = bisect.bisect_right(seqs, after)
+            hi = bisect.bisect_right(seqs, tail)
+            # Bounded mode, post-restart: the fresh cursor re-advances
+            # from 0; fast-forward it to the WAL start so the next
+            # latestOffset resumes from the committed position instead of
+            # re-paging from TRIM_HORIZON (one empty planned batch, then
+            # normal paging).
+            if self._limit > 0:
+                self._cursor[s] = max(self._cursor.get(s, 0), lo)
+            if hi <= lo:
+                continue
+            out.append(
+                _ShardSlice(
+                    path=self._path,
+                    n_shards=self._n_shards,
+                    shard_index=s,
+                    stream_name=self._stream,
+                    after=after,
+                    upto=seqs[hi - 1],
+                )
+            )
+        return out
+
+    def read(self, partition: _ShardSlice):
+        """Executor-side bounded fetch of one shard slice — pyarrow scan
+        with the (shard, sequence] predicate pushed down, rows emitted in
+        sequence order (per-shard ordering, kinesis.go:193-197)."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        p = partition
+        lo = int(p.after) if p.after else -1
+        hi = int(p.upto)
+        t = pq.read_table(
+            p.path,
+            columns=["event_id", "ts", "user_id", "props"],
+            filters=[("event_id", ">", lo), ("event_id", "<=", hi)],
+        )
+        mask = t.column("user_id").to_numpy() % p.n_shards == p.shard_index
+        t = t.filter(np.asarray(mask))
+        t = t.sort_by("event_id")
+        shard = _shard_name(p.shard_index)
+        eids = t.column("event_id").to_pylist()
+        uids = t.column("user_id").to_pylist()
+        props = t.column("props").to_pylist()
+        # ts is TIMESTAMP(NANOS); truncate to Spark's µs precision —
+        # the same ns→µs floor tables.load_table applies (safe=False
+        # allows the sub-µs truncation).
+        tss = t.column("ts").cast("timestamp[us]", safe=False).to_pylist()
+        for eid, uid, pr, ts in zip(eids, uids, props, tss):
+            yield (
+                pr.encode("utf-8"),
+                str(uid),
+                f"{eid:0{SEQ_PAD}d}",
+                ts,
+                p.stream_name,
+                shard,
+            )
+
+    def commit(self, end: dict) -> None:
+        # Offsets live in the query's checkpoint WAL; nothing extra to do
+        # (the library form persists them via SequenceSaver instead).
+        pass
+
+    def stop(self) -> None:
+        pass
+
+
+class SimKinesisDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self) -> str:
+        return RECORD_SCHEMA
+
+    def streamReader(self, schema: StructType) -> SimKinesisStreamReader:
+        return SimKinesisStreamReader(self.options)
+
+
+def register(spark) -> str:
+    """Register the source; returns the format name.
+
+    Usage::
+
+        register(spark)
+        df = (spark.readStream.format("sim_kinesis")
+              .option("path", sf_dir).option("n_shards", 8).load())
+    """
+    spark.dataSource.register(SimKinesisDataSource)
+    return FORMAT_NAME
+
+
+__all__ = ["SimKinesisDataSource", "SimKinesisStreamReader", "register", "FORMAT_NAME"]

@@ -38,8 +38,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown fixture table {name!r}; known: {TABLES}")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects; read it as int64 nanos and convert (the fixture
-        # has zero sub-microsecond residue, so this is lossless).
+        # reader rejects; read it as int64 nanos and floor-divide to µs.
+        # The fixture DOES carry sub-µs residue — the truncation matches
+        # what DuckDB does reading TIMESTAMP(NANOS) into its µs TIMESTAMP,
+        # so both engines see identical µs values (oracle-verified).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         if dict(df.dtypes).get("ts") == "bigint":

@@ -1,0 +1,156 @@
+"""The ``sim_kinesis`` PySpark streaming DataSource: exactly-once delivery
+under availableNow, checkpoint resume without duplicates, record-schema
+parity with the library source, and bounded (paged) admission.
+
+This is the Structured-Streaming-native form of the reference's consumer
+loop — the offset WAL plays Sequence/SequenceSaver (sequence.go:26-36),
+micro-batch partitions play the per-shard goroutines (kinesis.go:131-139).
+"""
+
+from __future__ import annotations
+
+import tempfile
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from kinesis_iterator_spark.streaming import datasource as ds
+from kinesis_iterator_spark.streaming.records import RECORD_SCHEMA, to_records
+from kinesis_iterator_spark.tables import load_table
+
+N_SHARDS = 4
+
+
+@pytest.fixture()
+def stream_df(spark, sf_dir):
+    ds.register(spark)
+    return (
+        spark.readStream.format(ds.FORMAT_NAME)
+        .option("path", sf_dir)
+        .option("n_shards", N_SHARDS)
+        .load()
+    )
+
+
+def _drain(stream_df, ck, collect_to):
+    q = (
+        stream_df.writeStream.foreachBatch(
+            lambda df, eid: collect_to.append(df.collect())
+        )
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+
+def test_available_now_delivers_all_events_exactly_once(
+    spark, sf_dir, stream_df
+):
+    ck = tempfile.mkdtemp()
+    batches: list = []
+    _drain(stream_df, ck, batches)
+    rows = [r for b in batches for r in b]
+
+    expected = to_records(
+        load_table(spark, sf_dir, "events"), n_shards=N_SHARDS
+    ).collect()
+    assert len(rows) == len(expected)
+    key = lambda r: (r["shardId"], r["sequenceNumber"])  # noqa: E731
+    assert sorted(key(r) for r in rows) == sorted(key(r) for r in expected)
+    # full record-model parity, field by field (data payload, partition
+    # key, arrival timestamp truncated to µs like the batch loader)
+    by_key = {key(r): r for r in expected}
+    for r in rows:
+        e = by_key[key(r)]
+        assert bytes(r["data"]) == bytes(e["data"])
+        assert r["partitionKey"] == e["partitionKey"]
+        assert r["approximateArrivalTimestamp"] == e["approximateArrivalTimestamp"]
+        assert r["streamName"] == e["streamName"]
+    assert [f.name for f in stream_df.schema.fields] == [
+        s.split()[0] for s in RECORD_SCHEMA.split(", ")
+    ]
+
+
+def test_checkpoint_resume_sees_nothing_new(spark, sf_dir, stream_df):
+    ck = tempfile.mkdtemp()
+    first: list = []
+    _drain(stream_df, ck, first)
+    assert sum(len(b) for b in first) > 0
+
+    again: list = []
+    _drain(stream_df, ck, again)
+    assert sum(len(b) for b in again) == 0
+
+
+def test_streaming_window_agg_matches_batch(spark, sf_dir, stream_df):
+    """The flagship tumbling-window aggregate, run over the streaming
+    source with a watermark, equals the batch computation on the same
+    record projection — the readStream ≡ read contract."""
+    ck = tempfile.mkdtemp()
+    agg = (
+        stream_df.withWatermark("approximateArrivalTimestamp", "1 hour")
+        .groupBy(
+            F.window("approximateArrivalTimestamp", "1 hour").alias("w")
+        )
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+    out: list = []
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(lambda df, eid: out.append(df.collect()))
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {(r["window_start"], r["n"]) for r in out[-1]}
+
+    batch = (
+        to_records(load_table(spark, sf_dir, "events"), n_shards=N_SHARDS)
+        .groupBy(
+            F.window("approximateArrivalTimestamp", "1 hour").alias("w")
+        )
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+    want = {(r["window_start"], r["n"]) for r in batch.collect()}
+    assert got == want
+
+
+def test_bounded_admission_pages_micro_batches(spark, sf_dir):
+    """limit=N pages the stream: several micro-batches, each shard
+    admitting ≤ N records per trigger, totalling exactly the stream."""
+    ds.register(spark)
+    per_page = 100
+    sdf = (
+        spark.readStream.format(ds.FORMAT_NAME)
+        .option("path", sf_dir)
+        .option("n_shards", N_SHARDS)
+        .option("limit", per_page)
+        .load()
+    )
+    total_events = load_table(spark, sf_dir, "events").count()
+    ck = tempfile.mkdtemp()
+    batches: list = []
+    q = (
+        sdf.writeStream.foreachBatch(
+            lambda df, eid: batches.append(df.groupBy("shardId").count().collect())
+        )
+        .option("checkpointLocation", ck)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = time.time() + 180
+    while time.time() < deadline:
+        if sum(int(r["count"]) for b in batches for r in b) >= total_events:
+            break
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(60)
+    counts = [int(r["count"]) for b in batches for r in b]
+    assert sum(counts) == total_events  # no loss, no duplication
+    assert all(c <= per_page for c in counts)  # page bound per shard/batch
+    assert len(batches) > 1  # it actually paged
