@@ -551,7 +551,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         pdf = pd.concat(chunks, ignore_index=True).drop_duplicates()
         ai = np.searchsorted(ids, pdf["vec_a"].to_numpy())
         bi = np.searchsorted(ids, pdf["vec_b"].to_numpy())
-        dots = np.add.accumulate(M[ai] * M[bi], axis=1)[:, -1]
+        from .similarity import _fold_dot_rows
+
+        dots = _fold_dot_rows(M[ai], M[bi])
         cos = dots / (nrm[ai] * nrm[bi])
         kept = pdf.loc[cos >= COSINE_TAU, ["vec_b"]]
         g = kept.groupby("vec_b").size().reset_index(name="n_pairs")
