@@ -494,8 +494,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     reported as per-label dedup stats.
 
     Pipeline (the vector analogue of dedup_minhash_lsh's shingle path):
-    1. sign-LSH signatures — ONE projection, bits scale with log₂ n,
-       shared with similarity_lsh_topk (`sig_array_expr`);
+    1. sign-LSH signatures — ONE Arrow kernel pass, bits scale with
+       log₂ n, shared with similarity_lsh_topk (`lsh_signatures`);
     2. hot-bucket cap (the window count rides the same (table_id, bucket)
        exchange the self-join shuffles on);
     3. candidates = same-bucket pairs with vec_a < vec_b — an equi-join,
@@ -510,7 +510,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Per-label output: n_vectors / n_removed / n_survivors / n_dup_pairs —
     scalars, so the result is value-hash-checkable at any scale factor."""
-    from .similarity import _bits_for, _np_corpus, sig_array_expr
+    from .similarity import _bits_for, _np_corpus, lsh_signatures
 
     emb = load_table(spark, sf_dir, "embeddings")
     ids, labels, M, nrm = _np_corpus(spark, sf_dir)
@@ -518,9 +518,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = _bits_for(n)
     cap = 32 + 8 * n // (1 << b)
     par = spark.sparkContext.defaultParallelism
-    sig = emb.repartition(par).select(
-        "vec_id", F.posexplode(sig_array_expr(b)).alias("table_id", "bucket")
-    )
+    sig = lsh_signatures(emb, b, par)
     capped = (
         sig.withColumn(
             "bsz", F.count("*").over(W.partitionBy("table_id", "bucket"))

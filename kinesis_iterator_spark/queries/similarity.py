@@ -279,41 +279,62 @@ def _planes_sql(n_tables: int) -> str:
     return f"(VALUES {rows}) p(table_id, bit_id, plane)"
 
 
-def sig_array_expr(b: int) -> "Column":
-    """The LSH signature as ONE projection expression: an array of
-    N_TABLES bucket ids, bucket t = b sign bits of dots against literal
-    plane vectors (plane index t*B_CAP + i — b-independent, matching the
-    oracle's literal plane table, so any b selects the same plane subset).
+def lsh_signatures(emb: DataFrame, b: int, par: int) -> DataFrame:
+    """(vec_id, table_id, bucket) LSH signature rows via ONE Arrow kernel
+    pass: bucket t = b sign bits of dots against literal plane vectors
+    (plane index t*B_CAP + i — b-independent, matching the oracle's
+    literal plane table, so any b selects the same plane subset).
 
-    Built as ONE SQL string — building it from per-element F.lit Columns
-    costs thousands of py4j round trips (~2.7 s of pure driver time per
-    call, measured). The per-plane dot is an HOF fold, deliberately NOT
-    unrolled: N_TABLES·b unrolled 64-term dots in one projection is a
-    ~6000-node expression whose Janino compile time dwarfs the work (n
-    rows is small here; interpretation is cheap, and only the SIGN of the
-    dot is consumed). Shared by similarity_lsh_topk and
+    The dots use the same sequential d-ascending fold as the oracle's
+    ``list_reduce`` (``_fold_dot_block``), so the sign bits — and with
+    them the buckets — are bit-identical. Earlier forms computed this
+    JVM-side: an unrolled projection stalls Janino (~6000 nodes, tens of
+    seconds of one-time compile) and an HOF-fold projection is
+    interpreted (~5 µs/dot) with a ~19 s cold compile for the 30-fold
+    projection — the Arrow kernel has neither cost and is the production
+    shape anyway (at 100 TB the signature is a write-time stored column
+    computed exactly like this). Shared by similarity_lsh_topk and
     dedup_embedding_cosine (dedup.py)."""
-    planes = {
-        t * B_CAP + i: _plane(t * B_CAP + i)
-        for t in range(N_TABLES)
-        for i in range(b)
-    }
+    import numpy as np
 
-    def dot_sql(j: int) -> str:
-        vals = ", ".join(f"{v!r}D" for v in planes[j])
-        return (
-            f"aggregate(zip_with(embedding, array({vals}), "
-            "(x, y) -> cast(x as double) * y), 0.0D, (acc, v) -> acc + v)"
-        )
+    P = np.array(
+        [_plane(t * B_CAP + i) for t in range(N_TABLES) for i in range(b)],
+        dtype=np.float64,
+    )  # (N_TABLES*b, DIM); row t*b+i = plane t*B_CAP+i
+    n_tables = N_TABLES
 
-    def bucket_sql(t: int) -> str:
-        bits = " + ".join(
-            f"(CASE WHEN {dot_sql(t * B_CAP + i)} >= 0 THEN {1 << i} ELSE 0 END)"
-            for i in range(b)
-        )
-        return f"cast({bits} as bigint)"
+    def kern(batches):
+        import numpy as np
+        import pandas as pd
 
-    return F.expr(f"array({', '.join(bucket_sql(t) for t in range(N_TABLES))})")
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            bits = _fold_dot_block(E, P) >= 0  # (m, L*b) sign bits
+            vec = pdf["vec_id"].to_numpy()
+            m = len(pdf)
+            frames = []
+            for t in range(n_tables):
+                w = np.zeros(m, dtype=np.int64)
+                for i in range(b):
+                    w |= bits[:, t * b + i].astype(np.int64) << i
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": vec,
+                            "table_id": np.full(m, t, dtype=np.int32),
+                            "bucket": w,
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    return (
+        emb.repartition(par)
+        .select("vec_id", "embedding")
+        .mapInPandas(kern, "vec_id long, table_id int, bucket long")
+    )
 
 
 def _lsh_oracle() -> str:
@@ -410,16 +431,11 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = len(ids_np)
     b = _bits_for(n)
     cap = 32 + 8 * n // (1 << b)
-    # Signature computation is a single projection (sig_array_expr); the
-    # posexplode emits slim (vec_id, table, bucket) rows; the embedding
-    # itself never flows past this projection.
-    # The repartition exists because the fixture is ONE parquet file → one
-    # input partition; at 100 TB the scan has thousands of splits and the
-    # signature is a write-time stored column anyway.
+    # Signature computation is ONE Arrow kernel pass (lsh_signatures);
+    # only slim (vec_id, table, bucket) rows come out — the embedding
+    # never flows past it.
     par = spark.sparkContext.defaultParallelism
-    sig = emb.repartition(par).select(
-        "vec_id", F.posexplode(sig_array_expr(b)).alias("table_id", "bucket")
-    )
+    sig = lsh_signatures(emb, b, par)
     # Persist the signature index: three consumers below (cap filter,
     # probes, candidate join) would otherwise each re-run the scan+sig
     # lineage. At 100 TB this materialization is the write-time signature
