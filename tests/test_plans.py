@@ -123,3 +123,27 @@ def test_pivot_is_single_pass(spark, sf_dir):
     # Explicit pivot values ⇒ one aggregate pass, no distinct-value scan job.
     plan = plan_of(spark, sf_dir, "pivot_event_counts")
     assert plan.count("Exchange") <= 2
+
+
+def test_asof_join_is_one_window_pass_not_range_join(spark, sf_dir):
+    # The as-of join must compile to union + window (linear per user), not
+    # a range/theta join (quadratic per user) — the plan that survives
+    # 100× more events per user.
+    plan = plan_of(spark, sf_dir, "join_asof_click_purchase")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+    assert "Union" in plan
+
+
+def test_embedding_dedup_candidates_are_equi_join(spark, sf_dir):
+    # LSH-blocked near-dup pairs come from an equi-join on
+    # (table_id, bucket) — never an all-pairs product.
+    plan = plan_of(spark, sf_dir, "dedup_embedding_cosine")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
