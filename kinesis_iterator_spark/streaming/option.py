@@ -87,6 +87,28 @@ class Option:
             n_shards=self.n_shards,
         )
 
+    def read_stream(self, spark: SparkSession, limit: int = 0):
+        """The same options as a Structured Streaming reader: registers
+        the ``sim_kinesis`` DataSource and returns the configured
+        streaming DataFrame (offsets in the query's checkpoint WAL).
+        ``limit`` > 0 bounds per-trigger admission (GetRecords page
+        bound). A real deployment would swap the format name for a
+        Kinesis connector and pass ``get_config()`` verbatim."""
+        if self.sf_dir is None:
+            raise ValueError("Option.with_sf_dir(...) is required (no AWS here)")
+        from .datasource import FORMAT_NAME, register
+
+        register(spark)
+        reader = (
+            spark.readStream.format(FORMAT_NAME)
+            .option("path", self.sf_dir)
+            .option("n_shards", self.n_shards)
+            .option("stream_name", self.stream_name)
+        )
+        if limit > 0:
+            reader = reader.option("limit", limit)
+        return reader.load()
+
 
 def new_iterator(spark: SparkSession, opt: Option) -> Iterator:
     """``NewIterator`` (kinesis.go:54-56): build the consumer from options."""

@@ -154,3 +154,26 @@ def test_bounded_admission_pages_micro_batches(spark, sf_dir):
     assert sum(counts) == total_events  # no loss, no duplication
     assert all(c <= per_page for c in counts)  # page bound per shard/batch
     assert len(batches) > 1  # it actually paged
+
+
+def test_option_builder_produces_streaming_reader(spark, sf_dir):
+    """A17 glue: the same fluent Option that builds the library consumer
+    also yields the sim_kinesis streaming DataFrame."""
+    import tempfile
+
+    from kinesis_iterator_spark.streaming import Option
+
+    sdf = (
+        Option()
+        .with_stream_name("events")
+        .with_shards(N_SHARDS)
+        .with_sf_dir(sf_dir)
+        .read_stream(spark)
+    )
+    assert sdf.isStreaming
+    ck = tempfile.mkdtemp()
+    batches: list = []
+    _drain(sdf, ck, batches)
+    n = sum(len(b) for b in batches)
+    assert n == load_table(spark, sf_dir, "events").count()
+    assert all(r["streamName"] == "events" for b in batches for r in b)
