@@ -107,6 +107,37 @@ def main() -> None:
     timings["stream_consume_all"] = round(time.perf_counter() - t0, 3)
     assert n_stream > 0
 
+    # Same stream under Structured Streaming proper (sim_kinesis
+    # DataSource): availableNow drain with offsets in the checkpoint WAL.
+    import shutil
+    import tempfile
+
+    from kinesis_iterator_spark.streaming import register_sim_kinesis
+
+    register_sim_kinesis(spark)
+
+    def structured_drain() -> None:
+        ck = tempfile.mkdtemp(prefix="bench_ck_")
+        q = (
+            spark.readStream.format("sim_kinesis")
+            .option("path", sf_dir)
+            .option("n_shards", 8)
+            .load()
+            .writeStream.foreachBatch(
+                lambda df, e: df.write.format("noop").mode("overwrite").save()
+            )
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        shutil.rmtree(ck, ignore_errors=True)
+
+    structured_drain()  # warm (python worker + codegen for this shape)
+    t0 = time.perf_counter()
+    structured_drain()
+    timings["stream_consume_structured"] = round(time.perf_counter() - t0, 3)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_queries_total_runtime",
