@@ -23,7 +23,12 @@ footer-driven metadata once on the driver (a real connector asks the
 service for shard tails — O(shards), not O(rows)); executor reads use
 pyarrow predicate pushdown on (shard, sequence] ranges. The record
 schema matches ``records.RECORD_SCHEMA`` so every downstream query is
-identical between the library Iterator and this source.
+identical between the library Iterator and this source. Caveat shared
+with every Python DataSource: the reader object (including the ~MB-scale
+shard index at fixture SF) is pickled into executor read tasks — a real
+connector keeps only (shard, cursor-range) in the partition, as
+``_ShardSlice`` already does, and would drop the driver-side index in
+favor of service calls.
 """
 
 from __future__ import annotations
