@@ -20,55 +20,13 @@ from . import query
 
 
 @query(
-    "analytic_percentiles",
-    oracle="""
-    SELECT l_returnflag,
-           quantile_cont(l_extendedprice, 0.5)  AS p50,
-           quantile_cont(l_extendedprice, 0.9)  AS p90,
-           quantile_cont(l_extendedprice, 0.99) AS p99,
-           TRUE AS approx_within_tol
-    FROM lineitem
-    GROUP BY l_returnflag
-    """,
-)
-def analytic_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact percentiles (linear interpolation — identical in both engines)
-    plus the approximate-percentile sketch validated against them.
-
-    The sketch (Greenwald-Khanna here, t-digest elsewhere) is
-    engine-specific, so its raw values can't be value-hashed across engines.
-    Instead the query emits the exact percentiles AND a boolean asserting
-    every approx value is within 2% relative error of exact — the oracle
-    computes exact + literal TRUE, making the sketch's correctness itself
-    hash-checkable. At 100 TB the approx form replaces the exact per-group
-    sort."""
-    li = load_table(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", 0.5).alias("p50"),
-        F.percentile("l_extendedprice", 0.9).alias("p90"),
-        F.percentile("l_extendedprice", 0.99).alias("p99"),
-        F.percentile_approx(
-            "l_extendedprice", [0.5, 0.9, 0.99], 10000
-        ).alias("ap"),
-    )
-    def ok(exact: str, i: int):
-        return (
-            F.abs(F.element_at("ap", i) - F.col(exact)) / F.col(exact) <= 0.02
-        )
-    return agg.select(
-        "l_returnflag",
-        "p50",
-        "p90",
-        "p99",
-        (ok("p50", 1) & ok("p90", 2) & ok("p99", 3)).alias("approx_within_tol"),
-    )
-
-
-@query(
-    "analytic_moments_exact",
+    "analytic_percentiles_moments",
     oracle="""
     WITH s AS (
       SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.5)  AS p50,
+             quantile_cont(l_extendedprice, 0.9)  AS p90,
+             quantile_cont(l_extendedprice, 0.99) AS p99,
              COUNT(*) AS n,
              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
              CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
@@ -78,6 +36,8 @@ def analytic_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag,
+           p50, p90, p99,
+           TRUE AS approx_within_tol,
            n,
            sx / n AS mean_qty,
            (sxx - sx * sx / n) / (n - 1) AS var_qty,
@@ -87,17 +47,32 @@ def analytic_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM s
     """,
 )
-def analytic_moments_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Variance/stddev/correlation from exact decimal power sums: the sums
-    are order-independent (decimal), and the final double arithmetic is
-    identical expressions on identical inputs in both engines. (Native
+def analytic_percentiles_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group distribution profile in ONE grouped aggregation: exact
+    percentiles (linear interpolation — identical in both engines), the
+    approximate-percentile sketch validated against them, and
+    variance/stddev/correlation from exact decimal power sums.
+
+    The percentile sketch (Greenwald-Khanna here, t-digest elsewhere) is
+    engine-specific, so its raw values can't be value-hashed across
+    engines; the query emits the exact percentiles AND a boolean
+    asserting every approx value lands within 2% of exact — the oracle
+    computes exact + literal TRUE, making the sketch's correctness itself
+    hash-checkable. At 100 TB the sketch replaces the exact per-group
+    sort, and the power sums are order-independent decimals (native
     var_samp/corr use Welford-style merging whose FP result depends on
-    partition boundaries — fine for real use, wrong for a bit-exact oracle;
-    native forms are exercised in tests instead.)"""
+    partition boundaries — fine for real use, wrong for a bit-exact
+    oracle; native forms are exercised in tests instead)."""
     li = load_table(spark, sf_dir, "lineitem")
     q = F.col("l_quantity")
     p = F.col("l_extendedprice")
     s = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.5).alias("p50"),
+        F.percentile("l_extendedprice", 0.9).alias("p90"),
+        F.percentile("l_extendedprice", 0.99).alias("p99"),
+        F.percentile_approx(
+            "l_extendedprice", [0.5, 0.9, 0.99], 10000
+        ).alias("ap"),
         F.count("*").alias("n"),
         F.sum(q.cast("decimal(18,2)")).cast("double").alias("sx"),
         F.sum((q * q).cast("decimal(28,4)")).cast("double").alias("sxx"),
@@ -105,11 +80,21 @@ def analytic_moments_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((p * p).cast("decimal(28,4)")).cast("double").alias("syy"),
         F.sum((q * p).cast("decimal(28,4)")).cast("double").alias("sxy"),
     )
+
+    def ok(exact: str, i: int):
+        return (
+            F.abs(F.element_at("ap", i) - F.col(exact)) / F.col(exact) <= 0.02
+        )
+
     n = F.col("n")
     sx, sxx, sy, syy, sxy = (F.col(c) for c in ("sx", "sxx", "sy", "syy", "sxy"))
     var_qty = (sxx - sx * sx / n) / (n - 1)
     return s.select(
         "l_returnflag",
+        "p50",
+        "p90",
+        "p99",
+        (ok("p50", 1) & ok("p90", 2) & ok("p99", 3)).alias("approx_within_tol"),
         n.alias("n"),
         (sx / n).alias("mean_qty"),
         var_qty.alias("var_qty"),

@@ -253,3 +253,52 @@ def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") >= 5)
     )
+
+
+@query(
+    "text_sample_stratified",
+    oracle="""
+    WITH s AS (
+      SELECT lang, doc_id, n_chars,
+             CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) % 1000 < 100 AS keep
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sample,
+           CAST(COALESCE(SUM(CASE WHEN keep THEN n_chars END), 0) AS BIGINT)
+             AS sampled_chars,
+           MIN(CASE WHEN keep THEN doc_id END) AS min_sampled_doc,
+           MAX(CASE WHEN keep THEN doc_id END) AS max_sampled_doc
+    FROM s GROUP BY lang
+    """,
+)
+def text_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling — the training-pipeline primitive
+    for reproducible subsets: keep a document iff
+    ``hash(doc_id) mod 1000 < 100`` (a 10% rate), accounted per language
+    stratum.
+
+    Why hash-mod and not ``df.sample()``: RNG samplers are
+    engine/partitioning-dependent and unrepeatable across runs; the
+    hash-mod predicate is a pure per-row expression — same sample on any
+    engine, any partitioning, any day, and it composes with pushdown (the
+    predicate prunes at the scan, so a 10% sample reads ~10% of a
+    100 TB table's row groups after filtering). Rate changes are a
+    literal edit; per-stratum rates are a CASE over the stratum column.
+    The hash is md5-derived (`dedup._h60` convention) so the oracle
+    reproduces the exact sample."""
+    from .dedup import _h60
+
+    doc = load_table(spark, sf_dir, "documents")
+    keep = F.pmod(_h60(F.col("doc_id").cast("string")), 1000) < 100
+    return doc.groupBy("lang").agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.when(keep, 1).otherwise(0)).alias("n_sample"),
+        F.coalesce(F.sum(F.when(keep, F.col("n_chars"))), F.lit(0))
+        .cast("long")
+        .alias("sampled_chars"),
+        F.min(F.when(keep, F.col("doc_id"))).alias("min_sampled_doc"),
+        F.max(F.when(keep, F.col("doc_id"))).alias("max_sampled_doc"),
+    )
