@@ -70,18 +70,6 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
-def _udot(a: str, b: str) -> Column:
-    """Left-fold dot product unrolled into a left-associated `+` chain —
-    fold-identical to the oracle, codegen-friendly. Used only on SMALL
-    inputs (e.g. vector × 10 centroids): per-element array access costs
-    ~50 ns in generated code, so the pandas kernel owns big pair sets."""
-    terms = " + ".join(
-        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
-        for i in range(DIM)
-    )
-    return F.expr(terms)
-
-
 # DuckDB equivalent: left fold via list_reduce (x1 + x2 + ... ≡ 0.0 + x1 +
 # x2 + ... exactly, since 0.0 + x is exact in IEEE).
 _DOT_SQL = (
@@ -576,22 +564,50 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    # One ranked (vector × cell) pass serves both roles in the self-kNN
-    # regime: rk==1 assigns each corpus vector to its cell; rk<=2 is the
-    # same vector's 2-cell probe set as a query. Repartition spreads the
-    # single-file fixture scan (no-op at real scale).
+    # The codebook is probe metadata: collect the ≤ n_cells centroids
+    # driver-side (one tiny job, same class as _np_corpus) and compute
+    # each vector's 2 nearest cells in ONE Arrow kernel pass — replacing
+    # the earlier crossJoin(cent) + per-vector row_number window (+ its
+    # persist barrier). The kernel's dot is the same sequential d-fold as
+    # the oracle's list_reduce, so cell assignment is bit-identical. One
+    # ranked pass serves both roles in the self-kNN regime: rk==1 assigns
+    # each corpus vector to its cell; rk<=2 is the same vector's 2-cell
+    # probe set as a query. (At 100 TB the assignment is a write-time
+    # stored column — this kernel is that writer.)
+    import numpy as np
+
+    crows = sorted(cent.collect(), key=lambda r: r["cell"])
+    cells_np = np.array([r["cell"] for r in crows], dtype=np.int64)
+    C = np.array([r["centroid"] for r in crows], dtype=np.float64)
+
+    def assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            D = _fold_dot_block(E, C)  # same fold as oracle list_reduce
+            vec = pdf["vec_id"].to_numpy()
+            out_v, out_c, out_r = [], [], []
+            for i in range(len(vec)):
+                order = np.lexsort((cells_np, -D[i]))[:2]  # d desc, cell asc
+                out_v += [vec[i]] * len(order)
+                out_c += list(cells_np[order])
+                out_r += list(range(1, len(order) + 1))
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.array(out_v, dtype=np.int64),
+                    "cell": np.array(out_c, dtype=np.int64),
+                    "rk": np.array(out_r, dtype=np.int64),
+                }
+            )
+
     ranked = (
         emb.repartition(spark.sparkContext.defaultParallelism)
-        .crossJoin(F.broadcast(cent))
-        .withColumn("d", _udot("embedding", "centroid"))
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                W.partitionBy("vec_id").orderBy(F.desc("d"), "cell")
-            ),
-        )
-        .filter(F.col("rk") <= 2)
-        .persist()
+        .select("vec_id", "embedding")
+        .mapInPandas(assign, "vec_id long, cell long, rk long")
     )
     assigned = ranked.filter(F.col("rk") == 1).select(
         F.col("vec_id").alias("neighbor_id"), "cell"
