@@ -37,6 +37,7 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "similarity_bruteforce_topk",
     "similarity_lsh_topk",
+    "similarity_ivf_topk",
     "text_quality_scores",
     "text_tf_per_source",
     "fn_json_suite",
