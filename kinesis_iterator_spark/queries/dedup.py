@@ -500,7 +500,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
        exchange the self-join shuffles on);
     3. candidates = same-bucket pairs with vec_a < vec_b — an equi-join,
        never all-pairs;
-    4. exact cosine in an Arrow kernel (`np.add.accumulate` sequential
+    4. exact cosine in an Arrow kernel (`_fold_dot_rows` sequential
        fold ≡ the oracle's `list_reduce`), pairs globally deduped by
        hash-repartitioning on the pair key;
     5. dedup policy: drop any vector that has a near-dup with a smaller

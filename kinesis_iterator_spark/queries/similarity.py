@@ -16,13 +16,13 @@ detection, and the one where ANN genuinely pays (exact search is O(n²)):
 
 Determinism: every dot product is a SEQUENTIAL LEFT FOLD over doubles.
 DuckDB computes it with ``list_reduce``; the Spark hot path computes it
-with ``np.add.accumulate`` inside Arrow-batched pandas UDFs — ufunc
-``accumulate`` is strictly sequential (it must emit every prefix), so the
-two are bit-identical. The pandas kernel exists because per-pair vector
-math is the one workload where JVM expressions lose badly: both
-interpreted HOF folds (~5 µs/pair) and unrolled codegen'd 64-term sums
-(~50 ns per array element access) measured 10-100× slower than the
-Arrow→numpy path on the 4M-pair scoring join.
+with the d-ascending numpy loops ``_fold_dot_rows`` / ``_fold_dot_block``
+inside Arrow-batched kernels — identical fold order, so the two are
+bit-identical. The kernels exist because per-pair vector math is the one
+workload where JVM expressions lose badly: both interpreted HOF folds
+(~5 µs/pair) and unrolled codegen'd 64-term sums (~50 ns per array
+element access) measured 10-100× slower than the Arrow→numpy path on the
+4M-pair scoring join.
 """
 
 from __future__ import annotations
@@ -86,8 +86,8 @@ def _np_corpus(spark: SparkSession, sf_dir: str):
     IVF cell next to the pair partitions — bucket locality is exactly what
     the ANN structures buy.
 
-    Norms are computed with np.add.accumulate — the strictly-sequential
-    ufunc — so they equal the oracle's list_reduce fold bit-for-bit."""
+    Norms use the same d-ascending sequential fold as every other dot
+    here, so they equal the oracle's list_reduce fold bit-for-bit."""
     import numpy as np
 
     rows = (
