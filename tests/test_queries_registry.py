@@ -42,3 +42,41 @@ def test_query_runs_and_schema_stable(spark, sf_dir, name):
     df2 = QUERIES[name](spark, sf_dir)
     assert df2.schema == schema1
     assert n > 0, f"{name} returned no rows at sf0.001"
+
+
+def test_spark_sql_surface_matches_dataframe_form(spark, sf_dir):
+    """The engine's SQL front door: the same query through
+    `register_views` + `spark.sql` equals the registry's DataFrame form
+    (Catalyst compiles both to the same plan family)."""
+    from kinesis_iterator_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    sql = spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2024-06-30'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
+    from pyspark.sql import functions as F
+
+    from kinesis_iterator_spark.tables import load_table
+
+    df = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") <= "2024-06-30")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+    )
+    key = lambda r: (r["l_returnflag"], r["l_linestatus"])  # noqa: E731
+    got = {key(r): (r["n"], r["sum_qty"]) for r in sql.collect()}
+    want = {key(r): (r["n"], r["sum_qty"]) for r in df.collect()}
+    assert got == want and len(got) > 0
