@@ -463,7 +463,14 @@ def join_asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     and a linear scan per partition — it survives 100× where the range
     join quadratically dies. Purchases are first deduped per (user_id, ts)
     with MAX so the as-of pick is tie-free in both engines."""
-    ev = load_table(spark, sf_dir, "events")
+    return asof_click_purchase(load_table(spark, sf_dir, "events"))
+
+
+def asof_click_purchase(ev: DataFrame) -> DataFrame:
+    """The as-of pipeline over any events-shaped DataFrame — split out so
+    property tests can feed it generated micro-tables
+    (tests/test_properties.py) alongside the fixture-backed registry
+    query."""
     ts_type = ev.schema["ts"].dataType
     p = (
         ev.filter(F.col("event_type") == "purchase")

@@ -160,3 +160,69 @@ def test_sessionize_gap_invariants(spark, ts_offsets):
             assert b - a <= 30 * 60
     for prev, nxt in zip(sessions, sessions[1:]):
         assert nxt[0] - prev[-1] > 30 * 60
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),   # user_id
+            st.integers(min_value=0, max_value=40),  # ts offset (seconds)
+            st.booleans(),                           # True = purchase
+            st.integers(min_value=0, max_value=99),  # value
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_asof_union_window_matches_bruteforce(spark, rows):
+    """For ANY event set (duplicate timestamps, users with no purchases,
+    same-instant click+purchase), the union+carry-forward-window as-of
+    equals the quadratic range-join definition: per click, the purchase
+    row with the greatest ts ≤ click ts (ties collapsed by MAX)."""
+    import datetime as dt
+
+    from kinesis_iterator_spark.queries.relational import asof_click_purchase
+
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (
+            i,
+            base + dt.timedelta(seconds=off),
+            uid,
+            "purchase" if is_p else "click",
+            float(v),
+        )
+        for i, (uid, off, is_p, v) in enumerate(rows)
+    ]
+    ev = spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    got = {
+        r["event_id"]: (
+            r["purchase_ts"],
+            r["purchase_event_id"],
+            r["purchase_value"],
+        )
+        for r in asof_click_purchase(ev).collect()
+    }
+
+    # brute-force reference in plain python
+    purchases = {}
+    for i, ts, uid, kind, v in data:
+        if kind == "purchase":
+            key = (uid, ts)
+            pe, pv = purchases.get(key, (-1, -1.0))
+            purchases[key] = (max(pe, i), max(pv, v))
+    want = {}
+    for i, ts, uid, kind, v in data:
+        if kind != "click":
+            continue
+        prior = [
+            (pts, pe, pv)
+            for (puid, pts), (pe, pv) in purchases.items()
+            if puid == uid and pts <= ts
+        ]
+        want[i] = max(prior) if prior else (None, None, None)
+    assert got == want
