@@ -26,6 +26,11 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
 
+# NOTE: registration order is not exactly this tuple — `dedup` imports
+# `similarity` at module top, so similarity's queries register first when
+# dedup loads (and `text` imports `dedup`). Harmless while the registry
+# holds exactly 50 entries (the driver checks the first 50); do not rely
+# on _MODULES order for the checked window.
 _MODULES = (
     "relational",
     "functions",
