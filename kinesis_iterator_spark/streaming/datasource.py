@@ -39,6 +39,7 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
 )
@@ -63,13 +64,73 @@ class _ShardSlice(InputPartition):
     upto: str  # inclusive upper bound
 
 
+def _resolve_path(options: dict) -> str:
+    path = options.get("path") or options.get("sf_dir")
+    if not path:
+        raise ValueError("sim_kinesis requires option 'path' (sf_dir)")
+    if os.path.isdir(path) and not path.endswith(".parquet"):
+        path = os.path.join(path, "events.parquet")
+    return path
+
+
+def _build_seq_index(path: str, n_shards: int) -> dict[int, list[str]]:
+    """Per-shard sorted sequence arrays: the driver-side shard index a
+    real connector gets from the service (ListShards + tip). Built once
+    from only the columns needed (event_id, user_id)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path, columns=["event_id", "user_id"])
+    eid = t.column("event_id").to_numpy()
+    uid = t.column("user_id").to_numpy()
+    seqs: dict[int, list[str]] = {}
+    for s in range(n_shards):
+        shard_eids = np.sort(eid[uid % n_shards == s])
+        seqs[s] = [f"{int(e):0{SEQ_PAD}d}" for e in shard_eids]
+    return seqs
+
+
+def _read_slice(partition: "_ShardSlice"):
+    """Executor-side bounded fetch of one shard slice — pyarrow scan with
+    the (shard, sequence] predicate pushed down, rows emitted in sequence
+    order (per-shard ordering, kinesis.go:193-197). Shared by the batch
+    and streaming readers."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    p = partition
+    lo = int(p.after) if p.after else -1
+    hi = int(p.upto)
+    t = pq.read_table(
+        p.path,
+        columns=["event_id", "ts", "user_id", "props"],
+        filters=[("event_id", ">", lo), ("event_id", "<=", hi)],
+    )
+    mask = t.column("user_id").to_numpy() % p.n_shards == p.shard_index
+    t = t.filter(np.asarray(mask))
+    t = t.sort_by("event_id")
+    shard = _shard_name(p.shard_index)
+    eids = t.column("event_id").to_pylist()
+    uids = t.column("user_id").to_pylist()
+    props = t.column("props").to_pylist()
+    # ts is TIMESTAMP(NANOS); truncate to Spark's µs precision — the same
+    # ns→µs floor tables.load_table applies (safe=False allows the sub-µs
+    # truncation).
+    tss = t.column("ts").cast("timestamp[us]", safe=False).to_pylist()
+    for eid, uid, pr, ts in zip(eids, uids, props, tss):
+        yield (
+            pr.encode("utf-8"),
+            str(uid),
+            f"{eid:0{SEQ_PAD}d}",
+            ts,
+            p.stream_name,
+            shard,
+        )
+
+
 class SimKinesisStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict):
-        self._path = options.get("path") or options.get("sf_dir")
-        if not self._path:
-            raise ValueError("sim_kinesis requires option 'path' (sf_dir)")
-        if os.path.isdir(self._path) and not self._path.endswith(".parquet"):
-            self._path = os.path.join(self._path, "events.parquet")
+        self._path = _resolve_path(options)
         self._n_shards = int(options.get("n_shards", "8"))
         # limit = 0 (default): latestOffset returns the live tail and each
         # micro-batch admits everything available (right for availableNow
@@ -84,19 +145,7 @@ class SimKinesisStreamReader(DataSourceStreamReader):
         self._limit = int(options.get("limit", "0"))
         self._stream = options.get("stream_name", "events")
         self._cursor: dict[int, int] = {}  # shard → index into _seqs
-        # Per-shard sorted sequence arrays: the driver-side shard index a
-        # real connector gets from the service (ListShards + tip). Built
-        # once from the columns needed only (event_id, user_id).
-        import numpy as np
-        import pyarrow.parquet as pq
-
-        t = pq.read_table(self._path, columns=["event_id", "user_id"])
-        eid = t.column("event_id").to_numpy()
-        uid = t.column("user_id").to_numpy()
-        self._seqs = {}
-        for s in range(self._n_shards):
-            shard_eids = np.sort(eid[uid % self._n_shards == s])
-            self._seqs[s] = [f"{int(e):0{SEQ_PAD}d}" for e in shard_eids]
+        self._seqs = _build_seq_index(self._path, self._n_shards)
 
     # -- offset protocol ----------------------------------------------------
     def initialOffset(self) -> dict:
@@ -150,40 +199,7 @@ class SimKinesisStreamReader(DataSourceStreamReader):
         return out
 
     def read(self, partition: _ShardSlice):
-        """Executor-side bounded fetch of one shard slice — pyarrow scan
-        with the (shard, sequence] predicate pushed down, rows emitted in
-        sequence order (per-shard ordering, kinesis.go:193-197)."""
-        import numpy as np
-        import pyarrow.parquet as pq
-
-        p = partition
-        lo = int(p.after) if p.after else -1
-        hi = int(p.upto)
-        t = pq.read_table(
-            p.path,
-            columns=["event_id", "ts", "user_id", "props"],
-            filters=[("event_id", ">", lo), ("event_id", "<=", hi)],
-        )
-        mask = t.column("user_id").to_numpy() % p.n_shards == p.shard_index
-        t = t.filter(np.asarray(mask))
-        t = t.sort_by("event_id")
-        shard = _shard_name(p.shard_index)
-        eids = t.column("event_id").to_pylist()
-        uids = t.column("user_id").to_pylist()
-        props = t.column("props").to_pylist()
-        # ts is TIMESTAMP(NANOS); truncate to Spark's µs precision —
-        # the same ns→µs floor tables.load_table applies (safe=False
-        # allows the sub-µs truncation).
-        tss = t.column("ts").cast("timestamp[us]", safe=False).to_pylist()
-        for eid, uid, pr, ts in zip(eids, uids, props, tss):
-            yield (
-                pr.encode("utf-8"),
-                str(uid),
-                f"{eid:0{SEQ_PAD}d}",
-                ts,
-                p.stream_name,
-                shard,
-            )
+        return _read_slice(partition)
 
     def commit(self, end: dict) -> None:
         # Offsets live in the query's checkpoint WAL; nothing extra to do
@@ -194,6 +210,35 @@ class SimKinesisStreamReader(DataSourceStreamReader):
         pass
 
 
+class SimKinesisBatchReader(DataSourceReader):
+    """``spark.read.format("sim_kinesis")`` — the whole stream as a
+    table, one partition per shard (read ≡ readStream over the full
+    horizon, the usual dual a Spark source offers)."""
+
+    def __init__(self, options: dict):
+        self._path = _resolve_path(options)
+        self._n_shards = int(options.get("n_shards", "8"))
+        self._stream = options.get("stream_name", "events")
+        self._seqs = _build_seq_index(self._path, self._n_shards)
+
+    def partitions(self):
+        return [
+            _ShardSlice(
+                path=self._path,
+                n_shards=self._n_shards,
+                shard_index=s,
+                stream_name=self._stream,
+                after="",
+                upto=seqs[-1],
+            )
+            for s, seqs in self._seqs.items()
+            if seqs
+        ]
+
+    def read(self, partition: _ShardSlice):
+        return _read_slice(partition)
+
+
 class SimKinesisDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -201,6 +246,9 @@ class SimKinesisDataSource(DataSource):
 
     def schema(self) -> str:
         return RECORD_SCHEMA
+
+    def reader(self, schema: StructType) -> SimKinesisBatchReader:
+        return SimKinesisBatchReader(self.options)
 
     def streamReader(self, schema: StructType) -> SimKinesisStreamReader:
         return SimKinesisStreamReader(self.options)

@@ -177,3 +177,28 @@ def test_option_builder_produces_streaming_reader(spark, sf_dir):
     n = sum(len(b) for b in batches)
     assert n == load_table(spark, sf_dir, "events").count()
     assert all(r["streamName"] == "events" for b in batches for r in b)
+
+
+def test_batch_read_equals_streaming_drain(spark, sf_dir):
+    """read ≡ readStream over the full horizon: the batch form of
+    sim_kinesis returns exactly the record set the streaming drain
+    delivers (and the library's to_records projection)."""
+    ds.register(spark)
+    batch = (
+        spark.read.format(ds.FORMAT_NAME)
+        .option("path", sf_dir)
+        .option("n_shards", N_SHARDS)
+        .load()
+    )
+    expected = to_records(
+        load_table(spark, sf_dir, "events"), n_shards=N_SHARDS
+    )
+    key = lambda r: (r["shardId"], r["sequenceNumber"])  # noqa: E731
+    got = sorted(key(r) for r in batch.collect())
+    want = sorted(key(r) for r in expected.collect())
+    assert got == want
+    # same columns and types (nullability differs: lit() columns are
+    # non-nullable in the projection, DataSource columns are nullable)
+    assert [(f.name, f.dataType) for f in batch.schema.fields] == [
+        (f.name, f.dataType) for f in expected.schema.fields
+    ]
