@@ -542,23 +542,28 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not chunks:
             return
         # Hash-repartitioned on the pair key, so multi-table collisions of
-        # the same pair are co-located → per-partition drop_duplicates is
-        # globally exact; the per-vec_b partial count is then also exact
-        # within this partition (pairs for one vec_b may span partitions —
-        # the final groupBy sums the partials).
-        pdf = pd.concat(chunks, ignore_index=True).drop_duplicates()
-        ai = np.searchsorted(ids, pdf["vec_a"].to_numpy())
-        bi = np.searchsorted(ids, pdf["vec_b"].to_numpy())
+        # the same pair are co-located → per-partition dedupe (packed-int
+        # np.unique, same pattern as the similarity scorer) is globally
+        # exact; the per-vec_b partial count is then also exact within
+        # this partition (pairs for one vec_b may span partitions — the
+        # final groupBy sums the partials).
+        pdf = pd.concat(chunks, ignore_index=True)
+        packed = np.unique(
+            (pdf["vec_a"].to_numpy().astype(np.int64) << 32)
+            | pdf["vec_b"].to_numpy().astype(np.int64)
+        )
+        vb = packed & 0xFFFFFFFF
+        ai = np.searchsorted(ids, packed >> 32)
+        bi = np.searchsorted(ids, vb)
         from .similarity import _fold_dot_rows
 
         dots = _fold_dot_rows(M[ai], M[bi])
         cos = dots / (nrm[ai] * nrm[bi])
-        kept = pdf.loc[cos >= COSINE_TAU, ["vec_b"]]
-        g = kept.groupby("vec_b").size().reset_index(name="n_pairs")
+        kept_b, n_pairs = np.unique(vb[cos >= COSINE_TAU], return_counts=True)
         yield pd.DataFrame(
             {
-                "vec_b": g["vec_b"].astype("int64"),
-                "n_pairs": g["n_pairs"].astype("int64"),
+                "vec_b": kept_b.astype(np.int64),
+                "n_pairs": n_pairs.astype(np.int64),
             }
         )
 
