@@ -109,10 +109,14 @@ def main() -> None:
     assert n_stream > 0
 
     # Same stream under Structured Streaming proper (sim_kinesis
-    # DataSource): availableNow drain with offsets in the checkpoint WAL.
+    # DataSource): available-now drain with offsets in the checkpoint WAL.
+    # Uses the source's own available_now + await_drained instead of
+    # Spark's Trigger.AvailableNow, which Python DataSources can't honor
+    # (falls back to single-batch execution with a WARN).
     import shutil
     import tempfile
 
+    from kinesis_iterator_spark.streaming import datasource as sim_ds
     from kinesis_iterator_spark.streaming import register_sim_kinesis
 
     register_sim_kinesis(spark)
@@ -123,15 +127,19 @@ def main() -> None:
             spark.readStream.format("sim_kinesis")
             .option("path", sf_dir)
             .option("n_shards", 8)
+            .option("available_now", "true")
             .load()
             .writeStream.foreachBatch(
                 lambda df, e: df.write.format("noop").mode("overwrite").save()
             )
             .option("checkpointLocation", ck)
-            .trigger(availableNow=True)
+            .trigger(processingTime="0 seconds")
             .start()
         )
-        q.awaitTermination(300)
+        # await_drained stops the query (drained or not) and returns
+        # whether the frozen target was reached — don't time a silent cap.
+        ok = sim_ds.await_drained(q, sf_dir, n_shards=8, timeout=300)
+        assert ok, "structured drain did not complete within 300 s"
         shutil.rmtree(ck, ignore_errors=True)
 
     structured_drain()  # warm (python worker + codegen for this shape)

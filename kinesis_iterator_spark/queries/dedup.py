@@ -510,11 +510,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Per-label output: n_vectors / n_removed / n_survivors / n_dup_pairs —
     scalars, so the result is value-hash-checkable at any scale factor."""
-    from .similarity import _bits_for, _np_corpus, lsh_signatures
+    from .similarity import _bits_for, lsh_signatures
 
     emb = load_table(spark, sf_dir, "embeddings")
-    ids, labels, M, nrm = _np_corpus(spark, sf_dir)
-    n = len(ids)
+    # Parameterization needs only COUNT(*) — no corpus collect (r2's
+    # closure-shipped matrix is gone; vectors ride the candidate joins).
+    n = emb.count()
     b = _bits_for(n)
     cap = 32 + 8 * n // (1 << b)
     par = spark.sparkContext.defaultParallelism
@@ -538,43 +539,42 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
         import pandas as pd
 
-        chunks = [pdf for pdf in batches if len(pdf)]
-        if not chunks:
-            return
-        # Hash-repartitioned on the pair key, so multi-table collisions of
-        # the same pair are co-located → per-partition dedupe (packed-int
-        # np.unique, same pattern as the similarity scorer) is globally
-        # exact; the per-vec_b partial count is then also exact within
-        # this partition (pairs for one vec_b may span partitions — the
-        # final groupBy sums the partials).
-        pdf = pd.concat(chunks, ignore_index=True)
-        packed = np.unique(
-            (pdf["vec_a"].to_numpy().astype(np.int64) << 32)
-            | pdf["vec_b"].to_numpy().astype(np.int64)
-        )
-        vb = packed & 0xFFFFFFFF
-        ai = np.searchsorted(ids, packed >> 32)
-        bi = np.searchsorted(ids, vb)
         from .similarity import _fold_dot_rows
 
-        dots = _fold_dot_rows(M[ai], M[bi])
-        cos = dots / (nrm[ai] * nrm[bi])
-        kept_b, n_pairs = np.unique(vb[cos >= COSINE_TAU], return_counts=True)
-        yield pd.DataFrame(
-            {
-                "vec_b": kept_b.astype(np.int64),
-                "n_pairs": n_pairs.astype(np.int64),
-            }
-        )
+        # Pairs arrive globally DISTINCT (dropDuplicates upstream) with
+        # both vectors attached, so each Arrow batch scores independently
+        # — no pair repartition, no partition accumulation. Norms use the
+        # same d-ascending fold as the oracle's list_reduce. Per-vec_b
+        # partial counts may split across batches/partitions; the final
+        # groupBy sums them and count_distinct absorbs the split.
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.stack(pdf["a_emb"].to_numpy()).astype(np.float64)
+            B = np.stack(pdf["b_emb"].to_numpy()).astype(np.float64)
+            cos = _fold_dot_rows(A, B) / (
+                np.sqrt(_fold_dot_rows(A, A)) * np.sqrt(_fold_dot_rows(B, B))
+            )
+            vb = pdf["vec_b"].to_numpy().astype(np.int64)
+            kept_b, n_pairs = np.unique(vb[cos >= COSINE_TAU], return_counts=True)
+            yield pd.DataFrame(
+                {
+                    "vec_b": kept_b.astype(np.int64),
+                    "n_pairs": n_pairs.astype(np.int64),
+                }
+            )
 
-    # The kernel folds dedupe → score → threshold → per-vec_b partial
-    # count into the one pair shuffle; the tail is then a single join +
-    # one groupBy(label) (count_distinct absorbs the partial split of a
-    # vec_b across partitions). Measured 3× vs the naive tail (pair-level
-    # groupBy + separate removed-join): 5.5 s → 1.8 s at sf0.1.
-    partials = cand.repartition(par, "vec_a", "vec_b").mapInPandas(
-        score, "vec_b long, n_pairs long"
+    # Vectors are gathered SHUFFLE-side: slim-pair dropDuplicates kills
+    # multi-table collisions while rows are 16 bytes, then two equi-joins
+    # attach the vectors (broadcast at fixture scale, sort-merge at 100×
+    # — the corpus never touches the driver). Scoring is then NARROW:
+    # r2's wide pair repartition is gone entirely.
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("a_emb"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("b_emb"))
+    wide = (
+        cand.dropDuplicates(["vec_a", "vec_b"]).join(eb, "vec_b").join(ea, "vec_a")
     )
+    partials = wide.mapInPandas(score, "vec_b long, n_pairs long")
     e = emb.select("vec_id", "label")
     return (
         e.join(partials, e.vec_id == partials.vec_b, "left")

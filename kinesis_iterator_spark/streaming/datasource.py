@@ -132,20 +132,37 @@ class SimKinesisStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict):
         self._path = _resolve_path(options)
         self._n_shards = int(options.get("n_shards", "8"))
-        # limit = 0 (default): latestOffset returns the live tail and each
-        # micro-batch admits everything available (right for availableNow
-        # drains). limit > 0: bounded admission — latestOffset advances an
-        # internal cursor by at most `limit` records per shard per call,
-        # the GetRecords page bound (kinesis.go:182) for processingTime
-        # triggers. After a checkpoint restart the cursor re-advances from
-        # TRIM_HORIZON until it passes the WAL offset (empty planned
-        # batches until then) — bounded mode trades restart triggers for
-        # paging, exactly-once either way since partitions() always covers
-        # (start, end] precisely.
+        # limit = 0 (default): latestOffset returns the tail and each
+        # micro-batch admits everything available. limit > 0: bounded
+        # admission — latestOffset advances an internal cursor by at most
+        # `limit` records per shard per call, the GetRecords page bound
+        # (kinesis.go:182). After a checkpoint restart the fresh cursor
+        # must NOT make latestOffset return an offset below the WAL
+        # position (Spark would log the regressed offset and re-emit
+        # everything between it and the committed position — at-least-once
+        # instead of exactly-once). Two seeding paths close this: Spark
+        # re-commits the restored batch's offsets on restart → commit()
+        # fast-forwards the cursor; and a replayed uncommitted batch goes
+        # through partitions(start, end) → same fast-forward on `end`.
         self._limit = int(options.get("limit", "0"))
         self._stream = options.get("stream_name", "events")
         self._cursor: dict[int, int] = {}  # shard → index into _seqs
         self._seqs = _build_seq_index(self._path, self._n_shards)
+        # available_now=true freezes the drain target at reader
+        # construction (Trigger.AvailableNow's capture-the-end semantics):
+        # latestOffset never advances past — and with limit=0 returns
+        # exactly — this snapshot, so a concurrently-growing stream does
+        # not extend the drain. Pair with a processingTime trigger and
+        # ``await_drained`` (Spark's own Trigger.AvailableNow cannot drive
+        # Python DataSources: PythonMicroBatchStream lacks the
+        # SupportsTriggerAvailableNow hook and falls back to ONE unbounded
+        # batch, bypassing paged admission).
+        self._available_now = str(
+            options.get("available_now", "false")
+        ).lower() in ("true", "1", "yes")
+        self._target: dict[int, int] = {
+            s: len(seqs) for s, seqs in self._seqs.items()
+        }
 
     # -- offset protocol ----------------------------------------------------
     def initialOffset(self) -> dict:
@@ -153,15 +170,29 @@ class SimKinesisStreamReader(DataSourceStreamReader):
         # zero-padded sequences.
         return {_shard_name(s): "" for s in range(self._n_shards)}
 
+    def _fast_forward(self, offset: dict) -> None:
+        """Raise the paging cursor to at least the given offset (monotonic;
+        called from commit() and partitions() so a post-restart cursor can
+        never regress latestOffset below the WAL position)."""
+        import bisect
+
+        for s in range(self._n_shards):
+            tail = offset.get(_shard_name(s), "")
+            if tail:
+                pos = bisect.bisect_right(self._seqs[s], tail)
+                if pos > self._cursor.get(s, 0):
+                    self._cursor[s] = pos
+
     def latestOffset(self) -> dict:
         if self._limit <= 0:
             return {
-                _shard_name(s): (seqs[-1] if seqs else "")
+                _shard_name(s): (seqs[self._target[s] - 1] if self._target[s] else "")
                 for s, seqs in self._seqs.items()
             }
         out = {}
         for s, seqs in self._seqs.items():
-            pos = min(self._cursor.get(s, 0) + self._limit, len(seqs))
+            ceil = self._target[s] if self._available_now else len(seqs)
+            pos = min(self._cursor.get(s, 0) + self._limit, ceil)
             self._cursor[s] = pos
             out[_shard_name(s)] = seqs[pos - 1] if pos > 0 else ""
         return out
@@ -169,6 +200,12 @@ class SimKinesisStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict):
         import bisect
 
+        # Seed the paging cursor from the planned range's END: on restart
+        # Spark replays the last uncommitted batch through here with its
+        # WAL offsets, and every record ≤ end is already admitted, so the
+        # next latestOffset must resume past it, never below.
+        if self._limit > 0:
+            self._fast_forward(end)
         out = []
         for s in range(self._n_shards):
             name = _shard_name(s)
@@ -177,13 +214,6 @@ class SimKinesisStreamReader(DataSourceStreamReader):
             seqs = self._seqs[s]
             lo = bisect.bisect_right(seqs, after)
             hi = bisect.bisect_right(seqs, tail)
-            # Bounded mode, post-restart: the fresh cursor re-advances
-            # from 0; fast-forward it to the WAL start so the next
-            # latestOffset resumes from the committed position instead of
-            # re-paging from TRIM_HORIZON (one empty planned batch, then
-            # normal paging).
-            if self._limit > 0:
-                self._cursor[s] = max(self._cursor.get(s, 0), lo)
             if hi <= lo:
                 continue
             out.append(
@@ -202,9 +232,13 @@ class SimKinesisStreamReader(DataSourceStreamReader):
         return _read_slice(partition)
 
     def commit(self, end: dict) -> None:
-        # Offsets live in the query's checkpoint WAL; nothing extra to do
-        # (the library form persists them via SequenceSaver instead).
-        pass
+        # Offsets live in the query's checkpoint WAL (the library form
+        # persists them via SequenceSaver instead). Spark re-commits the
+        # restored batch's offsets when a query restarts from checkpoint —
+        # seeding the paging cursor here is what keeps bounded admission
+        # exactly-once across restarts.
+        if self._limit > 0:
+            self._fast_forward(end)
 
     def stop(self) -> None:
         pass
@@ -254,6 +288,58 @@ class SimKinesisDataSource(DataSource):
         return SimKinesisStreamReader(self.options)
 
 
+def drain_target(path: str, n_shards: int = 8) -> dict:
+    """The offset map an ``available_now`` drain ends at: the per-shard
+    tail of the stream as of now (same snapshot the reader freezes at
+    construction — deterministic for the static fixture)."""
+    p = _resolve_path({"path": path})
+    return {
+        _shard_name(s): (seqs[-1] if seqs else "")
+        for s, seqs in _build_seq_index(p, n_shards).items()
+    }
+
+
+def await_drained(query, path: str, n_shards: int = 8, timeout: float = 180.0) -> bool:
+    """Block until a ``sim_kinesis`` query started with
+    ``option("available_now", "true")`` has committed every record that
+    existed when its reader was created, then stop it. Returns True if the
+    drain completed, False on timeout (the query is stopped either way).
+
+    This is the paged Trigger.AvailableNow: Spark's own AvailableNow
+    cannot drive Python DataSources (PythonMicroBatchStream lacks the
+    SupportsTriggerAvailableNow hook and falls back to a single unbounded
+    batch — the "Falling back to single batch execution" WARN), so the
+    bounded-admission drain runs under a processingTime trigger and this
+    helper watches the committed endOffset until it reaches the frozen
+    target."""
+    import time
+
+    target = drain_target(path, n_shards)
+    deadline = time.time() + timeout
+    done = False
+    while time.time() < deadline:
+        p = query.lastProgress
+        if p and p.get("sources"):
+            end = p["sources"][0].get("endOffset")
+            if isinstance(end, str):
+                # Python DataSource offsets surface in progress as either
+                # JSON or a Python-dict repr (single quotes) depending on
+                # the wrapping layer — accept both.
+                try:
+                    end = json.loads(end)
+                except ValueError:
+                    import ast
+
+                    end = ast.literal_eval(end)
+            if end == target:
+                done = True
+                break
+        time.sleep(0.05)
+    query.stop()
+    query.awaitTermination(60)
+    return done
+
+
 def register(spark) -> str:
     """Register the source; returns the format name.
 
@@ -267,4 +353,11 @@ def register(spark) -> str:
     return FORMAT_NAME
 
 
-__all__ = ["SimKinesisDataSource", "SimKinesisStreamReader", "register", "FORMAT_NAME"]
+__all__ = [
+    "SimKinesisDataSource",
+    "SimKinesisStreamReader",
+    "register",
+    "FORMAT_NAME",
+    "await_drained",
+    "drain_target",
+]

@@ -87,13 +87,21 @@ class Option:
             n_shards=self.n_shards,
         )
 
-    def read_stream(self, spark: SparkSession, limit: int = 0):
+    def read_stream(self, spark: SparkSession, limit: int = 0, available_now: bool = False):
         """The same options as a Structured Streaming reader: registers
         the ``sim_kinesis`` DataSource and returns the configured
         streaming DataFrame (offsets in the query's checkpoint WAL).
         ``limit`` > 0 bounds per-trigger admission (GetRecords page
         bound). A real deployment would swap the format name for a
-        Kinesis connector and pass ``get_config()`` verbatim."""
+        Kinesis connector and pass ``get_config()`` verbatim.
+
+        TRIGGER / LIMIT INTERACTION: Spark's ``Trigger.AvailableNow``
+        cannot drive Python DataSources — it falls back to ONE unbounded
+        batch, which with ``limit`` > 0 would stop after a single page and
+        silently under-drain. For a bounded complete drain pass
+        ``available_now=True`` here, use a ``processingTime`` trigger, and
+        stop via ``datasource.await_drained(query, sf_dir, n_shards)``;
+        use Spark's availableNow trigger only with ``limit=0``."""
         if self.sf_dir is None:
             raise ValueError("Option.with_sf_dir(...) is required (no AWS here)")
         from .datasource import FORMAT_NAME, register
@@ -107,6 +115,8 @@ class Option:
         )
         if limit > 0:
             reader = reader.option("limit", limit)
+        if available_now:
+            reader = reader.option("available_now", "true")
         return reader.load()
 
 

@@ -156,6 +156,103 @@ def test_bounded_admission_pages_micro_batches(spark, sf_dir):
     assert len(batches) > 1  # it actually paged
 
 
+def test_available_now_paged_drain_multi_batch(spark, sf_dir):
+    """The paged Trigger.AvailableNow equivalent: available_now freezes
+    the drain target, limit pages toward it, await_drained stops the
+    query at the target — a COMPLETE drain across >1 committed
+    micro-batch. (Spark's own availableNow trigger falls back to one
+    unbounded batch for Python DataSources, bypassing paged admission.)"""
+    ds.register(spark)
+    per_page = 100
+    sdf = (
+        spark.readStream.format(ds.FORMAT_NAME)
+        .option("path", sf_dir)
+        .option("n_shards", N_SHARDS)
+        .option("limit", per_page)
+        .option("available_now", "true")
+        .load()
+    )
+    total = load_table(spark, sf_dir, "events").count()
+    ck = tempfile.mkdtemp()
+    batches: list = []
+    q = (
+        sdf.writeStream.foreachBatch(lambda df, eid: batches.append(df.collect()))
+        .option("checkpointLocation", ck)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    assert ds.await_drained(q, sf_dir, N_SHARDS, timeout=180)
+    rows = [r for b in batches for r in b]
+    key = lambda r: (r["shardId"], r["sequenceNumber"])  # noqa: E731
+    assert len(rows) == total
+    assert len({key(r) for r in rows}) == total  # exactly once
+    assert len([b for b in batches if b]) > 1  # it actually paged
+    assert all(len(b) <= per_page * N_SHARDS for b in batches)
+
+
+def test_bounded_admission_restart_no_duplicates(spark, sf_dir):
+    """Checkpoint restart under bounded admission (limit>0) must not
+    regress latestOffset below the WAL position. The r2 bug: a fresh
+    reader's cursor re-paged from TRIM_HORIZON, Spark logged the
+    regressed offset as a batch end, and the next batch re-emitted
+    everything between page 1 and the committed position. commit()/
+    partitions() now fast-forward the cursor. Delivery is tracked per
+    epoch_id (foreachBatch replays the last uncommitted batch under the
+    SAME epoch on restart — overwriting is the sink's idempotence
+    contract); the bug would surface as NEW epochs re-delivering old
+    records, inflating the total."""
+    ds.register(spark)
+    per_page = 25
+
+    def reader():
+        return (
+            spark.readStream.format(ds.FORMAT_NAME)
+            .option("path", sf_dir)
+            .option("n_shards", N_SHARDS)
+            .option("limit", per_page)
+            .option("available_now", "true")
+            .load()
+        )
+
+    total = load_table(spark, sf_dir, "events").count()
+    ck = tempfile.mkdtemp()
+    delivered: dict = {}  # epoch_id -> rows (last replay wins)
+
+    def sink(df, eid):
+        delivered[eid] = df.collect()
+
+    q = (
+        reader()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ck)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline and sum(len(b) for b in delivered.values()) < total // 3:
+        time.sleep(0.02)
+    q.stop()
+    q.awaitTermination(60)
+    n_first = sum(len(b) for b in delivered.values())
+    assert 0 < n_first < total, (
+        f"drain finished before the mid-stream stop (got {n_first}/{total}) — "
+        "lower per_page to keep the restart meaningful"
+    )
+
+    q2 = (
+        reader()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ck)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    assert ds.await_drained(q2, sf_dir, N_SHARDS, timeout=180)
+    rows = [r for b in delivered.values() for r in b]
+    key = lambda r: (r["shardId"], r["sequenceNumber"])  # noqa: E731
+    assert len({key(r) for r in rows}) == total  # no loss
+    assert len(rows) == total  # no duplicate delivery across epochs
+
+
 def test_option_builder_produces_streaming_reader(spark, sf_dir):
     """A17 glue: the same fluent Option that builds the library consumer
     also yields the sim_kinesis streaming DataFrame."""

@@ -94,8 +94,6 @@ def test_pair_topk_kernel_matches_naive_scan(data):
     )
     # avoid zero-norm vectors (cosine undefined)
     M[np.linalg.norm(M, axis=1) < 1e-6] += 0.5
-    ids = np.arange(n, dtype=np.int64)
-    labels = np.zeros(n, dtype=np.int64)
     nrm = np.sqrt(np.add.accumulate(M * M, axis=1)[:, -1])
     pairs = pd.DataFrame(
         [(q, c) for q in range(n) for c in range(n) if q != c],
@@ -103,10 +101,12 @@ def test_pair_topk_kernel_matches_naive_scan(data):
     )
     # duplicate some pairs to exercise the dedupe
     pairs = pd.concat([pairs, pairs.head(3)], ignore_index=True)
-    out = pd.concat(
-        list(_pair_topk_scorer(ids, labels, M, nrm)([pairs])),
-        ignore_index=True,
-    )
+    # vectors ride with the pairs (the join-gathered layout the query
+    # builds via _score_pairs_topk)
+    pairs["neighbor_label"] = 0
+    pairs["q_emb"] = [M[q] for q in pairs["query_id"]]
+    pairs["n_emb"] = [M[c] for c in pairs["neighbor_id"]]
+    out = pd.concat(list(_pair_topk_scorer([pairs])), ignore_index=True)
     for q in range(n):
         cos = {
             c: float(np.add.accumulate(M[q] * M[c])[-1] / (nrm[q] * nrm[c]))

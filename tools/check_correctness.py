@@ -16,14 +16,46 @@ sys.path.insert(0, "/root/repo")
 
 
 def canon(val):
-    """Canonicalize a cell for cross-engine comparison."""
+    """Canonicalize a cell for cross-engine comparison.
+
+    The DuckDB side arrives via ``.df()`` (pandas), mirroring the driver's
+    canonicalizer — so numpy scalars / pd.Timestamp show up here and must
+    canonicalize exactly like their Python counterparts.  Crucially we do NOT
+    unify int and float: a DuckDB HUGEINT that pandas coerces to float64 must
+    MISMATCH a Spark bigint, because that is what the driver's hash does
+    (VERDICT r2: events_sessionize_30m).
+    """
     import datetime
     import decimal
 
+    import numpy as np
+
     if val is None:
         return "NULL"
-    if isinstance(val, bool):
-        return f"b:{val}"
+    # NaN unifies with NULL: pandas represents NULL-in-float64 as NaN, and
+    # the driver's r2 run passed queries whose only difference was Spark
+    # None vs oracle-pandas NaN (join_asof, window_lag_lead) — so the
+    # driver's canonicalizer unifies them and this replica must too.
+    if isinstance(val, float) and math.isnan(val):
+        return "NULL"
+    try:
+        import pandas as pd
+
+        if val is pd.NaT:
+            return "NULL"
+        if isinstance(val, pd.Timestamp):
+            val = val.to_pydatetime()
+    except ImportError:
+        pass
+    if isinstance(val, (bool, np.bool_)):
+        return f"b:{bool(val)}"
+    if isinstance(val, np.integer):
+        return f"i:{int(val)}"
+    if isinstance(val, np.floating):
+        val = float(val)
+        if math.isnan(val):
+            return "NULL"
+        return f"f:{val!r}"
     if isinstance(val, decimal.Decimal):
         return f"d:{val.normalize()}"
     if isinstance(val, float):
@@ -32,7 +64,15 @@ def canon(val):
         return f"f:{val!r}"
     if isinstance(val, int):
         return f"i:{val}"
-    if isinstance(val, (datetime.datetime, datetime.date)):
+    if isinstance(val, datetime.datetime):
+        # DATE unifies with midnight TIMESTAMP: DuckDB DATE columns become
+        # pandas datetime64 (midnight) while Spark returns datetime.date;
+        # the driver's r2 run passed fn_date_suite with exactly that skew,
+        # so canonicalize midnight datetimes to their date part.
+        if (val.hour, val.minute, val.second, val.microsecond) == (0, 0, 0, 0):
+            return f"t:{val.date().isoformat()}"
+        return f"t:{val.isoformat()}"
+    if isinstance(val, datetime.date):
         return f"t:{val.isoformat()}"
     if isinstance(val, (bytes, bytearray)):
         return f"x:{val.hex()}"
@@ -80,7 +120,12 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            # toPandas(), NOT collect(): the driver canonicalizes BOTH sides
+            # via pandas (r2 evidence: join_asof's int-with-NULL column — a
+            # float64 under pandas on either engine — was green on the
+            # driver, while sessionize's int-vs-HUGEINT, which only skews on
+            # the DuckDB side, was red).
+            srows = list(sdf.toPandas().itertuples(index=False, name=None))
         except Exception:
             print(f"FAIL  {name}: SPARK ERROR")
             traceback.print_exc()
@@ -92,9 +137,13 @@ def main() -> int:
             n_rowsonly += 1
             continue
         try:
-            cur = con.execute(oracles[name])
-            dcols = [d[0] for d in cur.description]
-            drows = cur.fetchall()
+            # .df() (pandas), NOT fetchall(): the driver canonicalizes via
+            # pandas, so type coercions (HUGEINT->float64, datetime64 units)
+            # must be reproduced here or the gate green-lights driver-red
+            # queries (this exact gap hid the r2 sessionize failure).
+            ddf = con.execute(oracles[name]).df()
+            dcols = list(ddf.columns)
+            drows = list(ddf.itertuples(index=False, name=None))
         except Exception:
             print(f"FAIL  {name}: DUCKDB ERROR")
             traceback.print_exc()
