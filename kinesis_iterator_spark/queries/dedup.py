@@ -510,12 +510,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Per-label output: n_vectors / n_removed / n_survivors / n_dup_pairs —
     scalars, so the result is value-hash-checkable at any scale factor."""
-    from .similarity import _bits_for, lsh_signatures
+    from .similarity import _bits_for, _corpus_size, lsh_signatures
 
     emb = load_table(spark, sf_dir, "embeddings")
-    # Parameterization needs only COUNT(*) — no corpus collect (r2's
-    # closure-shipped matrix is gone; vectors ride the candidate joins).
-    n = emb.count()
+    # Parameterization reads the parquet footer — no corpus collect, no
+    # count job (r2's closure-shipped matrix is gone).
+    n = _corpus_size(sf_dir)
     b = _bits_for(n)
     cap = 32 + 8 * n // (1 << b)
     par = spark.sparkContext.defaultParallelism
@@ -535,27 +535,32 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b")
     )
 
-    def score(batches):
-        import numpy as np
-        import pandas as pd
+    from .similarity import SMALL_CORPUS_MAX, _executor_corpus
 
-        from .similarity import _fold_dot_rows
+    if n <= SMALL_CORPUS_MAX:
+        # Small-corpus fast path: ONE slim repartition on the pair key
+        # (co-locating multi-table collisions for an exact per-partition
+        # dedupe), vectors from the per-process executor-side corpus
+        # cache — no driver collect, no wide shuffle.
+        def score_small(batches):
+            import numpy as np
+            import pandas as pd
 
-        # Pairs arrive globally DISTINCT (dropDuplicates upstream) with
-        # both vectors attached, so each Arrow batch scores independently
-        # — no pair repartition, no partition accumulation. Norms use the
-        # same d-ascending fold as the oracle's list_reduce. Per-vec_b
-        # partial counts may split across batches/partitions; the final
-        # groupBy sums them and count_distinct absorbs the split.
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            A = np.stack(pdf["a_emb"].to_numpy()).astype(np.float64)
-            B = np.stack(pdf["b_emb"].to_numpy()).astype(np.float64)
-            cos = _fold_dot_rows(A, B) / (
-                np.sqrt(_fold_dot_rows(A, A)) * np.sqrt(_fold_dot_rows(B, B))
+            from .similarity import _fold_dot_rows
+
+            ids, _labels, M, nrm = _executor_corpus(sf_dir)
+            chunks = [pdf for pdf in batches if len(pdf)]
+            if not chunks:
+                return
+            pdf = pd.concat(chunks, ignore_index=True)
+            packed = np.unique(
+                (pdf["vec_a"].to_numpy().astype(np.int64) << 32)
+                | pdf["vec_b"].to_numpy().astype(np.int64)
             )
-            vb = pdf["vec_b"].to_numpy().astype(np.int64)
+            vb = packed & 0xFFFFFFFF
+            ai = np.searchsorted(ids, packed >> 32)
+            bi = np.searchsorted(ids, vb)
+            cos = _fold_dot_rows(M[ai], M[bi]) / (nrm[ai] * nrm[bi])
             kept_b, n_pairs = np.unique(vb[cos >= COSINE_TAU], return_counts=True)
             yield pd.DataFrame(
                 {
@@ -564,17 +569,53 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    # Vectors are gathered SHUFFLE-side: slim-pair dropDuplicates kills
-    # multi-table collisions while rows are 16 bytes, then two equi-joins
-    # attach the vectors (broadcast at fixture scale, sort-merge at 100×
-    # — the corpus never touches the driver). Scoring is then NARROW:
-    # r2's wide pair repartition is gone entirely.
-    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("a_emb"))
-    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("b_emb"))
-    wide = (
-        cand.dropDuplicates(["vec_a", "vec_b"]).join(eb, "vec_b").join(ea, "vec_a")
-    )
-    partials = wide.mapInPandas(score, "vec_b long, n_pairs long")
+        partials = cand.repartition(par, "vec_a", "vec_b").mapInPandas(
+            score_small, "vec_b long, n_pairs long"
+        )
+    else:
+        # Large corpus: vectors gathered SHUFFLE-side — slim-pair
+        # dropDuplicates kills multi-table collisions while rows are 16
+        # bytes, then two equi-joins attach the vectors (broadcast or
+        # sort-merge, Catalyst's call; the corpus never touches the
+        # driver). Scoring is then NARROW: each Arrow batch scores
+        # independently since pairs are already globally distinct. Per-
+        # vec_b partial counts may split across batches/partitions; the
+        # final groupBy sums them and count_distinct absorbs the split.
+        def score_gathered(batches):
+            import numpy as np
+            import pandas as pd
+
+            from .similarity import _fold_dot_rows
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                A = np.stack(pdf["a_emb"].to_numpy()).astype(np.float64)
+                B = np.stack(pdf["b_emb"].to_numpy()).astype(np.float64)
+                cos = _fold_dot_rows(A, B) / (
+                    np.sqrt(_fold_dot_rows(A, A)) * np.sqrt(_fold_dot_rows(B, B))
+                )
+                vb = pdf["vec_b"].to_numpy().astype(np.int64)
+                kept_b, n_pairs = np.unique(
+                    vb[cos >= COSINE_TAU], return_counts=True
+                )
+                yield pd.DataFrame(
+                    {
+                        "vec_b": kept_b.astype(np.int64),
+                        "n_pairs": n_pairs.astype(np.int64),
+                    }
+                )
+
+        ea = emb.select(
+            F.col("vec_id").alias("vec_a"), F.col("embedding").alias("a_emb")
+        )
+        eb = emb.select(
+            F.col("vec_id").alias("vec_b"), F.col("embedding").alias("b_emb")
+        )
+        wide = (
+            cand.dropDuplicates(["vec_a", "vec_b"]).join(eb, "vec_b").join(ea, "vec_a")
+        )
+        partials = wide.mapInPandas(score_gathered, "vec_b long, n_pairs long")
     e = emb.select("vec_id", "label")
     return (
         e.join(partials, e.vec_id == partials.vec_b, "left")

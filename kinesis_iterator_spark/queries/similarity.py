@@ -78,6 +78,16 @@ _DOT_SQL = (
 )
 
 
+def _corpus_size(sf_dir: str) -> int:
+    """Corpus row count from the parquet FOOTER (driver-side metadata
+    read, zero Spark jobs) — parameterizes b / bucket caps / path
+    selection. A deployment reads the same number from the table catalog;
+    it is O(footer), never O(rows)."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+
+
 _EXEC_CORPUS_CACHE: dict = {}
 
 
@@ -137,6 +147,32 @@ def _fold_dot_block(Q, M):
     return acc
 
 
+def _emit_topk(qa, nb, labels, cos):
+    """Vectorized per-query top-k over already-deduped pair arrays, same
+    total order as the oracle's window: ORDER BY query_id, cosine DESC,
+    neighbor_id (measured 1.4× over the pandas mergesort+cumcount form at
+    2.3M pairs)."""
+    import numpy as np
+    import pandas as pd
+
+    order = np.lexsort((nb, -cos, qa))
+    qs = qa[order]
+    starts = np.flatnonzero(np.r_[True, qs[1:] != qs[:-1]])
+    sizes = np.diff(np.r_[starts, len(qs)])
+    ranks = np.arange(len(qs)) - np.repeat(starts, sizes)
+    keep = ranks < TOP_K
+    sel = order[keep]
+    return pd.DataFrame(
+        {
+            "query_id": qa[sel],
+            "neighbor_id": nb[sel],
+            "neighbor_label": labels[sel].astype("int32"),
+            "cosine": cos[sel],
+            "rnk": (ranks[keep] + 1).astype(np.int64),
+        }
+    )
+
+
 def _pair_topk_scorer(batches):
     """mapInPandas kernel over candidate pairs that CARRY their vectors
     (query_id, neighbor_id, neighbor_label, q_emb, n_emb) and have been
@@ -146,10 +182,10 @@ def _pair_topk_scorer(batches):
     batches.
 
     The vectors arrive attached via equi-joins on vec_id (see
-    ``_score_pairs_topk``), not via a closure-shipped corpus matrix — r2's
-    driver collect() is gone; norms are recomputed per pair with the same
-    d-ascending fold, so they equal the oracle's list_reduce bit-for-bit
-    (0.0+x and repeated identical folds are deterministic in IEEE)."""
+    ``_score_pairs_topk``'s wide path) — no corpus anywhere; norms are
+    recomputed per pair with the same d-ascending fold, so they equal the
+    oracle's list_reduce bit-for-bit (repeated identical folds are
+    deterministic in IEEE)."""
     import numpy as np
     import pandas as pd
 
@@ -173,42 +209,69 @@ def _pair_topk_scorer(batches):
     cos = _fold_dot_rows(Q, Nv) / (
         np.sqrt(_fold_dot_rows(Q, Q)) * np.sqrt(_fold_dot_rows(Nv, Nv))
     )
-    # Groupwise top-k, same total order as the oracle's window:
-    # ORDER BY query_id, cosine DESC, neighbor_id (all vectorized —
-    # measured 1.4× over the pandas mergesort+cumcount form at 2.3M
-    # pairs, plus the packed-int dedupe replacing 2-column
-    # drop_duplicates).
-    order = np.lexsort((nb, -cos, qa))
-    qs = qa[order]
-    starts = np.flatnonzero(np.r_[True, qs[1:] != qs[:-1]])
-    sizes = np.diff(np.r_[starts, len(qs)])
-    ranks = np.arange(len(qs)) - np.repeat(starts, sizes)
-    keep = ranks < TOP_K
-    sel = order[keep]
-    yield pd.DataFrame(
-        {
-            "query_id": qa[sel],
-            "neighbor_id": nb[sel],
-            "neighbor_label": labels[sel].astype("int32"),
-            "cosine": cos[sel],
-            "rnk": (ranks[keep] + 1).astype(np.int64),
-        }
-    )
+    yield _emit_topk(qa, nb, labels, cos)
 
 
-def _score_pairs_topk(pairs: DataFrame, emb: DataFrame, par: int) -> DataFrame:
+def _corpus_pair_topk_scorer(sf_dir: str):
+    """Small-corpus fast-path kernel: slim (query_id, neighbor_id) pairs
+    repartitioned by query_id; vectors come from the per-process
+    executor-side corpus cache (``_executor_corpus`` — pyarrow read, no
+    driver collect). One slim shuffle total; measured 3.6× faster than
+    the join-gathered path at fixture scale, where Arrow-transferring two
+    64-float vectors per pair (~1 KB × millions of pairs) dwarfs the
+    ≤1 MB corpus read."""
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids, labels, M, nrm = _executor_corpus(sf_dir)
+        chunks = [pdf for pdf in batches if len(pdf)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        packed = np.unique(
+            (pdf["query_id"].to_numpy().astype(np.int64) << 32)
+            | pdf["neighbor_id"].to_numpy().astype(np.int64)
+        )
+        qa = packed >> 32
+        nb = packed & 0xFFFFFFFF
+        qi = np.searchsorted(ids, qa)
+        ci = np.searchsorted(ids, nb)
+        cos = _fold_dot_rows(M[qi], M[ci]) / (nrm[qi] * nrm[ci])
+        yield _emit_topk(qa, nb, labels[ci], cos)
+
+    return score
+
+
+# Above this corpus size the per-worker corpus cache stops being the fast
+# path (matrix ≈ n·d·8 B per Python worker; 200k×64 ≈ 100 MB) and the
+# scorer switches to gathering vectors through the candidate joins.
+SMALL_CORPUS_MAX = 200_000
+
+
+def _score_pairs_topk(
+    pairs: DataFrame, emb: DataFrame, par: int, sf_dir: str, n: int
+) -> DataFrame:
     """Shared tail of the LSH / IVF ANN paths: slim (query_id, neighbor_id)
-    candidate pairs → exact tie-broken top-k, with the vectors gathered
-    SHUFFLE-side.
+    candidate pairs → exact tie-broken top-k. Neither path collects the
+    corpus to the driver.
 
-    Shape: dropDuplicates on the slim pair (16-byte rows — collisions from
-    multiple tables/probes/cells die before anything wide moves) → two
-    equi-joins onto ``embeddings`` to attach both vectors (Catalyst picks
-    broadcast at fixture scale, sort-merge at 100× — the corpus never
-    touches the driver either way) → ONE wide repartition on query_id so
-    the kernel sees each query's full candidate set. That explicit
-    repartition is the co-location contract: join output partitioning
-    depends on the strategy AQE picks, so the kernel must not rely on it."""
+    Small corpus (n ≤ SMALL_CORPUS_MAX): ONE slim repartition on query_id;
+    the kernel reads the corpus executor-side (per-process cache).
+
+    Large corpus: dropDuplicates on the slim pair (16-byte rows —
+    collisions from multiple tables/probes/cells die before anything wide
+    moves) → two equi-joins onto ``embeddings`` to attach both vectors
+    (Catalyst picks broadcast or sort-merge) → ONE wide repartition on
+    query_id so the kernel sees each query's full candidate set. That
+    explicit repartition is the co-location contract: join output
+    partitioning depends on the strategy AQE picks, so the kernel must
+    not rely on it. Path equality is pinned in tests/test_llm_ops.py."""
+    if n <= SMALL_CORPUS_MAX:
+        return pairs.repartition(par, "query_id").mapInPandas(
+            _corpus_pair_topk_scorer(sf_dir), schema=_PAIR_SCHEMA + ", rnk long"
+        )
     en = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("neighbor_label"),
@@ -478,9 +541,9 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction. Clustered real embeddings get the same recall at a far
     smaller fraction; either way the fraction shrinks as b grows with n."""
     emb = load_table(spark, sf_dir, "embeddings")
-    # Corpus-size parameterization (b, cap) needs only COUNT(*) — a
-    # column-pruned parquet-footer scan, not a corpus collect.
-    n = emb.count()
+    # Corpus-size parameterization (b, cap) comes from the parquet
+    # footer — no corpus collect, no count job.
+    n = _corpus_size(sf_dir)
     b = _bits_for(n)
     cap = 32 + 8 * n // (1 << b)
     # Signature computation is ONE Arrow kernel pass (lsh_signatures);
@@ -524,10 +587,9 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
     )
-    # Shared gathered-scoring tail: slim-pair dedupe → vector-attaching
-    # joins → one query_id repartition → exact top-k kernel. No corpus on
-    # the driver.
-    return _score_pairs_topk(cand, emb, par)
+    # Shared scoring tail (small-corpus executor cache / large-corpus
+    # join-gather) — no corpus on the driver either way.
+    return _score_pairs_topk(cand, emb, par, sf_dir, n)
 
 
 _IVF_CENT_SQL = f"""
@@ -678,6 +740,12 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
     )
-    # Shared gathered-scoring tail (see _score_pairs_topk) — no corpus on
-    # the driver.
-    return _score_pairs_topk(pairs, emb, spark.sparkContext.defaultParallelism)
+    # Shared scoring tail (see _score_pairs_topk) — no corpus on the
+    # driver; path selection reads the parquet footer, not a count job.
+    return _score_pairs_topk(
+        pairs,
+        emb,
+        spark.sparkContext.defaultParallelism,
+        sf_dir,
+        _corpus_size(sf_dir),
+    )

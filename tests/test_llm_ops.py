@@ -171,3 +171,25 @@ def test_lang_id_deterministic_and_total(spark, sf_dir):
     a = sorted(map(tuple, out.collect()))
     b = sorted(map(tuple, QUERIES["text_lang_id"](spark, sf_dir).collect()))
     assert a == b
+
+
+def test_ann_gathered_path_matches_corpus_path(spark, sf_dir, monkeypatch):
+    """The scorer's two corpus-free paths are value-identical: the
+    small-corpus kernel (executor-side corpus cache, one slim shuffle)
+    and the large-corpus join-gather (vectors attached to candidate
+    pairs via equi-joins). Forcing SMALL_CORPUS_MAX below the fixture
+    size routes every query through the at-scale plan — results must be
+    bit-identical since both use the same sequential-fold kernels."""
+    from kinesis_iterator_spark.queries import similarity as sim
+
+    for qname in (
+        "similarity_lsh_topk",
+        "similarity_ivf_topk",
+        "dedup_embedding_cosine",
+    ):
+        fn = QUERIES[qname]
+        small = sorted(map(tuple, fn(spark, sf_dir).collect()))
+        monkeypatch.setattr(sim, "SMALL_CORPUS_MAX", -1)
+        gathered = sorted(map(tuple, fn(spark, sf_dir).collect()))
+        monkeypatch.undo()
+        assert small == gathered, qname
