@@ -221,6 +221,9 @@ def minhash_pairs(doc: DataFrame) -> DataFrame:
         .filter(F.col("_tail").isNotNull())
         .select("doc_id", "s")
     )
+    # NOT persisted: caching the full shingle-row set (every doc × every
+    # shingle) costs more to materialize than the one recompute it saves
+    # (measured 1.86 s vs 0.97 s at sf0.1 with the sets persist in place).
     h = sh_rows.select(
         "doc_id",
         (_h60(F.col("s")) % F.lit(1 << 30)).alias("h1"),
@@ -282,11 +285,16 @@ def minhash_pairs(doc: DataFrame) -> DataFrame:
         .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
+    # sets is consumed TWICE (sa and sb below); without a persist each
+    # side recomputes the semi-join + collect_set agg AND the whole
+    # scan→posexplode→window shingle lineage behind it. It is small
+    # (candidate docs only), so cache it. (At 100 TB both the signature
+    # and the shingle set are write-time stored columns — SCALING.md.)
     sets = (
         sh_rows.join(F.broadcast(cand_ids), "doc_id", "left_semi")
         .groupBy("doc_id")
         .agg(F.collect_set("s").alias("shingles"))
-    )
+    ).persist()
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb"))
     jaccard = F.size(F.array_intersect("sa", "sb")).cast("double") / F.size(
