@@ -26,6 +26,28 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
 
+# DataFrames persisted by query builders (multi-consumer intermediates).
+# Query fns return LAZY DataFrames, so a builder can't unpersist before
+# its caller materializes the result — instead it registers the persist
+# here and the harness (bench.py / tools/check_correctness.py / tests)
+# calls release_persists() after each materialization. Without this, a
+# 50-query gate run accumulates cached partitions for the session
+# lifetime (LRU eviction saves correctness but can evict hotter caches).
+_PERSISTED: list[DataFrame] = []
+
+
+def managed_persist(df: DataFrame) -> DataFrame:
+    """Persist ``df`` and register it for post-materialization release."""
+    _PERSISTED.append(df.persist())
+    return df
+
+
+def release_persists() -> None:
+    """Unpersist (non-blocking) every DataFrame a query builder persisted
+    since the last call. Safe to call any time after the consuming action."""
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist(blocking=False)
+
 # NOTE: registration order is not exactly this tuple — `dedup` imports
 # `similarity` at module top, so similarity's queries register first when
 # dedup loads (and `text` imports `dedup`). Harmless while the registry
