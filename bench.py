@@ -47,7 +47,7 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    from kinesis_iterator_spark.queries import QUERIES, load_all
+    from kinesis_iterator_spark.queries import QUERIES, load_all, release_persists
     from kinesis_iterator_spark.session import get_spark
 
     load_all()
@@ -65,6 +65,7 @@ def main() -> None:
         QUERIES[name](spark, sf_dir).write.format("noop").mode(
             "overwrite"
         ).save()
+        release_persists()
     from kinesis_iterator_spark.streaming import (
         InMemorySaver,
         Iterator,
@@ -97,6 +98,10 @@ def main() -> None:
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
+            # Release builder persists between passes so each timed pass
+            # pays (and measures) the full materialization cost, and a
+            # 22-query run doesn't accumulate cached partitions.
+            release_persists()
         timings[name] = round(best, 3)
 
     # Stream-consumption drain: the reference's core function (its design

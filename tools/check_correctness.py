@@ -96,6 +96,7 @@ def main() -> int:
     import duckdb
 
     import __spark_entry__ as entrymod
+    from kinesis_iterator_spark.queries import release_persists
     from kinesis_iterator_spark.session import get_spark
 
     qs = entrymod.queries()
@@ -132,6 +133,11 @@ def main() -> int:
             n_fail += 1
             failures.append(name)
             continue
+        finally:
+            # Builders persist multi-consumer intermediates; release them
+            # after materialization so a 50-query gate run doesn't pin
+            # cached partitions for the whole session.
+            release_persists()
         if name not in oracles:
             print(f"rows  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
             n_rowsonly += 1
