@@ -12,18 +12,34 @@ Usage:
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
+    args: list[str] = []
     rounds = 3
-    for a in sys.argv[1:]:
-        if a.startswith("--rounds"):
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a.startswith("--rounds="):
             rounds = int(a.split("=", 1)[1])
+        elif a == "--rounds":
+            i += 1
+            if i >= len(argv):
+                sys.exit("--rounds requires a value")
+            rounds = int(argv[i])
+        elif a.startswith("--"):
+            sys.exit(f"unknown option {a!r}\n{__doc__}")
+        else:
+            args.append(a)
+        i += 1
+    if len(args) < 2:
+        sys.exit(f"need SF_DIR and at least one query name\n{__doc__}")
     sf_dir, names = args[0], args[1:]
 
     from pyspark.sql import SparkSession
@@ -32,6 +48,9 @@ def main() -> None:
     from kinesis_iterator_spark.queries import QUERIES, release_persists
 
     queries.load_all()
+    unknown = [n for n in names if n not in QUERIES]
+    if unknown:
+        sys.exit(f"unknown queries: {unknown}; known: {sorted(QUERIES)}")
     spark = (
         SparkSession.builder.master("local[32]")
         .config("spark.sql.shuffle.partitions", "32")
