@@ -37,15 +37,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}; known: {TABLES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects; read it as int64 nanos and floor-divide to µs.
-        # The fixture DOES carry sub-µs residue — the truncation matches
-        # what DuckDB does reading TIMESTAMP(NANOS) into its µs TIMESTAMP,
-        # so both engines see identical µs values (oracle-verified).
+        # events.ts is parquet TIMESTAMP(NANOS). How Spark surfaces it
+        # depends on version: older readers reject it unless
+        # nanosAsLong gives us int64 nanos (floor-divide to µs below);
+        # pyspark 4.1+ reads it natively as TIMESTAMP_NTZ truncated to µs
+        # and ignores the legacy conf. Normalize BOTH shapes to a plain
+        # session-tz TIMESTAMP so every downstream query (unix_micros,
+        # window, interval arithmetic) sees one type. The fixture carries
+        # sub-µs residue — both truncation paths floor to µs exactly as
+        # DuckDB does reading TIMESTAMP(NANOS) (oracle-verified), and the
+        # NTZ→TIMESTAMP cast is wall-clock-preserving (UTC session tz).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 

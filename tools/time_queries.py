@@ -19,6 +19,16 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _parse_rounds(value: str) -> int:
+    try:
+        rounds = int(value)
+    except ValueError:
+        sys.exit(f"--rounds must be an integer, got {value!r}")
+    if rounds < 1:
+        sys.exit(f"--rounds must be >= 1, got {rounds}")
+    return rounds
+
+
 def main() -> None:
     argv = sys.argv[1:]
     args: list[str] = []
@@ -27,12 +37,12 @@ def main() -> None:
     while i < len(argv):
         a = argv[i]
         if a.startswith("--rounds="):
-            rounds = int(a.split("=", 1)[1])
+            rounds = _parse_rounds(a.split("=", 1)[1])
         elif a == "--rounds":
             i += 1
             if i >= len(argv):
                 sys.exit("--rounds requires a value")
-            rounds = int(argv[i])
+            rounds = _parse_rounds(argv[i])
         elif a.startswith("--"):
             sys.exit(f"unknown option {a!r}\n{__doc__}")
         else:
