@@ -85,24 +85,25 @@ def main() -> None:
 
     drain()  # warm the stream path too
 
-    # min of two timed passes: the sandbox host shows intermittent
-    # noisy-neighbor stalls (observed 5-10× on interpreted-expression
-    # queries); the min is the steady-state number, the mean is the
-    # neighbor's.
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = QUERIES[name]
-        best = float("inf")
-        for _ in range(2):
+    # Min of three INTERLEAVED timed passes: the sandbox host shows
+    # intermittent multi-minute noisy-neighbor stalls (observed 5-10× on
+    # interpreted-expression queries), so back-to-back repeats of one
+    # query can both land inside a stall and poison its min. Interleaving
+    # (pass loop outside, query loop inside) puts ~a full sweep between
+    # repeats of the same query; the min over three spread-out samples is
+    # the steady-state number, the mean is the neighbor's.
+    timings: dict[str, float] = {n: float("inf") for n in HEADLINE}
+    for _ in range(3):
+        for name in HEADLINE:
             t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
+            df = QUERIES[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+            timings[name] = min(timings[name], time.perf_counter() - t0)
             # Release builder persists between passes so each timed pass
             # pays (and measures) the full materialization cost, and a
             # 22-query run doesn't accumulate cached partitions.
             release_persists()
-        timings[name] = round(best, 3)
+    timings = {n: round(v, 3) for n, v in timings.items()}
 
     # Stream-consumption drain: the reference's core function (its design
     # ceiling is ≤100 rec/s/shard: 1000-record fetches on a 10 s poll —

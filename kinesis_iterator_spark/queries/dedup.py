@@ -555,9 +555,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             import numpy as np
             import pandas as pd
 
-            from .similarity import _fold_dot_rows
+            from .similarity import _fold_dot_pairs
 
-            ids, _labels, M, nrm = _executor_corpus(sf_dir)
+            ids, _labels, _M, nrm, MT = _executor_corpus(sf_dir)
             chunks = [pdf for pdf in batches if len(pdf)]
             if not chunks:
                 return
@@ -569,7 +569,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             vb = packed & 0xFFFFFFFF
             ai = np.searchsorted(ids, packed >> 32)
             bi = np.searchsorted(ids, vb)
-            cos = _fold_dot_rows(M[ai], M[bi]) / (nrm[ai] * nrm[bi])
+            # Gather-fold against the transposed corpus (contiguous
+            # component rows) — see similarity._fold_dot_pairs.
+            cos = _fold_dot_pairs(MT, ai, bi) / (nrm[ai] * nrm[bi])
             kept_b, n_pairs = np.unique(vb[cos >= COSINE_TAU], return_counts=True)
             yield pd.DataFrame(
                 {
@@ -594,15 +596,22 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             import numpy as np
             import pandas as pd
 
-            from .similarity import _fold_dot_rows
+            from .similarity import _fold_dot_rows_T
 
             for pdf in batches:
                 if not len(pdf):
                     continue
-                A = np.stack(pdf["a_emb"].to_numpy()).astype(np.float64)
-                B = np.stack(pdf["b_emb"].to_numpy()).astype(np.float64)
-                cos = _fold_dot_rows(A, B) / (
-                    np.sqrt(_fold_dot_rows(A, A)) * np.sqrt(_fold_dot_rows(B, B))
+                # One explicit transpose each, then contiguous-row folds
+                # (see similarity._fold_dot_pairs' traffic note).
+                AT = np.ascontiguousarray(
+                    np.stack(pdf["a_emb"].to_numpy()).astype(np.float64).T
+                )
+                BT = np.ascontiguousarray(
+                    np.stack(pdf["b_emb"].to_numpy()).astype(np.float64).T
+                )
+                cos = _fold_dot_rows_T(AT, BT) / (
+                    np.sqrt(_fold_dot_rows_T(AT, AT))
+                    * np.sqrt(_fold_dot_rows_T(BT, BT))
                 )
                 vb = pdf["vec_b"].to_numpy().astype(np.int64)
                 kept_b, n_pairs = np.unique(

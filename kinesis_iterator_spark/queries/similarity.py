@@ -121,7 +121,12 @@ def _executor_corpus(sf_dir: str):
     for d in range(1, M.shape[1]):
         acc = acc + M[:, d] * M[:, d]
     nrm = np.sqrt(acc)
-    got = (ids, labels, M, nrm)
+    # Transposed copy (d, n) for the gather-fold kernels: component rows
+    # are contiguous (and tiny — n·8 B each), so a per-dimension fold
+    # streams cache lines instead of strided-reading a whole (m, d)
+    # gathered matrix per step (see _fold_dot_pairs).
+    MT = np.ascontiguousarray(M.T)
+    got = (ids, labels, M, nrm, MT)
     _EXEC_CORPUS_CACHE[sf_dir] = got
     return got
 
@@ -144,6 +149,33 @@ def _fold_dot_block(Q, M):
     acc = Q[:, 0:1] * M[:, 0][None, :]
     for d in range(1, Q.shape[1]):
         acc = acc + Q[:, d : d + 1] * M[:, d][None, :]
+    return acc
+
+
+def _fold_dot_pairs(MT, i, j):
+    """Pairwise dot ``sum_d M[i,d]·M[j,d]`` for index arrays ``i``/``j``
+    against the TRANSPOSED C-contiguous corpus matrix ``MT`` (d, n) — the
+    SAME sequential d-ascending left fold as ``_fold_dot_rows`` (bit-
+    identical per element), but each step gathers from one contiguous
+    n·8 B component row that stays cache-resident. The previous form,
+    ``_fold_dot_rows(M[i], M[j])``, strided-read BOTH whole (m, d)
+    gathered matrices once per dimension: ~64 × 2 × m·d·8 B ≈ 4.6 GB of
+    memory traffic per 2.3M-pair task — 32 concurrent kernel tasks were
+    memory-bandwidth-bound, not compute-bound (measured: the LSH scoring
+    stage dropped ~1.5 s at sf0.1 after switching)."""
+    acc = MT[0][i] * MT[0][j]
+    for d in range(1, MT.shape[0]):
+        acc += MT[d][i] * MT[d][j]
+    return acc
+
+
+def _fold_dot_rows_T(AT, BT):
+    """Row-pair fold over TRANSPOSED C-contiguous (d, m) matrices — same
+    sequential left fold as ``_fold_dot_rows``, contiguous row access
+    (used by the join-gather scorers after one explicit transpose)."""
+    acc = AT[0] * BT[0]
+    for d in range(1, AT.shape[0]):
+        acc += AT[d] * BT[d]
     return acc
 
 
@@ -203,11 +235,18 @@ def _pair_topk_scorer(batches):
     )
     qa = packed >> 32
     nb = packed & 0xFFFFFFFF
-    Q = np.stack(pdf["q_emb"].to_numpy()[first]).astype(np.float64)
-    Nv = np.stack(pdf["n_emb"].to_numpy()[first]).astype(np.float64)
+    # One explicit transpose each, then contiguous-row folds: the direct
+    # (m, d) column fold strided-reads the whole matrix per dimension
+    # (see _fold_dot_pairs' traffic note).
+    QT = np.ascontiguousarray(
+        np.stack(pdf["q_emb"].to_numpy()[first]).astype(np.float64).T
+    )
+    NT = np.ascontiguousarray(
+        np.stack(pdf["n_emb"].to_numpy()[first]).astype(np.float64).T
+    )
     labels = pdf["neighbor_label"].to_numpy()[first]
-    cos = _fold_dot_rows(Q, Nv) / (
-        np.sqrt(_fold_dot_rows(Q, Q)) * np.sqrt(_fold_dot_rows(Nv, Nv))
+    cos = _fold_dot_rows_T(QT, NT) / (
+        np.sqrt(_fold_dot_rows_T(QT, QT)) * np.sqrt(_fold_dot_rows_T(NT, NT))
     )
     yield _emit_topk(qa, nb, labels, cos)
 
@@ -225,7 +264,7 @@ def _corpus_pair_topk_scorer(sf_dir: str):
         import numpy as np
         import pandas as pd
 
-        ids, labels, M, nrm = _executor_corpus(sf_dir)
+        ids, labels, M, nrm, MT = _executor_corpus(sf_dir)
         chunks = [pdf for pdf in batches if len(pdf)]
         if not chunks:
             return
@@ -238,7 +277,7 @@ def _corpus_pair_topk_scorer(sf_dir: str):
         nb = packed & 0xFFFFFFFF
         qi = np.searchsorted(ids, qa)
         ci = np.searchsorted(ids, nb)
-        cos = _fold_dot_rows(M[qi], M[ci]) / (nrm[qi] * nrm[ci])
+        cos = _fold_dot_pairs(MT, qi, ci) / (nrm[qi] * nrm[ci])
         yield _emit_topk(qa, nb, labels[ci], cos)
 
     return score
@@ -331,7 +370,7 @@ def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         # Corpus loads EXECUTOR-side (pyarrow read, per-process cache) —
         # no driver collect, no corpus matrix in the task closure.
-        ids, labels, M, nrm = _executor_corpus(sf_dir)
+        ids, labels, M, nrm, _MT = _executor_corpus(sf_dir)
         for pdf in batches:
             if not len(pdf):
                 continue

@@ -108,6 +108,7 @@ class Iterator:
         self._error: BaseException | None = None
         self._epoch = 0
         self._last_poll_error = False
+        self._last_poll_at_tail = False
         self._shards: dict[str, dict] = {}  # shard_id → cursor
         self._sequences: dict[str, Sequence] = {}
         self.dlq: list[tuple[str, str]] = []
@@ -220,6 +221,7 @@ class Iterator:
         Fetch errors take the A11 path: log, re-acquire cursors from the
         in-memory sequences, return 0 — the next trigger retries."""
         self._last_poll_error = False
+        self._last_poll_at_tail = False
         try:
             fetch = self.source.get_records_all(self._shards, self._fetch_limit)
         except Exception as e:  # noqa: BLE001 — source/transport errors
@@ -231,6 +233,17 @@ class Iterator:
 
         for shard_id in fetch.closed:
             self._close_shard(shard_id)
+        # A bounded fetch that returns FEWER than `limit` records for a
+        # shard proves that shard's cursor sat at its tail at fetch time
+        # (the row_number cap didn't bite). When that holds for every open
+        # shard — and no reshard closed shards this poll (children may
+        # hold unread data) — the poll observed the whole stream drained.
+        # run_until_drained uses this to skip its confirming empty polls;
+        # the live run() loop ignores it (a live shard can refill).
+        self._last_poll_at_tail = not fetch.closed and all(
+            fetch.counts.get(sid, 0) < self._fetch_limit
+            for sid in self._shards
+        )
         if not fetch.tails:
             self._epoch += 1
             return 0  # empty poll
@@ -283,6 +296,13 @@ class Iterator:
                 self.reconcile()
                 if not self._shards:
                     break
+                continue  # fresh post-reshard shards: poll before judging
+            # Under-limit fetch on EVERY open shard ⇒ the poll itself
+            # observed all cursors at their tails — the stream is drained
+            # NOW, no confirming empty polls needed. (The live run() loop
+            # deliberately ignores this hint: a live shard can refill.)
+            if self._last_poll_at_tail:
+                break
             if idle >= 2:
                 break
         return total

@@ -190,6 +190,45 @@ def test_available_now_paged_drain_multi_batch(spark, sf_dir):
     assert all(len(b) <= per_page * N_SHARDS for b in batches)
 
 
+def test_native_available_now_with_limit_is_the_documented_trap(spark, sf_dir):
+    """PIN the trap VERDICT r3 #3 names: ``.trigger(availableNow=True)``
+    on a Python DataSource falls back to single-batch execution
+    (PythonMicroBatchStream lacks SupportsTriggerAvailableNow), so
+    combined with bounded admission (limit>0) the query terminates after
+    ONE page per shard — a silent UNDER-drain. This test asserts that
+    documented behavior so a Spark-side fix (the fallback growing real
+    paging) flips it loudly and we can retire the workaround; the correct
+    full paged drain is option("available_now") + await_drained
+    (test_available_now_paged_drain_multi_batch above). Users are pointed
+    off this spelling at streaming/option.py:104 and datasource.py."""
+    ds.register(spark)
+    per_page = 100
+    sdf = (
+        spark.readStream.format(ds.FORMAT_NAME)
+        .option("path", sf_dir)
+        .option("n_shards", N_SHARDS)
+        .option("limit", per_page)
+        .load()
+    )
+    total = load_table(spark, sf_dir, "events").count()
+    ck = tempfile.mkdtemp()
+    batches: list = []
+    q = (
+        sdf.writeStream.foreachBatch(
+            lambda df, eid: batches.append(df.collect())
+        )
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = [r for b in batches for r in b]
+    # The fallback ran (self-terminated) but admitted only the first
+    # page per shard — strictly fewer records than the stream holds.
+    assert 0 < len(rows) <= per_page * N_SHARDS
+    assert len(rows) < total
+
+
 def test_bounded_admission_restart_no_duplicates(spark, sf_dir):
     """Checkpoint restart under bounded admission (limit>0) must not
     regress latestOffset below the WAL position. The r2 bug: a fresh
