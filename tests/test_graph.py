@@ -1,0 +1,124 @@
+"""Connected components / union-find survivors (queries/graph.py) —
+pinned against a pure-Python union-find oracle (the op is iterative,
+hence the pytest pin instead of a single-SQL DuckDB oracle; SURVEY §5.2
+class). Covers the high-diameter chain case that defeats plain min-label
+propagation in O(diameter) rounds, the greedy-rule counterexample from
+VERDICT r3 #5, and the real embedding near-dup edge set at sf0.001."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kinesis_iterator_spark.queries.graph import (
+    connected_components,
+    dedup_survivors,
+)
+
+
+def _uf_oracle(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Pure-Python union-find: node → min id of its component."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def _check(spark, edges: list[tuple[int, int]]) -> None:
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(df).collect()
+    }
+    want = set(_uf_oracle(edges).items())
+    assert got == want
+
+
+def test_cc_matches_union_find_on_mixed_graph(spark):
+    _check(
+        spark,
+        [
+            (1, 2), (2, 3),          # triangle-free chain component → 1
+            (10, 11), (11, 10),      # duplicate/reversed edges
+            (20, 20), (20, 21),      # self-loop ignored, pair → 20
+            (30, 31), (31, 32), (30, 32),  # triangle → 30
+        ],
+    )
+
+
+def test_cc_high_diameter_chain_converges_in_log_rounds(spark):
+    # A 64-node chain has diameter 63: min-label propagation needs 63
+    # join rounds, large-star/small-star needs O(log 64). MAX_ROUNDS
+    # would trip long before 63 sequential Spark rounds finished if the
+    # implementation were propagation-shaped.
+    _check(spark, [(i, i + 1) for i in range(64)])
+
+
+def test_cc_two_components_star_and_chain(spark):
+    edges = [(100, 5), (100, 6), (100, 7), (1, 2), (2, 3), (3, 4)]
+    _check(spark, edges)
+
+
+def test_survivors_fix_greedy_chain_overkeep(spark):
+    # VERDICT r3 #5's counterexample: edges a-b, b-c with no a-c edge.
+    # Greedy "drop if a smaller-id neighbor exists" keeps {1, 3}; the
+    # union-find policy keeps exactly one survivor for the component.
+    df = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    out = {
+        r["node"]: (r["component"], r["is_survivor"])
+        for r in dedup_survivors(df).collect()
+    }
+    assert out == {1: (1, True), 2: (1, False), 3: (1, False)}
+
+
+def test_survivors_on_real_embedding_near_dup_edges(spark, sf_dir):
+    # Drive the documented production upgrade end-to-end: the same
+    # LSH-blocked + exact-cosine-verified pair generation that backs
+    # dedup_embedding_cosine, then union-find survivors over it.
+    from kinesis_iterator_spark.queries.dedup import COSINE_TAU
+    from kinesis_iterator_spark.queries.similarity import (
+        _bits_for,
+        _corpus_size,
+        _score_pairs_topk,
+        lsh_signatures,
+    )
+    from kinesis_iterator_spark.tables import load_table
+    from pyspark.sql.window import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = _corpus_size(sf_dir)
+    b = _bits_for(n)
+    par = spark.sparkContext.defaultParallelism
+    sig = lsh_signatures(emb, b, par)
+    a = sig.select(F.col("vec_id").alias("query_id"), "table_id", "bucket")
+    c = sig.select(F.col("vec_id").alias("neighbor_id"), "table_id", "bucket")
+    cand = (
+        a.join(c, ["table_id", "bucket"])
+        .filter(F.col("query_id") < F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+    scored = _score_pairs_topk(cand, emb, par, sf_dir, n)
+    edges_df = scored.filter(F.col("cosine") >= COSINE_TAU).select(
+        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    edges = [(r["src"], r["dst"]) for r in edges_df.collect()]
+    if not edges:
+        pytest.skip("no near-dup edges at this scale factor")
+
+    surv = dedup_survivors(edges_df).collect()
+    want = _uf_oracle(edges)
+    got = {r["node"]: r["component"] for r in surv}
+    assert got == want
+    # Exactly one survivor per component, and it is the component min.
+    for r in surv:
+        assert r["is_survivor"] == (r["node"] == r["component"])
