@@ -221,9 +221,11 @@ def minhash_pairs(doc: DataFrame) -> DataFrame:
         .filter(F.col("_tail").isNotNull())
         .select("doc_id", "s")
     )
-    # NOT persisted: caching the full shingle-row set (every doc × every
-    # shingle) costs more to materialize than the one recompute it saves
-    # (measured 1.86 s vs 0.97 s at sf0.1 with the sets persist in place).
+    # sh_rows now has exactly ONE consumer (the signature aggregation);
+    # the exact-Jaccard verify re-shingles candidate rows per-pair
+    # instead of re-reading this lineage (see the verify block below).
+    # Persisting it was measured slower anyway (1.86 s vs 0.97 s at
+    # sf0.1: every doc × every shingle is the pipeline's widest set).
     h = sh_rows.select(
         "doc_id",
         (_h60(F.col("s")) % F.lit(1 << 30)).alias("h1"),
@@ -273,37 +275,32 @@ def minhash_pairs(doc: DataFrame) -> DataFrame:
         .filter(F.col("doc_a") < F.col("doc_b"))
         .distinct()
     )
-    # Materialize shingle SETS only for docs that appear in a candidate
-    # pair (left-semi BEFORE the collect_set agg): the exact-verify stage
-    # never aggregates or shuffles the non-candidate 99%+ of the corpus.
-    # pairs is persisted because it feeds both the broadcast of candidate
-    # ids and the final verify join — without it the whole shingle→sig→
-    # band pipeline would run twice (measured 2×). Registered with
-    # managed_persist so the harness releases it post-materialization.
+    # pairs is persisted because it feeds both verify joins below —
+    # without it the whole shingle→sig→band pipeline would run twice
+    # (measured 2×). Registered with managed_persist so the harness
+    # releases it post-materialization.
     pairs = managed_persist(pairs)
-    cand_ids = (
-        pairs.select(F.col("doc_a").alias("doc_id"))
-        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    # sets is consumed TWICE (sa and sb below); without a persist each
-    # side recomputes the semi-join + collect_set agg AND the whole
-    # scan→posexplode→window shingle lineage behind it. It is small
-    # (candidate docs only), so cache it. (At 100 TB both the signature
-    # and the shingle set are write-time stored columns — SCALING.md.)
-    sets = managed_persist(
-        sh_rows.join(F.broadcast(cand_ids), "doc_id", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.collect_set("s").alias("shingles"))
-    )
-    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa"))
-    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb"))
+    # Exact-Jaccard verify: attach each side's TEXT via equi-join (AQE
+    # broadcasts the tiny capped pair set on its own), then re-shingle
+    # ONLY the joined rows with the per-row HOF form. The HOF is
+    # interpreted (~µs/element) but runs on |pairs|·2 rows — hundreds —
+    # while the previous collect_set form semi-joined and re-aggregated
+    # the full posexplode→window shingle lineage (the whole corpus' word
+    # rows) just to build a few hundred sets: ~0.5 s of the verify tail
+    # at sf0.1. withColumn AFTER the joins keeps Catalyst from computing
+    # shingles for non-candidate docs; at 100 TB the shingle set is a
+    # write-time stored column and both forms degenerate to a column
+    # read (SCALING.md).
+    ta = doc.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"))
+    tb = doc.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"))
     jaccard = F.size(F.array_intersect("sa", "sb")).cast("double") / F.size(
         F.array_union("sa", "sb")
     )
     return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        pairs.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn("sa", _shingles(F.col("ta")))
+        .withColumn("sb", _shingles(F.col("tb")))
         .withColumn("jaccard", jaccard)
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
