@@ -94,8 +94,15 @@ def _read_slice(partition: "_ShardSlice"):
     """Executor-side bounded fetch of one shard slice — pyarrow scan with
     the (shard, sequence] predicate pushed down, rows emitted in sequence
     order (per-shard ordering, kinesis.go:193-197). Shared by the batch
-    and streaming readers."""
+    and streaming readers.
+
+    Yields pyarrow RecordBatches (the Python DataSource Arrow fast path)
+    instead of per-row tuples: tuple yields pickle every record through
+    the Python runner, which dominated the micro-batch cost at ~12.5k
+    rows/shard."""
     import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     p = partition
@@ -107,25 +114,31 @@ def _read_slice(partition: "_ShardSlice"):
         filters=[("event_id", ">", lo), ("event_id", "<=", hi)],
     )
     mask = t.column("user_id").to_numpy() % p.n_shards == p.shard_index
-    t = t.filter(np.asarray(mask))
-    t = t.sort_by("event_id")
+    t = t.filter(np.asarray(mask)).sort_by("event_id").combine_chunks()
+    n = len(t)
     shard = _shard_name(p.shard_index)
-    eids = t.column("event_id").to_pylist()
-    uids = t.column("user_id").to_pylist()
-    props = t.column("props").to_pylist()
+    seq = pa.array(
+        [f"{int(e):0{SEQ_PAD}d}" for e in t.column("event_id").to_pylist()],
+        pa.string(),
+    )
     # ts is TIMESTAMP(NANOS); truncate to Spark's µs precision — the same
     # ns→µs floor tables.load_table applies (safe=False allows the sub-µs
-    # truncation).
-    tss = t.column("ts").cast("timestamp[us]", safe=False).to_pylist()
-    for eid, uid, pr, ts in zip(eids, uids, props, tss):
-        yield (
-            pr.encode("utf-8"),
-            str(uid),
-            f"{eid:0{SEQ_PAD}d}",
-            ts,
-            p.stream_name,
-            shard,
-        )
+    # truncation). Spark's `timestamp` is session-tz (UTC everywhere in
+    # this engine), so the wall-clock instants match the tuple form.
+    ts_us = pc.cast(
+        t.column("ts"), pa.timestamp("us", tz="UTC"), safe=False
+    )
+    out = pa.table(
+        {
+            "data": pc.cast(t.column("props"), pa.binary()),
+            "partitionKey": pc.cast(t.column("user_id"), pa.string()),
+            "sequenceNumber": seq,
+            "approximateArrivalTimestamp": ts_us,
+            "streamName": pa.array([p.stream_name] * n, pa.string()),
+            "shardId": pa.array([shard] * n, pa.string()),
+        }
+    )
+    yield from out.to_batches()
 
 
 class SimKinesisStreamReader(DataSourceStreamReader):
