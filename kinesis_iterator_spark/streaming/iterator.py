@@ -245,25 +245,35 @@ class Iterator:
             for sid in self._shards
         )
         if not fetch.tails:
+            fetch.records.unpersist(blocking=False)
             self._epoch += 1
             return 0  # empty poll
 
-        batch = (
-            fetch.records.repartition(
-                max(len(fetch.tails), 1), "shardId"
-            ).sortWithinPartitions("shardId", "sequenceNumber")
-        )
-        if self._batch_handler is not None:
-            self._batch_handler(batch, self._epoch)
-        if self._handler is not None:
-            # Executor-side record-at-a-time delivery in per-shard order;
-            # the same action carries handler failures back for the DLQ.
-            failures = batch.rdd.mapPartitions(
-                _handler_partition(self._handler)
-            ).collect()
-            for seq_no, err in failures:
-                self._logger.error("handler error on sequence %s: %s", seq_no, err)
-            self.dlq.extend(failures)
+        try:
+            batch = (
+                fetch.records.repartition(
+                    max(len(fetch.tails), 1), "shardId"
+                ).sortWithinPartitions("shardId", "sequenceNumber")
+            )
+            if self._batch_handler is not None:
+                self._batch_handler(batch, self._epoch)
+            if self._handler is not None:
+                # Executor-side record-at-a-time delivery in per-shard
+                # order; the same action carries handler failures back
+                # for the DLQ.
+                failures = batch.rdd.mapPartitions(
+                    _handler_partition(self._handler)
+                ).collect()
+                for seq_no, err in failures:
+                    self._logger.error(
+                        "handler error on sequence %s: %s", seq_no, err
+                    )
+                self.dlq.extend(failures)
+        finally:
+            # The source persisted the trigger's batch (it served both the
+            # fetch-stats action and the delivery above); its lifetime is
+            # exactly this trigger.
+            fetch.records.unpersist(blocking=False)
 
         # Checkpoint AFTER the whole trigger's handler work — at-least-once
         # (kinesis.go:198-202). Raises loudly on persistent failure.

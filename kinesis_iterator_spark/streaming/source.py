@@ -164,10 +164,16 @@ class SimulatedShardedSource:
             .drop("after")
         )
         w = W.partitionBy("shardId").orderBy("sequenceNumber")
+        # Persist the batch for the trigger's lifetime: it is consumed
+        # TWICE (the stats aggregate below, then the caller's delivery
+        # action), and without the mark each consumer re-runs the whole
+        # scan→join→window lineage. The stats collect populates the
+        # cache; Iterator.poll_once unpersists after the checkpoint.
         batch = (
             rec.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= limit)
             .drop("_rn")
+            .persist()
         )
         stats = (
             batch.groupBy("shardId")
