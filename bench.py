@@ -109,10 +109,13 @@ def main() -> None:
     # ceiling is ≤100 rec/s/shard: 1000-record fetches on a 10 s poll —
     # SURVEY.md §6). Full pipeline per trigger: multi-shard fetch, batch
     # materialization via noop, per-shard checkpoints.
-    t0 = time.perf_counter()
-    n_stream = drain()
-    timings["stream_consume_all"] = round(time.perf_counter() - t0, 3)
-    assert n_stream > 0
+    best = float("inf")
+    for _ in range(2):  # min-of-2: single-shot stream timings were noisy
+        t0 = time.perf_counter()
+        n_stream = drain()
+        best = min(best, time.perf_counter() - t0)
+        assert n_stream > 0
+    timings["stream_consume_all"] = round(best, 3)
 
     # Same stream under Structured Streaming proper (sim_kinesis
     # DataSource): available-now drain with offsets in the checkpoint WAL.
@@ -149,9 +152,12 @@ def main() -> None:
         shutil.rmtree(ck, ignore_errors=True)
 
     structured_drain()  # warm (python worker + codegen for this shape)
-    t0 = time.perf_counter()
-    structured_drain()
-    timings["stream_consume_structured"] = round(time.perf_counter() - t0, 3)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        structured_drain()
+        best = min(best, time.perf_counter() - t0)
+    timings["stream_consume_structured"] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
