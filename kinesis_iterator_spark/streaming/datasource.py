@@ -73,10 +73,21 @@ def _resolve_path(options: dict) -> str:
     return path
 
 
+_SEQ_INDEX_CACHE: dict[tuple[str, int], dict[int, list[str]]] = {}
+
+
 def _build_seq_index(path: str, n_shards: int) -> dict[int, list[str]]:
     """Per-shard sorted sequence arrays: the driver-side shard index a
     real connector gets from the service (ListShards + tip). Built once
-    from only the columns needed (event_id, user_id)."""
+    from only the columns needed (event_id, user_id) and cached per
+    (path, n_shards) — the fixture file is immutable, and every reader
+    construction plus every drain_target call re-paid the 100k-row read
+    + zero-pad format otherwise (~0.2 s each at sf0.1). A live connector
+    would instead refresh this from ListShards; the cache models the
+    fixture's frozen shard map, not a service-consistency claim."""
+    got = _SEQ_INDEX_CACHE.get((path, n_shards))
+    if got is not None:
+        return got
     import numpy as np
     import pyarrow.parquet as pq
 
@@ -87,6 +98,7 @@ def _build_seq_index(path: str, n_shards: int) -> dict[int, list[str]]:
     for s in range(n_shards):
         shard_eids = np.sort(eid[uid % n_shards == s])
         seqs[s] = [f"{int(e):0{SEQ_PAD}d}" for e in shard_eids]
+    _SEQ_INDEX_CACHE[(path, n_shards)] = seqs
     return seqs
 
 
