@@ -81,6 +81,39 @@ def test_survivors_fix_greedy_chain_overkeep(spark):
     assert out == {1: (1, True), 2: (1, False), 3: (1, False)}
 
 
+def test_cc_random_graph_matches_union_find(spark):
+    # Deterministic pseudo-random graph: 300 nodes, 500 edges — enough
+    # collisions/cycles/multi-edges to exercise every merge shape.
+    import random
+
+    rng = random.Random(20260814)
+    edges = [
+        (rng.randrange(300), rng.randrange(300)) for _ in range(500)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    _check(spark, edges)
+
+
+def test_survivors_over_minhash_near_dup_pairs(spark, sf_dir):
+    # The op composes across dedup families: feed it the MinHash-LSH
+    # verified document pairs (text domain), not just embedding edges.
+    from kinesis_iterator_spark.queries.dedup import dedup_minhash_lsh
+    from kinesis_iterator_spark.queries import release_persists
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    edges = [(r["src"], r["dst"]) for r in pairs.collect()]
+    release_persists()
+    if not edges:
+        pytest.skip("no near-dup pairs at this scale factor")
+    got = {
+        r["node"]: r["component"]
+        for r in dedup_survivors(pairs).collect()
+    }
+    assert got == _uf_oracle(edges)
+
+
 def test_survivors_on_real_embedding_near_dup_edges(spark, sf_dir):
     # Drive the documented production upgrade end-to-end: the same
     # LSH-blocked + exact-cosine-verified pair generation that backs
