@@ -529,6 +529,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = _bits_for(n)
     cap = 32 + 8 * n // (1 << b)
     par = spark.sparkContext.defaultParallelism
+    # Deliberately NOT persisted, unlike similarity_lsh_topk's sig: the
+    # self-join's two signature lineages run CONCURRENTLY inside one job
+    # (A/B at sf0.1, min-of-4 interleaved: 0.99 s unpersisted vs 1.38 s
+    # persisted — the persist adds a serial materialization job + cache
+    # write that costs more than the duplicated cheap kernel). The LSH
+    # top-k query is different: its sig feeds THREE consumers including
+    # a broadcast build, where the recompute loses.
     sig = lsh_signatures(emb, b, par)
     capped = (
         sig.withColumn(
