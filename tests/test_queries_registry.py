@@ -80,3 +80,21 @@ def test_spark_sql_surface_matches_dataframe_form(spark, sf_dir):
     got = {key(r): (r["n"], r["sum_qty"]) for r in sql.collect()}
     want = {key(r): (r["n"], r["sum_qty"]) for r in df.collect()}
     assert got == want and len(got) > 0
+
+
+def test_events_ts_normalizes_to_session_tz_timestamp(spark, sf_dir):
+    """Round-5 regression class: events.parquet is TIMESTAMP(NANOS), and
+    how Spark surfaces it is VERSION-dependent (bigint under the legacy
+    nanosAsLong conf, TIMESTAMP_NTZ natively under pyspark 4.1+ which
+    ignores that conf). load_table must normalize every read shape to a
+    plain session-tz TIMESTAMP — `unix_micros`, window(), and interval
+    arithmetic all reject NTZ at plan time, which is exactly how round 5
+    broke (sessionize red row + bench crash)."""
+    from kinesis_iterator_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    # The operation that failed at plan time in round 5 must resolve.
+    from pyspark.sql import functions as F
+
+    ev.select(F.unix_micros("ts").alias("us")).limit(1).collect()
