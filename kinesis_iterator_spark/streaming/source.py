@@ -175,14 +175,20 @@ class SimulatedShardedSource:
             .drop("_rn")
             .persist()
         )
-        stats = (
-            batch.groupBy("shardId")
-            .agg(
-                F.max("sequenceNumber").alias("tail"),
-                F.count("*").alias("n"),
+        try:
+            stats = (
+                batch.groupBy("shardId")
+                .agg(
+                    F.max("sequenceNumber").alias("tail"),
+                    F.count("*").alias("n"),
+                )
+                .collect()
             )
-            .collect()
-        )
+        except Exception:
+            # A failed fetch takes the caller's A11 retry path; don't
+            # leave the trigger's batch pinned in the cache.
+            batch.unpersist(blocking=False)
+            raise
         tails = {r["shardId"]: r["tail"] for r in stats}
         counts = {r["shardId"]: r["n"] for r in stats}
         return MultiFetchResult(batch, tails, counts, closed)

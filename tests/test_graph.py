@@ -81,6 +81,13 @@ def test_survivors_fix_greedy_chain_overkeep(spark):
     assert out == {1: (1, True), 2: (1, False), 3: (1, False)}
 
 
+def test_cc_empty_after_self_loop_filter(spark):
+    # Only self-loops → empty effective edge set → empty labeling (and
+    # no non-convergence error).
+    df = spark.createDataFrame([(7, 7), (9, 9)], "src long, dst long")
+    assert connected_components(df).collect() == []
+
+
 def test_cc_random_graph_matches_union_find(spark):
     # Deterministic pseudo-random graph: 300 nodes, 500 edges — enough
     # collisions/cycles/multi-edges to exercise every merge shape.
