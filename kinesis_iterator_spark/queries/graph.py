@@ -107,11 +107,14 @@ def connected_components(
         ).collect()[0]
         return (s["n"], s["sig"])
 
+    # No cast: the algorithm is generic over any orderable id type
+    # (min/least/greatest + equality are all it needs — string doc keys
+    # label components with their lexicographic minimum). An explicit
+    # long cast here silently NULLed non-numeric ids and dropped their
+    # edges, turning a wrong input type into an empty "no duplicates"
+    # answer instead of an error.
     cur = (
-        edges.select(
-            F.col(src).cast("long").alias("u"),
-            F.col(dst).cast("long").alias("v"),
-        )
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)

@@ -129,9 +129,11 @@ def _read_slice(partition: "_ShardSlice"):
     t = t.filter(np.asarray(mask)).sort_by("event_id").combine_chunks()
     n = len(t)
     shard = _shard_name(p.shard_index)
-    seq = pa.array(
-        [f"{int(e):0{SEQ_PAD}d}" for e in t.column("event_id").to_pylist()],
-        pa.string(),
+    # Zero-padded sequence strings fully vectorized — a per-row f-string
+    # loop here would reintroduce the O(n) Python cost this Arrow path
+    # exists to remove.
+    seq = pc.utf8_lpad(
+        pc.cast(t.column("event_id"), pa.string()), SEQ_PAD, "0"
     )
     # ts is TIMESTAMP(NANOS); truncate to Spark's µs precision — the same
     # ns→µs floor tables.load_table applies (safe=False allows the sub-µs

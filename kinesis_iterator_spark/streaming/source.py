@@ -168,7 +168,10 @@ class SimulatedShardedSource:
         # TWICE (the stats aggregate below, then the caller's delivery
         # action), and without the mark each consumer re-runs the whole
         # scan→join→window lineage. The stats collect populates the
-        # cache; Iterator.poll_once unpersists after the checkpoint.
+        # cache; Iterator.poll_once unpersists as soon as the trigger's
+        # DELIVERY work finishes (before the checkpoint loop, which only
+        # touches driver-side tails — nothing may consume the cached
+        # batch after delivery).
         batch = (
             rec.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= limit)

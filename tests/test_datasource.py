@@ -221,7 +221,13 @@ def test_native_available_now_with_limit_is_the_documented_trap(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    try:
+        # awaitTermination returns False on timeout WITHOUT raising — an
+        # unchecked call would assert over a list a live streaming thread
+        # is still appending to (and leak the query into later tests).
+        assert q.awaitTermination(300), "fallback batch did not finish"
+    finally:
+        q.stop()
     rows = [r for b in batches for r in b]
     # The fallback ran (self-terminated) but admitted only the first
     # page per shard — strictly fewer records than the stream holds.

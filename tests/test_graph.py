@@ -81,6 +81,27 @@ def test_survivors_fix_greedy_chain_overkeep(spark):
     assert out == {1: (1, True), 2: (1, False), 3: (1, False)}
 
 
+def test_cc_string_ids_label_with_lexicographic_min(spark):
+    # The op is generic over orderable id types — string doc keys must
+    # work (a long cast previously NULLed them and silently dropped
+    # every edge).
+    df = spark.createDataFrame(
+        [("doc-b", "doc-a"), ("doc-b", "doc-c"), ("doc-x", "doc-y")],
+        "src string, dst string",
+    )
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(df).collect()
+    }
+    assert got == {
+        ("doc-a", "doc-a"),
+        ("doc-b", "doc-a"),
+        ("doc-c", "doc-a"),
+        ("doc-x", "doc-x"),
+        ("doc-y", "doc-x"),
+    }
+
+
 def test_cc_empty_after_self_loop_filter(spark):
     # Only self-loops → empty effective edge set → empty labeling (and
     # no non-convergence error).

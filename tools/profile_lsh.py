@@ -38,64 +38,45 @@ def main() -> None:
     def noop(df):
         df.write.format("noop").mode("overwrite").save()
 
+    def build_cand():
+        """similarity_lsh_topk's candidate sub-plan, reconstructed ONCE
+        here (keep in sync with queries/similarity.py — this tool
+        profiles plan stages the query function doesn't expose)."""
+        emb = load_table(spark, sf_dir, "embeddings")
+        sig = S.managed_persist(S.lsh_signatures(emb, b, par))
+        probe_side = sig.select(
+            F.col("vec_id").alias("query_id"),
+            "table_id",
+            F.explode(
+                F.array(
+                    F.col("bucket"),
+                    *[F.expr(f"bucket ^ {1 << k}") for k in range(b)],
+                )
+            ).alias("bucket"),
+        )
+        capped = (
+            sig.withColumn(
+                "bsz", F.count("*").over(W.partitionBy("table_id", "bucket"))
+            )
+            .filter(F.col("bsz") <= cap)
+            .select(F.col("vec_id").alias("neighbor_id"), "table_id", "bucket")
+        )
+        return (
+            probe_side.join(capped, ["table_id", "bucket"])
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id")
+        )
+
     def sig_only():
         emb = load_table(spark, sf_dir, "embeddings")
         noop(S.lsh_signatures(emb, b, par))
 
     def cand_only():
-        emb = load_table(spark, sf_dir, "embeddings")
-        sig = S.managed_persist(S.lsh_signatures(emb, b, par))
-        probe_side = sig.select(
-            F.col("vec_id").alias("query_id"),
-            "table_id",
-            F.explode(
-                F.array(
-                    F.col("bucket"),
-                    *[F.expr(f"bucket ^ {1 << k}") for k in range(b)],
-                )
-            ).alias("bucket"),
-        )
-        capped = (
-            sig.withColumn(
-                "bsz", F.count("*").over(W.partitionBy("table_id", "bucket"))
-            )
-            .filter(F.col("bsz") <= cap)
-            .select(F.col("vec_id").alias("neighbor_id"), "table_id", "bucket")
-        )
-        cand = (
-            probe_side.join(capped, ["table_id", "bucket"])
-            .filter(F.col("query_id") != F.col("neighbor_id"))
-            .select("query_id", "neighbor_id")
-        )
-        noop(cand)
+        noop(build_cand())
         release_persists()
 
     def cand_shuffled():
-        emb = load_table(spark, sf_dir, "embeddings")
-        sig = S.managed_persist(S.lsh_signatures(emb, b, par))
-        probe_side = sig.select(
-            F.col("vec_id").alias("query_id"),
-            "table_id",
-            F.explode(
-                F.array(
-                    F.col("bucket"),
-                    *[F.expr(f"bucket ^ {1 << k}") for k in range(b)],
-                )
-            ).alias("bucket"),
-        )
-        capped = (
-            sig.withColumn(
-                "bsz", F.count("*").over(W.partitionBy("table_id", "bucket"))
-            )
-            .filter(F.col("bsz") <= cap)
-            .select(F.col("vec_id").alias("neighbor_id"), "table_id", "bucket")
-        )
-        cand = (
-            probe_side.join(capped, ["table_id", "bucket"])
-            .filter(F.col("query_id") != F.col("neighbor_id"))
-            .select("query_id", "neighbor_id")
-        )
-        noop(cand.repartition(par, "query_id"))
+        noop(build_cand().repartition(par, "query_id"))
         release_persists()
 
     def full():
