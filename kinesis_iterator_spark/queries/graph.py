@@ -148,7 +148,30 @@ def dedup_survivors(
     """Union-find survivor policy over near-dup ``edges``: one survivor
     per connected component (its minimum id). Returns
     (node, component, is_survivor); nodes with no edges are their own
-    survivors and simply don't appear (join back to the corpus with a
-    coalesce-to-self for the full labeling)."""
+    survivors and simply don't appear (``label_corpus`` joins the
+    labeling back over a full corpus)."""
     cc = connected_components(edges, src, dst)
     return cc.withColumn("is_survivor", F.col("node") == F.col("component"))
+
+
+def label_corpus(
+    corpus: DataFrame,
+    edges: DataFrame,
+    id_col: str,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Every corpus row + (component, is_survivor): the end-to-end dedup
+    labeling a pipeline writes back. Rows absent from ``edges`` are their
+    own component (coalesce-to-self), so exactly one row per component —
+    its minimum id — carries ``is_survivor = true``. The labeling join is
+    a LEFT join against only the edge-touched nodes (tiny next to the
+    corpus at near-dup rates — AQE broadcasts it), so the corpus itself
+    never shuffles."""
+    cc = connected_components(edges, src, dst)
+    return (
+        corpus.join(cc, corpus[id_col] == cc["node"], "left")
+        .drop("node")
+        .withColumn("component", F.coalesce("component", F.col(id_col)))
+        .withColumn("is_survivor", F.col(id_col) == F.col("component"))
+    )

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from kinesis_iterator_spark.queries.graph import (
     connected_components,
     dedup_survivors,
+    label_corpus,
 )
 
 
@@ -140,6 +141,19 @@ def test_survivors_over_minhash_near_dup_pairs(spark, sf_dir):
         for r in dedup_survivors(pairs).collect()
     }
     assert got == _uf_oracle(edges)
+
+
+def test_label_corpus_full_coverage_one_survivor_per_component(spark):
+    corpus = spark.createDataFrame(
+        [(i,) for i in range(1, 8)], "doc_id long"
+    )
+    edges = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "src long, dst long")
+    out = label_corpus(corpus, edges, "doc_id").collect()
+    assert len(out) == 7  # every corpus row labeled
+    comp = {r["doc_id"]: r["component"] for r in out}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
+    survivors = {r["doc_id"] for r in out if r["is_survivor"]}
+    assert survivors == {1, 4, 5, 7}  # exactly one per component
 
 
 def test_survivors_on_real_embedding_near_dup_edges(spark, sf_dir):
