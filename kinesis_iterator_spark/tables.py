@@ -47,7 +47,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # sub-µs residue — both truncation paths floor to µs exactly as
         # DuckDB does reading TIMESTAMP(NANOS) (oracle-verified), and the
         # NTZ→TIMESTAMP cast is wall-clock-preserving (UTC session tz).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            # Spark raises on SETTING a removed SQL conf. 4.1 already
+            # ignores this one (native NANOS→NTZ read); the dtype
+            # normalization below handles every read shape, so a future
+            # removal must not break the loader (the round-5 lesson:
+            # version drift lands here first).
+            pass
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
