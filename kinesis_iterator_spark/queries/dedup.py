@@ -206,6 +206,16 @@ def minhash_pairs(doc: DataFrame) -> DataFrame:
     """The MinHash-LSH pipeline over any (doc_id, text) DataFrame — split
     out so tests can plant degenerate buckets (see
     tests/test_llm_ops.py)."""
+    # Window-`lead` shingles, kept after a measured A/B against the
+    # "obvious" improvement: index arithmetic over the carried words
+    # array (ws[i+1]/ws[i+2] after posexplode) is 1.6× faster AS A
+    # STAGE (0.25 s vs 0.39 s — no exchange, no sort) but 1.6× SLOWER
+    # END-TO-END (1.76 s vs 1.07 s min-of-4 interleaved at sf0.1):
+    # without the exchange boundary, whole-stage fusion drags the wide
+    # `ws` array and the un-materialized shingle expression into the
+    # md5/signature stage, re-evaluating them per downstream use. The
+    # window's shuffle materializes slim (doc_id, s) rows exactly where
+    # the pipeline wants them.
     w = W.partitionBy("doc_id").orderBy("i")
     sh_rows = (
         doc.select(
