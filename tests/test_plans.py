@@ -147,3 +147,21 @@ def test_embedding_dedup_candidates_are_equi_join(spark, sf_dir):
         or "ShuffledHashJoin" in plan
         or "BroadcastHashJoin" in plan
     )
+
+
+def test_ann_candidate_joins_never_carry_embeddings(spark, sf_dir):
+    """The 'slim candidate shuffle' invariant: in every ANN/dedup LSH
+    path, the (table_id, bucket) candidate join operates on id+bucket
+    rows only — the 512-byte embedding arrays must not ride through the
+    join or its exchanges (they re-attach after dedup, or live in the
+    executor-side corpus cache). A regression here multiplies candidate
+    shuffle bytes ~30x and dies at scale, while output stays correct."""
+    import re
+
+    for name in ("similarity_lsh_topk", "dedup_embedding_cosine"):
+        plan = plan_of(spark, sf_dir, name)
+        for m in re.finditer(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)[^\n]*", plan):
+            assert "embedding" not in m.group(0), f"{name}: {m.group(0)[:120]}"
+        # No exchange may shuffle an embedding column in these plans.
+        for m in re.finditer(r"Exchange hashpartitioning\([^\n]*", plan):
+            assert "embedding" not in m.group(0), f"{name}: {m.group(0)[:120]}"
