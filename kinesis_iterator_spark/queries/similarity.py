@@ -631,6 +631,56 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _score_pairs_topk(cand, emb, par, sf_dir, n)
 
 
+def similarity_lsh_topk_for_queries(
+    spark: SparkSession, sf_dir: str, query_ids
+) -> DataFrame:
+    """The bounded-external-query-set form the self-kNN docstrings
+    promise: IDENTICAL plan to ``similarity_lsh_topk`` with one filter
+    pushed into the probe side — the corpus side (signatures, bucket
+    caps, scoring gather) is untouched, so cost scales with
+    |query_ids|·candidates, not n². ``query_ids`` is any iterable of
+    vec_ids (a production caller passes a DataFrame of query vectors
+    that went through the same ``lsh_signatures`` writer). Equality with
+    the self-kNN restricted to the same ids is pinned in
+    tests/test_llm_ops.py."""
+    ids = list(query_ids)
+    # Filtering the self-kNN OUTPUT would still score every query;
+    # the filter goes on the probe side so pruning happens BEFORE
+    # candidate generation. (Same constants, same plan shape.)
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = _corpus_size(sf_dir)
+    b = _bits_for(n)
+    cap = 32 + 8 * n // (1 << b)
+    par = spark.sparkContext.defaultParallelism
+    sig = managed_persist(lsh_signatures(emb, b, par))
+    probe_side = (
+        sig.filter(F.col("vec_id").isin(ids))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "table_id",
+            F.explode(
+                F.array(
+                    F.col("bucket"),
+                    *[F.expr(f"bucket ^ {1 << k}") for k in range(b)],
+                )
+            ).alias("bucket"),
+        )
+    )
+    capped = (
+        sig.withColumn(
+            "bsz", F.count("*").over(W.partitionBy("table_id", "bucket"))
+        )
+        .filter(F.col("bsz") <= cap)
+        .select(F.col("vec_id").alias("neighbor_id"), "table_id", "bucket")
+    )
+    cand = (
+        probe_side.join(capped, ["table_id", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+    return _score_pairs_topk(cand, emb, par, sf_dir, n)
+
+
 _IVF_CENT_SQL = f"""
     dims AS (SELECT UNNEST(range({DIM})) AS dim),
     comp AS (

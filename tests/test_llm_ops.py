@@ -193,3 +193,29 @@ def test_ann_gathered_path_matches_corpus_path(spark, sf_dir, monkeypatch):
         gathered = sorted(map(tuple, fn(spark, sf_dir).collect()))
         monkeypatch.undo()
         assert small == gathered, qname
+
+
+def test_lsh_external_query_set_equals_restricted_self_knn(spark, sf_dir):
+    """similarity_lsh_topk_for_queries must equal the self-kNN result
+    restricted to the same query ids — the probe-side filter prunes
+    cost, never changes answers (same signatures, caps, probes, and
+    exact tie-broken scoring)."""
+    from kinesis_iterator_spark.queries import release_persists
+    from kinesis_iterator_spark.queries.similarity import (
+        similarity_lsh_topk,
+        similarity_lsh_topk_for_queries,
+    )
+
+    full = similarity_lsh_topk(spark, sf_dir).collect()
+    release_persists()
+    ids = sorted({r["query_id"] for r in full})[:7]
+    sub = similarity_lsh_topk_for_queries(spark, sf_dir, ids).collect()
+    release_persists()
+    key = lambda r: (r["query_id"], r["rnk"])  # noqa: E731
+    want = {
+        key(r): (r["neighbor_id"], r["cosine"])
+        for r in full
+        if r["query_id"] in set(ids)
+    }
+    got = {key(r): (r["neighbor_id"], r["cosine"]) for r in sub}
+    assert got == want and len(got) > 0
