@@ -104,10 +104,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3: selective dim filter → join → agg → global top-10.
 
-    Scale: the filtered customer side is small → broadcast it into orders
-    (kills one shuffle); lineitem⋈orders stays a shuffled hash join on
-    orderkey. Top-10 is TakeOrdered (per-partition heap + driver merge),
-    never a full sort. Tie-break on l_orderkey for determinism."""
+    Scale: customer grows linearly with SF, so we do NOT hint-force a
+    broadcast (an explicit hint is never demoted by AQE → OOM class at
+    100 TB). Plain equi-join: AQE broadcasts the filtered customer side
+    while it fits the threshold and falls back to shuffle when it
+    doesn't. lineitem⋈orders stays a shuffled hash join on orderkey.
+    Top-10 is TakeOrdered (per-partition heap + driver merge), never a
+    full sort. Tie-break on l_orderkey for determinism."""
     cu = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -119,7 +122,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(
-            od.join(F.broadcast(cu), od.o_custkey == cu.c_custkey),
+            od.join(cu, od.o_custkey == cu.c_custkey),
             li.l_orderkey == od.o_orderkey,
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -152,10 +155,12 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5: 6-way star join. Scale: region/nation/supplier are dims →
-    broadcast; the only big-big shuffle is lineitem⋈orders on orderkey.
-    The c_nationkey = s_nationkey local-supplier predicate rides along as a
-    post-join filter on already-broadcast columns."""
+    """TPC-H Q5: 6-way star join. Scale: nation/region are FIXED-size dims
+    (25/5 rows at every SF) → safe to hint-broadcast. Supplier GROWS with
+    SF (~10⁹ rows at 100 TB), so it gets a plain equi-join — AQE
+    broadcasts it while it fits and demotes to shuffle when it doesn't
+    (an explicit hint would never be demoted). The only unavoidable
+    big-big shuffle is lineitem⋈orders on orderkey."""
     cu = load_table(spark, sf_dir, "customer")
     od = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -169,7 +174,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(od, li.l_orderkey == od.o_orderkey)
         .join(cu, od.o_custkey == cu.c_custkey)
         .join(
-            F.broadcast(su),
+            su,
             (li.l_suppkey == su.s_suppkey) & (cu.c_nationkey == su.s_nationkey),
         )
         .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)

@@ -149,6 +149,49 @@ def test_embedding_dedup_candidates_are_equi_join(spark, sf_dir):
     )
 
 
+def _hint_subtrees(analyzed: str):
+    """Yield (hint_line, subtree_lines) for each broadcast ResolvedHint in
+    an analyzed-plan string. Subtree = following lines whose tree marker
+    (`+-`/`:-`) sits deeper than the hint's."""
+    lines = analyzed.splitlines()
+    for i, line in enumerate(lines):
+        if "ResolvedHint (strategy=broadcast)" not in line:
+            continue
+        depth = max(line.find("+-"), line.find(":-"))
+        sub = []
+        for nxt in lines[i + 1:]:
+            d = max(nxt.find("+-"), nxt.find(":-"))
+            if d <= depth:
+                break
+            sub.append(nxt)
+        yield line, sub
+
+
+def test_no_forced_broadcast_on_sf_growing_relations(spark, sf_dir):
+    """An explicit broadcast hint is NEVER demoted by AQE, so a hint on an
+    SF-growing relation (customer/supplier/orders/lineitem/part/events/
+    documents/embeddings) is an OOM class at 100 TB. Only fixed-cardinality
+    sides may be hint-forced: nation (25 rows), region (5), literal local
+    relations (bands), and global 1-row aggregates (which print as
+    `Aggregate [exprs]` — no grouping list)."""
+    for name in sorted(QUERIES):
+        df = QUERIES[name](spark, sf_dir)
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        for hint_line, sub in _hint_subtrees(analyzed):
+            # Exempt: a global aggregate bounds the subtree to one row.
+            if any(
+                s.lstrip(" :+-").startswith("Aggregate [") and "], [" not in s
+                for s in sub
+            ):
+                continue
+            for s in sub:
+                if "Relation" in s and "parquet" in s:
+                    assert "n_nationkey" in s or "r_regionkey" in s, (
+                        f"{name}: hint-forced broadcast over an SF-growing "
+                        f"parquet relation:\n{hint_line}\n{s}"
+                    )
+
+
 def test_ann_candidate_joins_never_carry_embeddings(spark, sf_dir):
     """The 'slim candidate shuffle' invariant: in every ANN/dedup LSH
     path, the (table_id, bucket) candidate join operates on id+bucket
