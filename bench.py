@@ -40,7 +40,7 @@ HEADLINE = [
     "similarity_ivf_topk",
     "text_quality_scores",
     "text_tf_per_source",
-    "fn_json_suite",
+    "fn_string_suite",
     "stream_record_model",
 ]
 

@@ -59,6 +59,7 @@ _MODULES = (
     "analytic",
     "stream_batch",
     "dedup",
+    "graph",
     "similarity",
     "text",
     "multimodal",

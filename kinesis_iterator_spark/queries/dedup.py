@@ -524,11 +524,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     5. dedup policy: drop any vector that has a near-dup with a smaller
        id (single-pass approximation of connected components). The full
        iterative union-find is implemented in ``queries/graph.py``
-       (``dedup_survivors``: alternating large-star/small-star, O(log n)
-       rounds) and pinned in tests/test_graph.py — it swaps in for this
-       step only; the candidate machinery is unchanged. It stays out of
-       this registry entry because the oracle gate needs single-statement
-       SQL, and iterative fixpoints aren't that (SURVEY §5.2 class).
+       (alternating large-star/small-star, O(log n) rounds), pinned in
+       tests/test_graph.py AND value-oracle-checked by the registered
+       ``dedup_survivors`` entry (full-corpus labeling over the
+       ngram-Jaccard edges vs a DuckDB ``WITH RECURSIVE`` min-label
+       closure) — it swaps in for this step only; the candidate
+       machinery is unchanged.
 
     Per-label output: n_vectors / n_removed / n_survivors / n_dup_pairs —
     scalars, so the result is value-hash-checkable at any scale factor."""

@@ -20,6 +20,15 @@ from . import query
 @query(
     "fn_string_suite",
     oracle="""
+    WITH js_base AS (
+      SELECT *,
+             '{"k": ' || CAST(p_size AS VARCHAR)
+               || CASE WHEN p_size % 3 = 0 THEN '' ELSE '}' END AS js
+      FROM part
+      WHERE p_size BETWEEN 5 AND 45
+        AND p_type LIKE '%E%'
+        AND p_brand NOT IN ('Brand#2', 'Brand#4')
+    )
     SELECT p_partkey,
            UPPER(p_name) AS name_upper,
            LOWER(p_brand) AS brand_lower,
@@ -34,18 +43,32 @@ from . import query
            STARTS_WITH(p_brand, 'Brand#1') AS brand1x,
            REVERSE(p_name) AS name_rev,
            md5(p_name) AS name_md5,
-           sha256(p_name) AS name_sha256
-    FROM part
-    WHERE p_size BETWEEN 5 AND 45
-      AND p_type LIKE '%E%'
-      AND p_brand NOT IN ('Brand#2', 'Brand#4')
+           sha256(p_name) AS name_sha256,
+           CASE WHEN json_valid(js)
+                THEN CAST(json_extract_string(js, '$.k') AS BIGINT) END AS k_value,
+           json_valid(js) AS is_valid_json,
+           CASE WHEN json_valid(js)
+                THEN json_extract_string(js, '$.missing') END AS missing_field
+    FROM js_base
     """,
 )
 def fn_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String functions + cryptographic digests (md5/sha256 agree across
     engines, unlike xxhash/murmur — they anchor content-addressed dedup),
-    filtered through the IN / BETWEEN / LIKE predicate suite."""
+    filtered through the IN / BETWEEN / LIKE predicate suite, plus the
+    JSON-extraction surface (merged from the former fn_json_suite per
+    SURVEY §8's registry-headroom plan): a per-row JSON payload —
+    deliberately malformed on every p_size % 3 == 0 row so validity is
+    data-dependent — parsed with get_json_object / try_parse_json. The
+    engine-level analogue of the reference handler parsing ``Record.Data``
+    bytes (kinesis.go:193-196 hands raw bytes to user code; here parsing
+    is a declarative, codegen'd expression)."""
     pa = load_table(spark, sf_dir, "part")
+    js = F.concat(
+        F.lit('{"k": '),
+        F.col("p_size").cast("string"),
+        F.when(F.col("p_size") % 3 == 0, F.lit("")).otherwise(F.lit("}")),
+    )
     return pa.filter(
         F.col("p_size").between(5, 45)
         & F.col("p_type").like("%E%")
@@ -66,6 +89,9 @@ def fn_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.reverse("p_name").alias("name_rev"),
         F.md5("p_name").alias("name_md5"),
         F.sha2("p_name", 256).alias("name_sha256"),
+        F.get_json_object(js, "$.k").cast("long").alias("k_value"),
+        F.isnotnull(F.try_parse_json(js)).alias("is_valid_json"),
+        F.get_json_object(js, "$.missing").alias("missing_field"),
     )
 
 
@@ -222,30 +248,9 @@ def fn_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # text_tf_per_source and text_ngrams (text.py) — same pattern, same table.
 
 
-@query(
-    "fn_json_suite",
-    oracle="""
-    SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
-           json_valid(props) AS is_valid_json,
-           CAST(json_extract_string(props, '$.missing') AS VARCHAR) AS missing_field
-    FROM events
-    """,
-)
-def fn_json_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON extraction from the opaque payload column — the engine-level
-    equivalent of the reference handler parsing ``Record.Data`` bytes
-    (kinesis.go:193-196 hands raw bytes to user code; here parsing is a
-    declarative, codegen'd expression instead)."""
-    ev = load_table(spark, sf_dir, "events")
-    return ev.select(
-        "event_id",
-        F.get_json_object("props", "$.k").cast("long").alias("k_value"),
-        F.when(F.isnotnull(F.try_parse_json(F.col("props"))), F.lit(True))
-        .otherwise(F.lit(False))
-        .alias("is_valid_json"),
-        F.get_json_object("props", "$.missing").alias("missing_field"),
-    )
+# JSON-extraction coverage (get_json_object / try_parse_json validity /
+# missing-field null) lives in fn_string_suite above — merged per SURVEY
+# §8's registry-headroom plan to free the slot for dedup_survivors.
 
 
 # Hash-function coverage (md5/sha256) lives in fn_string_suite above and in

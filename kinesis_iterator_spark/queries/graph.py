@@ -28,7 +28,10 @@ pure-Python union-find on the same edges (tests/test_graph.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..tables import load_table
+from . import query
 
 # Star rounds are O(log n); 50 rounds covers n ~ 2^50 nodes with margin.
 # Hitting the cap raises rather than silently returning a half-merged
@@ -175,3 +178,59 @@ def label_corpus(
         .withColumn("component", F.coalesce("component", F.col(id_col)))
         .withColumn("is_survivor", F.col(id_col) == F.col("component"))
     )
+
+
+@query(
+    "dedup_survivors",
+    oracle="""
+    WITH RECURSIVE sets AS (
+      SELECT doc_id, lang,
+             len(string_split(text, ' ')) AS n_words,
+             list_distinct(string_split(text, ' ')) AS wset
+      FROM documents
+    ),
+    edges AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM sets a JOIN sets b
+        ON a.lang = b.lang
+       AND (a.n_words // 10) = (b.n_words // 10)
+       AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.wset, b.wset))) >= 0.6
+    ),
+    sym AS (
+      SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges
+    ),
+    walk(node, reach) AS (
+      SELECT u AS node, u AS reach FROM sym
+      UNION
+      SELECT s.u AS node, w.reach
+      FROM sym s JOIN walk w ON w.node = s.v
+    ),
+    comp AS (SELECT node, MIN(reach) AS component FROM walk GROUP BY node)
+    SELECT d.doc_id,
+           COALESCE(c.component, d.doc_id) AS component,
+           d.doc_id = COALESCE(c.component, d.doc_id) AS is_survivor
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    """,
+)
+def dedup_survivors_labeling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry (VERDICT r6 #1): full-corpus union-find survivor
+    labeling over the REAL near-dup edges produced by
+    ``dedup_ngram_jaccard`` (blocked exact-Jaccard at τ=0.6 — its edge
+    set is value-hash-verified against the oracle in its own entry, so
+    both engines provably label the same graph). Spark side runs the
+    O(log n)-round alternating-star connected components above; the
+    DuckDB oracle computes the same fixpoint by transitive min-label
+    closure (`WITH RECURSIVE` reachability → MIN(reach) per node —
+    depth-bounded by component diameter, fine at oracle scale; the star
+    algorithm exists precisely because that closure doesn't scale).
+    Output: one row per document — (doc_id, component, is_survivor),
+    exactly one survivor (the min doc_id) per component."""
+    from .dedup import dedup_ngram_jaccard
+
+    edges = dedup_ngram_jaccard(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    corpus = load_table(spark, sf_dir, "documents").select("doc_id")
+    return label_corpus(corpus, edges, "doc_id")
