@@ -3,13 +3,19 @@
 Model: media payloads are opaque ``binary`` columns + a typed metadata
 struct — exactly the reference's record model (``Record.Data []byte``,
 kinesis.go:34) lifted to a table column. The container has no image/audio
-codecs, so the *decode* step is a clearly-marked stub (deterministic fake),
-while everything Spark-owned — schema, binary plumbing, Arrow batching,
+codec LIBRARIES, so full pixel/sample decode is out of scope — but the
+mapInPandas worker performs a GENUINE header parse of the two public
+image container formats (PNG IHDR, JPEG SOF0 — byte layouts from the
+published specs): image-kind blobs carry a real header encoding their
+dimensions, and the worker's magic-byte walk extracts width/height from
+the BYTES, falling back to the metadata struct for headerless payloads.
+Everything Spark-owned — schema, binary plumbing, Arrow batching,
 partitioning, UDF signatures — is real and tested.
 
 The fixture has no binary table, so media blobs are derived
-deterministically from ``documents.text`` (unhex(md5·md5)) — both engines
-can reproduce them, which keeps even the binary plumbing oracle-checkable.
+deterministically from ``documents.text`` (unhex(md5·md5), plus the
+constructed header for image rows) — both engines can reproduce them,
+which keeps even the binary plumbing oracle-checkable.
 """
 
 from __future__ import annotations
@@ -24,25 +30,100 @@ from pyspark.sql import functions as F
 from ..tables import load_table
 from . import query
 
+# Fixed header fragments (hex). PNG: 8-byte signature, IHDR length (13),
+# "IHDR" tag; then width/height (4-byte BE each), bit depth 8 / color
+# type 6 / compression 0 / filter 0 / interlace 0, and an (unvalidated)
+# CRC placeholder. JPEG: SOI, SOF0 marker, segment length 11, precision
+# 8; then height/width (2-byte BE each), 1 component + its spec.
+_PNG_PRE = "89504e470d0a1a0a" + "0000000d" + "49484452"
+_PNG_POST = "0806000000" + "00000000"
+_JPEG_PRE = "ffd8" + "ffc0" + "000b" + "08"
+_JPEG_POST = "01" + "011100"
+
 
 def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → synthetic media table:
-    (doc_id, blob binary, media struct<kind,width,height,n_frames>)."""
+    (doc_id, blob binary, media struct<kind,width,height,n_frames>).
+
+    Image-kind rows alternate between a real PNG (doc_id % 6 == 0) and a
+    real JPEG (doc_id % 6 == 3) header that encodes the metadata
+    dimensions in the format's own byte layout; audio/video rows are raw
+    payload (no container header — the decode worker must fall back to
+    metadata)."""
     doc = load_table(spark, sf_dir, "documents")
-    blob = F.unhex(F.concat(F.md5("text"), F.md5(F.reverse(F.col("text")))))
+    w = (F.col("doc_id") % 64 + 16).cast("int")
+    h = (F.col("doc_id") % 48 + 16).cast("int")
+    payload_hex = F.concat(F.md5("text"), F.md5(F.reverse(F.col("text"))))
+    png_hex = F.concat(
+        F.lit(_PNG_PRE),
+        F.lpad(F.lower(F.hex(w)), 8, "0"),
+        F.lpad(F.lower(F.hex(h)), 8, "0"),
+        F.lit(_PNG_POST),
+        payload_hex,
+    )
+    jpeg_hex = F.concat(
+        F.lit(_JPEG_PRE),
+        F.lpad(F.lower(F.hex(h)), 4, "0"),
+        F.lpad(F.lower(F.hex(w)), 4, "0"),
+        F.lit(_JPEG_POST),
+        payload_hex,
+    )
+    blob_hex = (
+        F.when(F.col("doc_id") % 6 == 0, png_hex)
+        .when(F.col("doc_id") % 6 == 3, jpeg_hex)
+        .otherwise(payload_hex)
+    )
     return doc.select(
         "doc_id",
-        blob.alias("blob"),
+        F.unhex(blob_hex).alias("blob"),
         F.struct(
             F.element_at(
                 F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
                 (F.col("doc_id") % 3 + 1).cast("int"),
             ).alias("kind"),
-            (F.col("doc_id") % 64 + 16).cast("int").alias("width"),
-            (F.col("doc_id") % 48 + 16).cast("int").alias("height"),
+            w.alias("width"),
+            h.alias("height"),
             (F.col("doc_id") % 30 + 1).cast("int").alias("n_frames"),
         ).alias("media"),
     )
+
+
+# JPEG start-of-frame markers that carry dimensions (SOF0-15 minus the
+# non-frame DHT/DAC/RST gaps, per the JPEG spec's marker table).
+_JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def parse_header_dims(b: bytes):
+    """Pure-Python magic-byte parse of the two public image containers.
+
+    Returns ("png"|"jpeg", width, height) or None. Strict: PNG requires
+    the full 8-byte signature AND the IHDR tag at its fixed offset; JPEG
+    requires SOI and then a well-formed marker walk (every segment must
+    begin 0xFF) until a SOF marker yields the frame dimensions. Random
+    payload bytes cannot satisfy either (a payload that merely starts
+    0xffd8 dies on the next-segment check), so the fallback-to-metadata
+    path is deterministic for headerless blobs. CRC is not validated
+    (out of scope for dimension extraction)."""
+    if len(b) >= 24 and b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR":
+        return (
+            "png",
+            int.from_bytes(b[16:20], "big"),
+            int.from_bytes(b[20:24], "big"),
+        )
+    if len(b) >= 4 and b[:2] == b"\xff\xd8":
+        i = 2
+        while i + 4 <= len(b) and b[i] == 0xFF:
+            marker = b[i + 1]
+            if marker in _JPEG_SOF:
+                if i + 9 <= len(b):
+                    return (
+                        "jpeg",
+                        int.from_bytes(b[i + 7:i + 9], "big"),
+                        int.from_bytes(b[i + 5:i + 7], "big"),
+                    )
+                return None
+            i += 2 + int.from_bytes(b[i + 2:i + 4], "big")
+    return None
 
 
 # --- Pandas-UDF decode / feature-extract path (the real multimodal shape) --
@@ -51,31 +132,51 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _decode_batch(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas worker: Arrow batches in, per-blob features out.
 
-    A real deployment decodes here (PIL / torchaudio / pyav). Those codecs
-    are not in this container, so decode is STUBBED with a deterministic
-    fake: "luma" = mean byte value, "frames sampled" = n_frames capped at
-    4, "resize" = integer aspect-fit of (width, height) into a 16×16
-    thumbnail box. The batch shape, schema, and Arrow transfer are the
-    production path.
+    Dimension extraction is a REAL codec fact: ``parse_header_dims``
+    reads width/height out of the blob's PNG IHDR / JPEG SOF0 header
+    bytes when present (codec column = "png"/"jpeg"), falling back to
+    the metadata struct for headerless payloads (codec = "raw") — the
+    parsed dimensions, not the metadata, drive n_pixels and the
+    thumbnail fit for header-carrying blobs. Full pixel/sample decode
+    (PIL / torchaudio / pyav) is the one still-stubbed step ("luma" =
+    mean byte value stands in for it); the batch shape, schema, and
+    Arrow transfer are the production path.
     """
     for pdf in batch_iter:
+        codecs, ws, hs = [], [], []
+        for blob, meta_w, meta_h in zip(pdf["blob"], pdf["width"], pdf["height"]):
+            parsed = parse_header_dims(bytes(blob))
+            if parsed is not None:
+                codecs.append(parsed[0])
+                ws.append(parsed[1])
+                hs.append(parsed[2])
+            else:
+                codecs.append("raw")
+                ws.append(int(meta_w))
+                hs.append(int(meta_h))
+        w = pd.Series(ws, dtype="int64")
+        h = pd.Series(hs, dtype="int64")
+        longest = pd.concat([w, h], axis=1).max(axis=1)
         blobs = pdf["blob"]
-        longest = pdf[["width", "height"]].max(axis=1)
         yield pd.DataFrame(
             {
-                "doc_id": pdf["doc_id"],
-                "kind": pdf["kind"],
+                "doc_id": pdf["doc_id"].reset_index(drop=True),
+                "kind": pdf["kind"].reset_index(drop=True),
+                "codec": codecs,
                 "blob_bytes": [len(b) for b in blobs],
                 "first_byte": [int(b[0]) if len(b) else -1 for b in blobs],
-                "n_pixels": pdf["n_pixels"],
+                "n_pixels": w * h,
                 "fake_luma": [
                     float(sum(b)) / len(b) if len(b) else 0.0 for b in blobs
                 ],
-                "sampled_frames": pdf["n_frames"].clip(upper=4).astype("int32"),
+                "sampled_frames": pdf["n_frames"]
+                .clip(upper=4)
+                .astype("int32")
+                .reset_index(drop=True),
                 # aspect-preserving fit into 16×16, integer arithmetic
                 # (floor), min 1px — a real resize calls the codec here
-                "thumb_w": (pdf["width"] * 16 // longest).clip(lower=1).astype("int32"),
-                "thumb_h": (pdf["height"] * 16 // longest).clip(lower=1).astype("int32"),
+                "thumb_w": (w * 16 // longest).clip(lower=1).astype("int32"),
+                "thumb_h": (h * 16 // longest).clip(lower=1).astype("int32"),
             }
         )
 
@@ -92,54 +193,68 @@ def decode_media(df: DataFrame) -> DataFrame:
         F.col("media.n_frames").alias("n_frames"),
         F.col("media.width").alias("width"),
         F.col("media.height").alias("height"),
-        (F.col("media.width") * F.col("media.height"))
-        .cast("long")
-        .alias("n_pixels"),
     )
     return flat.mapInPandas(
         _decode_batch,
         schema=(
-            "doc_id long, kind string, blob_bytes long, first_byte long, "
-            "n_pixels long, fake_luma double, sampled_frames int, "
-            "thumb_w int, thumb_h int"
+            "doc_id long, kind string, codec string, blob_bytes long, "
+            "first_byte long, n_pixels long, fake_luma double, "
+            "sampled_frames int, thumb_w int, thumb_h int"
         ),
     )
 
 
 @query(
     "multimodal_decode_features",
-    oracle="""
-    WITH blobs AS (
+    oracle=f"""
+    WITH meta AS (
       SELECT doc_id,
-             md5(text) || md5(reverse(text)) AS blob_hex,
              CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
              CAST(doc_id % 30 + 1 AS INT) AS n_frames,
              doc_id % 64 + 16 AS w,
              doc_id % 48 + 16 AS h,
-             CAST(doc_id % 64 + 16 AS BIGINT) * CAST(doc_id % 48 + 16 AS BIGINT) AS n_pixels
+             md5(text) || md5(reverse(text)) AS payload
       FROM documents
-    )
-    SELECT doc_id, kind,
-           octet_length(unhex(blob_hex)) AS blob_bytes,
+    ),
+    blobs AS (
+      SELECT *,
+             CASE WHEN doc_id % 6 = 0 THEN '{_PNG_PRE}'
+                       || lpad(to_hex(w), 8, '0') || lpad(to_hex(h), 8, '0')
+                       || '{_PNG_POST}' || payload
+                  WHEN doc_id % 6 = 3 THEN '{_JPEG_PRE}'
+                       || lpad(to_hex(h), 4, '0') || lpad(to_hex(w), 4, '0')
+                       || '{_JPEG_POST}' || payload
+                  ELSE payload END AS blob_hex,
+             CASE WHEN doc_id % 6 = 0 THEN 'png'
+                  WHEN doc_id % 6 = 3 THEN 'jpeg'
+                  ELSE 'raw' END AS codec
+      FROM meta
+    ),
+    sized AS (SELECT *, LENGTH(blob_hex) // 2 AS nb FROM blobs)
+    SELECT doc_id, kind, codec,
+           CAST(nb AS BIGINT) AS blob_bytes,
            CAST('0x' || substring(blob_hex, 1, 2) AS BIGINT) AS first_byte,
-           n_pixels,
+           CAST(w AS BIGINT) * CAST(h AS BIGINT) AS n_pixels,
            CAST(list_reduce(list_prepend(0::BIGINT,
-                  list_transform(range(1, 33),
+                  list_transform(range(1, CAST(nb AS INT) + 1),
                                  i -> CAST('0x' || substring(blob_hex, 2*i - 1, 2) AS BIGINT))),
-                (a, b) -> a + b) AS DOUBLE) / 32 AS fake_luma,
+                (a, b) -> a + b) AS DOUBLE) / nb AS fake_luma,
            CAST(LEAST(n_frames, 4) AS INT) AS sampled_frames,
            CAST(GREATEST(w * 16 // GREATEST(w, h), 1) AS INT) AS thumb_w,
            CAST(GREATEST(h * 16 // GREATEST(w, h), 1) AS INT) AS thumb_h
-    FROM blobs
+    FROM sized
     """,
 )
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The multimodal pipeline end-to-end: opaque binary column + typed
     metadata struct (the reference's ``Record.Data []byte`` lifted to a
-    table column) → mapInPandas (Arrow) → per-media features: payload size,
-    first byte, pixel count from metadata, stubbed decode output. The fake
-    'decode' (mean byte value) is integer arithmetic, so even this UDF path
-    is oracle-checkable. 100 TB posture: blobs stay opaque bytes in parquet;
-    metadata drives pruning; decode is the only Python hop and it is
-    Arrow-batched."""
+    table column) → mapInPandas (Arrow) → per-media features: codec
+    identified and dimensions PARSED from real PNG/JPEG header bytes
+    (falling back to metadata for raw payloads), payload size, first
+    byte, mean-byte stand-in for pixel decode. The oracle constructs the
+    identical blobs and — because the headers encode the metadata
+    dimensions — predicts the parsed output in closed form, so even the
+    header-parsing UDF path is value-hash-checked. 100 TB posture: blobs
+    stay opaque bytes in parquet; metadata drives pruning; decode is the
+    only Python hop and it is Arrow-batched."""
     return decode_media(media_table(spark, sf_dir))

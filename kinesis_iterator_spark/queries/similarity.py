@@ -284,9 +284,32 @@ def _corpus_pair_topk_scorer(sf_dir: str):
 
 
 # Above this corpus size the per-worker corpus cache stops being the fast
-# path (matrix ≈ n·d·8 B per Python worker; 200k×64 ≈ 100 MB) and the
-# scorer switches to gathering vectors through the candidate joins.
+# path and the scorer switches to gathering vectors through the candidate
+# joins. Memory bound: the cache holds BOTH layouts — M (m, d) for block
+# scoring and the transposed MT (d, m) for the pair-gather folds — so
+# ~2 · n·d·8 B per Python worker: 200k×64 ≈ 205 MB at this cap.
 SMALL_CORPUS_MAX = 200_000
+
+
+def _restrict_to_query_ids(df: DataFrame, col: str, query_ids) -> DataFrame:
+    """Probe-side restriction to an external query-id set.
+
+    Raises on an empty set — an empty result would silently read as "no
+    neighbors found" rather than "caller passed no queries". Small sets
+    compile to a literal IN (codegen'd); large sets become a broadcast
+    semi-join against a single-column DataFrame, because a giant literal
+    IN-list costs a py4j round-trip per element at plan-build time and
+    oversized unrolled expressions stall Janino (both measured — see
+    CLAUDE.md perf landmines). The query set is bounded by contract
+    (it's the external probe set), so broadcasting it is safe at any
+    corpus scale."""
+    ids = sorted(set(query_ids))
+    if not ids:
+        raise ValueError("query_ids must be non-empty")
+    if len(ids) <= 64:
+        return df.filter(F.col(col).isin(ids))
+    ids_df = df.sparkSession.createDataFrame([(i,) for i in ids], [col])
+    return df.join(F.broadcast(ids_df), col, "leftsemi")
 
 
 def _score_pairs_topk(
@@ -643,7 +666,6 @@ def similarity_lsh_topk_for_queries(
     that went through the same ``lsh_signatures`` writer). Equality with
     the self-kNN restricted to the same ids is pinned in
     tests/test_llm_ops.py."""
-    ids = list(query_ids)
     # Filtering the self-kNN OUTPUT would still score every query;
     # the filter goes on the probe side so pruning happens BEFORE
     # candidate generation. (Same constants, same plan shape.)
@@ -654,7 +676,7 @@ def similarity_lsh_topk_for_queries(
     par = spark.sparkContext.defaultParallelism
     sig = managed_persist(lsh_signatures(emb, b, par))
     probe_side = (
-        sig.filter(F.col("vec_id").isin(ids))
+        _restrict_to_query_ids(sig, "vec_id", query_ids)
         .select(
             F.col("vec_id").alias("query_id"),
             "table_id",
@@ -749,6 +771,23 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines build bit-identical codebooks and the whole pipeline is
     value-hash-checkable — round 1's FP-order-dependent F.avg centroids
     could not be."""
+    return _ivf_topk_impl(spark, sf_dir, query_ids=None)
+
+
+def similarity_ivf_topk_for_queries(
+    spark: SparkSession, sf_dir: str, query_ids
+) -> DataFrame:
+    """Bounded-external-query-set IVF (VERDICT r6 #7, mirroring
+    ``similarity_lsh_topk_for_queries``): IDENTICAL plan to
+    ``similarity_ivf_topk`` with the restriction pushed into the probe
+    side BEFORE the cell join — the corpus side (codebook, ranked cell
+    assignment) is untouched, so cost scales with |query_ids| × probed
+    cell sizes, not n². Equality with the self-kNN restricted to the
+    same ids is pinned in tests/test_llm_ops.py."""
+    return _ivf_topk_impl(spark, sf_dir, query_ids=query_ids)
+
+
+def _ivf_topk_impl(spark: SparkSession, sf_dir: str, query_ids) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
 
     # Coarse codebook: decimal-exact mean embedding per label (distributed:
@@ -823,7 +862,12 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = ranked.filter(F.col("rk") == 1).select(
         F.col("vec_id").alias("neighbor_id"), "cell"
     )
-    queries = ranked.select(F.col("vec_id").alias("query_id"), "cell")
+    probe = ranked
+    if query_ids is not None:
+        # External bounded query set: prune BEFORE the cell join so the
+        # candidate volume scales with |query_ids|, never n.
+        probe = _restrict_to_query_ids(probe, "vec_id", query_ids)
+    queries = probe.select(F.col("vec_id").alias("query_id"), "cell")
     # Slim (query, neighbor) pairs from the cell join; embeddings never
     # ride through it. Exact scoring in the Arrow kernel + JVM window
     # top-k, same as the LSH path. Deliberately NO broadcast hint: the

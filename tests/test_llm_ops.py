@@ -127,6 +127,43 @@ def test_multimodal_blob_and_decode(spark, sf_dir):
     assert all(0.0 <= r["fake_luma"] <= 255.0 for r in rows)
     assert all(1 <= r["sampled_frames"] <= 4 for r in rows)
     assert {r["kind"] for r in rows} == {"image", "audio", "video"}
+    # Image rows carry real container headers and the worker must have
+    # parsed dimensions out of the BYTES (codec identified per format);
+    # audio/video payloads fall back to metadata.
+    codecs = {r["doc_id"] % 6: r["codec"] for r in rows}
+    assert codecs[0] == "png" and codecs[3] == "jpeg"
+    assert {codecs[k] for k in (1, 2, 4, 5)} == {"raw"}
+
+
+def test_parse_header_dims_real_formats_and_strict_rejection():
+    """The magic-byte parser against hand-built spec-conformant headers,
+    and strictness: a payload that merely starts with the JPEG SOI bytes
+    (the sf0.1 fixture contains one) must NOT parse."""
+    from kinesis_iterator_spark.queries.multimodal import parse_header_dims
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + (13).to_bytes(4, "big")
+        + b"IHDR"
+        + (640).to_bytes(4, "big")
+        + (480).to_bytes(4, "big")
+        + b"\x08\x06\x00\x00\x00"
+        + b"\x00\x00\x00\x00"
+    )
+    assert parse_header_dims(png) == ("png", 640, 480)
+    # JPEG with an APP0 segment BEFORE the SOF0 — the walk must skip it.
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + (4).to_bytes(2, "big") + b"\x00\x00"
+        + b"\xff\xc0" + (11).to_bytes(2, "big") + b"\x08"
+        + (480).to_bytes(2, "big") + (640).to_bytes(2, "big")
+        + b"\x01\x01\x11\x00"
+    )
+    assert parse_header_dims(jpeg) == ("jpeg", 640, 480)
+    # Strict rejection: SOI followed by a non-0xFF byte is not a JPEG.
+    assert parse_header_dims(b"\xff\xd8\xab\xde" + b"\x00" * 28) is None
+    assert parse_header_dims(b"\x89PNG\r\n\x1a\x00" + b"\x00" * 24) is None
+    assert parse_header_dims(b"") is None
 
 
 def test_pandas_grouped_agg_udaf(spark, sf_dir):
@@ -219,3 +256,47 @@ def test_lsh_external_query_set_equals_restricted_self_knn(spark, sf_dir):
     }
     got = {key(r): (r["neighbor_id"], r["cosine"]) for r in sub}
     assert got == want and len(got) > 0
+
+
+def test_ivf_external_query_set_equals_restricted_self_knn(spark, sf_dir):
+    """similarity_ivf_topk_for_queries must equal the self-kNN result
+    restricted to the same query ids — the probe-side restriction
+    happens BEFORE the cell join, so it prunes cost without changing
+    any query's candidate cells or scores. Uses >64 ids to drive the
+    semi-join branch of _restrict_to_query_ids (the literal-IN branch
+    is covered by the LSH test's 7-id set)."""
+    from kinesis_iterator_spark.queries import release_persists
+    from kinesis_iterator_spark.queries.similarity import (
+        similarity_ivf_topk,
+        similarity_ivf_topk_for_queries,
+    )
+
+    full = similarity_ivf_topk(spark, sf_dir).collect()
+    release_persists()
+    ids = sorted({r["query_id"] for r in full})[:70]
+    sub = similarity_ivf_topk_for_queries(spark, sf_dir, ids).collect()
+    release_persists()
+    key = lambda r: (r["query_id"], r["rnk"])  # noqa: E731
+    want = {
+        key(r): (r["neighbor_id"], r["cosine"])
+        for r in full
+        if r["query_id"] in set(ids)
+    }
+    got = {key(r): (r["neighbor_id"], r["cosine"]) for r in sub}
+    assert got == want and len(got) > 0
+
+
+def test_external_query_set_raises_on_empty_ids(spark, sf_dir):
+    """An empty query-id set must fail loudly — an empty DataFrame would
+    silently read as 'no neighbors found'."""
+    import pytest
+
+    from kinesis_iterator_spark.queries.similarity import (
+        similarity_ivf_topk_for_queries,
+        similarity_lsh_topk_for_queries,
+    )
+
+    with pytest.raises(ValueError):
+        similarity_lsh_topk_for_queries(spark, sf_dir, [])
+    with pytest.raises(ValueError):
+        similarity_ivf_topk_for_queries(spark, sf_dir, [])
