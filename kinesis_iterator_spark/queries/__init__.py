@@ -48,6 +48,42 @@ def release_persists() -> None:
     while _PERSISTED:
         _PERSISTED.pop().unpersist(blocking=False)
 
+
+def release_local_checkpoint(df: DataFrame) -> None:
+    """Free the block-storage copy behind an eager ``localCheckpoint``.
+
+    ``df.unpersist()`` / ``df.rdd.unpersist()`` do NOT touch it (measured:
+    the persisted RDD is the one captured inside the LogicalRDD leaf, not
+    the conversion RDD PySpark exposes) — only the internal
+    ``analyzed().rdd()`` handle does. Only call this once ``df`` will
+    never be read again: a localCheckpoint's blocks are its ONLY copy
+    (the lineage was truncated), so a released checkpoint cannot be
+    recomputed."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:  # pragma: no cover — internal accessor, best-effort
+        pass
+
+
+class _LocalCheckpointHandle:
+    """Duck-typed `.unpersist()` shim so localCheckpointed DataFrames can
+    ride the managed-persist release mechanism."""
+
+    def __init__(self, df: DataFrame):
+        self._df = df
+
+    def unpersist(self, blocking: bool = False) -> None:
+        release_local_checkpoint(self._df)
+
+
+def managed_checkpoint(df: DataFrame) -> DataFrame:
+    """Register an eagerly-localCheckpointed ``df``'s block storage for
+    post-materialization release — the checkpoint analogue of
+    :func:`managed_persist` (same harness contract: released by
+    ``release_persists()`` after the consuming action)."""
+    _PERSISTED.append(_LocalCheckpointHandle(df))
+    return df
+
 # NOTE: registration order is not exactly this tuple — `dedup` imports
 # `similarity` at module top, so similarity's queries register first when
 # dedup loads (and `text` imports `dedup`). Harmless while the registry

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..tables import load_table
-from . import query
+from . import managed_checkpoint, query, release_local_checkpoint
 
 # Star rounds are O(log n); 50 rounds covers n ~ 2^50 nodes with margin.
 # Hitting the cap raises rather than silently returning a half-merged
@@ -125,8 +125,15 @@ def connected_components(
     prev_key = _key(cur)
     converged = False
     for _ in range(MAX_ROUNDS):
-        cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)
-        key = _key(cur)
+        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        key = _key(nxt)
+        # The new round is fully materialized (eager), so the superseded
+        # round's checkpoint blocks are dead weight — free them now
+        # instead of pinning O(log n) edge-set copies in executor storage
+        # until DataFrame GC (ADVICE r6). The FINAL round's blocks feed
+        # the labels below and ride the managed-release mechanism.
+        release_local_checkpoint(cur)
+        cur = nxt
         if key == prev_key:
             converged = True
             break
@@ -135,6 +142,7 @@ def connected_components(
         raise RuntimeError(
             f"connected_components did not converge in {MAX_ROUNDS} rounds"
         )
+    managed_checkpoint(cur)
     # cur is a min-rooted star forest: (child, root). Roots label
     # themselves.
     labels = cur.select(

@@ -62,6 +62,21 @@ class _ShardSlice(InputPartition):
     stream_name: str
     after: str  # exclusive lower bound (zero-padded sequence, "" = start)
     upto: str  # inclusive upper bound
+    tz: str = "UTC"  # session timezone for the arrival-ts cast
+
+
+def _session_tz(options: dict) -> str:
+    """Timezone for the arrival-ts cast: an explicit ``session_tz``
+    option wins; otherwise the value :func:`register` captured from
+    ``spark.sql.session.timeZone`` (a class attribute — cloudpickle
+    ships it with the registered class into the runner/executor
+    processes); UTC as the last resort (this engine pins the session tz
+    to UTC everywhere, session.py)."""
+    return (
+        options.get("session_tz")
+        or getattr(SimKinesisDataSource, "_session_tz", None)
+        or "UTC"
+    )
 
 
 def _resolve_path(options: dict) -> str:
@@ -135,12 +150,17 @@ def _read_slice(partition: "_ShardSlice"):
     seq = pc.utf8_lpad(
         pc.cast(t.column("event_id"), pa.string()), SEQ_PAD, "0"
     )
-    # ts is TIMESTAMP(NANOS); truncate to Spark's µs precision — the same
-    # ns→µs floor tables.load_table applies (safe=False allows the sub-µs
-    # truncation). Spark's `timestamp` is session-tz (UTC everywhere in
-    # this engine), so the wall-clock instants match the tuple form.
-    ts_us = pc.cast(
-        t.column("ts"), pa.timestamp("us", tz="UTC"), safe=False
+    # ts is TIMESTAMP(NANOS), timezone-naive; truncate to Spark's µs
+    # precision (safe=False allows the sub-µs floor — same as
+    # tables.load_table) and then interpret the naive wall-clock in the
+    # SESSION timezone (assume_timezone), matching load_table's
+    # wall-clock-preserving NTZ→TIMESTAMP cast. The tz rides in the
+    # partition (register() derives it from the live session conf;
+    # default UTC — ADVICE r6: a hard-coded tz="UTC" silently shifted
+    # arrival instants relative to the tuple path under a non-UTC
+    # session).
+    ts_us = pc.assume_timezone(
+        pc.cast(t.column("ts"), pa.timestamp("us"), safe=False), p.tz
     )
     out = pa.table(
         {
@@ -173,6 +193,7 @@ class SimKinesisStreamReader(DataSourceStreamReader):
         # through partitions(start, end) → same fast-forward on `end`.
         self._limit = int(options.get("limit", "0"))
         self._stream = options.get("stream_name", "events")
+        self._tz = _session_tz(options)
         self._cursor: dict[int, int] = {}  # shard → index into _seqs
         self._seqs = _build_seq_index(self._path, self._n_shards)
         # available_now=true freezes the drain target at reader
@@ -267,6 +288,7 @@ class SimKinesisStreamReader(DataSourceStreamReader):
                     stream_name=self._stream,
                     after=after,
                     upto=seqs[hi - 1],
+                    tz=self._tz,
                 )
             )
         return out
@@ -300,6 +322,7 @@ class SimKinesisBatchReader(DataSourceReader):
         self._path = _resolve_path(options)
         self._n_shards = int(options.get("n_shards", "8"))
         self._stream = options.get("stream_name", "events")
+        self._tz = _session_tz(options)
         self._seqs = _build_seq_index(self._path, self._n_shards)
 
     def partitions(self):
@@ -311,6 +334,7 @@ class SimKinesisBatchReader(DataSourceReader):
                 stream_name=self._stream,
                 after="",
                 upto=seqs[-1],
+                tz=self._tz,
             )
             for s, seqs in self._seqs.items()
             if seqs
@@ -482,6 +506,17 @@ def register(spark) -> str:
         df = (spark.readStream.format("sim_kinesis")
               .option("path", sf_dir).option("n_shards", 8).load())
     """
+    # Capture the live session timezone BEFORE registering: cloudpickle
+    # serializes the class (attributes included) at registration, so the
+    # runner/executor processes see the tz the arrival-ts cast must use
+    # (ADVICE r6 — a hard-coded UTC shifted instants under a non-UTC
+    # session).
+    try:
+        SimKinesisDataSource._session_tz = spark.conf.get(
+            "spark.sql.session.timeZone"
+        )
+    except Exception:
+        SimKinesisDataSource._session_tz = "UTC"
     spark.dataSource.register(SimKinesisDataSource)
     # One under-drain listener per session (idempotent re-register calls
     # must not stack duplicate warnings).

@@ -231,25 +231,28 @@ class Iterator:
             self._last_poll_error = True
             return 0
 
-        for shard_id in fetch.closed:
-            self._close_shard(shard_id)
-        # A bounded fetch that returns FEWER than `limit` records for a
-        # shard proves that shard's cursor sat at its tail at fetch time
-        # (the row_number cap didn't bite). When that holds for every open
-        # shard — and no reshard closed shards this poll (children may
-        # hold unread data) — the poll observed the whole stream drained.
-        # run_until_drained uses this to skip its confirming empty polls;
-        # the live run() loop ignores it (a live shard can refill).
-        self._last_poll_at_tail = not fetch.closed and all(
-            fetch.counts.get(sid, 0) < self._fetch_limit
-            for sid in self._shards
-        )
-        if not fetch.tails:
-            fetch.records.unpersist(blocking=False)
-            self._epoch += 1
-            return 0  # empty poll
-
+        # Everything from here until delivery completes sits under ONE
+        # try/finally owning the persisted trigger batch: if closed-shard
+        # handling (seq.stop can raise on a failing saver) or delivery
+        # dies, the cached batch must not outlive the trigger.
         try:
+            for shard_id in fetch.closed:
+                self._close_shard(shard_id)
+            # A bounded fetch that returns FEWER than `limit` records for a
+            # shard proves that shard's cursor sat at its tail at fetch time
+            # (the row_number cap didn't bite). When that holds for every open
+            # shard — and no reshard closed shards this poll (children may
+            # hold unread data) — the poll observed the whole stream drained.
+            # run_until_drained uses this to skip its confirming empty polls;
+            # the live run() loop ignores it (a live shard can refill).
+            self._last_poll_at_tail = not fetch.closed and all(
+                fetch.counts.get(sid, 0) < self._fetch_limit
+                for sid in self._shards
+            )
+            if not fetch.tails:
+                self._epoch += 1
+                return 0  # empty poll
+
             batch = (
                 fetch.records.repartition(
                     max(len(fetch.tails), 1), "shardId"
