@@ -1,0 +1,258 @@
+"""End-to-end training-corpus curation: the job a pre-training data
+pipeline actually runs over raw documents, composed from this engine's
+oracle-checked operators:
+
+    quality signals -> quality gate -> language gate -> exact dedup
+    -> near-dup survivor pruning -> token accounting -> sharded write
+
+Why a module instead of calling the registry queries in sequence — the
+composition itself is where the 100 TB design lives:
+
+- **One labeling pass, stats from ONE job.** Every stage is a boolean
+  COLUMN on a slim per-document label frame, not an eager
+  filter-then-count; per-stage survivor counts and token totals come
+  from a single aggregate. A count() per stage would re-run the full
+  lineage once per stage (CLAUDE.md: minimize job count).
+- **Labels are slim; text moves once.** All gating/dedup decisions are
+  computed on a projection without the document body (ids, signals, a
+  16-byte digest). The wide ``text`` column is touched exactly twice:
+  the signal scan (map-side, no shuffle) and the final label join +
+  shard shuffle that every curation job must pay to write its output.
+- **Filter before dedup.** Near-dup candidate generation runs only on
+  documents that survived the cheap map-side gates and exact dedup —
+  candidate volume grows quadratically in block occupancy, so gating
+  first shrinks the only super-linear stage.
+- **The shuffles are the irreducible ones.** Exact dedup shuffles
+  (digest, doc_id) pairs; near-dup shuffles blocked candidates
+  (`dedup.ngram_jaccard_edges`); survivor labeling is the O(log n)
+  alternating-star CC from `queries.graph` (lineage-truncated rounds);
+  the output write shuffles the kept corpus once into size-targeted,
+  deterministic shards.
+
+Reference scope note: the reference (kinesis.go:193-197) delivers
+records to a user callback and stops there; this module is part of the
+driver-mandated LLM-pipeline extension surface (SURVEY.md §2.C), built
+entirely from the operators those sections define.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .queries.dedup import ngram_jaccard_edges
+from .queries.graph import connected_components
+from .queries.text import quality_signal_columns
+from .tables import load_table
+
+
+@dataclass(frozen=True)
+class CurationConfig:
+    """Gate thresholds (C4/Gopher-style) and output sharding targets.
+
+    ``allowed_langs=None`` admits every language; an empty tuple is
+    rejected loudly (an all-dropping language gate is a caller bug, not
+    a corpus property). Token counts use the BPE-ish regex tokenizer
+    from ``text.quality_signal_columns`` — the same numbers the
+    ``text_quality_scores`` registry entry reports.
+    """
+
+    min_words: int = 5
+    max_words: int = 1_000_000
+    min_avg_word_len: float = 1.0
+    max_avg_word_len: float = 20.0
+    max_punct_ratio: float = 0.9
+    min_lexical_diversity: float = 0.0
+    allowed_langs: tuple[str, ...] | None = None
+    jaccard_tau: float = 0.6
+    tokens_per_shard: int = 1_000_000
+
+    def __post_init__(self) -> None:
+        if self.allowed_langs is not None and not self.allowed_langs:
+            raise ValueError(
+                "allowed_langs=() drops every document; pass None for all"
+            )
+        if self.min_words > self.max_words:
+            raise ValueError("min_words > max_words")
+        if not 0.0 < self.jaccard_tau <= 1.0:
+            raise ValueError("jaccard_tau must be in (0, 1]")
+        if self.tokens_per_shard < 1:
+            raise ValueError("tokens_per_shard must be >= 1")
+
+
+class CuratedCorpus:
+    """Result handle: lazy label/final frames + one-job statistics.
+
+    ``labels`` — one slim row per INPUT document with the cumulative
+    stage verdicts: quality_pass, gate_pass (quality ∧ language),
+    exact_keep (gate_pass ∧ smallest doc_id of its digest group),
+    keep (exact_keep ∧ near-dup component survivor), plus component
+    and tokens. ``final`` — the kept documents with text and
+    provenance. Call :meth:`release` when done (drops the persisted
+    label frame)."""
+
+    def __init__(
+        self, doc: DataFrame, labels: DataFrame, config: CurationConfig
+    ) -> None:
+        self._doc = doc
+        self.labels = labels
+        self.config = config
+        self._stats: dict[str, int] | None = None
+
+    def stats(self) -> dict[str, int]:
+        """Per-stage survivor counts + token totals — a single
+        aggregate job over the label frame (cached after first call)."""
+        if self._stats is None:
+            as_long = lambda c: F.sum(F.col(c).cast("long"))  # noqa: E731
+            row = self.labels.agg(
+                F.count("*").alias("n_input"),
+                as_long("quality_pass").alias("n_quality"),
+                as_long("gate_pass").alias("n_gate"),
+                as_long("exact_keep").alias("n_exact"),
+                as_long("keep").alias("n_kept"),
+                F.sum("tokens").alias("input_tokens"),
+                F.sum(F.when(F.col("keep"), F.col("tokens")).otherwise(0)).alias(
+                    "kept_tokens"
+                ),
+            ).collect()[0]
+            self._stats = {k: int(row[k] or 0) for k in row.asDict()}
+        return self._stats
+
+    @property
+    def final(self) -> DataFrame:
+        """Kept documents with text + provenance (tokens, component).
+        The label side is slim; AQE broadcasts it while it fits and
+        falls back to a doc_id sort-merge join beyond that — either
+        way the text column moves through exactly this one join."""
+        kept = self.labels.filter("keep").select("doc_id", "tokens", "component")
+        return self._doc.join(kept, "doc_id")
+
+    def n_shards(self) -> int:
+        return max(
+            1,
+            math.ceil(self.stats()["kept_tokens"] / self.config.tokens_per_shard),
+        )
+
+    def write_shards(self, out_dir: str, seed: int = 0) -> int:
+        """Write the curated corpus as size-targeted parquet shards:
+        ``{out_dir}/shard=NN/part-*.parquet``.
+
+        Shard count = ceil(kept_tokens / tokens_per_shard). Assignment
+        and within-shard order are DETERMINISTIC functions of doc_id
+        (xxhash64), not of task scheduling: re-running the job — or
+        running it on a different cluster size — produces the same
+        shard membership and the same pseudo-random training order, the
+        reproducibility property a training-data job needs. One
+        shuffle; returns the shard count."""
+        n = self.n_shards()
+        shard = F.pmod(F.xxhash64("doc_id"), F.lit(n)).cast("int")
+        (
+            self.final.withColumn("shard", shard)
+            .repartition(n, "shard")
+            .sortWithinPartitions(F.xxhash64("doc_id", F.lit(seed)))
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(out_dir)
+        )
+        return n
+
+    def read_shards(self, spark: SparkSession, out_dir: str) -> DataFrame:
+        """Read back a :meth:`write_shards` output (shard column kept)."""
+        return spark.read.parquet(out_dir)
+
+    def release(self) -> None:
+        self.labels.unpersist()
+
+
+def curate(
+    spark: SparkSession, sf_dir: str, config: CurationConfig | None = None
+) -> CuratedCorpus:
+    """Run the curation pipeline over ``{sf_dir}/documents.parquet``.
+    See :func:`curate_frame` for the pipeline itself."""
+    return curate_frame(load_table(spark, sf_dir, "documents"), config)
+
+
+def curate_frame(
+    doc: DataFrame, config: CurationConfig | None = None
+) -> CuratedCorpus:
+    """The pipeline over any document frame with (doc_id, lang, source,
+    text) columns.
+
+    The label frame is persisted — it is slim (no text), consumed by
+    stats(), final, and write_shards(), and its lineage contains the
+    iterative near-dup CC (not a single lazy plan). Call
+    ``CuratedCorpus.release()`` when done."""
+    config = config or CurationConfig()
+    sig = quality_signal_columns()
+
+    # -- one map-side pass: slim per-doc labels (no text column) -------
+    slim = doc.select(
+        "doc_id",
+        "lang",
+        "source",
+        sig["n_words"].alias("n_words"),
+        sig["avg_word_len"].alias("avg_word_len"),
+        sig["punct_ratio"].alias("punct_ratio"),
+        sig["lexical_diversity"].alias("lexical_diversity"),
+        sig["bpe_ish_tokens"].alias("tokens"),
+        sig["digest"].alias("digest"),
+    )
+    quality = reduce(
+        lambda a, b: a & b,
+        [
+            F.col("n_words") >= config.min_words,
+            F.col("n_words") <= config.max_words,
+            F.col("avg_word_len") >= config.min_avg_word_len,
+            F.col("avg_word_len") <= config.max_avg_word_len,
+            F.col("punct_ratio") <= config.max_punct_ratio,
+            F.col("lexical_diversity") >= config.min_lexical_diversity,
+        ],
+    )
+    lang_ok = (
+        F.lit(True)
+        if config.allowed_langs is None
+        else F.col("lang").isin(*config.allowed_langs)
+    )
+    labels = slim.withColumn("quality_pass", quality).withColumn(
+        "gate_pass", quality & lang_ok
+    )
+
+    # -- exact dedup among gate-passing docs: slim digest shuffle ------
+    keepers = (
+        labels.filter("gate_pass")
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("exact_keeper"))
+    )
+    labels = labels.join(keepers, "digest", "left").withColumn(
+        "exact_keep",
+        F.col("gate_pass") & (F.col("doc_id") == F.col("exact_keeper")),
+    )
+
+    # -- near-dup pruning on the reduced corpus ------------------------
+    eligible = doc.join(
+        labels.filter("exact_keep").select("doc_id"), "doc_id", "leftsemi"
+    )
+    edges = ngram_jaccard_edges(eligible, tau=config.jaccard_tau).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    cc = connected_components(edges)  # (node, component), O(log n) rounds
+    labels = (
+        labels.join(cc, labels["doc_id"] == cc["node"], "left")
+        .drop("node")
+        .withColumn(
+            "component",
+            F.when(
+                F.col("exact_keep"), F.coalesce("component", F.col("doc_id"))
+            ),
+        )
+        .withColumn(
+            "keep", F.col("exact_keep") & (F.col("doc_id") == F.col("component"))
+        )
+        .drop("exact_keeper")
+        .persist()
+    )
+    return CuratedCorpus(doc, labels, config)

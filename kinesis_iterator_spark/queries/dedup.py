@@ -411,7 +411,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     length-decile) so the self-join is an equi-join on the block key, not a
     cross product — the blocking discipline that keeps this possible at
     scale (candidates within a block only)."""
-    doc = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_edges(load_table(spark, sf_dir, "documents"))
+
+
+def ngram_jaccard_edges(doc: DataFrame, tau: float = 0.6) -> DataFrame:
+    """The edge generator behind ``dedup_ngram_jaccard``, over an
+    arbitrary document DataFrame (``doc_id``, ``lang``, ``text``) so the
+    curation pipeline can run it on an already-filtered corpus —
+    filter-before-dedup matters at scale because candidate volume grows
+    quadratically in block occupancy. Returns (doc_a, doc_b, jaccard)
+    with doc_a < doc_b and jaccard ≥ ``tau``."""
     words = F.split(F.col("text"), " ")
     sets = doc.select(
         "doc_id",
@@ -435,7 +444,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.doc_id").alias("doc_b"),
             jaccard.alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= 0.6)
+        .filter(F.col("jaccard") >= tau)
     )
 
 

@@ -7,7 +7,7 @@ SQL-expressible so every operator here has a real DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..tables import load_table
@@ -29,6 +29,45 @@ STOPWORDS = ("the", "and", "of", "to", "a", "in", "is", "it", "for", "on")
 
 def _sql_list(words: tuple[str, ...]) -> str:
     return ", ".join(f"'{w}'" for w in words)
+
+
+def quality_signal_columns() -> dict[str, Column]:
+    """The per-document signal expressions over an implicit ``text``
+    column, by output name. Factored so the registry query below and the
+    curation pipeline (``kinesis_iterator_spark.pipeline``) compute
+    bit-identical signals from one definition. All built-in expressions:
+    map-side, codegen'd, no Python."""
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words).cast("long")
+    n_chars = F.length("text").cast("long")
+    n_stop = F.size(
+        F.filter(words, lambda w: w.isin(*STOPWORDS))
+    ).cast("long")
+    n_unique = F.size(F.array_distinct(words)).cast("long")
+    chars = F.split(F.col("text"), "")
+    poly = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % F.lit(2147483647),
+    )
+    return {
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "avg_word_len": n_chars.cast("double") / n_words,
+        "punct_ratio": (
+            n_chars - F.length(F.regexp_replace("text", "[^a-zA-Z ]", ""))
+        ).cast("double")
+        / n_chars,
+        "stopword_ratio": n_stop.cast("double") / n_words,
+        "n_unique": n_unique,
+        "lexical_diversity": n_unique.cast("double") / n_words,
+        "bpe_ish_tokens": F.size(
+            F.expr(r"regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]', 0)")
+        ).cast("long"),
+        "byte_estimate_tokens": F.ceil(F.length("text") / 4.0).cast("long"),
+        "fingerprint": poly,
+        "digest": F.md5("text"),
+    }
 
 
 @query(
@@ -66,41 +105,9 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream mod 2^31-1 — the Rabin-Karp building block — plus md5 digest).
     Pure map-side: zero shuffles."""
     doc = load_table(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), " ")
-    n_words = F.size(words).cast("long")
-    n_chars = F.length("text").cast("long")
-    n_stop = F.size(
-        F.filter(words, lambda w: w.isin(*STOPWORDS))
-    ).cast("long")
-    n_unique = F.size(F.array_distinct(words)).cast("long")
-    chars = F.split(F.col("text"), "")
-    poly = F.aggregate(
-        chars,
-        F.lit(0).cast("long"),
-        lambda acc, c: (acc * 31 + F.ascii(c)) % F.lit(2147483647),
-    )
+    sig = quality_signal_columns()
     return doc.select(
-        "doc_id",
-        n_chars.alias("n_chars"),
-        n_words.alias("n_words"),
-        (n_chars.cast("double") / n_words).alias("avg_word_len"),
-        (
-            (
-                n_chars - F.length(F.regexp_replace("text", "[^a-zA-Z ]", ""))
-            ).cast("double")
-            / n_chars
-        ).alias("punct_ratio"),
-        (n_stop.cast("double") / n_words).alias("stopword_ratio"),
-        n_unique.alias("n_unique"),
-        (n_unique.cast("double") / n_words).alias("lexical_diversity"),
-        F.size(
-            F.expr(r"regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]', 0)")
-        )
-        .cast("long")
-        .alias("bpe_ish_tokens"),
-        F.ceil(F.length("text") / 4.0).cast("long").alias("byte_estimate_tokens"),
-        poly.alias("fingerprint"),
-        F.md5("text").alias("digest"),
+        "doc_id", *(col.alias(name) for name, col in sig.items())
     )
 
 

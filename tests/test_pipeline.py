@@ -1,0 +1,218 @@
+"""End-to-end curation pipeline (kinesis_iterator_spark.pipeline).
+
+The headline check runs the WHOLE pipeline — quality gate, language
+gate, exact dedup, near-dup survivor pruning — against a DuckDB oracle
+that recomputes the same composition in SQL (recursive min-label CC for
+the survivor stage), over the real fixture corpus. Stage semantics that
+the fixture can't exercise (it has no exact duplicates) are pinned on a
+small hand-computable frame via curate_frame.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from kinesis_iterator_spark.pipeline import (
+    CurationConfig,
+    curate,
+    curate_frame,
+)
+
+# Gates chosen so EVERY fixture-exercisable stage drops rows at
+# sf0.001: n_words spans 10-99 (min_words=20 bites), lexical diversity
+# spans 0.28-1.0 (0.30 bites), zh is excluded, and tau=0.6 yields
+# thousands of near-dup edges.
+CFG = CurationConfig(
+    min_words=20,
+    min_lexical_diversity=0.30,
+    allowed_langs=("en", "es", "de", "fr"),
+    jaccard_tau=0.6,
+    tokens_per_shard=1_000,
+)
+
+ORACLE_FINAL_IDS = """
+WITH RECURSIVE sig AS (
+  SELECT doc_id, lang,
+         len(string_split(text, ' ')) AS n_words,
+         CAST(LENGTH(text) AS DOUBLE) / len(string_split(text, ' ')) AS awl,
+         CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z ]', '', 'g'))
+              AS DOUBLE) / LENGTH(text) AS punct,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS lexdiv,
+         md5(text) AS digest
+  FROM documents
+),
+gate AS (
+  SELECT doc_id, lang, digest FROM sig
+  WHERE n_words BETWEEN 20 AND 1000000
+    AND awl BETWEEN 1.0 AND 20.0
+    AND punct <= 0.9 AND lexdiv >= 0.30
+    AND lang IN ('en', 'es', 'de', 'fr')
+),
+exact AS (
+  SELECT g.doc_id FROM gate g
+  JOIN (SELECT digest, MIN(doc_id) AS k FROM gate GROUP BY digest) m
+    ON g.digest = m.digest AND g.doc_id = m.k
+),
+sets AS (
+  SELECT d.doc_id, d.lang,
+         len(string_split(d.text, ' ')) AS n_words,
+         list_distinct(string_split(d.text, ' ')) AS wset
+  FROM documents d JOIN exact e ON d.doc_id = e.doc_id
+),
+edges AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM sets a JOIN sets b
+    ON a.lang = b.lang AND (a.n_words // 10) = (b.n_words // 10)
+   AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.wset, b.wset))) >= 0.6
+),
+sym AS (SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges),
+walk(node, reach) AS (
+  SELECT u AS node, u AS reach FROM sym
+  UNION
+  SELECT s.u AS node, w.reach FROM sym s JOIN walk w ON w.node = s.v
+),
+comp AS (SELECT node, MIN(reach) AS component FROM walk GROUP BY node)
+SELECT e.doc_id FROM exact e LEFT JOIN comp c ON e.doc_id = c.node
+WHERE e.doc_id = COALESCE(c.component, e.doc_id)
+ORDER BY e.doc_id
+"""
+
+
+@pytest.fixture(scope="module")
+def curated(spark, sf_dir):
+    cur = curate(spark, sf_dir, CFG)
+    yield cur
+    cur.release()
+
+
+def _oracle_ids(sf_dir: str) -> list[int]:
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    return [r[0] for r in con.execute(ORACLE_FINAL_IDS).fetchall()]
+
+
+def test_final_ids_match_duckdb_oracle(curated, sf_dir):
+    """The end-to-end pin: every stage composed, both engines agree on
+    exactly which documents survive."""
+    got = sorted(
+        r["doc_id"] for r in curated.final.select("doc_id").collect()
+    )
+    want = _oracle_ids(sf_dir)
+    assert want, "oracle kept nothing — gates misconfigured for fixture"
+    assert got == want
+
+
+def test_stats_monotone_and_consistent(curated):
+    s = curated.stats()
+    assert s["n_input"] == 500
+    # cumulative gates can only shrink
+    assert s["n_input"] >= s["n_quality"] >= s["n_gate"] >= s["n_exact"] >= s["n_kept"]
+    # every fixture-exercisable stage actually bites under CFG
+    assert s["n_quality"] < s["n_input"]
+    assert s["n_gate"] < s["n_quality"]  # zh excluded
+    assert s["n_kept"] < s["n_exact"]  # near-dup pruning bites
+    assert 0 < s["kept_tokens"] <= s["input_tokens"]
+    assert s["n_kept"] == curated.final.count()
+
+
+def test_labels_are_slim(curated):
+    """Design invariant: every gating/dedup decision is computed without
+    the document body — text must not appear in the label frame."""
+    assert "text" not in curated.labels.columns
+    assert {
+        "doc_id",
+        "quality_pass",
+        "gate_pass",
+        "exact_keep",
+        "keep",
+        "component",
+        "tokens",
+    } <= set(curated.labels.columns)
+
+
+def test_write_shards_roundtrip_and_determinism(curated, spark, tmp_path):
+    out_a, out_b = str(tmp_path / "a"), str(tmp_path / "b")
+    n_a = curated.write_shards(out_a)
+    n_b = curated.write_shards(out_b)
+    assert n_a == n_b == curated.n_shards()
+    s = curated.stats()
+    import math
+
+    assert n_a == max(1, math.ceil(s["kept_tokens"] / CFG.tokens_per_shard))
+    assert n_a > 1  # tokens_per_shard chosen so the fixture splits
+
+    back_a = curated.read_shards(spark, out_a)
+    back_b = curated.read_shards(spark, out_b)
+    rows_a = {
+        (r["doc_id"], r["shard"])
+        for r in back_a.select("doc_id", "shard").collect()
+    }
+    rows_b = {
+        (r["doc_id"], r["shard"])
+        for r in back_b.select("doc_id", "shard").collect()
+    }
+    # identical shard MEMBERSHIP across runs (hash of doc_id, not
+    # scheduling), and the read-back corpus is exactly the kept set
+    assert rows_a == rows_b
+    assert {d for d, _ in rows_a} == {
+        r["doc_id"] for r in curated.final.select("doc_id").collect()
+    }
+
+
+def test_stage_semantics_hand_computed(spark):
+    """curate_frame over a tiny constructed corpus where every stage
+    outcome is hand-checkable, including exact dedup (the parquet
+    fixture has no exact duplicates)."""
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "from the noisy busy town toward quiet green hills tonight"
+    )  # 22 words, all distinct except 'the' x3
+    docs = [
+        (1, base, "en", "s"),  # survivor of {1,2,3}: exact dup of 2,
+        (2, base, "en", "s"),  # near-dup of 3
+        (3, base + " extra", "en", "s"),
+        (10, "too short text here", "en", "s"),  # fails min_words
+        (20, base.replace("the", "le"), "xx", "s"),  # lang gate
+        (30, " ".join(["word"] * 25), "en", "s"),  # lexical diversity
+    ]
+    doc = spark.createDataFrame(docs, ["doc_id", "text", "lang", "source"])
+    cfg = CurationConfig(
+        min_words=10,
+        min_lexical_diversity=0.5,
+        allowed_langs=("en",),
+        jaccard_tau=0.6,
+    )
+    cur = curate_frame(doc, cfg)
+    try:
+        by_id = {r["doc_id"]: r.asDict() for r in cur.labels.collect()}
+        assert not by_id[10]["quality_pass"]
+        assert by_id[20]["quality_pass"] and not by_id[20]["gate_pass"]
+        assert not by_id[30]["quality_pass"]  # 1/25 distinct
+        # exact dedup: 1 and 2 share a digest; 1 wins
+        assert by_id[1]["exact_keep"] and not by_id[2]["exact_keep"]
+        # near-dup: 3 joins 1's component (jaccard vs base well above
+        # 0.6: one extra word on 20 distinct), 1 is min-id survivor
+        assert by_id[3]["exact_keep"] and not by_id[3]["keep"]
+        assert by_id[3]["component"] == 1
+        assert by_id[1]["keep"]
+        assert {d for d, r in by_id.items() if r["keep"]} == {1}
+    finally:
+        cur.release()
+
+
+def test_config_validation():
+    with pytest.raises(ValueError):
+        CurationConfig(allowed_langs=())
+    with pytest.raises(ValueError):
+        CurationConfig(jaccard_tau=0.0)
+    with pytest.raises(ValueError):
+        CurationConfig(min_words=10, max_words=5)
+    with pytest.raises(ValueError):
+        CurationConfig(tokens_per_shard=0)
