@@ -621,13 +621,31 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stored column; this persist is that column's local analogue. The
     # harness releases it after the consuming action (release_persists).
     sig = managed_persist(lsh_signatures(emb, b, par))
-    # Candidate generation is ONE co-partitioned equi-join on
-    # (table_id, bucket): probe side = each vector's bucket plus its b
-    # one-bit flips; corpus side = signatures minus hot buckets. The
-    # hot-bucket cap is a window count over the SAME keys the join
-    # shuffles on, so Catalyst reuses the exchange — no broadcasts, no
-    # extra jobs, and the identical plan co-partitions at any scale.
-    probe_side = sig.select(
+    # Shared scoring tail (small-corpus executor cache / large-corpus
+    # join-gather) — no corpus on the driver either way.
+    return _score_pairs_topk(
+        _lsh_candidate_pairs(sig, b, cap), emb, par, sf_dir, n
+    )
+
+
+def _lsh_candidate_pairs(
+    sig: DataFrame, b: int, cap: int, query_ids=None
+) -> DataFrame:
+    """Candidate generation shared by the self-kNN, external-query-set,
+    and stored-index LSH forms: ONE co-partitioned equi-join on
+    (table_id, bucket). Probe side = each query vector's bucket plus its
+    b one-bit flips (restricted first when ``query_ids`` is given, so
+    pruning happens BEFORE candidates exist); corpus side = signatures
+    minus hot buckets. The hot-bucket cap is a window count over the
+    SAME keys the join shuffles on, so Catalyst reuses the exchange — no
+    broadcasts, no extra jobs, and the identical plan co-partitions at
+    any scale."""
+    probe_src = (
+        sig
+        if query_ids is None
+        else _restrict_to_query_ids(sig, "vec_id", query_ids)
+    )
+    probe_side = probe_src.select(
         F.col("vec_id").alias("query_id"),
         "table_id",
         F.explode(
@@ -644,14 +662,11 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("bsz") <= cap)
         .select(F.col("vec_id").alias("neighbor_id"), "table_id", "bucket")
     )
-    cand = (
+    return (
         probe_side.join(capped, ["table_id", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
     )
-    # Shared scoring tail (small-corpus executor cache / large-corpus
-    # join-gather) — no corpus on the driver either way.
-    return _score_pairs_topk(cand, emb, par, sf_dir, n)
 
 
 def similarity_lsh_topk_for_queries(
@@ -675,32 +690,13 @@ def similarity_lsh_topk_for_queries(
     cap = 32 + 8 * n // (1 << b)
     par = spark.sparkContext.defaultParallelism
     sig = managed_persist(lsh_signatures(emb, b, par))
-    probe_side = (
-        _restrict_to_query_ids(sig, "vec_id", query_ids)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            "table_id",
-            F.explode(
-                F.array(
-                    F.col("bucket"),
-                    *[F.expr(f"bucket ^ {1 << k}") for k in range(b)],
-                )
-            ).alias("bucket"),
-        )
+    return _score_pairs_topk(
+        _lsh_candidate_pairs(sig, b, cap, query_ids=query_ids),
+        emb,
+        par,
+        sf_dir,
+        n,
     )
-    capped = (
-        sig.withColumn(
-            "bsz", F.count("*").over(W.partitionBy("table_id", "bucket"))
-        )
-        .filter(F.col("bsz") <= cap)
-        .select(F.col("vec_id").alias("neighbor_id"), "table_id", "bucket")
-    )
-    cand = (
-        probe_side.join(capped, ["table_id", "bucket"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id")
-    )
-    return _score_pairs_topk(cand, emb, par, sf_dir, n)
 
 
 _IVF_CENT_SQL = f"""
@@ -789,7 +785,28 @@ def similarity_ivf_topk_for_queries(
 
 def _ivf_topk_impl(spark: SparkSession, sf_dir: str, query_ids) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
+    # Persist the slim ranked assignment (vec_id, cell, rk ≈ 24 B/row):
+    # it feeds both the corpus side (rk==1) and the probe side (rk<=2),
+    # and without a persist each re-runs the scan→assign-kernel lineage.
+    ranked = managed_persist(_ivf_ranked_assignment(spark, emb))
+    pairs = _ivf_candidate_pairs(ranked, query_ids)
+    # Shared scoring tail (see _score_pairs_topk) — no corpus on the
+    # driver; path selection reads the parquet footer, not a count job.
+    return _score_pairs_topk(
+        pairs,
+        emb,
+        spark.sparkContext.defaultParallelism,
+        sf_dir,
+        _corpus_size(sf_dir),
+    )
 
+
+def _ivf_ranked_assignment(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """Codebook + 2-nearest-cell ranked assignment (vec_id, cell, rk) —
+    the IVF inverted-file structure. Factored so the stored-index writer
+    (``write_ann_index``) and the recompute path build the identical
+    artifact. Returns the UNPERSISTED slim frame; callers decide the
+    persistence policy (recompute path persists, writer writes)."""
     # Coarse codebook: decimal-exact mean embedding per label (distributed:
     # posexplode → exact sum ÷ count per (label, dim) → rebuild vector).
     cent = (
@@ -851,42 +868,132 @@ def _ivf_topk_impl(spark: SparkSession, sf_dir: str, query_ids) -> DataFrame:
                 }
             )
 
-    # Persist the slim ranked assignment (vec_id, cell, rk ≈ 24 B/row):
-    # it feeds both the corpus side (rk==1) and the probe side (rk<=2),
-    # and without a persist each re-runs the scan→assign-kernel lineage.
-    ranked = managed_persist(
+    return (
         emb.repartition(spark.sparkContext.defaultParallelism)
         .select("vec_id", "embedding")
         .mapInPandas(assign, "vec_id long, cell long, rk long")
     )
+
+
+def _ivf_candidate_pairs(ranked: DataFrame, query_ids=None) -> DataFrame:
+    """Cell-join candidate generation shared by the recompute and
+    stored-index IVF forms. One ranked frame serves both roles in the
+    self-kNN regime: rk==1 assigns each corpus vector to its cell;
+    rk<=2 is the same vector's 2-cell probe set as a query. With
+    ``query_ids``, the probe side is pruned BEFORE the cell join so the
+    candidate volume scales with |query_ids|, never n.
+
+    Slim (query, neighbor) pairs from the cell join; embeddings never
+    ride through it. Deliberately NO broadcast hint: the probe side is
+    O(n) in the self-kNN regime, and a forced hint would make Catalyst
+    materialize a corpus-sized broadcast on the driver at any scale —
+    AQE picks broadcast at fixture scale on its own and degrades to
+    shuffle join when the side outgrows the threshold (plan pinned in
+    tests/test_plans.py)."""
     assigned = ranked.filter(F.col("rk") == 1).select(
         F.col("vec_id").alias("neighbor_id"), "cell"
     )
     probe = ranked
     if query_ids is not None:
-        # External bounded query set: prune BEFORE the cell join so the
-        # candidate volume scales with |query_ids|, never n.
         probe = _restrict_to_query_ids(probe, "vec_id", query_ids)
     queries = probe.select(F.col("vec_id").alias("query_id"), "cell")
-    # Slim (query, neighbor) pairs from the cell join; embeddings never
-    # ride through it. Exact scoring in the Arrow kernel + JVM window
-    # top-k, same as the LSH path. Deliberately NO broadcast hint: the
-    # probe side is O(n) (every corpus vector × 2 probe cells), and a
-    # forced hint would make Catalyst materialize a corpus-sized
-    # broadcast on the driver at any scale — AQE picks broadcast at
-    # fixture scale on its own and degrades to shuffle join when the
-    # side outgrows the threshold (plan pinned in tests/test_plans.py).
-    pairs = (
+    return (
         assigned.join(queries, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
     )
-    # Shared scoring tail (see _score_pairs_topk) — no corpus on the
-    # driver; path selection reads the parquet footer, not a count job.
+
+
+# ---------------------------------------------------------------------------
+# Persisted ANN index — the "write-time stored column" made literal
+# ---------------------------------------------------------------------------
+# Every ANN docstring above notes that at 100 TB the signature / cell
+# assignment is a stored column written once at ingest, not recomputed per
+# query. These functions ARE that writer and the query paths over the
+# stored artifacts: build once (one corpus pass per artifact), then every
+# query run reads slim parquet instead of re-running the Arrow kernels
+# over the full corpus. Candidate generation and scoring are the SAME
+# factored tails as the recompute paths, so stored-vs-recomputed equality
+# is a pure storage-roundtrip property (pinned in tests/test_ann_index.py).
+
+
+def write_ann_index(spark: SparkSession, sf_dir: str, index_dir: str) -> dict:
+    """Materialize the ANN index for ``{sf_dir}/embeddings.parquet``:
+
+    - ``{index_dir}/lsh_signatures/`` — (vec_id, bucket) partitioned by
+      table_id: per-table directory pruning when a query probes a subset.
+    - ``{index_dir}/ivf_assignment/`` — (vec_id, cell, rk≤2): rk==1 is
+      the inverted file, rk<=2 the per-vector probe set.
+    - ``{index_dir}/meta.json`` — the parameters the index was built
+      with (n, b, cap); queries read them back instead of re-deriving,
+      so an index built at one corpus size stays self-consistent even if
+      the corpus file is later swapped. (Driver-local file write — on a
+      real cluster this sidecar goes through the object store API.)
+
+    Returns the meta dict. Each artifact is one pass over the corpus;
+    nothing wide is shuffled (signatures/assignments are ≤24 B rows).
+    """
+    import json
+    import os
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = _corpus_size(sf_dir)
+    b = _bits_for(n)
+    cap = 32 + 8 * n // (1 << b)
+    par = spark.sparkContext.defaultParallelism
+    lsh_signatures(emb, b, par).write.mode("overwrite").partitionBy(
+        "table_id"
+    ).parquet(f"{index_dir}/lsh_signatures")
+    _ivf_ranked_assignment(spark, emb).write.mode("overwrite").parquet(
+        f"{index_dir}/ivf_assignment"
+    )
+    meta = {"n": n, "b": b, "cap": cap, "n_tables": N_TABLES, "dim": DIM}
+    os.makedirs(index_dir, exist_ok=True)
+    with open(f"{index_dir}/meta.json", "w") as fh:
+        json.dump(meta, fh)
+    return meta
+
+
+def _read_ann_meta(index_dir: str) -> dict:
+    import json
+
+    with open(f"{index_dir}/meta.json") as fh:
+        return json.load(fh)
+
+
+def similarity_lsh_topk_from_index(
+    spark: SparkSession, sf_dir: str, index_dir: str, query_ids=None
+) -> DataFrame:
+    """`similarity_lsh_topk` over a stored index: identical candidate
+    generation + scoring, but the signature side is a slim parquet scan
+    instead of the corpus-wide Arrow kernel (and needs no persist — the
+    two consumers re-read the file, which is the stored column's whole
+    point)."""
+    meta = _read_ann_meta(index_dir)
+    sig = spark.read.parquet(f"{index_dir}/lsh_signatures")
+    emb = load_table(spark, sf_dir, "embeddings")
     return _score_pairs_topk(
-        pairs,
+        _lsh_candidate_pairs(sig, meta["b"], meta["cap"], query_ids=query_ids),
         emb,
         spark.sparkContext.defaultParallelism,
         sf_dir,
-        _corpus_size(sf_dir),
+        meta["n"],
+    )
+
+
+def similarity_ivf_topk_from_index(
+    spark: SparkSession, sf_dir: str, index_dir: str, query_ids=None
+) -> DataFrame:
+    """`similarity_ivf_topk` over a stored index: the codebook build and
+    assignment kernel are skipped entirely — the cell join runs on the
+    stored (vec_id, cell, rk) inverted file."""
+    meta = _read_ann_meta(index_dir)
+    ranked = spark.read.parquet(f"{index_dir}/ivf_assignment")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _score_pairs_topk(
+        _ivf_candidate_pairs(ranked, query_ids=query_ids),
+        emb,
+        spark.sparkContext.defaultParallelism,
+        sf_dir,
+        meta["n"],
     )
