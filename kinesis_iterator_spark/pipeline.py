@@ -44,7 +44,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .queries.dedup import ngram_jaccard_edges
+from .queries.dedup import minhash_pairs, ngram_jaccard_edges
 from .queries.graph import connected_components
 from .queries.text import quality_signal_columns
 from .tables import load_table
@@ -59,6 +59,19 @@ class CurationConfig:
     a corpus property). Token counts use the BPE-ish regex tokenizer
     from ``text.quality_signal_columns`` — the same numbers the
     ``text_quality_scores`` registry entry reports.
+
+    ``edge_source`` picks the near-dup edge generator:
+    - ``"minhash"`` (default — the 100 TB path): banded MinHash-LSH
+      candidates with the hot-bucket cap, exact 3-shingle-Jaccard
+      verification at the dedup module's threshold
+      (``dedup.JACCARD_THRESHOLD``); candidate volume is bounded by
+      bucket occupancy, never block size.
+    - ``"ngram"``: exact blocked unigram Jaccard at ``jaccard_tau``
+      (``dedup.ngram_jaccard_edges``) — exhaustive within (lang ×
+      length-decile) blocks, which is exact and SQL-oracle-checkable
+      but block-quadratic: block occupancy grows linearly with the
+      corpus, so this is the verification/baseline path, not the scale
+      path.
     """
 
     min_words: int = 5
@@ -68,6 +81,7 @@ class CurationConfig:
     max_punct_ratio: float = 0.9
     min_lexical_diversity: float = 0.0
     allowed_langs: tuple[str, ...] | None = None
+    edge_source: str = "minhash"
     jaccard_tau: float = 0.6
     tokens_per_shard: int = 1_000_000
 
@@ -78,6 +92,8 @@ class CurationConfig:
             )
         if self.min_words > self.max_words:
             raise ValueError("min_words > max_words")
+        if self.edge_source not in ("minhash", "ngram"):
+            raise ValueError("edge_source must be 'minhash' or 'ngram'")
         if not 0.0 < self.jaccard_tau <= 1.0:
             raise ValueError("jaccard_tau must be in (0, 1]")
         if self.tokens_per_shard < 1:
@@ -236,7 +252,11 @@ def curate_frame(
     eligible = doc.join(
         labels.filter("exact_keep").select("doc_id"), "doc_id", "leftsemi"
     )
-    edges = ngram_jaccard_edges(eligible, tau=config.jaccard_tau).select(
+    if config.edge_source == "minhash":
+        raw_edges = minhash_pairs(eligible)
+    else:
+        raw_edges = ngram_jaccard_edges(eligible, tau=config.jaccard_tau)
+    edges = raw_edges.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     cc = connected_components(edges)  # (node, component), O(log n) rounds

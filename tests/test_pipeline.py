@@ -27,6 +27,7 @@ CFG = CurationConfig(
     min_words=20,
     min_lexical_diversity=0.30,
     allowed_langs=("en", "es", "de", "fr"),
+    edge_source="ngram",  # the oracle-checkable edge generator
     jaccard_tau=0.6,
     tokens_per_shard=1_000,
 )
@@ -187,6 +188,7 @@ def test_stage_semantics_hand_computed(spark):
         min_words=10,
         min_lexical_diversity=0.5,
         allowed_langs=("en",),
+        edge_source="ngram",
         jaccard_tau=0.6,
     )
     cur = curate_frame(doc, cfg)
@@ -207,6 +209,65 @@ def test_stage_semantics_hand_computed(spark):
         cur.release()
 
 
+def test_minhash_edge_source(spark, sf_dir):
+    """The default (scale-path) edge source: MinHash-LSH candidate
+    pairs over the exact-surviving docs. Pins the wiring — the keep set
+    must equal a hand-assembled label_corpus over the same minhash
+    edges — and that the gate/exact stages are identical to the ngram
+    run (edge_source only changes the near-dup stage)."""
+    from pyspark.sql import functions as F
+
+    from kinesis_iterator_spark.queries.dedup import minhash_pairs
+    from kinesis_iterator_spark.queries.graph import label_corpus
+    from kinesis_iterator_spark.tables import load_table
+
+    cfg = CurationConfig(
+        min_words=20,
+        min_lexical_diversity=0.30,
+        allowed_langs=("en", "es", "de", "fr"),
+        edge_source="minhash",
+        tokens_per_shard=1_000,
+    )
+    cur = curate(spark, sf_dir, cfg)
+    try:
+        s = cur.stats()
+        # gate/exact stages are edge-source-independent
+        ref = curate(spark, sf_dir, CFG)
+        try:
+            rs = ref.stats()
+            assert (s["n_input"], s["n_quality"], s["n_gate"], s["n_exact"]) == (
+                rs["n_input"],
+                rs["n_quality"],
+                rs["n_gate"],
+                rs["n_exact"],
+            )
+        finally:
+            ref.release()
+        assert 0 < s["n_kept"] <= s["n_exact"]
+
+        doc = load_table(spark, sf_dir, "documents")
+        eligible = doc.join(
+            cur.labels.filter("exact_keep").select("doc_id"), "doc_id", "leftsemi"
+        )
+        edges = minhash_pairs(eligible).select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        )
+        want = {
+            r["doc_id"]
+            for r in label_corpus(
+                eligible.select("doc_id"), edges, "doc_id"
+            )
+            .filter("is_survivor")
+            .collect()
+        }
+        got = {
+            r["doc_id"] for r in cur.labels.filter("keep").collect()
+        }
+        assert got == want
+    finally:
+        cur.release()
+
+
 def test_config_validation():
     with pytest.raises(ValueError):
         CurationConfig(allowed_langs=())
@@ -216,3 +277,5 @@ def test_config_validation():
         CurationConfig(min_words=10, max_words=5)
     with pytest.raises(ValueError):
         CurationConfig(tokens_per_shard=0)
+    with pytest.raises(ValueError):
+        CurationConfig(edge_source="simhash")
