@@ -17,13 +17,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001: per-event-type tumbling
-    1-hour window aggregate over the events stream table (the batch form of
-    the engine's core streaming aggregation)."""
+    """Flagship query on /root/testdata/sf0.001: per-event-type tumbling +
+    sliding window aggregates over the events stream table (the batch form
+    of the engine's core streaming aggregation)."""
     from kinesis_iterator_spark.queries import QUERIES, load_all
 
     load_all()
-    return QUERIES["events_tumbling_1h"](spark, "/root/testdata/sf0.001")
+    return QUERIES["events_windows"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

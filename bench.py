@@ -25,7 +25,7 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
-    "events_tumbling_1h",
+    "events_windows",
     "events_sessionize_30m",
     "window_rank_functions",
     "topk_per_group",

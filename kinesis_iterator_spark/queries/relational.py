@@ -283,48 +283,65 @@ def join_inner_orders_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "join_left_outer_customer_orders",
+    "join_outer_suite",
     oracle="""
-    SELECT c.c_custkey, c.c_name,
-           COUNT(o.o_orderkey) AS n_orders,
-           CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spend
+    SELECT 'cust_orders' AS side, c.c_custkey AS entity_key, c.c_name AS label,
+           COUNT(o.o_orderkey) AS n_matches,
+           CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE)
+             AS matched_amount
     FROM customer c
     LEFT JOIN orders o ON c.c_custkey = o.o_custkey
-    GROUP BY c.c_custkey, c.c_name
+    GROUP BY 2, 3
+    UNION ALL
+    SELECT 'part_lineitems', p.p_partkey, p.p_name,
+           COUNT(l.l_orderkey),
+           CAST(COALESCE(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))), 0) AS DOUBLE)
+    FROM lineitem l
+    RIGHT JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 2, 3
     """,
 )
-def join_left_outer_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left outer join preserving customers with zero orders; COUNT(col)
-    skips the null-extended rows in both engines."""
+def join_outer_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outer-join null-extension semantics, both directions in one entry
+    (merged per SURVEY §8 registry-headroom plan #3): a LEFT join preserving
+    customers with zero orders and a RIGHT join preserving parts with zero
+    lineitems, tagged by ``side``. COUNT(col) skips the null-extended rows
+    in both engines; the absent side's amount coalesces to 0."""
     cu = load_table(spark, sf_dir, "customer")
     od = load_table(spark, sf_dir, "orders")
-    return (
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = load_table(spark, sf_dir, "part")
+    left_leg = (
         cu.join(od, cu.c_custkey == od.o_custkey, "left")
         .groupBy("c_custkey", "c_name")
         .agg(
-            F.count("o_orderkey").alias("n_orders"),
-            F.coalesce(dsum("o_totalprice"), F.lit(0.0)).alias("total_spend"),
+            F.count("o_orderkey").alias("n_matches"),
+            F.coalesce(dsum("o_totalprice"), F.lit(0.0)).alias("matched_amount"),
+        )
+        .select(
+            F.lit("cust_orders").alias("side"),
+            F.col("c_custkey").alias("entity_key"),
+            F.col("c_name").alias("label"),
+            "n_matches",
+            "matched_amount",
         )
     )
-
-
-@query(
-    "join_right_outer_orders_part",
-    oracle="""
-    SELECT p.p_partkey, COUNT(l.l_orderkey) AS n_lineitems
-    FROM lineitem l
-    RIGHT JOIN part p ON l.l_partkey = p.p_partkey
-    GROUP BY p.p_partkey
-    """,
-)
-def join_right_outer_orders_part(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    pa = load_table(spark, sf_dir, "part")
-    return (
+    right_leg = (
         li.join(pa, li.l_partkey == pa.p_partkey, "right")
-        .groupBy("p_partkey")
-        .agg(F.count("l_orderkey").alias("n_lineitems"))
+        .groupBy("p_partkey", "p_name")
+        .agg(
+            F.count("l_orderkey").alias("n_matches"),
+            F.coalesce(dsum("l_extendedprice"), F.lit(0.0)).alias("matched_amount"),
+        )
+        .select(
+            F.lit("part_lineitems").alias("side"),
+            F.col("p_partkey").alias("entity_key"),
+            F.col("p_name").alias("label"),
+            "n_matches",
+            "matched_amount",
+        )
     )
+    return left_leg.unionByName(right_leg)
 
 
 @query(

@@ -17,50 +17,31 @@ from ..tables import load_table
 from . import query
 
 # ---------------------------------------------------------------------------
-# Flagship: per-event-type tumbling 1-hour window aggregate.
-# Streaming form: withWatermark("ts", ...) + groupBy(window(...)) — identical
-# expression; Spark's window("1 hour") is epoch-aligned = date_trunc('hour').
+# Flagship: per-event-type tumbling 1-hour + sliding 30m/15m window
+# aggregates in one entry (merged per SURVEY §8 registry-headroom plan #2 —
+# tumbling is the degenerate slide==length case; a `kind` column tags the
+# window shape). Streaming form: withWatermark("ts", ...) +
+# groupBy(window(...)) — identical expression; Spark's window("1 hour") is
+# epoch-aligned = date_trunc('hour'), and every event lands in exactly two
+# 30m/15m sliding windows.
 # ---------------------------------------------------------------------------
 
 
 @query(
-    "events_tumbling_1h",
+    "events_windows",
     oracle="""
-    SELECT date_trunc('hour', ts) AS window_start,
-           event_type,
-           COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
-           MIN(value) AS min_value,
-           MAX(value) AS max_value
-    FROM events
-    GROUP BY 1, 2
-    """,
-)
-def events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
-            F.min("value").alias("min_value"),
-            F.max("value").alias("max_value"),
-        )
-        .select(
-            F.col("w.start").alias("window_start"),
-            "event_type",
-            "n_events",
-            "sum_value",
-            "min_value",
-            "max_value",
-        )
-    )
-
-
-@query(
-    "events_sliding_30m",
-    oracle="""
-    WITH base AS (
+    WITH tumbling AS (
+      SELECT 'tumbling_1h' AS kind,
+             date_trunc('hour', ts) AS window_start,
+             event_type,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+             MIN(value) AS min_value,
+             MAX(value) AS max_value
+      FROM events
+      GROUP BY 2, 3
+    ),
+    base AS (
       SELECT event_type, value,
              CAST(to_timestamp(FLOOR(epoch(ts) / 900) * 900) AS TIMESTAMP) AS w0
       FROM events
@@ -69,29 +50,50 @@ def events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, value, w0 AS window_start FROM base
       UNION ALL
       SELECT event_type, value, w0 - INTERVAL 15 MINUTE FROM base
+    ),
+    sliding AS (
+      SELECT 'sliding_30m_15m' AS kind,
+             window_start, event_type,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+             MIN(value) AS min_value,
+             MAX(value) AS max_value
+      FROM slid GROUP BY 2, 3
     )
-    SELECT window_start, event_type, COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-    FROM slid GROUP BY 1, 2
+    SELECT * FROM tumbling UNION ALL SELECT * FROM sliding
     """,
 )
-def events_sliding_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding window: 30-minute length, 15-minute slide (each event lands in
-    exactly 2 windows). Streaming form: groupBy(window(ts, '30 minutes',
-    '15 minutes'))."""
+def events_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour AND sliding 30m/15m window aggregates, tagged by
+    ``kind``. Each leg is the exact expression the streaming form runs
+    (`groupBy(window(ts, ...))`); the union keeps both window shapes under
+    one oracle-checked entry."""
     ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.window("ts", "30 minutes", "15 minutes").alias("w"), "event_type")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+
+    def windowed(kind: str, w) -> DataFrame:
+        return (
+            ev.groupBy(w.alias("w"), "event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_value"),
+                F.min("value").alias("min_value"),
+                F.max("value").alias("max_value"),
+            )
+            .select(
+                F.lit(kind).alias("kind"),
+                F.col("w.start").alias("window_start"),
+                "event_type",
+                "n_events",
+                "sum_value",
+                "min_value",
+                "max_value",
+            )
         )
-        .select(
-            F.col("w.start").alias("window_start"),
-            "event_type",
-            "n_events",
-            "sum_value",
-        )
+
+    return windowed("tumbling_1h", F.window("ts", "1 hour")).unionByName(
+        windowed("sliding_30m_15m", F.window("ts", "30 minutes", "15 minutes"))
     )
 
 

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ..tables import load_table
 from . import query
@@ -308,4 +309,211 @@ def text_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sampled_chars"),
         F.min(F.when(keep, F.col("doc_id"))).alias("min_sampled_doc"),
         F.max(F.when(keep, F.col("doc_id"))).alias("max_sampled_doc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition-based quality signals (the Gopher/MassiveText repetition
+# filters) and train/eval decontamination — the two corpus-hygiene operators
+# a pre-training pipeline runs beside the C4-style quality scores above.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_repetition_scores",
+    oracle="""
+    WITH ws AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    words AS (
+      SELECT doc_id, 'w' AS kind, UNNEST(w) AS g FROM ws
+    ),
+    bis AS (
+      SELECT doc_id, 'b' AS kind,
+             UNNEST(list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+                                   i -> w[i] || ' ' || w[i+1])) AS g
+      FROM ws
+    ),
+    counts AS (
+      SELECT doc_id, kind, g, COUNT(*) AS c
+      FROM (SELECT * FROM words UNION ALL SELECT * FROM bis)
+      GROUP BY doc_id, kind, g
+    )
+    SELECT doc_id,
+           CAST(MAX(CASE WHEN kind='w' THEN c END) AS DOUBLE)
+             / SUM(CASE WHEN kind='w' THEN c END) AS top_word_frac,
+           CAST(COALESCE(SUM(CASE WHEN kind='w' AND c >= 2 THEN c END), 0) AS DOUBLE)
+             / SUM(CASE WHEN kind='w' THEN c END) AS dup_word_frac,
+           CAST(MAX(CASE WHEN kind='b' THEN c END) AS DOUBLE)
+             / SUM(CASE WHEN kind='b' THEN c END) AS top_bigram_frac,
+           CAST(COALESCE(SUM(CASE WHEN kind='b' AND c >= 2 THEN c END), 0) AS DOUBLE)
+             / SUM(CASE WHEN kind='b' THEN c END) AS dup_bigram_frac
+    FROM counts GROUP BY doc_id
+    """,
+)
+def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: per document, the fraction of tokens
+    claimed by the single most frequent word/bigram (`top_*_frac`) and the
+    fraction of tokens inside any repeated word/bigram (`dup_*_frac`) —
+    boilerplate and spam light up on all four.
+
+    Distributed form: one posexplode → window-`lead` pass emits every word
+    AND bigram as tall (doc_id, kind, gram) rows via `stack` (the in-row
+    array-HOF alternative re-evaluates `split` per element — the measured
+    O(words²)-per-doc landmine, see minhash_pairs); the window's doc_id
+    shuffle is the query's ONLY exchange, because both downstream groupBys
+    key on doc_id supersets and reuse its partitioning. Work per doc is
+    O(words log words), no document is ever held whole in memory."""
+    doc = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("doc_id").orderBy("i")
+    nxt = F.lead("w0", 1).over(w)
+    grams = (
+        doc.select("doc_id", F.posexplode(F.split("text", " ")).alias("i", "w0"))
+        .select(
+            "doc_id",
+            F.col("w0").alias("w_g"),
+            F.when(nxt.isNotNull(), F.concat_ws(" ", "w0", nxt)).alias("b_g"),
+        )
+        .select("doc_id", F.expr("stack(2, 'w', w_g, 'b', b_g)").alias("kind", "g"))
+        .filter(F.col("g").isNotNull())
+    )
+    counts = grams.groupBy("doc_id", "kind", "g").agg(F.count("*").alias("c"))
+    w, b, c = F.col("kind") == "w", F.col("kind") == "b", F.col("c")
+
+    def frac(numer: Column, denom_kind: Column) -> Column:
+        return numer.cast("double") / F.sum(F.when(denom_kind, c))
+
+    return counts.groupBy("doc_id").agg(
+        frac(F.max(F.when(w, c)), w).alias("top_word_frac"),
+        frac(F.coalesce(F.sum(F.when(w & (c >= 2), c)), F.lit(0)), w).alias(
+            "dup_word_frac"
+        ),
+        frac(F.max(F.when(b, c)), b).alias("top_bigram_frac"),
+        frac(F.coalesce(F.sum(F.when(b & (c >= 2), c)), F.lit(0)), b).alias(
+            "dup_bigram_frac"
+        ),
+    )
+
+
+# Decontamination: n-gram overlap between the training corpus and a held-out
+# benchmark/eval set (the GPT-3 appendix-C procedure: a training document is
+# contaminated if it shares rare n-grams with any eval document). The
+# fixture has no separate eval table, so the benchmark side is carved out of
+# `documents` by the same deterministic hash-mod rule text_sample_stratified
+# uses (≈5% of doc_ids) — at production scale the benchmark side is simply a
+# different (tiny) table. K=4-word shingles: with the fixtures' small
+# synthetic vocabulary, 4-grams discriminate the way 13-grams do on real
+# text (measured: k=3 marks ~85% of the corpus via chance collisions, k=5
+# only finds planted near-dups' own clones; k=4 yields a stable non-trivial
+# hit set at every SF).
+DECONTAM_K = 4
+DECONTAM_BENCH_PERMILLE = 50
+
+
+def _kgram_shingle_rows(doc: DataFrame, k: int) -> DataFrame:
+    """DISTINCT hashed k-word shingles of every document as slim
+    (doc_id, h) rows — posexplode → window-`lead` (the minhash_pairs
+    pattern; the in-row array-HOF form re-evaluates `split` per element,
+    the measured O(words²)-per-doc landmine). The window's doc_id shuffle
+    is the only exchange: the distinct-ing groupBy keys on a doc_id
+    superset and reuses its partitioning."""
+    from .dedup import _h60
+
+    w = W.partitionBy("doc_id").orderBy("i")
+    leads = [F.lead("w0", j).over(w) for j in range(1, k)]
+    return (
+        doc.select("doc_id", F.posexplode(F.split("text", " ")).alias("i", "w0"))
+        .select(
+            "doc_id",
+            F.concat_ws(" ", "w0", *leads).alias("s"),
+            leads[-1].alias("_tail"),
+        )
+        .filter(F.col("_tail").isNotNull())
+        .select("doc_id", _h60(F.col("s")).alias("h"))
+        .distinct()
+    )
+
+
+def _decontam_oracle() -> str:
+    from .dedup import _H60_SQL
+
+    k = DECONTAM_K
+    gram = " || ' ' || ".join(
+        "w[i]" if j == 0 else f"w[i+{j}]" for j in range(k)
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS w,
+             {_H60_SQL.format(x="CAST(doc_id AS VARCHAR)")} % 1000
+               < {DECONTAM_BENCH_PERMILLE} AS is_bench
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, is_bench,
+             list_distinct(list_transform(
+               range(1, greatest(len(w) - {k - 1}, 0) + 1),
+               i -> {gram})) AS sh
+      FROM d
+    ),
+    bench AS (
+      SELECT doc_id AS bench_doc, {_H60_SQL.format(x="s")} AS h
+      FROM (SELECT doc_id, UNNEST(sh) AS s FROM sh WHERE is_bench)
+    ),
+    corp AS (
+      SELECT doc_id, len(sh) AS n_shingles, {_H60_SQL.format(x="s")} AS h
+      FROM (SELECT doc_id, sh, UNNEST(sh) AS s FROM sh WHERE NOT is_bench)
+    )
+    SELECT c.doc_id,
+           CAST(MAX(c.n_shingles) AS BIGINT) AS n_shingles,
+           COUNT(DISTINCT c.h) AS n_contaminated,
+           COUNT(DISTINCT b.bench_doc) AS n_benchmark_docs,
+           CAST(COUNT(DISTINCT c.h) AS DOUBLE) / MAX(c.n_shingles)
+             AS contamination_frac
+    FROM corp c JOIN bench b USING (h)
+    GROUP BY c.doc_id
+    """
+
+
+@query("text_decontaminate", oracle=_decontam_oracle())
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: flag training documents sharing k-word
+    shingles with the held-out benchmark slice. Output = one row per
+    contaminated training doc: its shingle count, how many of its shingles
+    hit the benchmark, how many distinct benchmark docs it collides with,
+    and the contaminated fraction.
+
+    100 TB posture: the benchmark side is tiny by construction (eval suites
+    are MBs, corpora are TBs) — its hashed shingle set broadcasts, so the
+    corpus side joins map-side without shuffling its text; the join key is
+    the 60-bit shingle hash (16 bytes on the wire, never the shingle
+    string), and only HIT rows (a sliver of the corpus) reach the final
+    doc_id re-aggregation. The benchmark filter prunes BEFORE its shingle
+    pass, so the bench side's explode/window touches only the eval slice;
+    the corpus side's n_shingles count rides the existing doc_id
+    partitioning (zero extra exchanges)."""
+    from .dedup import _h60
+
+    doc = load_table(spark, sf_dir, "documents")
+    is_bench = (
+        F.pmod(_h60(F.col("doc_id").cast("string")), 1000)
+        < DECONTAM_BENCH_PERMILLE
+    )
+    bench = _kgram_shingle_rows(doc.filter(is_bench), DECONTAM_K).select(
+        F.col("doc_id").alias("bench_doc"), "h"
+    )
+    corp = _kgram_shingle_rows(doc.filter(~is_bench), DECONTAM_K).withColumn(
+        "n_shingles", F.count("*").over(W.partitionBy("doc_id"))
+    )
+    return (
+        corp.join(bench, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_shingles").cast("long").alias("n_shingles"),
+            F.countDistinct("h").alias("n_contaminated"),
+            F.countDistinct("bench_doc").alias("n_benchmark_docs"),
+        )
+        .withColumn(
+            "contamination_frac",
+            F.col("n_contaminated").cast("double") / F.col("n_shingles"),
+        )
     )

@@ -88,19 +88,20 @@ def test_similarity_lsh_join_is_co_partitioned_equi_join(spark, sf_dir):
 
 
 def test_no_python_row_udfs_in_relational_core(spark, sf_dir):
-    for name in ("q1_pricing_summary", "events_tumbling_1h", "dedup_simhash",
+    for name in ("q1_pricing_summary", "events_windows", "dedup_simhash",
                  "text_quality_scores", "fn_string_suite"):
         plan = plan_of(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan, f"{name} fell off codegen into Python"
 
 
-def test_tumbling_window_has_partial_aggregation(spark, sf_dir):
-    # Streaming-shaped agg must combine map-side: two HashAggregates
-    # around one exchange, so the shuffle carries (window, type) groups,
-    # not raw events.
-    plan = plan_of(spark, sf_dir, "events_tumbling_1h")
-    assert plan.count("HashAggregate") >= 2
-    assert plan.count("Exchange") == 1
+def test_windowed_aggs_have_partial_aggregation(spark, sf_dir):
+    # Streaming-shaped aggs must combine map-side: two HashAggregates
+    # around one exchange per window shape, so each shuffle carries
+    # (window, type) groups, not raw events. The merged entry unions the
+    # tumbling and sliding legs → exactly two exchanges.
+    plan = plan_of(spark, sf_dir, "events_windows")
+    assert plan.count("HashAggregate") >= 4
+    assert plan.count("Exchange") == 2
 
 
 def test_blocked_jaccard_is_equi_join(spark, sf_dir):
