@@ -202,10 +202,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_pairs(load_table(spark, sf_dir, "documents"))
 
 
-def minhash_pairs(doc: DataFrame) -> DataFrame:
-    """The MinHash-LSH pipeline over any (doc_id, text) DataFrame — split
-    out so tests can plant degenerate buckets (see
-    tests/test_llm_ops.py)."""
+def minhash_bands(doc: DataFrame) -> DataFrame:
+    """documents → (doc_id, band_id, band_key) LSH band rows — the
+    signature/banding subtree of :func:`minhash_pairs`, factored so the
+    incremental path (`kinesis_iterator_spark.incremental`) can band a
+    NEW batch and join it against stored bands instead of re-banding the
+    whole corpus."""
     # Window-`lead` shingles, kept after a measured A/B against the
     # "obvious" improvement: index arithmetic over the carried words
     # array (ws[i+1]/ws[i+2] after posexplode) is 1.6× faster AS A
@@ -233,7 +235,7 @@ def minhash_pairs(doc: DataFrame) -> DataFrame:
     )
     # sh_rows now has exactly ONE consumer (the signature aggregation);
     # the exact-Jaccard verify re-shingles candidate rows per-pair
-    # instead of re-reading this lineage (see the verify block below).
+    # instead of re-reading this lineage (see verify_jaccard).
     # Persisting it was measured slower anyway (1.86 s vs 0.97 s at
     # sf0.1: every doc × every shingle is the pipeline's widest set).
     h = sh_rows.select(
@@ -273,6 +275,14 @@ def minhash_pairs(doc: DataFrame) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "band.band_id", "band.band_key")
+    return bands
+
+
+def minhash_pairs(doc: DataFrame) -> DataFrame:
+    """The MinHash-LSH pipeline over any (doc_id, text) DataFrame — split
+    out so tests can plant degenerate buckets (see
+    tests/test_llm_ops.py)."""
+    bands = minhash_bands(doc)
     bucket = (
         bands.groupBy("band_id", "band_key")
         .agg(F.collect_list("doc_id").alias("ds"))
@@ -292,19 +302,27 @@ def minhash_pairs(doc: DataFrame) -> DataFrame:
     # shingle→sig→band subtree per query stage. Registered with
     # managed_persist so the harness releases it post-materialization.
     pairs = managed_persist(pairs)
-    # Exact-Jaccard verify: attach each side's TEXT via equi-join (AQE
-    # broadcasts the tiny capped pair set on its own), then re-shingle
-    # ONLY the joined rows with the per-row HOF form. The HOF is
-    # interpreted (~µs/element) but runs on |pairs|·2 rows — hundreds —
-    # while the previous collect_set form semi-joined and re-aggregated
-    # the full posexplode→window shingle lineage (the whole corpus' word
-    # rows) just to build a few hundred sets: ~0.5 s of the verify tail
-    # at sf0.1. withColumn AFTER the joins keeps Catalyst from computing
-    # shingles for non-candidate docs; at 100 TB the shingle set is a
-    # write-time stored column and both forms degenerate to a column
-    # read (SCALING.md).
-    ta = doc.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"))
-    tb = doc.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"))
+    return verify_jaccard(pairs, doc, doc)
+
+
+def verify_jaccard(
+    pairs: DataFrame, doc_a: DataFrame, doc_b: DataFrame
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs:
+    attach each side's TEXT via equi-join (AQE broadcasts the tiny capped
+    pair set on its own), then re-shingle ONLY the joined rows with the
+    per-row HOF form. The HOF is interpreted (~µs/element) but runs on
+    |pairs|·2 rows — hundreds — while the previous collect_set form
+    semi-joined and re-aggregated the full posexplode→window shingle
+    lineage (the whole corpus' word rows) just to build a few hundred
+    sets: ~0.5 s of the verify tail at sf0.1. withColumn AFTER the joins
+    keeps Catalyst from computing shingles for non-candidate docs; at
+    100 TB the shingle set is a write-time stored column and both forms
+    degenerate to a column read (SCALING.md). ``doc_a``/``doc_b`` are the
+    (doc_id, text) frames holding each side's text — the same frame for
+    self-dedup, batch vs corpus for the incremental path."""
+    ta = doc_a.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"))
+    tb = doc_b.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"))
     jaccard = F.size(F.array_intersect("sa", "sb")).cast("double") / F.size(
         F.array_union("sa", "sb")
     )

@@ -1,0 +1,129 @@
+"""Incremental dedup (batch vs persisted corpus index): equality with the
+full-recompute path, novel/exact/near classification, index extension,
+and the loud parameter-mismatch guard."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from kinesis_iterator_spark import incremental
+from kinesis_iterator_spark.queries.dedup import minhash_pairs
+from kinesis_iterator_spark.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def split(spark, sf_dir):
+    doc = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = doc.filter(F.col("doc_id") % 4 != 0).persist()
+    batch = doc.filter(F.col("doc_id") % 4 == 0).persist()
+    corpus.count(), batch.count()
+    yield corpus, batch
+    corpus.unpersist(), batch.unpersist()
+
+
+@pytest.fixture(scope="module")
+def index_dir(tmp_path_factory, split):
+    corpus, _ = split
+    d = str(tmp_path_factory.mktemp("dedup_index"))
+    incremental.write_index(corpus, d)
+    return d
+
+
+@pytest.fixture(scope="module")
+def result(spark, split, index_dir):
+    corpus, batch = split
+    rows = incremental.dedup_against_index(
+        spark, batch, index_dir, corpus
+    ).collect()
+    return {r["doc_id"]: r for r in rows}
+
+
+def test_one_verdict_per_batch_doc(split, result):
+    _, batch = split
+    assert set(result) == {r["doc_id"] for r in batch.select("doc_id").collect()}
+    assert {r["verdict"] for r in result.values()} <= {
+        "novel",
+        "exact_dup",
+        "near_dup",
+    }
+
+
+def test_exact_dups_match_digest_oracle(split, result):
+    corpus, batch = split
+    corpus_by_text = {}
+    for r in corpus.collect():
+        k = r["text"]
+        corpus_by_text[k] = min(corpus_by_text.get(k, r["doc_id"]), r["doc_id"])
+    for r in batch.collect():
+        got = result[r["doc_id"]]
+        if r["text"] in corpus_by_text:
+            assert got["verdict"] == "exact_dup", got
+            assert got["dup_of"] == corpus_by_text[r["text"]]
+            assert got["jaccard"] == 1.0
+        else:
+            assert got["verdict"] != "exact_dup", got
+
+
+def test_near_dups_equal_full_recompute_cross_pairs(spark, split, result):
+    """The incremental near-dup set must equal the cross-split pairs the
+    full minhash_pairs path finds on the union (no fixture bucket is near
+    the cap, so the capped stored bands cannot diverge)."""
+    corpus, batch = split
+    batch_ids = {r["doc_id"] for r in batch.select("doc_id").collect()}
+    exact_ids = {d for d, r in result.items() if r["verdict"] == "exact_dup"}
+    best = {}
+    for p in minhash_pairs(corpus.unionByName(batch)).collect():
+        a, b, j = p["doc_a"], p["doc_b"], p["jaccard"]
+        if (a in batch_ids) == (b in batch_ids):
+            continue  # same-side pair: not a batch-vs-corpus edge
+        new_id, old_id = (a, b) if a in batch_ids else (b, a)
+        if new_id in exact_ids:
+            continue
+        cur = best.get(new_id)
+        if cur is None or (-j, old_id) < (-cur[1], cur[0]):
+            best[new_id] = (old_id, j)
+    got_near = {
+        d: (r["dup_of"], r["jaccard"])
+        for d, r in result.items()
+        if r["verdict"] == "near_dup"
+    }
+    assert got_near == best
+
+
+def test_novel_docs_have_no_dup_of(result):
+    for r in result.values():
+        if r["verdict"] == "novel":
+            assert r["dup_of"] is None and r["jaccard"] is None
+
+
+def test_extend_then_redetect(spark, split, index_dir, result):
+    """After extending the index with accepted novel docs, a re-submission
+    of the same text under new ids must come back exact_dup — against the
+    EXTENDED part of the index."""
+    corpus, batch = split
+    novel_ids = [d for d, r in result.items() if r["verdict"] == "novel"]
+    assert novel_ids, "fixture split produced no novel docs"
+    accepted = batch.filter(F.col("doc_id").isin(novel_ids[:5]))
+    incremental.extend_index(accepted, index_dir)
+    resubmit = accepted.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    verdicts = incremental.dedup_against_index(
+        spark, resubmit, index_dir, corpus.unionByName(accepted)
+    ).collect()
+    assert all(v["verdict"] == "exact_dup" for v in verdicts)
+    assert {v["dup_of"] for v in verdicts} == set(novel_ids[:5])
+
+
+def test_meta_mismatch_raises(spark, split, tmp_path):
+    corpus, batch = split
+    d = str(tmp_path / "idx")
+    incremental.write_index(corpus.limit(10), d)
+    meta = json.load(open(f"{d}/meta.json"))
+    meta["n_bands"] = meta["n_bands"] + 1
+    json.dump(meta, open(f"{d}/meta.json", "w"))
+    with pytest.raises(ValueError, match="different LSH parameters"):
+        incremental.dedup_against_index(spark, batch, d, corpus)
