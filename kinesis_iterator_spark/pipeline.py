@@ -276,3 +276,107 @@ def curate_frame(
         .persist()
     )
     return CuratedCorpus(doc, labels, config)
+
+
+class CorpusWriter:
+    """Batch-at-a-time corpus admission: the incremental form of
+    :func:`curate_frame` for a corpus that GROWS (stream ingestion, daily
+    crawl drops) instead of being rebuilt.
+
+    Each :meth:`admit` call runs the full in-batch pipeline (gates →
+    exact dedup → near-dup survivors) on the ARRIVING batch only, then
+    checks the batch survivors against the persisted dedup index
+    (`kinesis_iterator_spark.incremental`) so nothing already in the
+    corpus is admitted twice — exactly or near. Accepted documents are
+    appended to the corpus parquet and their digest/band rows to the
+    index, which plays the role the reference's checkpoint store plays
+    for its stream cursors (SURVEY §2.A A6/A8): state persisted per
+    batch so the next batch's work is bounded by the batch, not the
+    history.
+
+    Admission is FIRST-SEEN-WINS by construction: a document already in
+    the corpus always beats a later near-duplicate arrival. That is the
+    semantics an append-only corpus wants, and it is deterministic for
+    any fixed sequence of batches — but it is order-dependent across
+    different batch splits (batch-vs-corpus near-dup survivor choice
+    depends on arrival order; a full `curate_frame` re-run over the
+    union may elect a different component representative). Exactness of
+    the EXACT-dup layer is order-independent.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        corpus_dir: str,
+        index_dir: str,
+        config: CurationConfig | None = None,
+    ) -> None:
+        self.spark = spark
+        self.corpus_dir = corpus_dir
+        self.index_dir = index_dir
+        self.config = config or CurationConfig()
+
+    def _bootstrapped(self) -> bool:
+        import os
+
+        return os.path.exists(f"{self.index_dir}/meta.json")
+
+    def corpus(self) -> DataFrame:
+        """The admitted corpus so far (doc_id, lang, source, text,
+        tokens)."""
+        return self.spark.read.parquet(self.corpus_dir)
+
+    def admit(self, batch_doc: DataFrame) -> dict[str, int]:
+        """Run one batch through gates + in-batch dedup + vs-corpus
+        dedup; append the accepted documents. Returns the stage counts
+        (`n_input`/`n_gate`/`n_kept` from the in-batch pipeline, plus
+        `rejected_exact`/`rejected_near`/`n_admitted` from the
+        vs-corpus check)."""
+        from . import incremental
+
+        cur = curate_frame(batch_doc, self.config)
+        try:
+            stats = {
+                k: cur.stats()[k] for k in ("n_input", "n_quality", "n_gate", "n_kept")
+            }
+            survivors = cur.final.select(
+                "doc_id", "lang", "source", "text", "tokens"
+            )
+            if self._bootstrapped():
+                verdicts = incremental.dedup_against_index(
+                    self.spark, survivors, self.index_dir, self.corpus()
+                )
+                by_verdict = {
+                    r["verdict"]: r["n"]
+                    for r in verdicts.groupBy("verdict")
+                    .agg(F.count("*").alias("n"))
+                    .collect()
+                }
+                stats["rejected_exact"] = by_verdict.get("exact_dup", 0)
+                stats["rejected_near"] = by_verdict.get("near_dup", 0)
+                novel = survivors.join(
+                    verdicts.filter(F.col("verdict") == "novel").select("doc_id"),
+                    "doc_id",
+                )
+                # Truncate lineage BEFORE the append: novel's plan READS
+                # corpus_dir (verify text) and the index; persist alone
+                # could still recompute an evicted partition mid-append
+                # and re-list the directory being appended to. An eager
+                # localCheckpoint materializes the accepted rows and cuts
+                # the plan at a LogicalRDD leaf.
+                novel = novel.localCheckpoint(eager=True)
+                stats["n_admitted"] = novel.count()
+                novel.write.mode("append").parquet(self.corpus_dir)
+                incremental.extend_index(novel, self.index_dir)
+                from .queries import release_local_checkpoint
+
+                release_local_checkpoint(novel)
+            else:
+                stats["rejected_exact"] = 0
+                stats["rejected_near"] = 0
+                stats["n_admitted"] = stats["n_kept"]
+                survivors.write.mode("overwrite").parquet(self.corpus_dir)
+                incremental.write_index(self.corpus(), self.index_dir)
+            return stats
+        finally:
+            cur.release()

@@ -1,0 +1,91 @@
+"""CorpusWriter: batch-at-a-time corpus admission (gates + in-batch dedup
++ vs-corpus dedup + index extension). Fixture docs arrive as two batches;
+re-submissions and cross-batch duplicates must be rejected, and the
+sequence must be deterministic."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kinesis_iterator_spark.pipeline import CorpusWriter, CurationConfig
+from kinesis_iterator_spark.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def batches(spark, sf_dir):
+    doc = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    b1 = doc.filter(F.col("doc_id") % 2 == 0).persist()
+    b2 = doc.filter(F.col("doc_id") % 2 == 1).persist()
+    b1.count(), b2.count()
+    yield b1, b2
+    b1.unpersist(), b2.unpersist()
+
+
+def _run_sequence(spark, batches, root):
+    w = CorpusWriter(
+        spark, f"{root}/corpus", f"{root}/index", CurationConfig()
+    )
+    s1 = w.admit(batches[0])
+    s2 = w.admit(batches[1])
+    return w, s1, s2
+
+
+@pytest.fixture(scope="module")
+def run(spark, batches, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("writer"))
+    return _run_sequence(spark, batches, root)
+
+
+def test_first_batch_bootstrap(run):
+    _, s1, _ = run
+    assert s1["n_admitted"] == s1["n_kept"] > 0
+    assert s1["rejected_exact"] == 0 and s1["rejected_near"] == 0
+
+
+def test_second_batch_rejects_cross_batch_dups(run):
+    """The fixture's planted near-dup clusters straddle the even/odd
+    split, so batch 2 must lose documents to the corpus admitted from
+    batch 1."""
+    _, _, s2 = run
+    assert s2["n_admitted"] < s2["n_kept"]
+    assert s2["rejected_exact"] + s2["rejected_near"] > 0
+    assert s2["n_admitted"] == (
+        s2["n_kept"] - s2["rejected_exact"] - s2["rejected_near"]
+    )
+
+
+def test_corpus_matches_admission_counts_and_is_exact_dup_free(run):
+    w, s1, s2 = run
+    corpus = w.corpus()
+    assert set(corpus.columns) == {"doc_id", "lang", "source", "text", "tokens"}
+    assert corpus.count() == s1["n_admitted"] + s2["n_admitted"]
+    assert (
+        corpus.select(F.md5("text")).distinct().count() == corpus.count()
+    ), "admitted corpus contains exact duplicates"
+
+
+def test_resubmission_of_admitted_corpus_is_fully_rejected(spark, run):
+    w, _, _ = run
+    resubmit = w.corpus().select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"), "lang", "source", "text"
+    )
+    s = w.admit(resubmit)
+    assert s["n_admitted"] == 0
+    assert s["rejected_exact"] == s["n_kept"]
+
+
+def test_sequence_is_deterministic(spark, batches, run, tmp_path_factory):
+    w, s1, s2 = run
+    root2 = str(tmp_path_factory.mktemp("writer_replay"))
+    w2, r1, r2 = _run_sequence(spark, batches, root2)
+    assert (r1, r2) == (s1, s2)
+    ids = lambda frame: sorted(  # noqa: E731
+        r["doc_id"] for r in frame.select("doc_id").collect()
+    )
+    # The replay corpus contains the resubmission-test state only in the
+    # original writer; compare against the first two admissions.
+    expected = [i for i in ids(w.corpus()) if i < 5_000_000]
+    assert ids(w2.corpus()) == expected
