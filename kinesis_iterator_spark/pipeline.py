@@ -331,7 +331,13 @@ class CorpusWriter:
         dedup; append the accepted documents. Returns the stage counts
         (`n_input`/`n_gate`/`n_kept` from the in-batch pipeline, plus
         `rejected_exact`/`rejected_near`/`n_admitted` from the
-        vs-corpus check)."""
+        vs-corpus check).
+
+        Precondition: ``doc_id`` is globally unique across batches (the
+        ingestion layer's responsibility — e.g. the stream's
+        sequence-number-derived ids). A re-used id would collide in the
+        appended corpus; content-level duplicates are what this method
+        rejects."""
         from . import incremental
 
         cur = curate_frame(batch_doc, self.config)
