@@ -13,6 +13,10 @@ Layout
 - ``queries``   : the registered operator library — every entry has a
   ``(spark, sf_dir) -> DataFrame`` builder and (where SQL-expressible) a
   DuckDB oracle SQL string.
+- ``pipeline``  : end-to-end corpus curation (gates → dedup → survivor
+  pruning → sharded write) and ``CorpusWriter`` batch admission.
+- ``incremental``: persisted dedup index (digests + LSH bands) for
+  admitting new batches at batch-bounded cost.
 """
 
 __version__ = "0.2.0"
