@@ -22,9 +22,9 @@ Index layout (parquet + meta sidecar, the `write_ann_index` convention):
 
 - ``{index_dir}/digests/``  — (doc_id, digest) md5 of text (exact dup key)
 - ``{index_dir}/bands/``    — (doc_id, band_id, band_key) MinHash-LSH band
-  rows, capped per bucket at write time (`dedup.MAX_BUCKET` smallest
-  doc_ids; a mega-bucket is boilerplate — its members are better caught
-  by exact dedup, same rationale as the in-memory path's hot-bucket cap)
+  rows; buckets larger than `dedup.MAX_BUCKET` are DROPPED at write
+  time, mirroring the full path's hot-bucket rule (a mega-bucket is
+  boilerplate — its members are better caught by exact dedup)
 - ``{index_dir}/meta.json`` — the LSH parameters the index was built with;
   verified against the library's constants at query time so an index
   built under different banding fails loudly instead of silently missing
@@ -49,7 +49,17 @@ from .queries.dedup import (
     verify_jaccard,
 )
 
-_META_KEYS = ("n_hashes", "n_bands", "max_bucket", "jaccard_threshold")
+def _current_meta() -> dict:
+    """The LSH parameters this library would build an index with — the
+    single source for both the write-time sidecar and the query-time
+    staleness check (one dict, so a future parameter cannot be added to
+    one side and slip past the other)."""
+    return {
+        "n_hashes": N_HASHES,
+        "n_bands": N_BANDS,
+        "max_bucket": MAX_BUCKET,
+        "jaccard_threshold": JACCARD_THRESHOLD,
+    }
 
 
 def _digests(doc: DataFrame) -> DataFrame:
@@ -57,17 +67,22 @@ def _digests(doc: DataFrame) -> DataFrame:
 
 
 def _capped_bands(doc: DataFrame) -> DataFrame:
-    """Band rows with the stored-side hot-bucket cap: keep the
-    MAX_BUCKET smallest doc_ids per (band_id, band_key). Deterministic
-    (rank by doc_id), so rebuild == build."""
-    rk = F.row_number().over(
-        W.partitionBy("band_id", "band_key").orderBy("doc_id")
-    )
+    """Band rows with the stored-side hot-bucket rule MIRRORING the full
+    path: `minhash_pairs` emits NO pairs from a bucket larger than
+    MAX_BUCKET (mega-buckets are boilerplate — exact dedup's job), so
+    the stored index DROPS such buckets entirely rather than keeping a
+    truncated sample that would reject docs the full recompute admits.
+    Deterministic, so rebuild == build. Residual incremental-vs-full
+    difference: a bucket can exceed the cap only ACROSS corpus+batch —
+    the union-run would then drop it while the incremental check still
+    pairs batch docs against the ≤MAX_BUCKET stored members; that errs
+    toward rejecting near-dups of boilerplate, never toward admitting."""
+    n_in_bucket = F.count("*").over(W.partitionBy("band_id", "band_key"))
     return (
         minhash_bands(doc)
-        .withColumn("_rk", rk)
-        .filter(F.col("_rk") <= MAX_BUCKET)
-        .drop("_rk")
+        .withColumn("_n", n_in_bucket)
+        .filter(F.col("_n") <= MAX_BUCKET)
+        .drop("_n")
     )
 
 
@@ -77,12 +92,7 @@ def write_index(doc: DataFrame, index_dir: str) -> dict:
     (doc_id, band_key) is shuffled. Returns the meta dict."""
     _digests(doc).write.mode("overwrite").parquet(f"{index_dir}/digests")
     _capped_bands(doc).write.mode("overwrite").parquet(f"{index_dir}/bands")
-    meta = {
-        "n_hashes": N_HASHES,
-        "n_bands": N_BANDS,
-        "max_bucket": MAX_BUCKET,
-        "jaccard_threshold": JACCARD_THRESHOLD,
-    }
+    meta = _current_meta()
     os.makedirs(index_dir, exist_ok=True)
     with open(f"{index_dir}/meta.json", "w") as fh:
         json.dump(meta, fh)
@@ -92,13 +102,8 @@ def write_index(doc: DataFrame, index_dir: str) -> dict:
 def _check_meta(index_dir: str) -> dict:
     with open(f"{index_dir}/meta.json") as fh:
         meta = json.load(fh)
-    current = {
-        "n_hashes": N_HASHES,
-        "n_bands": N_BANDS,
-        "max_bucket": MAX_BUCKET,
-        "jaccard_threshold": JACCARD_THRESHOLD,
-    }
-    stale = {k: (meta.get(k), current[k]) for k in _META_KEYS if meta.get(k) != current[k]}
+    current = _current_meta()
+    stale = {k: (meta.get(k), current[k]) for k in current if meta.get(k) != current[k]}
     if stale:
         raise ValueError(
             f"dedup index at {index_dir} was built with different LSH "
@@ -201,12 +206,12 @@ def dedup_against_index(
 def extend_index(accepted_doc: DataFrame, index_dir: str) -> None:
     """Append the ACCEPTED (novel) documents' digest and band rows to the
     index — the post-batch "checkpoint save". Append-mode parquet: no
-    rewrite of existing index files. The write-time bucket cap cannot be
-    re-applied across appends without reading the stored bands; an
-    append-heavy index should be compacted periodically by re-running
-    write_index over the full corpus (documented operational tradeoff —
-    the cap still bounds every QUERY because dedup_against_index joins,
-    it never re-groups stored buckets)."""
+    rewrite of existing index files. The write-time mega-bucket drop
+    cannot be re-applied across appends without reading the stored
+    bands; an append-heavy index should be compacted periodically by
+    re-running write_index over the full corpus (documented operational
+    tradeoff — query cost stays bounded regardless because
+    dedup_against_index joins, it never re-groups stored buckets)."""
     _check_meta(index_dir)
     _digests(accepted_doc).write.mode("append").parquet(f"{index_dir}/digests")
     _capped_bands(accepted_doc).write.mode("append").parquet(

@@ -337,10 +337,21 @@ class CorpusWriter:
         ingestion layer's responsibility — e.g. the stream's
         sequence-number-derived ids). A re-used id would collide in the
         appended corpus; content-level duplicates are what this method
-        rejects."""
+        rejects.
+
+        Not atomic: the corpus append commits before the index extend,
+        so a crash between the two leaves admitted docs invisible to the
+        dedup index (their later copies would be re-admitted). Corpus
+        content is never lost to the window — recover by calling
+        :meth:`reconcile`, which rebuilds the index from the corpus (the
+        reference's checkpoint-retry analogue). The opposite order would
+        instead silently REJECT future copies of documents the corpus
+        never received — unrecoverable data loss."""
         from . import incremental
+        from .queries import release_local_checkpoint, release_persists
 
         cur = curate_frame(batch_doc, self.config)
+        verdicts = None
         try:
             stats = {
                 k: cur.stats()[k] for k in ("n_input", "n_quality", "n_gate", "n_kept")
@@ -349,9 +360,16 @@ class CorpusWriter:
                 "doc_id", "lang", "source", "text", "tokens"
             )
             if self._bootstrapped():
+                # The verdict frame is slim (one row per batch survivor)
+                # but its lineage is the whole vs-corpus check (band
+                # join + corpus-text verify): checkpoint it once, derive
+                # BOTH consumers (stats, novel join) from the
+                # materialized rows — and cut the corpus_dir read out of
+                # novel's plan before the append below re-lists that
+                # same directory ("persist small, recompute big").
                 verdicts = incremental.dedup_against_index(
                     self.spark, survivors, self.index_dir, self.corpus()
-                )
+                ).localCheckpoint(eager=True)
                 by_verdict = {
                     r["verdict"]: r["n"]
                     for r in verdicts.groupBy("verdict")
@@ -360,23 +378,13 @@ class CorpusWriter:
                 }
                 stats["rejected_exact"] = by_verdict.get("exact_dup", 0)
                 stats["rejected_near"] = by_verdict.get("near_dup", 0)
+                stats["n_admitted"] = by_verdict.get("novel", 0)
                 novel = survivors.join(
                     verdicts.filter(F.col("verdict") == "novel").select("doc_id"),
                     "doc_id",
                 )
-                # Truncate lineage BEFORE the append: novel's plan READS
-                # corpus_dir (verify text) and the index; persist alone
-                # could still recompute an evicted partition mid-append
-                # and re-list the directory being appended to. An eager
-                # localCheckpoint materializes the accepted rows and cuts
-                # the plan at a LogicalRDD leaf.
-                novel = novel.localCheckpoint(eager=True)
-                stats["n_admitted"] = novel.count()
                 novel.write.mode("append").parquet(self.corpus_dir)
                 incremental.extend_index(novel, self.index_dir)
-                from .queries import release_local_checkpoint
-
-                release_local_checkpoint(novel)
             else:
                 stats["rejected_exact"] = 0
                 stats["rejected_near"] = 0
@@ -386,3 +394,19 @@ class CorpusWriter:
             return stats
         finally:
             cur.release()
+            if verdicts is not None:
+                release_local_checkpoint(verdicts)
+            # curate_frame's internals (minhash pair persist, CC round
+            # checkpoints) register with the module-level managed list;
+            # a long-running ingestion loop must not pin one batch's
+            # blocks per admit.
+            release_persists()
+
+    def reconcile(self) -> dict:
+        """Rebuild the dedup index from the corpus as currently written —
+        the recovery path for a crash inside :meth:`admit`'s
+        append-then-extend window (and the compaction path for an
+        append-heavy index, re-applying the write-time bucket rule)."""
+        from . import incremental
+
+        return incremental.write_index(self.corpus(), self.index_dir)

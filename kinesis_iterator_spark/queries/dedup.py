@@ -202,37 +202,45 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_pairs(load_table(spark, sf_dir, "documents"))
 
 
+def kgram_rows(doc: DataFrame, k: int) -> DataFrame:
+    """Every k-word shingle of every document as tall (doc_id, s) rows
+    (non-distinct), via one posexplode → window-`lead` pass.
+
+    Window-`lead` shingles, kept after a measured A/B against the
+    "obvious" improvement: index arithmetic over the carried words
+    array (ws[i+1]/ws[i+2] after posexplode) is 1.6× faster AS A
+    STAGE (0.25 s vs 0.39 s — no exchange, no sort) but 1.6× SLOWER
+    END-TO-END (1.76 s vs 1.07 s min-of-4 interleaved at sf0.1):
+    without the exchange boundary, whole-stage fusion drags the wide
+    `ws` array and the un-materialized shingle expression into the
+    md5/signature stage, re-evaluating them per downstream use. The
+    window's shuffle materializes slim (doc_id, s) rows exactly where
+    downstream wants them — and the in-row array-HOF form is far worse
+    (interpreted lambdas have no CSE: `split` re-evaluates per element,
+    O(words²)/doc, measured 13 s vs 2 s at sf0.1 for k=4)."""
+    w = W.partitionBy("doc_id").orderBy("i")
+    leads = [F.lead("w0", j).over(w) for j in range(1, k)]
+    return (
+        doc.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("i", "w0")
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(" ", "w0", *leads).alias("s"),
+            leads[-1].alias("_tail"),
+        )
+        .filter(F.col("_tail").isNotNull())
+        .select("doc_id", "s")
+    )
+
+
 def minhash_bands(doc: DataFrame) -> DataFrame:
     """documents → (doc_id, band_id, band_key) LSH band rows — the
     signature/banding subtree of :func:`minhash_pairs`, factored so the
     incremental path (`kinesis_iterator_spark.incremental`) can band a
     NEW batch and join it against stored bands instead of re-banding the
     whole corpus."""
-    # Window-`lead` shingles, kept after a measured A/B against the
-    # "obvious" improvement: index arithmetic over the carried words
-    # array (ws[i+1]/ws[i+2] after posexplode) is 1.6× faster AS A
-    # STAGE (0.25 s vs 0.39 s — no exchange, no sort) but 1.6× SLOWER
-    # END-TO-END (1.76 s vs 1.07 s min-of-4 interleaved at sf0.1):
-    # without the exchange boundary, whole-stage fusion drags the wide
-    # `ws` array and the un-materialized shingle expression into the
-    # md5/signature stage, re-evaluating them per downstream use. The
-    # window's shuffle materializes slim (doc_id, s) rows exactly where
-    # the pipeline wants them.
-    w = W.partitionBy("doc_id").orderBy("i")
-    sh_rows = (
-        doc.select(
-            "doc_id", F.posexplode(F.split("text", " ")).alias("i", "w0")
-        )
-        .select(
-            "doc_id",
-            F.concat_ws(
-                " ", "w0", F.lead("w0", 1).over(w), F.lead("w0", 2).over(w)
-            ).alias("s"),
-            F.lead("w0", 2).over(w).alias("_tail"),
-        )
-        .filter(F.col("_tail").isNotNull())
-        .select("doc_id", "s")
-    )
+    sh_rows = kgram_rows(doc, 3)
     # sh_rows now has exactly ONE consumer (the signature aggregation);
     # the exact-Jaccard verify re-shingles candidate rows per-pair
     # instead of re-reading this lineage (see verify_jaccard).

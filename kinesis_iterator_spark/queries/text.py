@@ -412,23 +412,15 @@ DECONTAM_BENCH_PERMILLE = 50
 
 def _kgram_shingle_rows(doc: DataFrame, k: int) -> DataFrame:
     """DISTINCT hashed k-word shingles of every document as slim
-    (doc_id, h) rows — posexplode → window-`lead` (the minhash_pairs
-    pattern; the in-row array-HOF form re-evaluates `split` per element,
-    the measured O(words²)-per-doc landmine). The window's doc_id shuffle
-    is the only exchange: the distinct-ing groupBy keys on a doc_id
-    superset and reuses its partitioning."""
-    from .dedup import _h60
+    (doc_id, h) rows, over the shared `dedup.kgram_rows` window-`lead`
+    builder (which documents the measured landmine in the in-row
+    array-HOF alternative). The window's doc_id shuffle is the only
+    exchange: the distinct-ing groupBy keys on a doc_id superset and
+    reuses its partitioning."""
+    from .dedup import _h60, kgram_rows
 
-    w = W.partitionBy("doc_id").orderBy("i")
-    leads = [F.lead("w0", j).over(w) for j in range(1, k)]
     return (
-        doc.select("doc_id", F.posexplode(F.split("text", " ")).alias("i", "w0"))
-        .select(
-            "doc_id",
-            F.concat_ws(" ", "w0", *leads).alias("s"),
-            leads[-1].alias("_tail"),
-        )
-        .filter(F.col("_tail").isNotNull())
+        kgram_rows(doc, k)
         .select("doc_id", _h60(F.col("s")).alias("h"))
         .distinct()
     )

@@ -89,3 +89,34 @@ def test_sequence_is_deterministic(spark, batches, run, tmp_path_factory):
     # original writer; compare against the first two admissions.
     expected = [i for i in ids(w.corpus()) if i < 5_000_000]
     assert ids(w2.corpus()) == expected
+
+
+def test_reconcile_recovers_corpus_index_divergence(spark, run, tmp_path):
+    """Simulate a crash inside admit()'s append-then-extend window: docs
+    in the corpus but missing from the index are re-admittable until
+    reconcile() rebuilds the index from the corpus."""
+    import shutil
+
+    from kinesis_iterator_spark.pipeline import CorpusWriter
+
+    w, _, _ = run
+    root = str(tmp_path / "crashed")
+    shutil.copytree(w.corpus_dir, f"{root}/corpus")
+    w2 = CorpusWriter(spark, f"{root}/corpus", f"{root}/index", w.config)
+    # Index built from only a fraction of the corpus = the crash state.
+    from kinesis_iterator_spark import incremental
+
+    incremental.write_index(w2.corpus().limit(5), f"{root}/index")
+    resub = w2.corpus().select(
+        (F.col("doc_id") + 9_000_000).alias("doc_id"), "lang", "source", "text"
+    )
+    leaky = w2.admit(resub)
+    assert leaky["n_admitted"] > 0, "crash window must be reproducible"
+    # Recover: rebuild index from corpus (which now includes the leaked
+    # duplicates); a fresh resubmission is fully rejected again.
+    w2.reconcile()
+    resub2 = w2.corpus().select(
+        (F.col("doc_id") + 90_000_000).alias("doc_id"), "lang", "source", "text"
+    )
+    s = w2.admit(resub2)
+    assert s["n_admitted"] == 0

@@ -127,3 +127,33 @@ def test_meta_mismatch_raises(spark, split, tmp_path):
     json.dump(meta, open(f"{d}/meta.json", "w"))
     with pytest.raises(ValueError, match="different LSH parameters"):
         incremental.dedup_against_index(spark, batch, d, corpus)
+
+
+def test_write_index_drops_mega_buckets_like_full_path(spark, tmp_path):
+    """minhash_pairs emits no pairs from a bucket above MAX_BUCKET; the
+    stored index must mirror that by DROPPING such buckets (a truncated
+    sample would reject docs the full recompute admits)."""
+    from kinesis_iterator_spark.queries.dedup import MAX_BUCKET
+
+    boiler = "common boilerplate text repeated verbatim in every document here"
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [(i, boiler) for i in range(MAX_BUCKET + 8)]
+    rows += [(1000, base)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    d = str(tmp_path / "idx")
+    incremental.write_index(docs, d)
+    stored_ids = {
+        r["doc_id"] for r in spark.read.parquet(f"{d}/bands").collect()
+    }
+    assert stored_ids == {1000}, (
+        "mega-bucket members must be absent from the stored bands"
+    )
+    # ...and a new copy of the boilerplate is caught by the EXACT layer,
+    # never the near layer (the full path's rationale for the drop).
+    verdicts = incremental.dedup_against_index(
+        spark,
+        spark.createDataFrame([(2000, boiler)], "doc_id long, text string"),
+        d,
+        docs,
+    ).collect()
+    assert verdicts[0]["verdict"] == "exact_dup"
