@@ -217,3 +217,92 @@ def extend_index(accepted_doc: DataFrame, index_dir: str) -> None:
     _capped_bands(accepted_doc).write.mode("append").parquet(
         f"{index_dir}/bands"
     )
+
+
+def embedding_dedup_against_index(
+    spark: SparkSession,
+    new_emb: DataFrame,
+    index_dir: str,
+    sf_dir: str,
+    tau: float | None = None,
+) -> DataFrame:
+    """The embedding-side analogue of :func:`dedup_against_index`:
+    classify NEW vectors (vec_id, embedding) against a corpus whose ANN
+    index was persisted with `similarity.write_ann_index`.
+
+    Returns one row per new vector: (vec_id, verdict, dup_of, cosine)
+    with verdict ``near_dup`` (best stored match at cosine ≥ ``tau``,
+    default `dedup.COSINE_TAU`) or ``novel``.
+
+    Cost scales with the batch: the batch is signed by the SAME
+    `lsh_signatures` kernel the index writer ran (bit-identical buckets,
+    parameters read back from the index meta), candidates come from one
+    co-partitioned bucket join against the stored signature parquet
+    (multi-probe + hot-bucket cap, shared `_lsh_candidate_pairs`), and
+    only candidate pairs gather vectors — the corpus embedding table
+    contributes the neighbor side of an equi-join, never a scan-wide
+    payload."""
+    from .queries.dedup import COSINE_TAU
+    from .queries.similarity import (
+        N_TABLES,
+        _lsh_candidate_pairs,
+        _pair_topk_scorer,
+        _PAIR_SCHEMA,
+        _read_ann_meta,
+        lsh_signatures,
+    )
+    from .tables import load_table
+
+    meta = _read_ann_meta(index_dir)
+    if meta.get("n_tables") != N_TABLES:
+        raise ValueError(
+            f"ANN index at {index_dir} was built with n_tables="
+            f"{meta.get('n_tables')}, library has {N_TABLES}; rebuild "
+            "with write_ann_index."
+        )
+    tau = COSINE_TAU if tau is None else tau
+    par = spark.sparkContext.defaultParallelism
+    stored_sig = spark.read.parquet(f"{index_dir}/lsh_signatures")
+    new_sig = lsh_signatures(
+        new_emb.select("vec_id", "embedding"), meta["b"], par
+    )
+    cand = _lsh_candidate_pairs(
+        stored_sig, meta["b"], meta["cap"], probe_sig=new_sig
+    )
+    corpus_emb = load_table(spark, sf_dir, "embeddings")
+    en = corpus_emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("embedding").alias("n_emb"),
+    )
+    eq = new_emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        cand.dropDuplicates(["query_id", "neighbor_id"])
+        .join(en, "neighbor_id")
+        .join(eq, "query_id")
+        .repartition(par, "query_id")
+        .mapInPandas(_pair_topk_scorer, schema=_PAIR_SCHEMA + ", rnk long")
+    )
+    best = scored.filter((F.col("rnk") == 1) & (F.col("cosine") >= tau))
+    return (
+        new_emb.select("vec_id")
+        .join(
+            best.select(
+                F.col("query_id").alias("vec_id"),
+                F.col("neighbor_id").alias("dup_of"),
+                "cosine",
+            ),
+            "vec_id",
+            "left",
+        )
+        .select(
+            "vec_id",
+            F.when(F.col("dup_of").isNotNull(), "near_dup")
+            .otherwise("novel")
+            .alias("verdict"),
+            "dup_of",
+            "cosine",
+        )
+    )

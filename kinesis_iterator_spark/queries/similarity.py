@@ -629,22 +629,22 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_candidate_pairs(
-    sig: DataFrame, b: int, cap: int, query_ids=None
+    sig: DataFrame, b: int, cap: int, query_ids=None, probe_sig=None
 ) -> DataFrame:
     """Candidate generation shared by the self-kNN, external-query-set,
-    and stored-index LSH forms: ONE co-partitioned equi-join on
-    (table_id, bucket). Probe side = each query vector's bucket plus its
-    b one-bit flips (restricted first when ``query_ids`` is given, so
-    pruning happens BEFORE candidates exist); corpus side = signatures
-    minus hot buckets. The hot-bucket cap is a window count over the
-    SAME keys the join shuffles on, so Catalyst reuses the exchange — no
-    broadcasts, no extra jobs, and the identical plan co-partitions at
-    any scale."""
-    probe_src = (
-        sig
-        if query_ids is None
-        else _restrict_to_query_ids(sig, "vec_id", query_ids)
-    )
+    stored-index, and batch-admission LSH forms: ONE co-partitioned
+    equi-join on (table_id, bucket). Probe side = each query vector's
+    bucket plus its b one-bit flips (restricted first when ``query_ids``
+    is given, so pruning happens BEFORE candidates exist; taken from
+    ``probe_sig`` when the queries are a DIFFERENT signature frame than
+    the corpus — `incremental.embedding_dedup_against_index`); corpus
+    side = signatures minus hot buckets. The hot-bucket cap is a window
+    count over the SAME keys the join shuffles on, so Catalyst reuses
+    the exchange — no broadcasts, no extra jobs, and the identical plan
+    co-partitions at any scale."""
+    probe_src = sig if probe_sig is None else probe_sig
+    if query_ids is not None:
+        probe_src = _restrict_to_query_ids(probe_src, "vec_id", query_ids)
     probe_side = probe_src.select(
         F.col("vec_id").alias("query_id"),
         "table_id",

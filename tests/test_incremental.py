@@ -157,3 +157,71 @@ def test_write_index_drops_mega_buckets_like_full_path(spark, tmp_path):
         docs,
     ).collect()
     assert verdicts[0]["verdict"] == "exact_dup"
+
+
+@pytest.fixture(scope="module")
+def ann_index(spark, sf_dir, tmp_path_factory):
+    from kinesis_iterator_spark.queries.similarity import write_ann_index
+
+    d = str(tmp_path_factory.mktemp("ann_index"))
+    write_ann_index(spark, sf_dir, d)
+    return d
+
+
+def test_embedding_admission_detects_reingested_vectors(
+    spark, sf_dir, ann_index
+):
+    """A batch of corpus vectors under fresh ids must come back near_dup
+    with their stored originals as dup_of at cosine ≈ 1."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    batch = emb.filter(F.col("vec_id") % 10 == 3).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )
+    out = incremental.embedding_dedup_against_index(
+        spark, batch, ann_index, sf_dir
+    ).collect()
+    assert len(out) == batch.count()
+    near = [r for r in out if r["verdict"] == "near_dup"]
+    # Sign-LSH recall is < 1 by design, but an IDENTICAL vector lands in
+    # the same bucket in every table — all re-ingested vectors must hit.
+    assert len(near) == len(out)
+    for r in near:
+        assert r["cosine"] >= 0.9999
+    self_hits = sum(
+        1 for r in near if r["dup_of"] == r["vec_id"] - 10_000_000
+    )
+    # dup_of is the best match; an exact twin elsewhere in the corpus may
+    # outrank the original, but the overwhelming majority match themselves.
+    assert self_hits >= 0.9 * len(near)
+
+
+def test_embedding_admission_novel_for_opposed_vectors(
+    spark, sf_dir, ann_index
+):
+    """Negated vectors are cosine -1 to their source and at most weakly
+    similar (measured ≲0.38) to anything else in the corpus: at a
+    non-trivial tau they must come back novel with no dup_of. (At the
+    library's permissive default tau=0.35 a few chance 0.35-0.38
+    matches are legitimate near_dups — that is threshold semantics, not
+    a bug.)"""
+    emb = load_table(spark, sf_dir, "embeddings")
+    batch = emb.filter(F.col("vec_id") % 25 == 7).select(
+        (F.col("vec_id") + 20_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: -x).alias("embedding"),
+    )
+    out = incremental.embedding_dedup_against_index(
+        spark, batch, ann_index, sf_dir, tau=0.9
+    ).collect()
+    assert out and all(r["verdict"] == "novel" for r in out)
+    assert all(r["dup_of"] is None for r in out)
+
+
+def test_embedding_admission_tau_gates_verdicts(spark, sf_dir, ann_index):
+    emb = load_table(spark, sf_dir, "embeddings")
+    batch = emb.filter(F.col("vec_id") % 50 == 1).select(
+        (F.col("vec_id") + 30_000_000).alias("vec_id"), "embedding"
+    )
+    out = incremental.embedding_dedup_against_index(
+        spark, batch, ann_index, sf_dir, tau=1.1
+    ).collect()
+    assert all(r["verdict"] == "novel" for r in out)
