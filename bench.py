@@ -27,7 +27,7 @@ HEADLINE = [
     "q5_local_supplier_volume",
     "events_windows",
     "events_sessionize_30m",
-    "window_rank_functions",
+    "window_functions_suite",
     "topk_per_group",
     "agg_multi_function",
     "join_asof_click_purchase",

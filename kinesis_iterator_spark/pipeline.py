@@ -193,15 +193,19 @@ def curate(
 
 
 def curate_frame(
-    doc: DataFrame, config: CurationConfig | None = None
+    doc: DataFrame,
+    config: CurationConfig | None = None,
+    persist_labels: bool = True,
 ) -> CuratedCorpus:
     """The pipeline over any document frame with (doc_id, lang, source,
     text) columns.
 
-    The label frame is persisted — it is slim (no text), consumed by
-    stats(), final, and write_shards(), and its lineage contains the
-    iterative near-dup CC (not a single lazy plan). Call
-    ``CuratedCorpus.release()`` when done."""
+    The label frame is persisted by default — it is slim (no text),
+    consumed by stats(), final, and write_shards(), and its lineage
+    contains the iterative near-dup CC (not a single lazy plan). Call
+    ``CuratedCorpus.release()`` when done. Pass ``persist_labels=False``
+    when exactly ONE consumer will read the labels (e.g. the
+    ``pipeline_curate_stats`` registry entry's single aggregate)."""
     config = config or CurationConfig()
     sig = quality_signal_columns()
 
@@ -273,8 +277,9 @@ def curate_frame(
             "keep", F.col("exact_keep") & (F.col("doc_id") == F.col("component"))
         )
         .drop("exact_keeper")
-        .persist()
     )
+    if persist_labels:
+        labels = labels.persist()
     return CuratedCorpus(doc, labels, config)
 
 

@@ -100,6 +100,7 @@ _MODULES = (
     "text",
     "multimodal",
     "stream_parity",
+    "curation",
 )
 
 

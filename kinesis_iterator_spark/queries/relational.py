@@ -670,37 +670,13 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "window_rank_functions",
+    "window_functions_suite",
     oracle="""
-    SELECT c_custkey, c_nationkey, c_acctbal,
+    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
            ROW_NUMBER() OVER w AS rn,
            RANK()       OVER w AS rnk,
            DENSE_RANK() OVER w AS drnk,
-           NTILE(4)     OVER w AS quartile
-    FROM customer
-    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
-    """,
-)
-def window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ranking family. Order includes the unique key so row_number/ntile are
-    deterministic. One shuffle on the partition key; sort within partition."""
-    cu = load_table(spark, sf_dir, "customer")
-    w = W.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), "c_custkey")
-    return cu.select(
-        "c_custkey",
-        "c_nationkey",
-        "c_acctbal",
-        F.row_number().over(w).cast("long").alias("rn"),
-        F.rank().over(w).cast("long").alias("rnk"),
-        F.dense_rank().over(w).cast("long").alias("drnk"),
-        F.ntile(4).over(w).cast("long").alias("quartile"),
-    )
-
-
-@query(
-    "window_lag_lead_frames",
-    oracle="""
-    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+           NTILE(4)     OVER w AS quartile,
            LAG(o_totalprice)  OVER w AS prev_price,
            LEAD(o_totalprice) OVER w AS next_price,
            o_totalprice - COALESCE(LAG(o_totalprice) OVER w, o_totalprice) AS delta_prev,
@@ -713,11 +689,14 @@ def window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     """,
 )
-def window_lag_lead_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lag/lead plus frame specs (running total via unbounded-preceding and a
-    3-row moving average) over one shared window spec — one shuffle on the
-    partition key, one sort within partition, all window functions evaluated
-    in a single Window node."""
+def window_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full window-function sweep in ONE window node (merged per
+    SURVEY §8 registry-headroom plan #4): ranking family (row_number /
+    rank / dense_rank / ntile), offset family (lag/lead + delta), and
+    frame specs (running total via unbounded-preceding, 3-row moving
+    average) over one shared spec — one shuffle on the partition key,
+    one sort within partition. Order includes the unique key so
+    row_number/ntile are deterministic."""
     od = load_table(spark, sf_dir, "orders")
     w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     prev = F.lag("o_totalprice").over(w)
@@ -727,6 +706,10 @@ def window_lag_lead_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_orderdate",
         "o_totalprice",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
         prev.alias("prev_price"),
         F.lead("o_totalprice").over(w).alias("next_price"),
         (F.col("o_totalprice") - F.coalesce(prev, F.col("o_totalprice"))).alias(
