@@ -92,6 +92,56 @@ def test_streaming_tumbling_window_matches_batch(spark, sf_dir, staged_events_di
     shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def test_streaming_sliding_window_matches_batch(spark, sf_dir, staged_events_dir):
+    """The 30m/15m SLIDING shape (the other leg of the merged
+    events_windows entry) under Structured Streaming proper: every event
+    lands in exactly two windows, and the complete-mode result equals
+    the batch aggregate."""
+    ev_batch = load_table(spark, sf_dir, "events")
+    schema = spark.read.parquet(staged_events_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(staged_events_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+    def agg(df):
+        return (
+            df.groupBy(
+                F.window("ts", "30 minutes", "15 minutes").alias("w"),
+                "event_type",
+            )
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("ws"), "event_type", "n")
+        )
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    q = (
+        agg(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sliding_out")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["ws"], r["event_type"]): r["n"]
+        for r in spark.sql("select * from sliding_out").collect()
+    }
+    want = {
+        (r["ws"], r["event_type"]): r["n"] for r in agg(ev_batch).collect()
+    }
+    assert got == want
+    assert sum(got.values()) == 2 * ev_batch.count()
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def test_streaming_dedup_with_watermark(spark, staged_events_dir):
     """dropDuplicates on a stream keeps first arrival per key."""
     schema = spark.read.parquet(staged_events_dir).schema
