@@ -236,29 +236,40 @@ def embedding_dedup_against_index(
 
     Cost scales with the batch: the batch is signed by the SAME
     `lsh_signatures` kernel the index writer ran (bit-identical buckets,
-    parameters read back from the index meta), candidates come from one
+    parameters read back from the index meta; signature-geometry drift —
+    n_tables/dim/b_cap — fails loudly), candidates come from one
     co-partitioned bucket join against the stored signature parquet
-    (multi-probe + hot-bucket cap, shared `_lsh_candidate_pairs`), and
-    only candidate pairs gather vectors — the corpus embedding table
+    (multi-probe + hot-bucket cap, shared `_lsh_candidate_pairs` with
+    the batch as the probe frame — id-equal cross pairs are KEPT, id
+    namespaces are the caller's), and scoring is the shared
+    `_score_pairs_topk` join-gather tail — the corpus embedding table
     contributes the neighbor side of an equi-join, never a scan-wide
-    payload."""
+    payload. A zero-norm batch vector (failed encode) has NaN cosine to
+    everything and is classified novel, never near_dup. Batch vec_ids
+    must fit in uint32 (the scorer's packed-pair dedup contract;
+    corpus ids are ordinal by construction) — validated, loud."""
     from .queries.dedup import COSINE_TAU
     from .queries.similarity import (
-        N_TABLES,
+        _check_ann_compat,
         _lsh_candidate_pairs,
-        _pair_topk_scorer,
-        _PAIR_SCHEMA,
         _read_ann_meta,
+        _score_pairs_topk,
         lsh_signatures,
     )
     from .tables import load_table
 
     meta = _read_ann_meta(index_dir)
-    if meta.get("n_tables") != N_TABLES:
+    _check_ann_compat(index_dir, meta)
+    bounds = new_emb.agg(
+        F.min("vec_id").alias("lo"), F.max("vec_id").alias("hi")
+    ).collect()[0]
+    if bounds["lo"] is not None and (
+        bounds["lo"] < 0 or bounds["hi"] >= (1 << 32)
+    ):
         raise ValueError(
-            f"ANN index at {index_dir} was built with n_tables="
-            f"{meta.get('n_tables')}, library has {N_TABLES}; rebuild "
-            "with write_ann_index."
+            f"batch vec_ids must be in [0, 2^32) (got {bounds['lo']}.."
+            f"{bounds['hi']}): the pair scorer packs (query_id, "
+            "neighbor_id) into one int64 — renumber the batch."
         )
     tau = COSINE_TAU if tau is None else tau
     par = spark.sparkContext.defaultParallelism
@@ -269,23 +280,19 @@ def embedding_dedup_against_index(
     cand = _lsh_candidate_pairs(
         stored_sig, meta["b"], meta["cap"], probe_sig=new_sig
     )
-    corpus_emb = load_table(spark, sf_dir, "embeddings")
-    en = corpus_emb.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("label").alias("neighbor_label"),
-        F.col("embedding").alias("n_emb"),
+    scored = _score_pairs_topk(
+        cand,
+        load_table(spark, sf_dir, "embeddings"),
+        par,
+        sf_dir,
+        meta["n"],
+        query_emb=new_emb,
     )
-    eq = new_emb.select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    best = scored.filter(
+        (F.col("rnk") == 1)
+        & (F.col("cosine") >= tau)
+        & ~F.isnan("cosine")
     )
-    scored = (
-        cand.dropDuplicates(["query_id", "neighbor_id"])
-        .join(en, "neighbor_id")
-        .join(eq, "query_id")
-        .repartition(par, "query_id")
-        .mapInPandas(_pair_topk_scorer, schema=_PAIR_SCHEMA + ", rnk long")
-    )
-    best = scored.filter((F.col("rnk") == 1) & (F.col("cosine") >= tau))
     return (
         new_emb.select("vec_id")
         .join(

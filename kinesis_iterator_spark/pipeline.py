@@ -119,22 +119,29 @@ class CuratedCorpus:
         self.config = config
         self._stats: dict[str, int] | None = None
 
+    def stats_frame(self) -> DataFrame:
+        """The one-row stage-count aggregate as a LAZY DataFrame — the
+        single definition behind both :meth:`stats` and the
+        `pipeline_curate_stats` registry entry (so the oracle-gated
+        numbers cannot drift from what the library reports)."""
+        as_long = lambda c: F.sum(F.col(c).cast("long"))  # noqa: E731
+        return self.labels.agg(
+            F.count("*").alias("n_input"),
+            as_long("quality_pass").alias("n_quality"),
+            as_long("gate_pass").alias("n_gate"),
+            as_long("exact_keep").alias("n_exact"),
+            as_long("keep").alias("n_kept"),
+            F.sum("tokens").cast("long").alias("input_tokens"),
+            F.sum(F.when(F.col("keep"), F.col("tokens")).otherwise(0))
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+
     def stats(self) -> dict[str, int]:
         """Per-stage survivor counts + token totals — a single
         aggregate job over the label frame (cached after first call)."""
         if self._stats is None:
-            as_long = lambda c: F.sum(F.col(c).cast("long"))  # noqa: E731
-            row = self.labels.agg(
-                F.count("*").alias("n_input"),
-                as_long("quality_pass").alias("n_quality"),
-                as_long("gate_pass").alias("n_gate"),
-                as_long("exact_keep").alias("n_exact"),
-                as_long("keep").alias("n_kept"),
-                F.sum("tokens").alias("input_tokens"),
-                F.sum(F.when(F.col("keep"), F.col("tokens")).otherwise(0)).alias(
-                    "kept_tokens"
-                ),
-            ).collect()[0]
+            row = self.stats_frame().collect()[0]
             self._stats = {k: int(row[k] or 0) for k in row.asDict()}
         return self._stats
 

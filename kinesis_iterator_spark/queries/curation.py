@@ -15,7 +15,6 @@ value-checked entry (`dedup_minhash_lsh`).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from ..tables import load_table
 from . import query
@@ -124,15 +123,4 @@ def pipeline_curate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     cur = curate_frame(
         load_table(spark, sf_dir, "documents"), cfg, persist_labels=False
     )
-    as_long = lambda c: F.sum(F.col(c).cast("long"))  # noqa: E731
-    return cur.labels.agg(
-        F.count("*").alias("n_input"),
-        as_long("quality_pass").alias("n_quality"),
-        as_long("gate_pass").alias("n_gate"),
-        as_long("exact_keep").alias("n_exact"),
-        as_long("keep").alias("n_kept"),
-        F.sum("tokens").cast("long").alias("input_tokens"),
-        F.sum(F.when(F.col("keep"), F.col("tokens")).otherwise(0))
-        .cast("long")
-        .alias("kept_tokens"),
-    )
+    return cur.stats_frame()

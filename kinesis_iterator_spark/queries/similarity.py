@@ -313,7 +313,12 @@ def _restrict_to_query_ids(df: DataFrame, col: str, query_ids) -> DataFrame:
 
 
 def _score_pairs_topk(
-    pairs: DataFrame, emb: DataFrame, par: int, sf_dir: str, n: int
+    pairs: DataFrame,
+    emb: DataFrame,
+    par: int,
+    sf_dir: str,
+    n: int,
+    query_emb: DataFrame | None = None,
 ) -> DataFrame:
     """Shared tail of the LSH / IVF ANN paths: slim (query_id, neighbor_id)
     candidate pairs → exact tie-broken top-k. Neither path collects the
@@ -329,8 +334,13 @@ def _score_pairs_topk(
     query_id so the kernel sees each query's full candidate set. That
     explicit repartition is the co-location contract: join output
     partitioning depends on the strategy AQE picks, so the kernel must
-    not rely on it. Path equality is pinned in tests/test_llm_ops.py."""
-    if n <= SMALL_CORPUS_MAX:
+    not rely on it. Path equality is pinned in tests/test_llm_ops.py.
+
+    ``query_emb`` (vec_id, embedding) supplies the QUERY side when the
+    queries are not corpus rows (batch admission) — this forces the
+    join-gather path, because the executor corpus cache cannot hold
+    vectors that are not in the corpus file."""
+    if query_emb is None and n <= SMALL_CORPUS_MAX:
         return pairs.repartition(par, "query_id").mapInPandas(
             _corpus_pair_topk_scorer(sf_dir), schema=_PAIR_SCHEMA + ", rnk long"
         )
@@ -339,7 +349,7 @@ def _score_pairs_topk(
         F.col("label").alias("neighbor_label"),
         F.col("embedding").alias("n_emb"),
     )
-    eq = emb.select(
+    eq = (emb if query_emb is None else query_emb).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
     wide = (
@@ -662,11 +672,14 @@ def _lsh_candidate_pairs(
         .filter(F.col("bsz") <= cap)
         .select(F.col("vec_id").alias("neighbor_id"), "table_id", "bucket")
     )
-    return (
-        probe_side.join(capped, ["table_id", "bucket"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id")
-    )
+    joined = probe_side.join(capped, ["table_id", "bucket"])
+    if probe_sig is None:
+        # Self-kNN only: a (v, v) pair is the vector meeting itself.
+        # Cross-frame admission MUST keep id-equal pairs — a batch id
+        # colliding with an unrelated corpus id is still a real
+        # candidate (id namespaces are the caller's, not ours).
+        joined = joined.filter(F.col("query_id") != F.col("neighbor_id"))
+    return joined.select("query_id", "neighbor_id")
 
 
 def similarity_lsh_topk_for_queries(
@@ -947,7 +960,14 @@ def write_ann_index(spark: SparkSession, sf_dir: str, index_dir: str) -> dict:
     _ivf_ranked_assignment(spark, emb).write.mode("overwrite").parquet(
         f"{index_dir}/ivf_assignment"
     )
-    meta = {"n": n, "b": b, "cap": cap, "n_tables": N_TABLES, "dim": DIM}
+    meta = {
+        "n": n,
+        "b": b,
+        "cap": cap,
+        "n_tables": N_TABLES,
+        "dim": DIM,
+        "b_cap": B_CAP,
+    }
     os.makedirs(index_dir, exist_ok=True)
     with open(f"{index_dir}/meta.json", "w") as fh:
         json.dump(meta, fh)
@@ -959,6 +979,25 @@ def _read_ann_meta(index_dir: str) -> dict:
 
     with open(f"{index_dir}/meta.json") as fh:
         return json.load(fh)
+
+
+def _check_ann_compat(index_dir: str, meta: dict) -> None:
+    """Fail loudly when an index was built under different signature
+    geometry than this library: n_tables and b_cap both enter the plane
+    index (`_plane(t * B_CAP + i)`), and dim shapes the vectors — drift
+    in ANY of them means batch buckets share nothing with stored buckets
+    and every duplicate silently reads as novel. Same rationale as the
+    text side's `incremental._check_meta`."""
+    current = {"n_tables": N_TABLES, "dim": DIM, "b_cap": B_CAP}
+    stale = {
+        k: (meta.get(k), v) for k, v in current.items() if meta.get(k) != v
+    }
+    if stale:
+        raise ValueError(
+            f"ANN index at {index_dir} was built with different signature "
+            f"parameters than this library: {stale} (stored, current). "
+            "Rebuild with write_ann_index."
+        )
 
 
 def similarity_lsh_topk_from_index(

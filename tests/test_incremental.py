@@ -225,3 +225,46 @@ def test_embedding_admission_tau_gates_verdicts(spark, sf_dir, ann_index):
         spark, batch, ann_index, sf_dir, tau=1.1
     ).collect()
     assert all(r["verdict"] == "novel" for r in out)
+
+
+def test_embedding_admission_keeps_id_equal_cross_pairs(
+    spark, sf_dir, ann_index
+):
+    """A batch id colliding with a corpus id is a caller namespace
+    artifact, not a self-pair: the identical vector under the SAME id
+    must still be detected (the self-kNN id filter must not fire on the
+    cross-frame probe side)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    batch = emb.filter(F.col("vec_id") % 100 == 11).select(
+        "vec_id", "embedding"
+    )
+    out = incremental.embedding_dedup_against_index(
+        spark, batch, ann_index, sf_dir
+    ).collect()
+    assert out and all(r["verdict"] == "near_dup" for r in out)
+    assert all(r["cosine"] >= 0.9999 for r in out)
+
+
+def test_embedding_admission_zero_norm_vector_is_novel(
+    spark, sf_dir, ann_index
+):
+    """NaN cosine (zero-norm batch vector — failed encode) must not pass
+    the tau gate under Spark's NaN-greater-than-everything ordering."""
+    batch = spark.createDataFrame(
+        [(123, [0.0] * 64)], "vec_id long, embedding array<float>"
+    )
+    out = incremental.embedding_dedup_against_index(
+        spark, batch, ann_index, sf_dir
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["verdict"] == "novel" and out[0]["dup_of"] is None
+
+
+def test_embedding_admission_rejects_oversized_ids(spark, sf_dir, ann_index):
+    batch = spark.createDataFrame(
+        [(1 << 32, [1.0] * 64)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match=r"\[0, 2\^32\)"):
+        incremental.embedding_dedup_against_index(
+            spark, batch, ann_index, sf_dir
+        )
