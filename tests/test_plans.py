@@ -209,3 +209,23 @@ def test_ann_candidate_joins_never_carry_embeddings(spark, sf_dir):
         # No exchange may shuffle an embedding column in these plans.
         for m in re.finditer(r"Exchange hashpartitioning\([^\n]*", plan):
             assert "embedding" not in m.group(0), f"{name}: {m.group(0)[:120]}"
+
+
+def test_repetition_scores_single_exchange(spark, sf_dir):
+    # The posexplode -> window-lead -> stack pipeline's doc_id shuffle
+    # must be the query's ONLY exchange: both downstream groupBys key on
+    # doc_id supersets and reuse the window's partitioning. A second
+    # exchange means the gram rows (the widest set) moved twice.
+    plan = plan_of(spark, sf_dir, "text_repetition_scores")
+    assert plan.count("Exchange") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_decontaminate_is_broadcast_equi_join(spark, sf_dir):
+    # The benchmark shingle side is tiny by construction: it must arrive
+    # as a broadcast equi-join on the 60-bit hash, never a cartesian
+    # pairing, and the corpus text must not shuffle for it.
+    plan = plan_of(spark, sf_dir, "text_decontaminate")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
