@@ -229,3 +229,12 @@ def test_decontaminate_is_broadcast_equi_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_window_suite_is_one_window_pass(spark, sf_dir):
+    # Ranking + offset + frame functions share ONE window spec: a single
+    # exchange on the partition key and no second sort — the merge must
+    # not have split the evaluation into multiple window nodes with
+    # their own shuffles.
+    plan = plan_of(spark, sf_dir, "window_functions_suite")
+    assert plan.count("Exchange") == 1
