@@ -40,6 +40,8 @@ HEADLINE = [
     "similarity_ivf_topk",
     "text_quality_scores",
     "text_tf_per_source",
+    "text_repetition_scores",
+    "text_decontaminate",
     "fn_string_suite",
     "stream_record_model",
 ]
@@ -128,7 +130,14 @@ def main() -> None:
     from kinesis_iterator_spark.streaming import datasource as sim_ds
     from kinesis_iterator_spark.streaming import register_sim_kinesis
 
-    register_sim_kinesis(spark)
+    # No under-drain listener in the bench session: a Python
+    # StreamingQueryListener keeps receiving JVM listener-bus events after
+    # the py4j callback server dies at teardown, and the resulting
+    # "Connection refused" stack traces buried the round-7 bench's final
+    # JSON metric line (BENCH_r07.json parsed:null). The bench drives its
+    # own drain-completeness via await_drained, so the guard adds nothing
+    # here.
+    register_sim_kinesis(spark, under_drain_guard=False)
 
     def structured_drain() -> None:
         ck = tempfile.mkdtemp(prefix="bench_ck_")
@@ -159,6 +168,74 @@ def main() -> None:
         best = min(best, time.perf_counter() - t0)
     timings["stream_consume_structured"] = round(best, 3)
 
+    # Belt-and-braces: if anything in this process installed the
+    # under-drain listener anyway, drop it before teardown.
+    from kinesis_iterator_spark.streaming import remove_under_drain_guard
+
+    remove_under_drain_guard(spark)
+
+    # -- round-7 surface: full curation pipeline (MinHash edge source,
+    # the 100 TB path) driven to its one-row stats aggregate. The
+    # registry's pipeline_curate_stats uses the exact-ngram edge source
+    # (the oracle-checkable baseline); the bench times the scale path.
+    from kinesis_iterator_spark.pipeline import (
+        CorpusWriter,
+        CurationConfig,
+        curate,
+    )
+
+    def curate_minhash() -> None:
+        cur = curate(spark, sf_dir, CurationConfig(edge_source="minhash"))
+        try:
+            cur.stats_frame().write.format("noop").mode("overwrite").save()
+        finally:
+            cur.release()
+            release_persists()
+
+    curate_minhash()  # warm
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        curate_minhash()
+        best = min(best, time.perf_counter() - t0)
+    timings["pipeline_curate_minhash"] = round(best, 3)
+
+    # -- round-7 surface: incremental corpus admission. Bootstrap a
+    # corpus + dedup index from the even-doc_id half ONCE (untimed),
+    # then time CorpusWriter.admit of the odd half against a fresh COPY
+    # of that state per pass (admit mutates corpus + index; the copy is
+    # setup, outside the timer).
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kinesis_iterator_spark.tables import load_table
+
+    doc = load_table(spark, sf_dir, "documents")
+    even = doc.filter(F.col("doc_id") % 2 == 0)
+    odd = doc.filter(F.col("doc_id") % 2 == 1)
+    template = tempfile.mkdtemp(prefix="bench_admit_tpl_")
+    CorpusWriter(
+        spark, f"{template}/corpus", f"{template}/index"
+    ).admit(even)
+    release_persists()
+
+    def admit_odd() -> float:
+        work = tempfile.mkdtemp(prefix="bench_admit_")
+        shutil.copytree(f"{template}/corpus", f"{work}/corpus")
+        shutil.copytree(f"{template}/index", f"{work}/index")
+        writer = CorpusWriter(spark, f"{work}/corpus", f"{work}/index")
+        t0 = time.perf_counter()
+        writer.admit(odd)
+        dt = time.perf_counter() - t0
+        shutil.rmtree(work, ignore_errors=True)
+        return dt
+
+    admit_odd()  # warm
+    timings["incremental_admit"] = round(min(admit_odd(), admit_odd()), 3)
+    shutil.rmtree(template, ignore_errors=True)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_queries_total_runtime",
@@ -167,7 +244,22 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    print(json.dumps(out))
+    line = json.dumps(out)
+    # Sidecar record: survives even if a future harness change pollutes
+    # the captured stdout/stderr tail again (VERDICT r7 #1).
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
+            "w",
+        ) as fh:
+            fh.write(line + "\n")
+    except OSError:
+        pass
+    # Stop the JVM BEFORE printing: after spark.stop() no listener-bus or
+    # executor thread can write to stderr/stdout, so the metric line is
+    # the process's absolute last output (the driver parses the tail).
+    spark.stop()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

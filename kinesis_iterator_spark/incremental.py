@@ -269,7 +269,7 @@ def embedding_dedup_against_index(
         raise ValueError(
             f"batch vec_ids must be in [0, 2^32) (got {bounds['lo']}.."
             f"{bounds['hi']}): the pair scorer packs (query_id, "
-            "neighbor_id) into one int64 — renumber the batch."
+            "neighbor_id) into one uint64 — renumber the batch."
         )
     tau = COSINE_TAU if tau is None else tau
     par = spark.sparkContext.defaultParallelism

@@ -228,13 +228,16 @@ def _pair_topk_scorer(batches):
     # Dedupe multi-table/probe collisions via packed-int np.unique
     # (ids fit 32 bits at any realistic per-partition candidate set;
     # a 1e9+-id corpus packs into int128 or dedupes per query block).
+    # Pack in UINT64: an int64 pack turns query_id >= 2^31 into a
+    # negative id on unpack (sign bit lands in the high half), so the
+    # caller's join-back would silently miss those queries.
     packed, first = np.unique(
-        (pdf["query_id"].to_numpy().astype(np.int64) << 32)
-        | pdf["neighbor_id"].to_numpy().astype(np.int64),
+        (pdf["query_id"].to_numpy().astype(np.uint64) << np.uint64(32))
+        | pdf["neighbor_id"].to_numpy().astype(np.uint64),
         return_index=True,
     )
-    qa = packed >> 32
-    nb = packed & 0xFFFFFFFF
+    qa = (packed >> np.uint64(32)).astype(np.int64)
+    nb = (packed & np.uint64(0xFFFFFFFF)).astype(np.int64)
     # One explicit transpose each, then contiguous-row folds: the direct
     # (m, d) column fold strided-reads the whole matrix per dimension
     # (see _fold_dot_pairs' traffic note).
@@ -270,11 +273,11 @@ def _corpus_pair_topk_scorer(sf_dir: str):
             return
         pdf = pd.concat(chunks, ignore_index=True)
         packed = np.unique(
-            (pdf["query_id"].to_numpy().astype(np.int64) << 32)
-            | pdf["neighbor_id"].to_numpy().astype(np.int64)
+            (pdf["query_id"].to_numpy().astype(np.uint64) << np.uint64(32))
+            | pdf["neighbor_id"].to_numpy().astype(np.uint64)
         )
-        qa = packed >> 32
-        nb = packed & 0xFFFFFFFF
+        qa = (packed >> np.uint64(32)).astype(np.int64)
+        nb = (packed & np.uint64(0xFFFFFFFF)).astype(np.int64)
         qi = np.searchsorted(ids, qa)
         ci = np.searchsorted(ids, nb)
         cos = _fold_dot_pairs(MT, qi, ci) / (nrm[qi] * nrm[ci])

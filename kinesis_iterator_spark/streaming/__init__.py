@@ -23,6 +23,7 @@ those semantics Spark-first:
 
 from .datasource import SimKinesisDataSource  # noqa: F401
 from .datasource import register as register_sim_kinesis  # noqa: F401
+from .datasource import remove_under_drain_guard  # noqa: F401
 from .iterator import Iterator, Logger  # noqa: F401
 from .option import Option, new_iterator  # noqa: F401
 from .sequence import InMemorySaver, JsonFileSaver, Sequence  # noqa: F401

@@ -497,7 +497,7 @@ def await_drained(query, path: str, n_shards: int = 8, timeout: float = 180.0) -
     return done
 
 
-def register(spark) -> str:
+def register(spark, under_drain_guard: bool = True) -> str:
     """Register the source; returns the format name.
 
     Usage::
@@ -505,7 +505,16 @@ def register(spark) -> str:
         register(spark)
         df = (spark.readStream.format("sim_kinesis")
               .option("path", sf_dir).option("n_shards", 8).load())
-    """
+
+    ``under_drain_guard`` controls the session-wide
+    :class:`_UnderDrainListener` install (default on). A Python
+    `StreamingQueryListener` outlives the py4j callback server at
+    session teardown: the JVM's AsyncEventQueue keeps dispatching to it
+    after ``spark.stop()`` and floods stderr with ``Connection refused``
+    stack traces (this buried the round-7 bench's JSON metric line —
+    VERDICT r7 #1). Pass ``under_drain_guard=False`` for short-lived
+    harness sessions that manage their own drain correctness, or call
+    :func:`remove_under_drain_guard` before teardown."""
     # Capture the live session timezone BEFORE registering: cloudpickle
     # serializes the class (attributes included) at registration, so the
     # runner/executor processes see the tz the arrival-ts cast must use
@@ -520,17 +529,33 @@ def register(spark) -> str:
     spark.dataSource.register(SimKinesisDataSource)
     # One under-drain listener per session (idempotent re-register calls
     # must not stack duplicate warnings).
-    if not getattr(spark, "_sim_kinesis_listener", None):
+    if under_drain_guard and not getattr(spark, "_sim_kinesis_listener", None):
         listener = _UnderDrainListener()
         spark.streams.addListener(listener)
         spark._sim_kinesis_listener = listener
     return FORMAT_NAME
 
 
+def remove_under_drain_guard(spark) -> bool:
+    """Deregister the :class:`_UnderDrainListener` installed by
+    :func:`register` (no-op if absent). Returns whether a listener was
+    removed. Call this before ``spark.stop()`` in any process whose
+    stdout/stderr tail matters — the listener's py4j callbacks fire from
+    the JVM listener bus and stack-trace after the callback server is
+    gone."""
+    listener = getattr(spark, "_sim_kinesis_listener", None)
+    if listener is None:
+        return False
+    spark.streams.removeListener(listener)
+    spark._sim_kinesis_listener = None
+    return True
+
+
 __all__ = [
     "SimKinesisDataSource",
     "SimKinesisStreamReader",
     "register",
+    "remove_under_drain_guard",
     "FORMAT_NAME",
     "await_drained",
     "drain_target",

@@ -362,3 +362,72 @@ def test_batch_read_equals_streaming_drain(spark, sf_dir):
     assert [(f.name, f.dataType) for f in batch.schema.fields] == [
         (f.name, f.dataType) for f in expected.schema.fields
     ]
+
+
+def test_register_guard_optional_and_removable(spark, sf_dir):
+    """VERDICT r7 #2: register() must allow opting out of the session-wide
+    under-drain listener, and remove_under_drain_guard() must deregister
+    an installed one — the guard's irrevocability is what buried the
+    round-7 bench's metric line under post-teardown py4j stack traces."""
+    # Detach whatever earlier tests installed so this test owns the state
+    # (re-registration below restores a fresh guard for later tests).
+    ds.remove_under_drain_guard(spark)
+    assert getattr(spark, "_sim_kinesis_listener", None) is None
+
+    ds.register(spark, under_drain_guard=False)
+    assert getattr(spark, "_sim_kinesis_listener", None) is None
+    assert ds.remove_under_drain_guard(spark) is False  # nothing to remove
+
+    ds.register(spark)  # default: guard on
+    assert getattr(spark, "_sim_kinesis_listener", None) is not None
+    assert ds.remove_under_drain_guard(spark) is True
+    assert getattr(spark, "_sim_kinesis_listener", None) is None
+    # idempotent second removal
+    assert ds.remove_under_drain_guard(spark) is False
+
+
+def test_session_teardown_after_register_is_clean(sf_dir):
+    """VERDICT r7 #1/#2 pin, end to end in a SUBPROCESS: a session that
+    registered sim_kinesis (guard ON), ran a streaming drain, then
+    removed the guard and stopped, must exit 0 with its final stdout
+    line intact and no py4j Connection-refused listener traces — the
+    exact failure that made BENCH_r07.json unparseable."""
+    import subprocess
+    import sys
+    import textwrap
+
+    script = textwrap.dedent(
+        f"""
+        import shutil, sys, tempfile
+        sys.path.insert(0, "/root/repo")
+        from kinesis_iterator_spark.session import get_spark
+        from kinesis_iterator_spark.streaming import (
+            datasource as ds, register_sim_kinesis, remove_under_drain_guard,
+        )
+        spark = get_spark("teardown_pin", cpus=4)
+        register_sim_kinesis(spark)  # guard ON — the r7 configuration
+        ck = tempfile.mkdtemp()
+        q = (spark.readStream.format(ds.FORMAT_NAME)
+             .option("path", {sf_dir!r}).option("n_shards", 2)
+             .option("available_now", "true").load()
+             .writeStream.foreachBatch(lambda df, e: df.count())
+             .option("checkpointLocation", ck)
+             .trigger(processingTime="0 seconds").start())
+        assert ds.await_drained(q, {sf_dir!r}, n_shards=2, timeout=120)
+        shutil.rmtree(ck, ignore_errors=True)
+        assert remove_under_drain_guard(spark) is True
+        spark.stop()
+        print('{{"sentinel": "last-line"}}', flush=True)
+        """
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    out_lines = [l for l in proc.stdout.splitlines() if l.strip()]
+    assert out_lines and out_lines[-1] == '{"sentinel": "last-line"}'
+    assert "Connection refused" not in proc.stderr
+    assert "py4j.clientserver" not in proc.stderr or "ERROR" not in proc.stderr

@@ -118,6 +118,38 @@ def test_pair_topk_kernel_matches_naive_scan(data):
         assert got == want
 
 
+def test_pair_topk_kernel_high_ids_survive_pack():
+    """Regression (ADVICE r7 medium): ids in [2^31, 2^32) must round-trip
+    the scorer's packed-pair dedupe. The old int64 pack put the query
+    id's sign bit into the packed high half, so the arithmetic-shift
+    unpack returned a NEGATIVE query_id and the caller's join-back
+    silently classified those batch vectors as novel."""
+    import numpy as np
+    import pandas as pd
+
+    from kinesis_iterator_spark.queries.similarity import _pair_topk_scorer
+
+    hi = (1 << 31) + 7  # sign bit set in the packed high half
+    v = np.array([1.0, 0.0, 0.0, 0.0])
+    pairs = pd.DataFrame(
+        {
+            "query_id": [hi, hi, 3],
+            "neighbor_id": [5, (1 << 32) - 1, hi],
+            "neighbor_label": [0, 0, 0],
+            "q_emb": [v, v, v],
+            "n_emb": [v, v, v],
+        }
+    )
+    out = pd.concat(list(_pair_topk_scorer([pairs])), ignore_index=True)
+    assert (out["query_id"] >= 0).all() and (out["neighbor_id"] >= 0).all()
+    assert set(map(tuple, out[["query_id", "neighbor_id"]].to_numpy())) == {
+        (hi, 5),
+        (hi, (1 << 32) - 1),
+        (3, hi),
+    }
+    assert (out["cosine"] == 1.0).all()
+
+
 @SLOW
 @given(
     ts_offsets=st.lists(
