@@ -29,6 +29,15 @@ Index layout (parquet + meta sidecar, the `write_ann_index` convention):
   verified against the library's constants at query time so an index
   built under different banding fails loudly instead of silently missing
   near-dups.
+- ``{index_dir}/dropped/`` — TOMBSTONES: (band_id, band_key) of every
+  bucket the cap rule ever dropped (at build or at any append). Without
+  them, a bucket dropped in one batch could leave a small remnant from
+  other batches that keeps pairing — and compaction could not tell a
+  legitimately small bucket from the remnant of a mega-bucket. With
+  them, :func:`compact_index` reproduces EXACTLY the band set a fresh
+  :func:`write_index` of the union corpus would build (pinned in
+  tests), and `dedup_against_index` anti-joins them (a tiny frame —
+  one row per mega-bucket) so remnants stop pairing immediately.
 """
 
 from __future__ import annotations
@@ -66,33 +75,73 @@ def _digests(doc: DataFrame) -> DataFrame:
     return doc.select("doc_id", F.md5("text").alias("digest"))
 
 
-def _capped_bands(doc: DataFrame) -> DataFrame:
-    """Band rows with the stored-side hot-bucket rule MIRRORING the full
-    path: `minhash_pairs` emits NO pairs from a bucket larger than
-    MAX_BUCKET (mega-buckets are boilerplate — exact dedup's job), so
-    the stored index DROPS such buckets entirely rather than keeping a
-    truncated sample that would reject docs the full recompute admits.
-    Deterministic, so rebuild == build. Residual incremental-vs-full
-    difference: a bucket can exceed the cap only ACROSS corpus+batch —
-    the union-run would then drop it while the incremental check still
-    pairs batch docs against the ≤MAX_BUCKET stored members; that errs
-    toward rejecting near-dups of boilerplate, never toward admitting."""
+def _write_band_files(doc: DataFrame, index_dir: str, mode: str) -> None:
+    """One signature pipeline, two outputs: the capped band rows to
+    ``bands/`` and the over-cap bucket keys (tombstones — one row per
+    mega-bucket) to ``dropped/``.
+
+    The cap rule MIRRORS the full path: `minhash_pairs` emits NO pairs
+    from a bucket larger than MAX_BUCKET (mega-buckets are boilerplate —
+    exact dedup's job), so the stored index DROPS such buckets entirely
+    rather than keeping a truncated sample that would reject docs the
+    full recompute admits; the tombstone records the drop so remnants
+    from other appends stop pairing and compaction can reproduce the
+    union rebuild. Deterministic, so rebuild == build. Residual
+    incremental-vs-full difference: a bucket can exceed the cap only by
+    ACCUMULATION across appends (each append under the cap, union over
+    it); the union-run would drop such a bucket while the incremental
+    check still pairs against its stored members until
+    :func:`compact_index` — that errs toward rejecting near-dups of
+    boilerplate, never toward admitting.
+
+    The occupancy-marked band frame is persisted between the two writes:
+    it is the SLIM post-window rows (4 rows/doc of ids+keys — the
+    persist-small class), and without the pin the second write would
+    recompute the whole shingle/signature pipeline."""
     n_in_bucket = F.count("*").over(W.partitionBy("band_id", "band_key"))
-    return (
-        minhash_bands(doc)
-        .withColumn("_n", n_in_bucket)
-        .filter(F.col("_n") <= MAX_BUCKET)
-        .drop("_n")
-    )
+    marked = minhash_bands(doc).withColumn("_n", n_in_bucket).persist()
+    try:
+        marked.filter(F.col("_n") <= MAX_BUCKET).drop("_n").write.mode(
+            mode
+        ).parquet(f"{index_dir}/bands")
+        marked.filter(F.col("_n") > MAX_BUCKET).select(
+            "band_id", "band_key"
+        ).distinct().write.mode(mode).parquet(f"{index_dir}/dropped")
+    finally:
+        marked.unpersist()
+
+
+def _read_dropped(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    """The tombstone frame, or None for a pre-tombstone index layout
+    (treated as empty — those indexes never recorded drops)."""
+    d = f"{index_dir}/dropped"
+    if not os.path.isdir(d):
+        return None
+    return spark.read.parquet(d).select("band_id", "band_key")
+
+
+def _dir_rows(d: str) -> int:
+    """Row count of a parquet directory from file FOOTERS — driver-side
+    metadata reads, zero Spark jobs (the `_corpus_size` pattern)."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for f in os.listdir(d):
+        if f.endswith(".parquet"):
+            total += pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
+    return total
 
 
 def write_index(doc: DataFrame, index_dir: str) -> dict:
     """Build the dedup index for a (doc_id, text) corpus frame. One pass
-    for digests, one signature pipeline for bands; nothing wider than
-    (doc_id, band_key) is shuffled. Returns the meta dict."""
+    for digests, one signature pipeline for bands (+ its tombstones);
+    nothing wider than (doc_id, band_key) is shuffled. Returns the meta
+    dict (LSH parameters + the band-row count at build time, the
+    baseline `dedup_against_index` uses to flag append drift)."""
     _digests(doc).write.mode("overwrite").parquet(f"{index_dir}/digests")
-    _capped_bands(doc).write.mode("overwrite").parquet(f"{index_dir}/bands")
+    _write_band_files(doc, index_dir, "overwrite")
     meta = _current_meta()
+    meta["base_band_rows"] = _dir_rows(f"{index_dir}/bands")
     os.makedirs(index_dir, exist_ok=True)
     with open(f"{index_dir}/meta.json", "w") as fh:
         json.dump(meta, fh)
@@ -138,9 +187,19 @@ def dedup_against_index(
     `pipeline.curate_frame` first; this function answers only
     "is it new RELATIVE TO the corpus".
     """
-    _check_meta(index_dir)
+    meta = _check_meta(index_dir)
+    _warn_if_drifted(index_dir, meta)
     stored_digests = spark.read.parquet(f"{index_dir}/digests")
     stored_bands = spark.read.parquet(f"{index_dir}/bands")
+    # Honor tombstones: a bucket the cap rule dropped in ANY batch is
+    # boilerplate; its remnant rows from other batches must not pair
+    # (the union-corpus rebuild would drop the whole bucket). The
+    # tombstone frame is one row per mega-bucket — AQE broadcasts it.
+    dropped = _read_dropped(spark, index_dir)
+    if dropped is not None:
+        stored_bands = stored_bands.join(
+            dropped, ["band_id", "band_key"], "left_anti"
+        )
 
     # Exact: smallest corpus doc sharing the digest. AQE broadcasts the
     # batch-side digest frame (small by construction) under the join.
@@ -203,20 +262,90 @@ def dedup_against_index(
     )
 
 
+# Past this growth factor over the base band-row count, dedup_against_index
+# warns that the index should be compacted: accumulated appends can grow a
+# bucket past the cap without any single append tripping the tombstone
+# rule, inflating candidate volume until compact_index re-applies the cap.
+COMPACT_DRIFT_FACTOR = 2.0
+
+
+def _warn_if_drifted(index_dir: str, meta: dict) -> None:
+    base = meta.get("base_band_rows")
+    if not base:
+        return  # pre-drift-tracking index layout
+    current = _dir_rows(f"{index_dir}/bands")
+    if current > COMPACT_DRIFT_FACTOR * base:
+        import warnings
+
+        warnings.warn(
+            f"dedup index at {index_dir} has grown to {current} band rows "
+            f"from a base of {base} (> {COMPACT_DRIFT_FACTOR}x): appended "
+            "buckets are no longer cap-checked across appends — run "
+            "compact_index (cheap: re-windows stored rows) or "
+            "CorpusWriter.reconcile (full rebuild).",
+            stacklevel=3,
+        )
+
+
 def extend_index(accepted_doc: DataFrame, index_dir: str) -> None:
     """Append the ACCEPTED (novel) documents' digest and band rows to the
     index — the post-batch "checkpoint save". Append-mode parquet: no
-    rewrite of existing index files. The write-time mega-bucket drop
-    cannot be re-applied across appends without reading the stored
-    bands; an append-heavy index should be compacted periodically by
-    re-running write_index over the full corpus (documented operational
-    tradeoff — query cost stays bounded regardless because
-    dedup_against_index joins, it never re-groups stored buckets)."""
+    rewrite of existing index files. The cap rule applies within the
+    batch (a batch-level overflow appends a TOMBSTONE, honored by
+    queries immediately); growth past the cap by accumulation across
+    appends is re-checked only by :func:`compact_index`, which
+    `dedup_against_index` nags for past `COMPACT_DRIFT_FACTOR` (query
+    cost stays bounded regardless because dedup_against_index joins, it
+    never re-groups stored buckets)."""
     _check_meta(index_dir)
     _digests(accepted_doc).write.mode("append").parquet(f"{index_dir}/digests")
-    _capped_bands(accepted_doc).write.mode("append").parquet(
-        f"{index_dir}/bands"
+    _write_band_files(accepted_doc, index_dir, "append")
+
+
+def compact_index(spark: SparkSession, index_dir: str) -> dict:
+    """Re-apply the mega-bucket cap ACROSS everything appended since the
+    last build — the cheap alternative to a full `write_index` rebuild:
+    it re-windows the stored (doc_id, band_id, band_key) rows, never
+    re-reads or re-shingles corpus text.
+
+    Equivalence (pinned in tests): after compaction the band and
+    tombstone sets equal a fresh `write_index` of the union corpus.
+    The argument needs the tombstones: a fresh build drops bucket B iff
+    its UNION occupancy exceeds the cap; at compaction time B's stored
+    occupancy undercounts the union exactly when some batch already
+    dropped its members — and that batch left a tombstone. So
+    (stored occupancy > cap) ∨ tombstoned ⟺ union occupancy > cap.
+
+    Rewrites are staged to sibling directories and swapped in with two
+    renames, so a reader never sees a half-written index; the old data
+    is removed last."""
+    import shutil
+
+    meta = _check_meta(index_dir)
+    bands = spark.read.parquet(f"{index_dir}/bands")
+    dropped = _read_dropped(spark, index_dir)
+    over = (
+        bands.groupBy("band_id", "band_key")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > MAX_BUCKET)
+        .select("band_id", "band_key")
     )
+    kill = over if dropped is None else over.unionByName(dropped).distinct()
+    compacted = bands.join(kill, ["band_id", "band_key"], "left_anti")
+
+    compacted.write.mode("overwrite").parquet(f"{index_dir}/bands.compact")
+    kill.write.mode("overwrite").parquet(f"{index_dir}/dropped.compact")
+    for name in ("bands", "dropped"):
+        old = f"{index_dir}/{name}.old"
+        cur = f"{index_dir}/{name}"
+        if os.path.isdir(cur):
+            os.rename(cur, old)
+        os.rename(f"{index_dir}/{name}.compact", cur)
+        shutil.rmtree(old, ignore_errors=True)
+    meta["base_band_rows"] = _dir_rows(f"{index_dir}/bands")
+    with open(f"{index_dir}/meta.json", "w") as fh:
+        json.dump(meta, fh)
+    return meta
 
 
 def embedding_dedup_against_index(

@@ -333,6 +333,14 @@ class CorpusWriter:
 
         return os.path.exists(f"{self.index_dir}/meta.json")
 
+    def _corpus_exists(self) -> bool:
+        import os
+
+        return os.path.isdir(self.corpus_dir) and any(
+            f == "_SUCCESS" or f.endswith(".parquet")
+            for f in os.listdir(self.corpus_dir)
+        )
+
     def corpus(self) -> DataFrame:
         """The admitted corpus so far (doc_id, lang, source, text,
         tokens)."""
@@ -361,6 +369,15 @@ class CorpusWriter:
         never received — unrecoverable data loss."""
         from . import incremental
         from .queries import release_local_checkpoint, release_persists
+
+        # Crash-safe bootstrap detection: the corpus write commits before
+        # the index build, so a crash in that window leaves corpus files
+        # with no meta.json. Re-bootstrapping would OVERWRITE the corpus
+        # and silently discard everything previously admitted — instead,
+        # rebuild the index from the corpus (reconcile) and proceed down
+        # the normal append path.
+        if not self._bootstrapped() and self._corpus_exists():
+            self.reconcile()
 
         cur = curate_frame(batch_doc, self.config)
         verdicts = None
@@ -417,8 +434,17 @@ class CorpusWriter:
     def reconcile(self) -> dict:
         """Rebuild the dedup index from the corpus as currently written —
         the recovery path for a crash inside :meth:`admit`'s
-        append-then-extend window (and the compaction path for an
-        append-heavy index, re-applying the write-time bucket rule)."""
+        append-then-extend window (and for a crash during bootstrap
+        itself, detected and invoked automatically by :meth:`admit`)."""
         from . import incremental
 
         return incremental.write_index(self.corpus(), self.index_dir)
+
+    def compact(self) -> dict:
+        """Re-apply the mega-bucket cap across all appends without
+        re-reading corpus text — `incremental.compact_index`. Cheaper
+        than :meth:`reconcile`; run it when `admit` starts warning about
+        band-row drift."""
+        from . import incremental
+
+        return incremental.compact_index(self.spark, self.index_dir)

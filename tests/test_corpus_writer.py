@@ -120,3 +120,30 @@ def test_reconcile_recovers_corpus_index_divergence(spark, run, tmp_path):
     )
     s = w2.admit(resub2)
     assert s["n_admitted"] == 0
+
+
+def test_bootstrap_crash_does_not_overwrite_corpus(spark, run, tmp_path):
+    """ADVICE r7: a crash AFTER the bootstrap corpus write but BEFORE the
+    index meta lands used to make the next admit() re-bootstrap — and
+    overwrite the corpus with the new batch. admit() must instead
+    recover the index from the existing corpus and append."""
+    import os
+    import shutil
+
+    w, _, _ = run
+    root = str(tmp_path / "crashed_bootstrap")
+    shutil.copytree(w.corpus_dir, f"{root}/corpus")
+    # The crash state: corpus on disk, index directory absent entirely.
+    w2 = CorpusWriter(spark, f"{root}/corpus", f"{root}/index", w.config)
+    assert not os.path.exists(f"{root}/index/meta.json")
+    before = {r["doc_id"] for r in w2.corpus().select("doc_id").collect()}
+
+    fresh = w2.corpus().select(
+        (F.col("doc_id") + 70_000_000).alias("doc_id"), "lang", "source", "text"
+    )
+    s = w2.admit(fresh)
+    after = {r["doc_id"] for r in w2.corpus().select("doc_id").collect()}
+    assert before <= after, "pre-crash corpus content was lost"
+    # The resubmitted copies were recognized against the recovered index.
+    assert s["n_admitted"] == 0 and s["rejected_exact"] == s["n_kept"]
+    assert os.path.exists(f"{root}/index/meta.json")

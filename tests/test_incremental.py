@@ -268,3 +268,115 @@ def test_embedding_admission_rejects_oversized_ids(spark, sf_dir, ann_index):
         incremental.embedding_dedup_against_index(
             spark, batch, ann_index, sf_dir
         )
+
+
+# ---------------------------------------------------------------------------
+# compact_index: re-applying the cap across appends (VERDICT r7 #4) and the
+# tombstone/drift machinery around it (ADVICE r7 low).
+
+
+def _band_rows(spark, d):
+    return {
+        (r["doc_id"], r["band_id"], r["band_key"])
+        for r in spark.read.parquet(f"{d}/bands").collect()
+    }
+
+
+def _tombstones(spark, d):
+    return {
+        (r["band_id"], r["band_key"])
+        for r in spark.read.parquet(f"{d}/dropped").collect()
+    }
+
+
+def test_compact_equals_fresh_rebuild_on_fixture_splits(
+    spark, sf_dir, tmp_path
+):
+    """Append-heavy index (base + two extends) after compact_index must
+    equal a fresh write_index of the union corpus: same band rows, same
+    tombstones, same recorded base_band_rows."""
+    doc = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    parts = [doc.filter(F.col("doc_id") % 3 == k) for k in range(3)]
+    inc, fresh = str(tmp_path / "inc"), str(tmp_path / "fresh")
+    incremental.write_index(parts[0], inc)
+    incremental.extend_index(parts[1], inc)
+    incremental.extend_index(parts[2], inc)
+    meta = incremental.compact_index(spark, inc)
+    fresh_meta = incremental.write_index(doc, fresh)
+    assert _band_rows(spark, inc) == _band_rows(spark, fresh)
+    assert _tombstones(spark, inc) == _tombstones(spark, fresh)
+    assert meta["base_band_rows"] == fresh_meta["base_band_rows"]
+
+
+def test_compact_drops_cross_append_mega_bucket_and_tombstones_pair_block(
+    spark, tmp_path
+):
+    """A bucket pushed over the cap by a LATER append: the append writes a
+    tombstone, so (a) queries immediately stop pairing against the
+    earlier batches' remnant rows, and (b) compact_index removes the
+    remnant — matching the fresh union rebuild exactly."""
+    from kinesis_iterator_spark.queries.dedup import MAX_BUCKET
+
+    boiler = "common boilerplate text repeated verbatim in every document here"
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    # Probe: shares a band bucket with boiler (verified empirically —
+    # minhash here is deterministic) and has 3-shingle Jaccard 0.875,
+    # far over the 0.4 threshold: WITHOUT the tombstone honor it would
+    # come back near_dup against the remnant.
+    probe = boiler + " again"
+
+    d = str(tmp_path / "idx")
+    batch1 = spark.createDataFrame(
+        [(i, boiler) for i in range(5)] + [(50, base)],
+        "doc_id long, text string",
+    )
+    incremental.write_index(batch1, d)
+    assert len(_tombstones(spark, d)) == 0  # 5 <= cap: stored, no drop
+    batch2 = spark.createDataFrame(
+        [(100 + i, boiler) for i in range(MAX_BUCKET + 8)],
+        "doc_id long, text string",
+    )
+    incremental.extend_index(batch2, d)
+    assert len(_tombstones(spark, d)) > 0  # the append tripped the cap
+
+    # (a) query-time: the remnant rows from batch1 must not pair.
+    corpus = batch1.unionByName(batch2)
+    verdicts = incremental.dedup_against_index(
+        spark,
+        spark.createDataFrame([(5000, probe)], "doc_id long, text string"),
+        d,
+        corpus,
+    ).collect()
+    assert verdicts[0]["verdict"] == "novel", (
+        "tombstoned bucket's remnant rows must not generate candidates"
+    )
+
+    # (b) compaction: equals the fresh union rebuild (remnant gone).
+    incremental.compact_index(spark, d)
+    fresh = str(tmp_path / "fresh")
+    incremental.write_index(corpus, fresh)
+    assert _band_rows(spark, d) == _band_rows(spark, fresh)
+    assert _tombstones(spark, d) == _tombstones(spark, fresh)
+    assert {r[0] for r in _band_rows(spark, d)} == {50}
+
+
+def test_dedup_against_index_warns_on_append_drift(spark, sf_dir, tmp_path):
+    """Band rows past COMPACT_DRIFT_FACTOR x the base must produce a
+    compaction warning (ADVICE r7: nothing surfaced when an index had
+    drifted); compaction resets the baseline and silences it."""
+    doc = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    small = doc.limit(8)
+    d = str(tmp_path / "idx")
+    incremental.write_index(small, d)
+    incremental.extend_index(
+        doc.join(small.select("doc_id"), "doc_id", "left_anti").limit(40), d
+    )
+    probe = doc.limit(1)
+    with pytest.warns(UserWarning, match="compact_index"):
+        incremental.dedup_against_index(spark, probe, d, doc)
+    incremental.compact_index(spark, d)
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        incremental.dedup_against_index(spark, probe, d, doc)
