@@ -322,11 +322,24 @@ class CorpusWriter:
         corpus_dir: str,
         index_dir: str,
         config: CurationConfig | None = None,
+        benchmark_doc: DataFrame | None = None,
+        decontam_max_frac: float = 0.0,
     ) -> None:
+        """``benchmark_doc`` (optional, (doc_id, text)) switches on
+        streaming-side decontamination: each batch's survivors are
+        checked against the benchmark's hashed k-gram shingles (the
+        `text_decontaminate` kernel in its natural incremental form —
+        the benchmark side is a tiny fixed relation, so per batch it is
+        one broadcast equi-join; corpus text never shuffles) and docs
+        whose contaminated shingle fraction EXCEEDS ``decontam_max_frac``
+        are rejected before they ever reach the corpus. The default 0.0
+        is the GPT-3-style rule: any shared shingle rejects."""
         self.spark = spark
         self.corpus_dir = corpus_dir
         self.index_dir = index_dir
         self.config = config or CurationConfig()
+        self.benchmark_doc = benchmark_doc
+        self.decontam_max_frac = decontam_max_frac
 
     def _bootstrapped(self) -> bool:
         import os
@@ -346,12 +359,45 @@ class CorpusWriter:
         tokens)."""
         return self.spark.read.parquet(self.corpus_dir)
 
+    def _contaminated_ids(self, survivors: DataFrame) -> DataFrame:
+        """doc_ids among the batch survivors whose distinct hashed
+        k-gram shingles collide with the benchmark's beyond
+        ``decontam_max_frac`` of their own shingle count. Shingle-less
+        docs (< k words) cannot collide and pass."""
+        from pyspark.sql.window import Window as W
+
+        from .queries.text import DECONTAM_K, _kgram_shingle_rows
+
+        bench = (
+            _kgram_shingle_rows(
+                self.benchmark_doc.select("doc_id", "text"), DECONTAM_K
+            )
+            .select("h")
+            .distinct()
+        )
+        corp = _kgram_shingle_rows(
+            survivors.select("doc_id", "text"), DECONTAM_K
+        ).withColumn("n_shingles", F.count("*").over(W.partitionBy("doc_id")))
+        return (
+            corp.join(bench, "h")
+            .groupBy("doc_id")
+            .agg(
+                F.countDistinct("h").alias("_hits"),
+                F.max("n_shingles").alias("_n"),
+            )
+            .filter(
+                F.col("_hits") > F.lit(self.decontam_max_frac) * F.col("_n")
+            )
+            .select("doc_id")
+        )
+
     def admit(self, batch_doc: DataFrame) -> dict[str, int]:
-        """Run one batch through gates + in-batch dedup + vs-corpus
-        dedup; append the accepted documents. Returns the stage counts
-        (`n_input`/`n_gate`/`n_kept` from the in-batch pipeline, plus
-        `rejected_exact`/`rejected_near`/`n_admitted` from the
-        vs-corpus check).
+        """Run one batch through gates + in-batch dedup + (optional)
+        benchmark decontamination + vs-corpus dedup; append the accepted
+        documents. Returns the stage counts (`n_input`/`n_gate`/`n_kept`
+        from the in-batch pipeline, `rejected_contaminated` when a
+        benchmark is configured, plus `rejected_exact`/`rejected_near`/
+        `n_admitted` from the vs-corpus check).
 
         Precondition: ``doc_id`` is globally unique across batches (the
         ingestion layer's responsibility — e.g. the stream's
@@ -381,6 +427,7 @@ class CorpusWriter:
 
         cur = curate_frame(batch_doc, self.config)
         verdicts = None
+        contaminated = None
         try:
             stats = {
                 k: cur.stats()[k] for k in ("n_input", "n_quality", "n_gate", "n_kept")
@@ -388,6 +435,19 @@ class CorpusWriter:
             survivors = cur.final.select(
                 "doc_id", "lang", "source", "text", "tokens"
             )
+            stats["rejected_contaminated"] = 0
+            if self.benchmark_doc is not None:
+                # Decontaminate BEFORE the vs-corpus dedup: the benchmark
+                # join is the cheap stage (tiny broadcast side) and a
+                # rejected doc must never pay the band join — nor, worse,
+                # be admitted because its only near-dup was itself
+                # contaminated. Checkpoint the small id frame once; both
+                # consumers (count, anti-join) read the materialized rows.
+                contaminated = self._contaminated_ids(
+                    survivors
+                ).localCheckpoint(eager=True)
+                stats["rejected_contaminated"] = contaminated.count()
+                survivors = survivors.join(contaminated, "doc_id", "left_anti")
             if self._bootstrapped():
                 # The verdict frame is slim (one row per batch survivor)
                 # but its lineage is the whole vs-corpus check (band
@@ -417,14 +477,17 @@ class CorpusWriter:
             else:
                 stats["rejected_exact"] = 0
                 stats["rejected_near"] = 0
-                stats["n_admitted"] = stats["n_kept"]
+                stats["n_admitted"] = (
+                    stats["n_kept"] - stats["rejected_contaminated"]
+                )
                 survivors.write.mode("overwrite").parquet(self.corpus_dir)
                 incremental.write_index(self.corpus(), self.index_dir)
             return stats
         finally:
             cur.release()
-            if verdicts is not None:
-                release_local_checkpoint(verdicts)
+            for ck in (verdicts, contaminated):
+                if ck is not None:
+                    release_local_checkpoint(ck)
             # curate_frame's internals (minhash pair persist, CC round
             # checkpoints) register with the module-level managed list;
             # a long-running ingestion loop must not pin one batch's

@@ -147,3 +147,124 @@ def test_bootstrap_crash_does_not_overwrite_corpus(spark, run, tmp_path):
     # The resubmitted copies were recognized against the recovered index.
     assert s["n_admitted"] == 0 and s["rejected_exact"] == s["n_kept"]
     assert os.path.exists(f"{root}/index/meta.json")
+
+
+def test_stream_feeds_corpus_writer_checkpoint_resume(spark, sf_dir, tmp_path):
+    """The composition the repo exists for (VERDICT r7 #5): the
+    reference's consumption loop (A5 handler / A6 post-handler
+    checkpoint / A8 resume) driving the LLM-curation surface. An
+    Iterator feeds every trigger batch into CorpusWriter.admit; the run
+    stops mid-stream and a NEW Iterator resumes from the same
+    checkpoint store. The resumed corpus must equal an uninterrupted
+    run's, and a full replay from TRIM_HORIZON must admit nothing
+    (first-seen wins)."""
+    from kinesis_iterator_spark.streaming import (
+        Iterator,
+        JsonFileSaver,
+        SimulatedShardedSource,
+    )
+
+    def records_to_docs(df):
+        # sequenceNumber is the zero-padded event_id: globally unique —
+        # exactly the "sequence-number-derived ids" admit() requires.
+        return df.select(
+            F.col("sequenceNumber").cast("long").alias("doc_id"),
+            F.lit("en").alias("lang"),
+            F.col("streamName").alias("source"),
+            F.decode("data", "UTF-8").alias("text"),
+        )
+
+    # props payloads are 2-word JSON strings: min_words=1 admits them,
+    # and 3-shingle MinHash has no shingles to band, so the vs-corpus
+    # rejection is the deterministic exact-digest layer.
+    cfg = CurationConfig(min_words=1)
+    root = str(tmp_path)
+
+    def consume(writer, saver_path, max_polls=1000):
+        stats = []
+        it = (
+            Iterator(SimulatedShardedSource(spark, sf_dir, n_shards=4))
+            .set_saver(JsonFileSaver(saver_path))
+            .set_fetch_limit(80)
+            .foreach_batch(
+                lambda df, e: stats.append(writer.admit(records_to_docs(df)))
+            )
+        )
+        it.run_until_drained(max_polls=max_polls)
+        return stats
+
+    # Interrupted-then-resumed run: one poll, then a NEW Iterator on the
+    # same saver finishes the stream.
+    w = CorpusWriter(spark, f"{root}/corpus", f"{root}/index", cfg)
+    first = consume(w, f"{root}/ck.json", max_polls=1)
+    assert sum(s["n_admitted"] for s in first) > 0
+    mid_ids = {r["doc_id"] for r in w.corpus().select("doc_id").collect()}
+    rest = consume(w, f"{root}/ck.json")
+    assert sum(s["n_input"] for s in rest) > 0, "resume delivered nothing"
+    # The fixture's first 80-per-shard poll covers 99 of the 100 distinct
+    # payloads — the resumed run must pick up the remainder.
+    assert sum(s["n_admitted"] for s in rest) > 0, "resume admitted nothing"
+
+    # Uninterrupted reference run with the same batch shape (the source
+    # is deterministic, so the trigger sequence is identical).
+    w_ref = CorpusWriter(spark, f"{root}/ref_corpus", f"{root}/ref_index", cfg)
+    consume(w_ref, f"{root}/ref_ck.json")
+
+    ids = lambda wr: sorted(  # noqa: E731
+        r["doc_id"] for r in wr.corpus().select("doc_id").collect()
+    )
+    assert ids(w) == ids(w_ref), "resumed corpus diverged from uninterrupted"
+    assert mid_ids <= set(ids(w)), "resume lost pre-interruption admissions"
+    # Exactly one representative per distinct payload survived.
+    texts = w.corpus().select("text").collect()
+    assert len({r["text"] for r in texts}) == len(texts)
+
+    # Full replay from TRIM_HORIZON (fresh checkpoint store) into the
+    # SAME corpus: at-least-once re-delivery of everything, zero
+    # double-admissions.
+    replay = consume(w, f"{root}/replay_ck.json")
+    assert sum(s["n_admitted"] for s in replay) == 0
+    assert all(
+        s["rejected_exact"] + s["rejected_near"] == s["n_kept"] for s in replay
+    )
+    assert ids(w) == ids(w_ref), "replay mutated the corpus"
+
+
+def test_admit_decontaminates_against_benchmark(spark, batches, tmp_path):
+    """ADVICE r7 stretch: with a benchmark frame configured, admit()
+    applies the text_decontaminate kernel per batch — survivors sharing
+    k-gram shingles with the benchmark are rejected BEFORE touching the
+    corpus or index, and the stats account for them."""
+    b1, _ = batches
+    bench = b1.orderBy("doc_id").limit(3).select("doc_id", "text").persist()
+    bench_texts = {r["text"] for r in bench.collect()}
+    root = str(tmp_path)
+    w = CorpusWriter(
+        spark,
+        f"{root}/corpus",
+        f"{root}/index",
+        CurationConfig(),
+        benchmark_doc=bench,
+    )
+    s = w.admit(b1)
+    # The benchmark docs travel inside the batch: any of them that
+    # survive the in-batch pipeline are 100%-contaminated and rejected.
+    assert s["rejected_contaminated"] > 0
+    assert s["n_admitted"] == (
+        s["n_kept"]
+        - s["rejected_contaminated"]
+        - s["rejected_exact"]
+        - s["rejected_near"]
+    )
+    corpus_texts = {r["text"] for r in w.corpus().select("text").collect()}
+    assert not (bench_texts & corpus_texts), (
+        "benchmark text leaked into the corpus"
+    )
+    # A writer with no benchmark admits strictly more from the same batch.
+    w0 = CorpusWriter(
+        spark, f"{root}/c0", f"{root}/i0", CurationConfig()
+    )
+    s0 = w0.admit(b1)
+    assert s0["rejected_contaminated"] == 0
+    assert s0["n_admitted"] > s["n_admitted"]
+    bench.unpersist()
