@@ -49,6 +49,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from .queries import release_local_checkpoint
 from .queries.dedup import (
     JACCARD_THRESHOLD,
     MAX_BUCKET,
@@ -148,9 +149,34 @@ def write_index(doc: DataFrame, index_dir: str) -> dict:
     return meta
 
 
+def _recover_compaction(index_dir: str) -> None:
+    """Complete or roll back a :func:`compact_index` swap that a crash
+    interrupted. Per directory: a missing live dir with a staged
+    ``.compact`` sibling rolls FORWARD (the stage is complete by
+    construction — it was written before any rename); a missing live dir
+    with only an ``.old`` sibling rolls BACK. Leftover siblings next to
+    an intact live dir are discarded — compaction is idempotent, an
+    uncommitted stage is simply re-run. Called from `_check_meta`, so
+    every reader/extender self-heals before touching the index."""
+    import shutil
+
+    for name in ("dropped", "bands"):
+        cur = f"{index_dir}/{name}"
+        old = f"{index_dir}/{name}.old"
+        staged = f"{index_dir}/{name}.compact"
+        if not os.path.isdir(cur):
+            if os.path.isdir(staged):
+                os.rename(staged, cur)
+            elif os.path.isdir(old):
+                os.rename(old, cur)
+        shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(staged, ignore_errors=True)
+
+
 def _check_meta(index_dir: str) -> dict:
     with open(f"{index_dir}/meta.json") as fh:
         meta = json.load(fh)
+    _recover_compaction(index_dir)
     current = _current_meta()
     stale = {k: (meta.get(k), current[k]) for k in current if meta.get(k) != current[k]}
     if stale:
@@ -271,8 +297,13 @@ COMPACT_DRIFT_FACTOR = 2.0
 
 def _warn_if_drifted(index_dir: str, meta: dict) -> None:
     base = meta.get("base_band_rows")
-    if not base:
-        return  # pre-drift-tracking index layout
+    if base is None:
+        # Pre-drift-tracking index layout. (`is None`, not falsy: a
+        # legitimate 0 baseline — every build bucket over-cap — must
+        # still warn once appends accumulate rows.)
+        return
+    if base == 0:
+        base = 1  # growth factor vs an empty base: any growth counts
     current = _dir_rows(f"{index_dir}/bands")
     if current > COMPACT_DRIFT_FACTOR * base:
         import warnings
@@ -331,11 +362,25 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
         .select("band_id", "band_key")
     )
     kill = over if dropped is None else over.unionByName(dropped).distinct()
+    # Pin the tiny kill frame (one row per mega-bucket): it feeds both
+    # the anti-join write AND its own tombstone write below; unpinned,
+    # each would re-scan and re-aggregate the full bands parquet.
+    kill = kill.localCheckpoint(eager=True)
     compacted = bands.join(kill, ["band_id", "band_key"], "left_anti")
 
     compacted.write.mode("overwrite").parquet(f"{index_dir}/bands.compact")
     kill.write.mode("overwrite").parquet(f"{index_dir}/dropped.compact")
-    for name in ("bands", "dropped"):
+    release_local_checkpoint(kill)
+    # Commit order: tombstones BEFORE bands. If a crash lands between
+    # the two swaps, new-dropped + old-bands is conservative-correct
+    # (dedup_against_index's anti-join suppresses the not-yet-removed
+    # rows); the reverse order would leave removed buckets without
+    # tombstones, so later appends to them would silently re-accumulate.
+    # A crash INSIDE a swap (live dir renamed away, stage not yet
+    # renamed in) is healed by `_recover_compaction` on the next index
+    # touch: the stage was fully written before any rename, so the
+    # missing live dir rolls forward.
+    for name in ("dropped", "bands"):
         old = f"{index_dir}/{name}.old"
         cur = f"{index_dir}/{name}"
         if os.path.isdir(cur):

@@ -340,6 +340,7 @@ class CorpusWriter:
         self.config = config or CurationConfig()
         self.benchmark_doc = benchmark_doc
         self.decontam_max_frac = decontam_max_frac
+        self._bench_shingles: DataFrame | None = None
 
     def _bootstrapped(self) -> bool:
         import os
@@ -368,13 +369,20 @@ class CorpusWriter:
 
         from .queries.text import DECONTAM_K, _kgram_shingle_rows
 
-        bench = (
-            _kgram_shingle_rows(
-                self.benchmark_doc.select("doc_id", "text"), DECONTAM_K
+        if self._bench_shingles is None:
+            # The benchmark is fixed for the writer's lifetime: pin its
+            # distinct shingles once (eager localCheckpoint — a small
+            # frame by the tiny-benchmark premise) instead of re-running
+            # the explode + window + distinct on every admitted batch.
+            self._bench_shingles = (
+                _kgram_shingle_rows(
+                    self.benchmark_doc.select("doc_id", "text"), DECONTAM_K
+                )
+                .select("h")
+                .distinct()
+                .localCheckpoint(eager=True)
             )
-            .select("h")
-            .distinct()
-        )
+        bench = self._bench_shingles
         corp = _kgram_shingle_rows(
             survivors.select("doc_id", "text"), DECONTAM_K
         ).withColumn("n_shingles", F.count("*").over(W.partitionBy("doc_id")))
@@ -511,3 +519,12 @@ class CorpusWriter:
         from . import incremental
 
         return incremental.compact_index(self.spark, self.index_dir)
+
+    def release(self) -> None:
+        """Free the pinned benchmark-shingle checkpoint. Call when the
+        writer is retired; a later :meth:`admit` re-pins on demand."""
+        from .queries import release_local_checkpoint
+
+        if self._bench_shingles is not None:
+            release_local_checkpoint(self._bench_shingles)
+            self._bench_shingles = None

@@ -611,19 +611,17 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             import numpy as np
             import pandas as pd
 
-            from .similarity import _fold_dot_pairs
+            from .similarity import _fold_dot_pairs, _unique_pairs
 
             ids, _labels, _M, nrm, MT = _executor_corpus(sf_dir)
             chunks = [pdf for pdf in batches if len(pdf)]
             if not chunks:
                 return
             pdf = pd.concat(chunks, ignore_index=True)
-            packed = np.unique(
-                (pdf["vec_a"].to_numpy().astype(np.int64) << 32)
-                | pdf["vec_b"].to_numpy().astype(np.int64)
+            va, vb, _ = _unique_pairs(
+                pdf["vec_a"].to_numpy(), pdf["vec_b"].to_numpy()
             )
-            vb = packed & 0xFFFFFFFF
-            ai = np.searchsorted(ids, packed >> 32)
+            ai = np.searchsorted(ids, va)
             bi = np.searchsorted(ids, vb)
             # Gather-fold against the transposed corpus (contiguous
             # component rows) — see similarity._fold_dot_pairs.

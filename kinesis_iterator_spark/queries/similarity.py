@@ -205,6 +205,30 @@ def _emit_topk(qa, nb, labels, cos):
     )
 
 
+def _unique_pairs(a, b, return_index=False):
+    """Dedupe (a, b) id pairs via a single packed-uint64 ``np.unique``;
+    returns ``(a_unique, b_unique, first_index_or_None)`` as int64.
+
+    Ids must fit 32 bits (a 1e9+-id corpus packs into int128 or dedupes
+    per query block). The pack MUST be uint64: an int64 pack turns
+    a >= 2^31 into a negative id on unpack (the sign bit lands in the
+    high half after the arithmetic shift), so a caller's join-back or
+    searchsorted gather would silently miss those ids — the shared
+    kernel for all three candidate-pair scorers (the two here and
+    ``dedup_embedding_cosine``'s small-corpus path)."""
+    import numpy as np
+
+    packed = (a.astype(np.uint64) << np.uint64(32)) | b.astype(np.uint64)
+    if return_index:
+        packed, first = np.unique(packed, return_index=True)
+    else:
+        packed = np.unique(packed)
+        first = None
+    hi = (packed >> np.uint64(32)).astype(np.int64)
+    lo = (packed & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    return hi, lo, first
+
+
 def _pair_topk_scorer(batches):
     """mapInPandas kernel over candidate pairs that CARRY their vectors
     (query_id, neighbor_id, neighbor_label, q_emb, n_emb) and have been
@@ -225,19 +249,11 @@ def _pair_topk_scorer(batches):
     if not chunks:
         return
     pdf = pd.concat(chunks, ignore_index=True)
-    # Dedupe multi-table/probe collisions via packed-int np.unique
-    # (ids fit 32 bits at any realistic per-partition candidate set;
-    # a 1e9+-id corpus packs into int128 or dedupes per query block).
-    # Pack in UINT64: an int64 pack turns query_id >= 2^31 into a
-    # negative id on unpack (sign bit lands in the high half), so the
-    # caller's join-back would silently miss those queries.
-    packed, first = np.unique(
-        (pdf["query_id"].to_numpy().astype(np.uint64) << np.uint64(32))
-        | pdf["neighbor_id"].to_numpy().astype(np.uint64),
+    qa, nb, first = _unique_pairs(
+        pdf["query_id"].to_numpy(),
+        pdf["neighbor_id"].to_numpy(),
         return_index=True,
     )
-    qa = (packed >> np.uint64(32)).astype(np.int64)
-    nb = (packed & np.uint64(0xFFFFFFFF)).astype(np.int64)
     # One explicit transpose each, then contiguous-row folds: the direct
     # (m, d) column fold strided-reads the whole matrix per dimension
     # (see _fold_dot_pairs' traffic note).
@@ -272,12 +288,9 @@ def _corpus_pair_topk_scorer(sf_dir: str):
         if not chunks:
             return
         pdf = pd.concat(chunks, ignore_index=True)
-        packed = np.unique(
-            (pdf["query_id"].to_numpy().astype(np.uint64) << np.uint64(32))
-            | pdf["neighbor_id"].to_numpy().astype(np.uint64)
+        qa, nb, _ = _unique_pairs(
+            pdf["query_id"].to_numpy(), pdf["neighbor_id"].to_numpy()
         )
-        qa = (packed >> np.uint64(32)).astype(np.int64)
-        nb = (packed & np.uint64(0xFFFFFFFF)).astype(np.int64)
         qi = np.searchsorted(ids, qa)
         ci = np.searchsorted(ids, nb)
         cos = _fold_dot_pairs(MT, qi, ci) / (nrm[qi] * nrm[ci])

@@ -380,3 +380,100 @@ def test_dedup_against_index_warns_on_append_drift(spark, sf_dir, tmp_path):
     with warnings.catch_warnings():
         warnings.simplefilter("error")
         incremental.dedup_against_index(spark, probe, d, doc)
+
+
+# Crash-safety of the compaction swap (r8 review): a reader touching the
+# index between compact_index's two renames must self-heal, and stale
+# sibling dirs from a crash after commit must not break the next compact.
+
+
+def test_interrupted_compaction_swap_rolls_forward(spark, sf_dir, tmp_path):
+    """Crash INSIDE a swap: live dir renamed to .old, staged .compact not
+    yet renamed in. The next index touch must roll the (complete by
+    construction) stage forward — the exact window the old code left
+    path-not-found until manual repair."""
+    import os
+    import shutil
+
+    doc = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = str(tmp_path / "idx")
+    incremental.write_index(doc.filter(F.col("doc_id") % 2 == 0), d)
+    incremental.extend_index(doc.filter(F.col("doc_id") % 2 == 1), d)
+    before = _band_rows(spark, d)
+    # Simulate the window for the bands dir (staged content = a copy of
+    # the live dir — the equivalence to real compacted output doesn't
+    # matter for the swap mechanics under test).
+    shutil.copytree(f"{d}/bands", f"{d}/bands.compact")
+    os.rename(f"{d}/bands", f"{d}/bands.old")
+    assert not os.path.isdir(f"{d}/bands")
+
+    probe = doc.limit(1)
+    verdicts = incremental.dedup_against_index(spark, probe, d, doc)
+    assert verdicts.count() == 1  # no path-not-found: recovery ran
+    assert os.path.isdir(f"{d}/bands")
+    assert not os.path.isdir(f"{d}/bands.old")
+    assert not os.path.isdir(f"{d}/bands.compact")
+    assert _band_rows(spark, d) == before
+
+
+def test_interrupted_compaction_rolls_back_without_stage(spark, sf_dir, tmp_path):
+    """Crash with the live dir renamed away and NO staged sibling (stage
+    lost/never written): recovery must restore the .old copy."""
+    import os
+
+    doc = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = str(tmp_path / "idx")
+    incremental.write_index(doc.limit(20), d)
+    before = _band_rows(spark, d)
+    os.rename(f"{d}/bands", f"{d}/bands.old")
+    incremental._check_meta(d)
+    assert os.path.isdir(f"{d}/bands")
+    assert not os.path.isdir(f"{d}/bands.old")
+    assert _band_rows(spark, d) == before
+
+
+def test_stale_old_dir_does_not_break_next_compaction(spark, sf_dir, tmp_path):
+    """Crash AFTER the compact rename but before the .old cleanup leaves a
+    non-empty bands.old; the next compact_index must succeed (the old
+    code's os.rename onto a non-empty dir raised OSError)."""
+    import os
+
+    doc = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = str(tmp_path / "idx")
+    incremental.write_index(doc.filter(F.col("doc_id") % 2 == 0), d)
+    incremental.extend_index(doc.filter(F.col("doc_id") % 2 == 1), d)
+    os.makedirs(f"{d}/bands.old")
+    with open(f"{d}/bands.old/junk.parquet", "w") as fh:
+        fh.write("leftover")
+    meta = incremental.compact_index(spark, d)
+    assert meta["base_band_rows"] == incremental._dir_rows(f"{d}/bands")
+    assert not os.path.isdir(f"{d}/bands.old")
+
+    fresh = str(tmp_path / "fresh")
+    incremental.write_index(doc, fresh)
+    assert _band_rows(spark, d) == _band_rows(spark, fresh)
+
+
+def test_zero_band_row_base_still_warns_on_drift(spark, tmp_path):
+    """An index whose build produced ZERO band rows (every doc under the
+    shingle length) must still warn once appends accumulate rows — the
+    r8 review's falsy-zero hole ('if not base' treated the legitimate 0
+    baseline as a pre-tracking layout and never warned)."""
+    d = str(tmp_path / "idx")
+    tiny = spark.createDataFrame(
+        [(1, "too short"), (2, "also short")], "doc_id long, text string"
+    )
+    meta = incremental.write_index(tiny, d)
+    assert meta["base_band_rows"] == 0
+    longdocs = spark.createDataFrame(
+        [
+            (10 + i, f"document number {i} with enough words to produce "
+                     "shingles and band rows for the minhash pipeline")
+            for i in range(6)
+        ],
+        "doc_id long, text string",
+    )
+    incremental.extend_index(longdocs, d)
+    corpus = tiny.unionByName(longdocs)
+    with pytest.warns(UserWarning, match="compact_index"):
+        incremental.dedup_against_index(spark, tiny.limit(1), d, corpus)

@@ -150,6 +150,29 @@ def test_pair_topk_kernel_high_ids_survive_pack():
     assert (out["cosine"] == 1.0).all()
 
 
+def test_unique_pairs_helper_high_ids_and_dedupe():
+    """The shared `_unique_pairs` kernel (all three candidate-pair
+    scorers, incl. dedup_embedding_cosine's small-corpus path — the site
+    the r8 review found still packing in int64): high ids round-trip,
+    duplicates collapse, first-occurrence indexes point at the kept
+    rows."""
+    import numpy as np
+
+    from kinesis_iterator_spark.queries.similarity import _unique_pairs
+
+    hi = (1 << 31) + 7
+    a = np.array([hi, hi, 3, hi], dtype=np.int64)
+    b = np.array([5, (1 << 32) - 1, hi, 5], dtype=np.int64)
+    ua, ub, first = _unique_pairs(a, b, return_index=True)
+    got = set(zip(ua.tolist(), ub.tolist()))
+    assert got == {(hi, 5), (hi, (1 << 32) - 1), (3, hi)}
+    assert ua.dtype == np.int64 and (ua >= 0).all() and (ub >= 0).all()
+    assert all(a[i] == x and b[i] == y for i, x, y in zip(first, ua, ub))
+    ua2, ub2, none = _unique_pairs(a, b)
+    assert none is None
+    assert set(zip(ua2.tolist(), ub2.tolist())) == got
+
+
 @SLOW
 @given(
     ts_offsets=st.lists(
