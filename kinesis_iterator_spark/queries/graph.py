@@ -38,6 +38,43 @@ from . import managed_checkpoint, query, release_local_checkpoint
 # labeling (a wrong dedup would silently drop the wrong documents).
 MAX_ROUNDS = 50
 
+# At or below this edge count the star rounds are pure fixed overhead:
+# each round is ~3 Spark jobs (two star passes + checkpoint + key), and a
+# near-dup edge set this small solves in one bounded driver union-find
+# (measured: 2.3-2.7 s of rounds for a 69-edge batch graph → ~0.1 s).
+# The collect is BOUNDED — the convergence key already computed the
+# exact count, and 200k edges ≈ 3 MB via Arrow — the same size-gated
+# dual-path rule as similarity.SMALL_CORPUS_MAX; a 100 TB-scale edge set
+# exceeds the gate and stays distributed end to end. Both paths produce
+# the identical min-label output (pinned in tests/test_graph.py).
+DRIVER_CC_MAX_EDGES = 200_000
+
+
+def _driver_components(pdf):
+    """Min-label union-find over a pandas edge frame (columns u, v).
+    Returns (nodes, labels) lists. Union-by-min keeps every root the
+    minimum of its tree, so find(x) after all unions IS the component's
+    global minimum — the distributed path's labeling exactly."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    us, vs = pdf["u"].tolist(), pdf["v"].tolist()
+    for u, v in zip(us, vs):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+    nodes = sorted(set(us) | set(vs))
+    return nodes, [find(n) for n in nodes]
+
 
 def _min_neighbor(edges: DataFrame) -> DataFrame:
     """(u, m) where m = min(Γ(u) ∪ {u}) over the DIRECTED edge list."""
@@ -123,6 +160,25 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     prev_key = _key(cur)
+    if prev_key[0] <= DRIVER_CC_MAX_EDGES:
+        # Bounded by the exact count just computed — see
+        # DRIVER_CC_MAX_EDGES. The collect reads the checkpoint's
+        # materialized blocks (no lineage recompute).
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        id_type = cur.schema["u"].dataType
+        nodes, labels = _driver_components(cur.toPandas())
+        release_local_checkpoint(cur)
+        return edges.sparkSession.createDataFrame(
+            pd.DataFrame({"node": nodes, "component": labels}),
+            T.StructType(
+                [
+                    T.StructField("node", id_type, False),
+                    T.StructField("component", id_type, False),
+                ]
+            ),
+        )
     converged = False
     for _ in range(MAX_ROUNDS):
         nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)

@@ -7,6 +7,8 @@ VERDICT r3 #5, and the real embedding near-dup edge set at sf0.001."""
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -35,14 +37,37 @@ def _uf_oracle(edges: list[tuple[int, int]]) -> dict[int, int]:
     return {n: find(n) for n in parent}
 
 
+@contextmanager
+def _forced_distributed():
+    """Disable the driver union-find fast path so a test exercises the
+    star-round machinery regardless of edge count."""
+    from kinesis_iterator_spark.queries import graph as G
+
+    orig = G.DRIVER_CC_MAX_EDGES
+    G.DRIVER_CC_MAX_EDGES = -1
+    try:
+        yield
+    finally:
+        G.DRIVER_CC_MAX_EDGES = orig
+
+
 def _check(spark, edges: list[tuple[int, int]]) -> None:
+    # Both execution paths (driver union-find fast path for small edge
+    # sets, distributed star rounds) must produce the identical
+    # min-label output.
     df = spark.createDataFrame(edges, "src long, dst long")
-    got = {
+    want = set(_uf_oracle(edges).items())
+    got_fast = {
         (r["node"], r["component"])
         for r in connected_components(df).collect()
     }
-    want = set(_uf_oracle(edges).items())
-    assert got == want
+    assert got_fast == want
+    with _forced_distributed():
+        got_dist = {
+            (r["node"], r["component"])
+            for r in connected_components(df).collect()
+        }
+    assert got_dist == want
 
 
 def test_cc_matches_union_find_on_mixed_graph(spark):
@@ -90,17 +115,24 @@ def test_cc_string_ids_label_with_lexicographic_min(spark):
         [("doc-b", "doc-a"), ("doc-b", "doc-c"), ("doc-x", "doc-y")],
         "src string, dst string",
     )
-    got = {
-        (r["node"], r["component"])
-        for r in connected_components(df).collect()
-    }
-    assert got == {
+    want = {
         ("doc-a", "doc-a"),
         ("doc-b", "doc-a"),
         ("doc-c", "doc-a"),
         ("doc-x", "doc-x"),
         ("doc-y", "doc-x"),
     }
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(df).collect()
+    }
+    assert got == want
+    with _forced_distributed():
+        got_dist = {
+            (r["node"], r["component"])
+            for r in connected_components(df).collect()
+        }
+    assert got_dist == want
 
 
 def test_cc_empty_after_self_loop_filter(spark):
@@ -108,6 +140,8 @@ def test_cc_empty_after_self_loop_filter(spark):
     # no non-convergence error).
     df = spark.createDataFrame([(7, 7), (9, 9)], "src long, dst long")
     assert connected_components(df).collect() == []
+    with _forced_distributed():
+        assert connected_components(df).collect() == []
 
 
 def test_cc_random_graph_matches_union_find(spark):
@@ -212,7 +246,8 @@ def test_round_checkpoints_released(spark):
     base = jsc.getPersistentRDDs().size()
     edges = [(i, i + 1) for i in range(64)]  # 64-node chain, multi-round
     df = spark.createDataFrame(edges, "src long, dst long")
-    out = connected_components(df).collect()
+    with _forced_distributed():
+        out = connected_components(df).collect()
     assert {r["component"] for r in out} == {0}
     release_persists()
     assert jsc.getPersistentRDDs().size() == base
