@@ -76,7 +76,9 @@ def _digests(doc: DataFrame) -> DataFrame:
     return doc.select("doc_id", F.md5("text").alias("digest"))
 
 
-def _write_band_files(doc: DataFrame, index_dir: str, mode: str) -> None:
+def _write_band_files(
+    doc: DataFrame, index_dir: str, mode: str, bands: DataFrame | None = None
+) -> None:
     """One signature pipeline, two outputs: the capped band rows to
     ``bands/`` and the over-cap bucket keys (tombstones — one row per
     mega-bucket) to ``dropped/``.
@@ -98,9 +100,19 @@ def _write_band_files(doc: DataFrame, index_dir: str, mode: str) -> None:
     The occupancy-marked band frame is persisted between the two writes:
     it is the SLIM post-window rows (4 rows/doc of ids+keys — the
     persist-small class), and without the pin the second write would
-    recompute the whole shingle/signature pipeline."""
+    recompute the whole shingle/signature pipeline.
+
+    ``bands`` (optional): precomputed ``minhash_bands`` rows of a
+    SUPERSET of ``doc`` — filtered here to ``doc``'s ids. Band rows are
+    a pure per-document function of text, so the filtered subset equals
+    a fresh banding of ``doc`` exactly; callers that already banded the
+    batch (CorpusWriter.admit) skip a full signature pipeline."""
+    if bands is None:
+        bands = minhash_bands(doc)
+    else:
+        bands = bands.join(doc.select("doc_id"), "doc_id", "leftsemi")
     n_in_bucket = F.count("*").over(W.partitionBy("band_id", "band_key"))
-    marked = minhash_bands(doc).withColumn("_n", n_in_bucket).persist()
+    marked = bands.withColumn("_n", n_in_bucket).persist()
     try:
         marked.filter(F.col("_n") <= MAX_BUCKET).drop("_n").write.mode(
             mode
@@ -193,6 +205,7 @@ def dedup_against_index(
     new_doc: DataFrame,
     index_dir: str,
     corpus_doc: DataFrame,
+    batch_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Classify each NEW document against the indexed corpus.
 
@@ -212,6 +225,11 @@ def dedup_against_index(
     duplicates are deliberately out of scope — run the batch through
     `pipeline.curate_frame` first; this function answers only
     "is it new RELATIVE TO the corpus".
+
+    ``batch_bands`` (optional): precomputed ``minhash_bands`` rows of a
+    superset of ``new_doc`` — filtered to the non-exact remainder here.
+    Band rows are per-document, so the subset equals a fresh banding;
+    an admit loop that also extends the index bands the batch ONCE.
     """
     meta = _check_meta(index_dir)
     _warn_if_drifted(index_dir, meta)
@@ -248,8 +266,13 @@ def dedup_against_index(
     # stored buckets, verify candidates' exact Jaccard against corpus
     # text, keep the best corpus match per new doc.
     remainder = new_doc.join(exact.select("doc_id"), "doc_id", "left_anti")
-    cand = (
+    remainder_bands = (
         minhash_bands(remainder)
+        if batch_bands is None
+        else batch_bands.join(exact.select("doc_id"), "doc_id", "left_anti")
+    )
+    cand = (
+        remainder_bands
         .select(F.col("doc_id").alias("doc_a"), "band_id", "band_key")
         .join(
             stored_bands.select(
@@ -318,7 +341,9 @@ def _warn_if_drifted(index_dir: str, meta: dict) -> None:
         )
 
 
-def extend_index(accepted_doc: DataFrame, index_dir: str) -> None:
+def extend_index(
+    accepted_doc: DataFrame, index_dir: str, bands: DataFrame | None = None
+) -> None:
     """Append the ACCEPTED (novel) documents' digest and band rows to the
     index — the post-batch "checkpoint save". Append-mode parquet: no
     rewrite of existing index files. The cap rule applies within the
@@ -327,10 +352,13 @@ def extend_index(accepted_doc: DataFrame, index_dir: str) -> None:
     appends is re-checked only by :func:`compact_index`, which
     `dedup_against_index` nags for past `COMPACT_DRIFT_FACTOR` (query
     cost stays bounded regardless because dedup_against_index joins, it
-    never re-groups stored buckets)."""
+    never re-groups stored buckets).
+
+    ``bands``: optional precomputed band rows of a superset of
+    ``accepted_doc`` (see `_write_band_files`)."""
     _check_meta(index_dir)
     _digests(accepted_doc).write.mode("append").parquet(f"{index_dir}/digests")
-    _write_band_files(accepted_doc, index_dir, "append")
+    _write_band_files(accepted_doc, index_dir, "append", bands=bands)
 
 
 def compact_index(spark: SparkSession, index_dir: str) -> dict:

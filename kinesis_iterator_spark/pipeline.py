@@ -436,6 +436,7 @@ class CorpusWriter:
         cur = curate_frame(batch_doc, self.config)
         verdicts = None
         contaminated = None
+        batch_bands = None
         try:
             stats = {
                 k: cur.stats()[k] for k in ("n_input", "n_quality", "n_gate", "n_kept")
@@ -457,6 +458,18 @@ class CorpusWriter:
                 stats["rejected_contaminated"] = contaminated.count()
                 survivors = survivors.join(contaminated, "doc_id", "left_anti")
             if self._bootstrapped():
+                # Band the batch survivors ONCE (slim rows: 4 ids+keys
+                # per doc — the persist-small class) and feed BOTH the
+                # vs-corpus candidate join and the index extension
+                # below; unshared, each would run the full
+                # shingle→signature pipeline again (band rows are a
+                # pure per-document function, so filtered reuse is
+                # exact — see incremental._write_band_files).
+                from .queries.dedup import minhash_bands
+
+                batch_bands = minhash_bands(
+                    survivors.select("doc_id", "text")
+                ).localCheckpoint(eager=True)
                 # The verdict frame is slim (one row per batch survivor)
                 # but its lineage is the whole vs-corpus check (band
                 # join + corpus-text verify): checkpoint it once, derive
@@ -465,7 +478,11 @@ class CorpusWriter:
                 # novel's plan before the append below re-lists that
                 # same directory ("persist small, recompute big").
                 verdicts = incremental.dedup_against_index(
-                    self.spark, survivors, self.index_dir, self.corpus()
+                    self.spark,
+                    survivors,
+                    self.index_dir,
+                    self.corpus(),
+                    batch_bands=batch_bands,
                 ).localCheckpoint(eager=True)
                 by_verdict = {
                     r["verdict"]: r["n"]
@@ -481,7 +498,9 @@ class CorpusWriter:
                     "doc_id",
                 )
                 novel.write.mode("append").parquet(self.corpus_dir)
-                incremental.extend_index(novel, self.index_dir)
+                incremental.extend_index(
+                    novel, self.index_dir, bands=batch_bands
+                )
             else:
                 stats["rejected_exact"] = 0
                 stats["rejected_near"] = 0
@@ -493,7 +512,7 @@ class CorpusWriter:
             return stats
         finally:
             cur.release()
-            for ck in (verdicts, contaminated):
+            for ck in (verdicts, contaminated, batch_bands):
                 if ck is not None:
                     release_local_checkpoint(ck)
             # curate_frame's internals (minhash pair persist, CC round
