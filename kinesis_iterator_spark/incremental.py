@@ -145,14 +145,18 @@ def _dir_rows(d: str) -> int:
     return total
 
 
-def write_index(doc: DataFrame, index_dir: str) -> dict:
+def write_index(
+    doc: DataFrame, index_dir: str, bands: DataFrame | None = None
+) -> dict:
     """Build the dedup index for a (doc_id, text) corpus frame. One pass
     for digests, one signature pipeline for bands (+ its tombstones);
     nothing wider than (doc_id, band_key) is shuffled. Returns the meta
     dict (LSH parameters + the band-row count at build time, the
-    baseline `dedup_against_index` uses to flag append drift)."""
+    baseline `dedup_against_index` uses to flag append drift).
+    ``bands``: optional precomputed band rows of a superset of ``doc``
+    (see `_write_band_files`)."""
     _digests(doc).write.mode("overwrite").parquet(f"{index_dir}/digests")
-    _write_band_files(doc, index_dir, "overwrite")
+    _write_band_files(doc, index_dir, "overwrite", bands=bands)
     meta = _current_meta()
     meta["base_band_rows"] = _dir_rows(f"{index_dir}/bands")
     os.makedirs(index_dir, exist_ok=True)
@@ -266,10 +270,14 @@ def dedup_against_index(
     # stored buckets, verify candidates' exact Jaccard against corpus
     # text, keep the best corpus match per new doc.
     remainder = new_doc.join(exact.select("doc_id"), "doc_id", "left_anti")
+    # Precomputed bands may cover a SUPERSET of new_doc (e.g. the curate
+    # stage's eligible set): restrict to the batch before dropping the
+    # exact dups, or stale band rows would fabricate candidates.
     remainder_bands = (
         minhash_bands(remainder)
         if batch_bands is None
-        else batch_bands.join(exact.select("doc_id"), "doc_id", "left_anti")
+        else batch_bands.join(new_doc.select("doc_id"), "doc_id", "leftsemi")
+        .join(exact.select("doc_id"), "doc_id", "left_anti")
     )
     cand = (
         remainder_bands

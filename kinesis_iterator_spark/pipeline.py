@@ -112,11 +112,18 @@ class CuratedCorpus:
     label frame)."""
 
     def __init__(
-        self, doc: DataFrame, labels: DataFrame, config: CurationConfig
+        self,
+        doc: DataFrame,
+        labels: DataFrame,
+        config: CurationConfig,
+        bands: DataFrame | None = None,
     ) -> None:
         self._doc = doc
         self.labels = labels
         self.config = config
+        # Checkpointed minhash band rows of the eligible set when the
+        # caller asked curate_frame to expose them (see expose_bands).
+        self.bands = bands
         self._stats: dict[str, int] | None = None
 
     def stats_frame(self) -> DataFrame:
@@ -189,6 +196,11 @@ class CuratedCorpus:
 
     def release(self) -> None:
         self.labels.unpersist()
+        if self.bands is not None:
+            from .queries import release_local_checkpoint
+
+            release_local_checkpoint(self.bands)
+            self.bands = None
 
 
 def curate(
@@ -203,6 +215,7 @@ def curate_frame(
     doc: DataFrame,
     config: CurationConfig | None = None,
     persist_labels: bool = True,
+    expose_bands: bool = False,
 ) -> CuratedCorpus:
     """The pipeline over any document frame with (doc_id, lang, source,
     text) columns.
@@ -212,7 +225,15 @@ def curate_frame(
     contains the iterative near-dup CC (not a single lazy plan). Call
     ``CuratedCorpus.release()`` when done. Pass ``persist_labels=False``
     when exactly ONE consumer will read the labels (e.g. the
-    ``pipeline_curate_stats`` registry entry's single aggregate)."""
+    ``pipeline_curate_stats`` registry entry's single aggregate).
+
+    ``expose_bands`` (minhash edge source only): checkpoint the eligible
+    set's band rows and hand them out on ``CuratedCorpus.bands`` so a
+    caller that re-bands a subset of this frame afterwards (the admit
+    loop's vs-index check + index extension) reuses them instead —
+    band rows are a pure per-document function, so filtered reuse is
+    exact. Off by default: the checkpoint is an extra materialization
+    job a single-pass caller doesn't want."""
     config = config or CurationConfig()
     sig = quality_signal_columns()
 
@@ -263,8 +284,13 @@ def curate_frame(
     eligible = doc.join(
         labels.filter("exact_keep").select("doc_id"), "doc_id", "leftsemi"
     )
+    bands = None
     if config.edge_source == "minhash":
-        raw_edges = minhash_pairs(eligible)
+        if expose_bands:
+            from .queries.dedup import minhash_bands
+
+            bands = minhash_bands(eligible).localCheckpoint(eager=True)
+        raw_edges = minhash_pairs(eligible, bands=bands)
     else:
         raw_edges = ngram_jaccard_edges(eligible, tau=config.jaccard_tau)
     edges = raw_edges.select(
@@ -287,7 +313,7 @@ def curate_frame(
     )
     if persist_labels:
         labels = labels.persist()
-    return CuratedCorpus(doc, labels, config)
+    return CuratedCorpus(doc, labels, config, bands=bands)
 
 
 class CorpusWriter:
@@ -433,7 +459,11 @@ class CorpusWriter:
         if not self._bootstrapped() and self._corpus_exists():
             self.reconcile()
 
-        cur = curate_frame(batch_doc, self.config)
+        cur = curate_frame(
+            batch_doc,
+            self.config,
+            expose_bands=self.config.edge_source == "minhash",
+        )
         verdicts = None
         contaminated = None
         batch_bands = None
@@ -458,18 +488,23 @@ class CorpusWriter:
                 stats["rejected_contaminated"] = contaminated.count()
                 survivors = survivors.join(contaminated, "doc_id", "left_anti")
             if self._bootstrapped():
-                # Band the batch survivors ONCE (slim rows: 4 ids+keys
-                # per doc — the persist-small class) and feed BOTH the
-                # vs-corpus candidate join and the index extension
-                # below; unshared, each would run the full
-                # shingle→signature pipeline again (band rows are a
-                # pure per-document function, so filtered reuse is
-                # exact — see incremental._write_band_files).
-                from .queries.dedup import minhash_bands
+                # Band the batch ONCE and feed every consumer: the
+                # in-batch pair generation already banded the eligible
+                # set (curate_frame exposed the checkpointed rows —
+                # survivors ⊆ eligible, and band rows are a pure
+                # per-document function, so filtered reuse is exact);
+                # the vs-corpus candidate join and the index extension
+                # below both read that one frame instead of each
+                # re-running the shingle→signature pipeline. The ngram
+                # edge source has no bands to share — band the
+                # survivors here (still once for the two consumers).
+                batch_bands = cur.bands
+                if batch_bands is None:
+                    from .queries.dedup import minhash_bands
 
-                batch_bands = minhash_bands(
-                    survivors.select("doc_id", "text")
-                ).localCheckpoint(eager=True)
+                    batch_bands = minhash_bands(
+                        survivors.select("doc_id", "text")
+                    ).localCheckpoint(eager=True)
                 # The verdict frame is slim (one row per batch survivor)
                 # but its lineage is the whole vs-corpus check (band
                 # join + corpus-text verify): checkpoint it once, derive
@@ -508,11 +543,20 @@ class CorpusWriter:
                     stats["n_kept"] - stats["rejected_contaminated"]
                 )
                 survivors.write.mode("overwrite").parquet(self.corpus_dir)
-                incremental.write_index(self.corpus(), self.index_dir)
+                # cur.bands (when exposed) covers the eligible superset
+                # of the just-written corpus; _write_band_files filters
+                # to the corpus ids, saving the bootstrap re-banding.
+                incremental.write_index(
+                    self.corpus(), self.index_dir, bands=cur.bands
+                )
             return stats
         finally:
+            if batch_bands is not None and batch_bands is not cur.bands:
+                # Only the survivors-banded (ngram edge source) frame is
+                # owned here; cur.release() frees the exposed one.
+                release_local_checkpoint(batch_bands)
             cur.release()
-            for ck in (verdicts, contaminated, batch_bands):
+            for ck in (verdicts, contaminated):
                 if ck is not None:
                     release_local_checkpoint(ck)
             # curate_frame's internals (minhash pair persist, CC round

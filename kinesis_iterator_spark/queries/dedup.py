@@ -286,11 +286,16 @@ def minhash_bands(doc: DataFrame) -> DataFrame:
     return bands
 
 
-def minhash_pairs(doc: DataFrame) -> DataFrame:
+def minhash_pairs(doc: DataFrame, bands: DataFrame | None = None) -> DataFrame:
     """The MinHash-LSH pipeline over any (doc_id, text) DataFrame — split
     out so tests can plant degenerate buckets (see
-    tests/test_llm_ops.py)."""
-    bands = minhash_bands(doc)
+    tests/test_llm_ops.py).
+
+    ``bands``: optional precomputed ``minhash_bands(doc)`` rows (e.g. a
+    checkpointed frame a caller also reuses elsewhere — band rows are a
+    pure per-document function, so substitution is exact)."""
+    if bands is None:
+        bands = minhash_bands(doc)
     bucket = (
         bands.groupBy("band_id", "band_key")
         .agg(F.collect_list("doc_id").alias("ds"))
