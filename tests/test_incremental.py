@@ -477,3 +477,64 @@ def test_zero_band_row_base_still_warns_on_drift(spark, tmp_path):
     corpus = tiny.unionByName(longdocs)
     with pytest.warns(UserWarning, match="compact_index"):
         incremental.dedup_against_index(spark, tiny.limit(1), d, corpus)
+
+
+def test_precomputed_superset_bands_equal_fresh_banding(spark, sf_dir, tmp_path):
+    """dedup_against_index with precomputed bands covering a SUPERSET of
+    the batch (the curate stage's eligible set) must classify exactly
+    like fresh banding — stale superset rows must not fabricate
+    candidates, and the filtered reuse must find the same near-dups."""
+    from kinesis_iterator_spark.queries.dedup import minhash_bands
+
+    doc = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = doc.filter(F.col("doc_id") % 4 != 0)
+    batch = doc.filter(F.col("doc_id") % 4 == 0)
+    d = str(tmp_path / "idx")
+    incremental.write_index(corpus, d)
+
+    fresh = {
+        (r["doc_id"], r["verdict"], r["dup_of"])
+        for r in incremental.dedup_against_index(
+            spark, batch, d, corpus
+        ).collect()
+    }
+    # Superset bands: the whole documents table, not just the batch —
+    # includes every corpus doc's rows, which collide with the stored
+    # index everywhere.
+    superset = minhash_bands(doc).localCheckpoint(eager=True)
+    try:
+        reused = {
+            (r["doc_id"], r["verdict"], r["dup_of"])
+            for r in incremental.dedup_against_index(
+                spark, batch, d, corpus, batch_bands=superset
+            ).collect()
+        }
+    finally:
+        from kinesis_iterator_spark.queries import release_local_checkpoint
+
+        release_local_checkpoint(superset)
+    assert reused == fresh
+    assert {v for (_, v, _) in fresh} >= {"novel"}  # sanity: non-trivial
+
+
+def test_write_band_files_superset_bands_equal_fresh(spark, sf_dir, tmp_path):
+    """write_index/extend_index with precomputed superset bands must
+    produce byte-equal band/tombstone sets to the fresh-banding path."""
+    from kinesis_iterator_spark.queries.dedup import minhash_bands
+
+    doc = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    half = doc.filter(F.col("doc_id") % 2 == 0)
+    rest = doc.filter(F.col("doc_id") % 2 == 1)
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    superset = minhash_bands(doc).localCheckpoint(eager=True)
+    try:
+        incremental.write_index(half, a)
+        incremental.extend_index(rest, a)
+        incremental.write_index(half, b, bands=superset)
+        incremental.extend_index(rest, b, bands=superset)
+    finally:
+        from kinesis_iterator_spark.queries import release_local_checkpoint
+
+        release_local_checkpoint(superset)
+    assert _band_rows(spark, a) == _band_rows(spark, b)
+    assert _tombstones(spark, a) == _tombstones(spark, b)
