@@ -326,17 +326,29 @@ def dedup_against_index(
 COMPACT_DRIFT_FACTOR = 2.0
 
 
-def _warn_if_drifted(index_dir: str, meta: dict) -> None:
+def index_drift(index_dir: str, meta: dict | None = None) -> float | None:
+    """Band-row growth factor since the last build/compaction, from
+    parquet footers + the meta sidecar — zero Spark jobs. None for a
+    pre-drift-tracking index layout (no recorded baseline)."""
+    if meta is None:
+        with open(f"{index_dir}/meta.json") as fh:
+            meta = json.load(fh)
     base = meta.get("base_band_rows")
     if base is None:
         # Pre-drift-tracking index layout. (`is None`, not falsy: a
         # legitimate 0 baseline — every build bucket over-cap — must
-        # still warn once appends accumulate rows.)
-        return
+        # still count growth once appends accumulate rows.)
+        return None
     if base == 0:
         base = 1  # growth factor vs an empty base: any growth counts
-    current = _dir_rows(f"{index_dir}/bands")
-    if current > COMPACT_DRIFT_FACTOR * base:
+    return _dir_rows(f"{index_dir}/bands") / base
+
+
+def _warn_if_drifted(index_dir: str, meta: dict) -> None:
+    drift = index_drift(index_dir, meta)
+    if drift is not None and drift > COMPACT_DRIFT_FACTOR:
+        base = meta["base_band_rows"]
+        current = _dir_rows(f"{index_dir}/bands")
         import warnings
 
         warnings.warn(

@@ -350,8 +350,18 @@ class CorpusWriter:
         config: CurationConfig | None = None,
         benchmark_doc: DataFrame | None = None,
         decontam_max_frac: float = 0.0,
+        auto_compact: bool = False,
     ) -> None:
-        """``benchmark_doc`` (optional, (doc_id, text)) switches on
+        """``auto_compact``: run `incremental.compact_index` at the end
+        of any :meth:`admit` that leaves band-row growth past
+        `incremental.COMPACT_DRIFT_FACTOR` (the drift check reads
+        parquet footers — zero Spark jobs). Off by default: a long-lived
+        ingestion loop that wants bounded candidate volume without an
+        operator in the loop turns it on; an operator who schedules
+        maintenance windows leaves it off and calls :meth:`compact` on
+        the drift warning instead.
+
+        ``benchmark_doc`` (optional, (doc_id, text)) switches on
         streaming-side decontamination: each batch's survivors are
         checked against the benchmark's hashed k-gram shingles (the
         `text_decontaminate` kernel in its natural incremental form —
@@ -366,6 +376,7 @@ class CorpusWriter:
         self.config = config or CurationConfig()
         self.benchmark_doc = benchmark_doc
         self.decontam_max_frac = decontam_max_frac
+        self.auto_compact = auto_compact
         self._bench_shingles: DataFrame | None = None
 
     def _bootstrapped(self) -> bool:
@@ -536,6 +547,13 @@ class CorpusWriter:
                 incremental.extend_index(
                     novel, self.index_dir, bands=batch_bands
                 )
+                if self.auto_compact:
+                    drift = incremental.index_drift(self.index_dir)
+                    if (
+                        drift is not None
+                        and drift > incremental.COMPACT_DRIFT_FACTOR
+                    ):
+                        incremental.compact_index(self.spark, self.index_dir)
             else:
                 stats["rejected_exact"] = 0
                 stats["rejected_near"] = 0

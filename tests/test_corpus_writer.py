@@ -268,3 +268,42 @@ def test_admit_decontaminates_against_benchmark(spark, batches, tmp_path):
     assert s0["rejected_contaminated"] == 0
     assert s0["n_admitted"] > s["n_admitted"]
     bench.unpersist()
+
+
+def test_auto_compact_bounds_index_drift(spark, batches, tmp_path):
+    """auto_compact=True: an admit that leaves band-row growth past
+    COMPACT_DRIFT_FACTOR must compact in-loop — the index afterwards
+    equals a fresh rebuild of the written corpus, and the next admit
+    raises no drift warning."""
+    import warnings
+
+    from kinesis_iterator_spark import incremental
+
+    b1, b2 = batches
+    # Tiny bootstrap (8 docs) then a large append → guaranteed drift.
+    root = str(tmp_path / "ac")
+    w = CorpusWriter(
+        spark,
+        f"{root}/corpus",
+        f"{root}/index",
+        CurationConfig(),
+        auto_compact=True,
+    )
+    w.admit(b1.limit(8))
+    w.admit(b1.join(b1.limit(8).select("doc_id"), "doc_id", "left_anti"))
+    drift = incremental.index_drift(f"{root}/index")
+    assert drift is not None and drift <= incremental.COMPACT_DRIFT_FACTOR
+
+    fresh = str(tmp_path / "fresh_idx")
+    incremental.write_index(
+        w.corpus().select("doc_id", "text"), fresh
+    )
+    bands = lambda d: {  # noqa: E731
+        (r["doc_id"], r["band_id"], r["band_key"])
+        for r in spark.read.parquet(f"{d}/bands").collect()
+    }
+    assert bands(f"{root}/index") == bands(fresh)
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        w.admit(b2.limit(5))
