@@ -270,15 +270,16 @@ def dedup_against_index(
     # stored buckets, verify candidates' exact Jaccard against corpus
     # text, keep the best corpus match per new doc.
     remainder = new_doc.join(exact.select("doc_id"), "doc_id", "left_anti")
-    # Precomputed bands may cover a SUPERSET of new_doc (e.g. the curate
-    # stage's eligible set): restrict to the batch before dropping the
-    # exact dups, or stale band rows would fabricate candidates.
-    remainder_bands = (
-        minhash_bands(remainder)
-        if batch_bands is None
-        else batch_bands.join(new_doc.select("doc_id"), "doc_id", "leftsemi")
-        .join(exact.select("doc_id"), "doc_id", "left_anti")
-    )
+    if batch_bands is None:
+        remainder_bands = minhash_bands(remainder)
+    else:
+        # Precomputed bands may cover a SUPERSET of new_doc (e.g. the
+        # curate stage's eligible set): restrict to the batch before
+        # dropping the exact dups, or stale band rows would fabricate
+        # candidates.
+        remainder_bands = batch_bands.join(
+            new_doc.select("doc_id"), "doc_id", "leftsemi"
+        ).join(exact.select("doc_id"), "doc_id", "left_anti")
     cand = (
         remainder_bands
         .select(F.col("doc_id").alias("doc_a"), "band_id", "band_key")
@@ -326,29 +327,41 @@ def dedup_against_index(
 COMPACT_DRIFT_FACTOR = 2.0
 
 
+def _drift_stats(index_dir: str, meta: dict) -> tuple[int, int] | None:
+    """(effective_base, current_band_rows) from parquet footers — zero
+    Spark jobs; None for a pre-drift-tracking index layout. `is None`,
+    not falsy, on the baseline: a legitimate 0-row base (every build
+    bucket over-cap) must still count growth once appends accumulate
+    rows — it divides as 1."""
+    base = meta.get("base_band_rows")
+    if base is None:
+        return None
+    return (base if base > 0 else 1), _dir_rows(f"{index_dir}/bands")
+
+
 def index_drift(index_dir: str, meta: dict | None = None) -> float | None:
     """Band-row growth factor since the last build/compaction, from
     parquet footers + the meta sidecar — zero Spark jobs. None for a
-    pre-drift-tracking index layout (no recorded baseline)."""
+    pre-drift-tracking index layout (no recorded baseline). A public
+    entry point: self-heals an interrupted compaction swap before
+    touching the bands directory, like every other index operation."""
     if meta is None:
         with open(f"{index_dir}/meta.json") as fh:
             meta = json.load(fh)
-    base = meta.get("base_band_rows")
-    if base is None:
-        # Pre-drift-tracking index layout. (`is None`, not falsy: a
-        # legitimate 0 baseline — every build bucket over-cap — must
-        # still count growth once appends accumulate rows.)
+    _recover_compaction(index_dir)
+    stats = _drift_stats(index_dir, meta)
+    if stats is None:
         return None
-    if base == 0:
-        base = 1  # growth factor vs an empty base: any growth counts
-    return _dir_rows(f"{index_dir}/bands") / base
+    base, current = stats
+    return current / base
 
 
 def _warn_if_drifted(index_dir: str, meta: dict) -> None:
-    drift = index_drift(index_dir, meta)
-    if drift is not None and drift > COMPACT_DRIFT_FACTOR:
-        base = meta["base_band_rows"]
-        current = _dir_rows(f"{index_dir}/bands")
+    stats = _drift_stats(index_dir, meta)
+    if stats is None:
+        return
+    base, current = stats
+    if current > COMPACT_DRIFT_FACTOR * base:
         import warnings
 
         warnings.warn(

@@ -285,35 +285,48 @@ def curate_frame(
         labels.filter("exact_keep").select("doc_id"), "doc_id", "leftsemi"
     )
     bands = None
-    if config.edge_source == "minhash":
-        if expose_bands:
-            from .queries.dedup import minhash_bands
+    try:
+        if config.edge_source == "minhash":
+            if expose_bands:
+                from .queries.dedup import minhash_bands
 
-            bands = minhash_bands(eligible).localCheckpoint(eager=True)
-        raw_edges = minhash_pairs(eligible, bands=bands)
-    else:
-        raw_edges = ngram_jaccard_edges(eligible, tau=config.jaccard_tau)
-    edges = raw_edges.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    )
-    cc = connected_components(edges)  # (node, component), O(log n) rounds
-    labels = (
-        labels.join(cc, labels["doc_id"] == cc["node"], "left")
-        .drop("node")
-        .withColumn(
-            "component",
-            F.when(
-                F.col("exact_keep"), F.coalesce("component", F.col("doc_id"))
-            ),
+                bands = minhash_bands(eligible).localCheckpoint(eager=True)
+            raw_edges = minhash_pairs(eligible, bands=bands)
+        else:
+            raw_edges = ngram_jaccard_edges(eligible, tau=config.jaccard_tau)
+        edges = raw_edges.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
         )
-        .withColumn(
-            "keep", F.col("exact_keep") & (F.col("doc_id") == F.col("component"))
+        cc = connected_components(edges)  # (node, component), O(log n) rounds
+        labels = (
+            labels.join(cc, labels["doc_id"] == cc["node"], "left")
+            .drop("node")
+            .withColumn(
+                "component",
+                F.when(
+                    F.col("exact_keep"), F.coalesce("component", F.col("doc_id"))
+                ),
+            )
+            .withColumn(
+                "keep",
+                F.col("exact_keep") & (F.col("doc_id") == F.col("component")),
+            )
+            .drop("exact_keeper")
         )
-        .drop("exact_keeper")
-    )
-    if persist_labels:
-        labels = labels.persist()
-    return CuratedCorpus(doc, labels, config, bands=bands)
+        if persist_labels:
+            labels = labels.persist()
+        return CuratedCorpus(doc, labels, config, bands=bands)
+    except BaseException:
+        # The bands checkpoint is eager (blocks already materialized);
+        # if anything between its creation and the handle's return
+        # raises (e.g. the CC rounds), no CuratedCorpus.release() will
+        # ever run — free the blocks here or a retrying ingestion loop
+        # pins one batch's bands per failed admit.
+        if bands is not None:
+            from .queries import release_local_checkpoint
+
+            release_local_checkpoint(bands)
+        raise
 
 
 class CorpusWriter:

@@ -538,3 +538,21 @@ def test_write_band_files_superset_bands_equal_fresh(spark, sf_dir, tmp_path):
         release_local_checkpoint(superset)
     assert _band_rows(spark, a) == _band_rows(spark, b)
     assert _tombstones(spark, a) == _tombstones(spark, b)
+
+
+def test_index_drift_self_heals_interrupted_swap(spark, sf_dir, tmp_path):
+    """index_drift is a public entry point: called on an index whose
+    compaction swap was interrupted mid-rename, it must roll the stage
+    forward and return a drift factor, not FileNotFoundError."""
+    import os
+    import shutil
+
+    doc = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = str(tmp_path / "idx")
+    incremental.write_index(doc.limit(20), d)
+    shutil.copytree(f"{d}/bands", f"{d}/bands.compact")
+    os.rename(f"{d}/bands", f"{d}/bands.old")
+    drift = incremental.index_drift(d)
+    assert drift is not None and drift == pytest.approx(1.0)
+    assert os.path.isdir(f"{d}/bands")
+    assert not os.path.isdir(f"{d}/bands.compact")

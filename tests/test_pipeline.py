@@ -279,3 +279,29 @@ def test_config_validation():
         CurationConfig(tokens_per_shard=0)
     with pytest.raises(ValueError):
         CurationConfig(edge_source="simhash")
+
+
+def test_curate_failure_releases_exposed_bands(spark, sf_dir, monkeypatch):
+    """expose_bands=True materializes an eager checkpoint BEFORE the CC
+    rounds; a failure in between must not leave its blocks pinned (a
+    retrying ingestion loop would leak one batch's bands per failed
+    admit)."""
+    from kinesis_iterator_spark import pipeline as P
+    from kinesis_iterator_spark.queries import release_persists
+    from kinesis_iterator_spark.tables import load_table
+
+    release_persists()
+    jsc = spark.sparkContext._jsc.sc()
+    base = jsc.getPersistentRDDs().size()
+    doc = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+
+    def boom(*a, **k):
+        raise RuntimeError("planted CC failure")
+
+    monkeypatch.setattr(P, "connected_components", boom)
+    with pytest.raises(RuntimeError, match="planted CC failure"):
+        P.curate_frame(doc, expose_bands=True)
+    release_persists()
+    assert jsc.getPersistentRDDs().size() == base
