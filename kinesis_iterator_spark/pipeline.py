@@ -622,3 +622,80 @@ class CorpusWriter:
         if self._bench_shingles is not None:
             release_local_checkpoint(self._bench_shingles)
             self._bench_shingles = None
+
+
+def pack_sequences(
+    doc: DataFrame,
+    ctx_len: int,
+    n_shards: int | None = None,
+    seed: int = 0,
+    straddle: bool = False,
+) -> DataFrame:
+    """Assign curated documents to fixed-size training sequences
+    ("sequence packing" — the step between a curated corpus and a
+    training loader). Returns one row per input document:
+    (doc_id, tokens, shard, pack) with ``pack`` dense per shard.
+
+    Packing is inherently sequential, so a 100 TB corpus packs
+    SHARD-PARALLEL: documents are first sharded by a pure function of
+    doc_id (``pmod(xxhash64(doc_id), n_shards)`` — the `write_shards`
+    rule: membership is reproducible on 8 cores or 1000 executors),
+    ordered within each shard by a seeded hash (deterministic
+    pseudo-random training order), and packed per shard with an exact
+    sequential pass inside ONE `applyInPandas` task per shard. Global
+    order across shards is not meaningful for training and not promised.
+
+    ``straddle=False`` (default): exact NEXT-FIT — a document that
+    does not fit in the open pack closes it and starts the next; a
+    document longer than ``ctx_len`` gets a pack of its own (callers
+    gate or split oversized docs upstream — `CurationConfig.max_words`
+    already bounds them in the curated flow). Pack token sums never
+    exceed ``ctx_len`` except those singletons.
+
+    ``straddle=True``: GPT-style concat-and-chunk — the shard's token
+    stream is cut every ``ctx_len`` tokens and a document belongs to the
+    pack its FIRST token lands in; expressible as a pure running-sum
+    (`floor(cumsum_before / ctx_len)`), kept in the same per-shard pass
+    so both modes share one partitioning and one code path.
+
+    ``n_shards`` defaults to the session's default parallelism. The
+    shard count changes pack assignment (it changes the shard hash
+    domain), so pin it when reproducing a run — same contract as
+    `CuratedCorpus.write_shards`.
+    """
+    if ctx_len < 1:
+        raise ValueError("ctx_len must be >= 1")
+    spark = doc.sparkSession
+    if n_shards is None:
+        n_shards = spark.sparkContext.defaultParallelism
+    sharded = doc.select(
+        "doc_id",
+        F.col("tokens").cast("long").alias("tokens"),
+        F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int").alias("shard"),
+        F.xxhash64("doc_id", F.lit(seed)).alias("_ord"),
+    )
+
+    def pack(pdf):
+        import numpy as np
+
+        pdf = pdf.sort_values(["_ord", "doc_id"], kind="mergesort")
+        toks = pdf["tokens"].to_numpy()
+        if straddle:
+            before = np.concatenate(([0], np.cumsum(toks)[:-1]))
+            packs = before // ctx_len
+        else:
+            packs = np.empty(len(toks), dtype=np.int64)
+            pack_id, used = 0, 0
+            for i, t in enumerate(toks):
+                if used > 0 and used + t > ctx_len:
+                    pack_id += 1
+                    used = 0
+                packs[i] = pack_id
+                used += t
+        out = pdf[["doc_id", "tokens", "shard"]].copy()
+        out["pack"] = packs
+        return out
+
+    return sharded.groupBy("shard").applyInPandas(
+        pack, "doc_id long, tokens long, shard int, pack long"
+    )

@@ -305,3 +305,120 @@ def test_curate_failure_releases_exposed_bands(spark, sf_dir, monkeypatch):
         P.curate_frame(doc, expose_bands=True)
     release_persists()
     assert jsc.getPersistentRDDs().size() == base
+
+
+# -- pack_sequences: shard-parallel deterministic sequence packing ------
+
+
+@pytest.fixture(scope="module")
+def token_docs(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from kinesis_iterator_spark.queries.text import quality_signal_columns
+    from kinesis_iterator_spark.tables import load_table
+
+    sig = quality_signal_columns()
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", sig["bpe_ish_tokens"].alias("tokens"))
+        .persist()
+    )
+    d.count()
+    yield d
+    d.unpersist()
+
+
+def _packed(spark, docs, **kw):
+    from kinesis_iterator_spark.pipeline import pack_sequences
+
+    return {
+        r["doc_id"]: (r["shard"], r["pack"], r["tokens"])
+        for r in pack_sequences(docs, **kw).collect()
+    }
+
+
+def test_pack_next_fit_respects_ctx_and_matches_python(spark, token_docs):
+    """Exact next-fit per shard: pack sums never exceed ctx_len except
+    oversized singletons; assignment equals a pure-Python next-fit over
+    the same seeded order (order recomputed via Spark's own xxhash64);
+    pack ids dense from 0 per shard."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from kinesis_iterator_spark.pipeline import pack_sequences
+
+    ctx, seed = 256, 3
+    out = pack_sequences(token_docs, ctx_len=ctx, n_shards=8, seed=seed)
+    rows = out.withColumn("_ord", F.xxhash64("doc_id", F.lit(seed))).collect()
+    assert len(rows) == token_docs.count()
+
+    sums = defaultdict(int)
+    members = defaultdict(list)
+    by_shard = defaultdict(list)
+    for r in rows:
+        key = (r["shard"], r["pack"])
+        sums[key] += r["tokens"]
+        members[key].append((r["doc_id"], r["tokens"]))
+        by_shard[r["shard"]].append(r)
+    for key, s in sums.items():
+        if s > ctx:
+            assert len(members[key]) == 1, (
+                f"pack {key} exceeds ctx with {len(members[key])} docs"
+            )
+            assert members[key][0][1] > ctx  # genuinely oversized doc
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: (r["_ord"], r["doc_id"]))
+        pack_id, used = 0, 0
+        for r in rs:
+            t = r["tokens"]
+            if used > 0 and used + t > ctx:
+                pack_id += 1
+                used = 0
+            assert r["pack"] == pack_id, (shard, r["doc_id"])
+            used += t
+        assert {x["pack"] for x in rs} == set(range(pack_id + 1))  # dense
+
+
+def test_pack_is_deterministic_across_partitioning(spark, token_docs):
+    """Identical assignment regardless of input partitioning — shard and
+    order are pure functions of doc_id, the packing pass is sequential
+    within a shard."""
+    a = _packed(spark, token_docs.repartition(1), ctx_len=512, n_shards=4)
+    b = _packed(spark, token_docs.repartition(32), ctx_len=512, n_shards=4)
+    assert a == b
+
+
+def test_pack_straddle_is_running_sum_chunking(spark, token_docs):
+    """straddle=True: pack = floor(tokens_before / ctx_len) within the
+    shard's seeded order — verified by recomputing the running sum from
+    the op's own shard/order output."""
+    from pyspark.sql import functions as F
+
+    from kinesis_iterator_spark.pipeline import pack_sequences
+
+    ctx = 300
+    out = pack_sequences(
+        token_docs, ctx_len=ctx, n_shards=4, seed=7, straddle=True
+    )
+    rows = out.withColumn(
+        "_ord", F.xxhash64("doc_id", F.lit(7))
+    ).collect()
+    from collections import defaultdict
+
+    by_shard = defaultdict(list)
+    for r in rows:
+        by_shard[r["shard"]].append(r)
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: (r["_ord"], r["doc_id"]))
+        before = 0
+        for r in rs:
+            assert r["pack"] == before // ctx, (shard, r["doc_id"])
+            before += r["tokens"]
+
+
+def test_pack_rejects_bad_ctx(spark, token_docs):
+    from kinesis_iterator_spark.pipeline import pack_sequences
+
+    with pytest.raises(ValueError, match="ctx_len"):
+        pack_sequences(token_docs, ctx_len=0)
