@@ -699,3 +699,89 @@ def pack_sequences(
     return sharded.groupBy("shard").applyInPandas(
         pack, "doc_id long, tokens long, shard int, pack long"
     )
+
+
+def mixture_rates(
+    doc: DataFrame, weights: dict[str, float], token_budget: int
+) -> dict[str, float]:
+    """Per-source sampling rates that realize a target token MIXTURE:
+    source s gets ``token_budget * w_s / Σw`` tokens, so its rate is
+    target / available. Rates above 1.0 mean multi-epoch upsampling
+    (the standard data-recipe device for small high-quality sources);
+    `apply_mixture` handles both directions. One aggregate job; the
+    collect is one row per source (bounded by the recipe, not the
+    corpus). Unknown sources in ``weights`` fail loudly — a silent
+    zero-token source would skew every other proportion."""
+    if token_budget < 1:
+        raise ValueError("token_budget must be >= 1")
+    if not weights or any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-empty and non-negative")
+    totals = {
+        r["source"]: r["t"]
+        for r in doc.groupBy("source").agg(F.sum("tokens").alias("t")).collect()
+    }
+    missing = sorted(set(weights) - set(totals))
+    if missing:
+        raise ValueError(f"sources not in the corpus: {missing}")
+    wsum = sum(weights.values())
+    return {
+        s: (token_budget * w / wsum) / totals[s] for s, w in weights.items()
+    }
+
+
+def apply_mixture(
+    doc: DataFrame, rates: dict[str, float], seed: int = 0
+) -> DataFrame:
+    """Deterministic per-source sampling at the given rates; sources
+    absent from ``rates`` are dropped (an explicit recipe, not a
+    passthrough). Returns the input rows plus an ``epoch`` column
+    (1-based copy index).
+
+    rate < 1 downsamples by the `text_sample_stratified` rule — a pure
+    hash predicate on doc_id, so the sample is identical on any engine,
+    partitioning, or day, and prunes at the scan. rate ≥ 1 emits
+    floor(rate) full epochs per document plus a Bernoulli(frac) extra
+    copy decided by the same hash — so realized token counts are within
+    one Bernoulli draw per document of the target, deterministically.
+    The rates relation is one row per source (fixed-size by the recipe)
+    — broadcast by construction; copies come from one `explode` of a
+    `sequence`, no Python in the row path."""
+    spark = doc.sparkSession
+    rate_rows = [(s, float(r)) for s, r in sorted(rates.items())]
+    if not rate_rows:
+        raise ValueError("rates must be non-empty")
+    if any(r < 0 for _, r in rate_rows):
+        raise ValueError("rates must be non-negative")
+    rate_df = spark.createDataFrame(rate_rows, "source string, _rate double")
+    u = (
+        F.pmod(F.xxhash64("doc_id", F.lit(seed)), F.lit(1_000_000))
+        / F.lit(1_000_000.0)
+    )
+    whole = F.floor("_rate").cast("int")
+    frac = F.col("_rate") - F.floor("_rate")
+    copies = (whole + (u < frac).cast("int")).alias("_copies")
+    # sequence(1, 0) would yield a DESCENDING [1, 0] — guard zero-copy
+    # rows with an empty array; plain explode drops them.
+    epochs = F.when(
+        F.col("_copies") >= 1, F.sequence(F.lit(1), F.col("_copies"))
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        doc.join(F.broadcast(rate_df), "source")
+        .withColumn("_copies", copies)
+        .withColumn("epoch", F.explode(epochs))
+        .drop("_rate", "_copies")
+    )
+
+
+def build_mixture(
+    doc: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    seed: int = 0,
+) -> DataFrame:
+    """`mixture_rates` + `apply_mixture`: sample ``doc`` so each source
+    contributes tokens in proportion to ``weights``, totaling
+    approximately ``token_budget`` (exact up to one Bernoulli draw per
+    document). The training-data "recipe" step that follows curation
+    and precedes `pack_sequences`."""
+    return apply_mixture(doc, mixture_rates(doc, weights, token_budget), seed)

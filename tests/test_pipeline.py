@@ -422,3 +422,126 @@ def test_pack_rejects_bad_ctx(spark, token_docs):
 
     with pytest.raises(ValueError, match="ctx_len"):
         pack_sequences(token_docs, ctx_len=0)
+
+
+# -- mixture building: per-source token-weighted sampling ---------------
+
+
+@pytest.fixture(scope="module")
+def source_docs(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from kinesis_iterator_spark.queries.text import quality_signal_columns
+    from kinesis_iterator_spark.tables import load_table
+
+    sig = quality_signal_columns()
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", sig["bpe_ish_tokens"].alias("tokens"))
+        .persist()
+    )
+    d.count()
+    yield d
+    d.unpersist()
+
+
+def test_mixture_rates_realize_weight_proportions(spark, source_docs):
+    from pyspark.sql import functions as F
+
+    from kinesis_iterator_spark.pipeline import mixture_rates
+
+    totals = {
+        r["source"]: r["t"]
+        for r in source_docs.groupBy("source")
+        .agg(F.sum("tokens").alias("t"))
+        .collect()
+    }
+    weights = {"src0": 3.0, "src1": 1.0}
+    rates = mixture_rates(source_docs, weights, token_budget=10_000)
+    assert set(rates) == set(weights)
+    # rate * available = target, and targets split 3:1.
+    t0 = rates["src0"] * totals["src0"]
+    t1 = rates["src1"] * totals["src1"]
+    assert t0 == pytest.approx(7_500) and t1 == pytest.approx(2_500)
+
+
+def test_apply_mixture_epoch_bounds_and_determinism(spark, source_docs):
+    """rate 2.5: every doc of that source appears 2 or 3 times with
+    contiguous 1-based epochs; rate 0.4: 0 or 1; absent source dropped.
+    Assignment identical across input partitioning."""
+    from collections import Counter
+
+    from kinesis_iterator_spark.pipeline import apply_mixture
+
+    rates = {"src0": 2.5, "src1": 0.4}
+
+    def run(frame):
+        out = apply_mixture(frame, rates, seed=11).collect()
+        per_doc = Counter(r["doc_id"] for r in out)
+        srcs = {r["doc_id"]: r["source"] for r in out}
+        epochs = {}
+        for r in out:
+            epochs.setdefault(r["doc_id"], []).append(r["epoch"])
+        return per_doc, srcs, epochs, out
+
+    per_doc, srcs, epochs, out = run(source_docs)
+    assert {r["source"] for r in out} == {"src0", "src1"}
+    for doc_id, n in per_doc.items():
+        if srcs[doc_id] == "src0":
+            assert n in (2, 3)
+        else:
+            assert n == 1  # rate<1 survivors appear exactly once
+        assert sorted(epochs[doc_id]) == list(range(1, n + 1))
+    # src1 at rate 0.4 drops docs: fewer sampled than the source holds.
+    n_src1_in = source_docs.filter("source = 'src1'").count()
+    n_src1_out = sum(1 for d, s in srcs.items() if s == "src1")
+    assert 0 < n_src1_out < n_src1_in
+
+    a = run(source_docs.repartition(1))[0]
+    b = run(source_docs.repartition(32))[0]
+    assert a == per_doc and b == per_doc
+
+
+def test_build_mixture_hits_token_budget_within_bernoulli_bounds(
+    spark, source_docs
+):
+    """Realized per-source tokens must land between the floor-epochs
+    bound and the ceil-epochs bound of its exact target — the only
+    slack apply_mixture has is one Bernoulli copy per document."""
+    from pyspark.sql import functions as F
+
+    from kinesis_iterator_spark.pipeline import build_mixture, mixture_rates
+
+    weights = {"src2": 1.0, "src3": 1.0, "src4": 2.0}
+    budget = 40_000
+    rates = mixture_rates(source_docs, weights, budget)
+    out = (
+        build_mixture(source_docs, weights, budget, seed=5)
+        .groupBy("source")
+        .agg(F.sum("tokens").alias("t"))
+        .collect()
+    )
+    realized = {r["source"]: r["t"] for r in out}
+    totals = {
+        r["source"]: r["t"]
+        for r in source_docs.groupBy("source")
+        .agg(F.sum("tokens").alias("t"))
+        .collect()
+    }
+    import math
+
+    for s, rate in rates.items():
+        lo = math.floor(rate) * totals[s]
+        hi = math.ceil(rate) * totals[s]
+        assert lo <= realized.get(s, 0) <= hi, (s, rate)
+
+
+def test_mixture_guards(spark, source_docs):
+    from kinesis_iterator_spark.pipeline import apply_mixture, mixture_rates
+
+    with pytest.raises(ValueError, match="not in the corpus"):
+        mixture_rates(source_docs, {"nope": 1.0}, 1000)
+    with pytest.raises(ValueError, match="token_budget"):
+        mixture_rates(source_docs, {"src0": 1.0}, 0)
+    with pytest.raises(ValueError, match="non-negative"):
+        apply_mixture(source_docs, {"src0": -0.1})
