@@ -630,11 +630,18 @@ def pack_sequences(
     n_shards: int | None = None,
     seed: int = 0,
     straddle: bool = False,
+    id_cols: tuple[str, ...] = ("doc_id",),
 ) -> DataFrame:
     """Assign curated documents to fixed-size training sequences
     ("sequence packing" — the step between a curated corpus and a
     training loader). Returns one row per input document:
-    (doc_id, tokens, shard, pack) with ``pack`` dense per shard.
+    (*id_cols, tokens, shard, pack) with ``pack`` dense per shard.
+
+    ``id_cols`` names the identity of a row — the shard/order hashes
+    key on it, and it must be unique per row. After `apply_mixture`
+    (which emits one row per document EPOCH) pass
+    ``id_cols=("doc_id", "epoch")`` so a document's epochs hash to
+    independent shards/positions instead of stacking adjacently.
 
     Packing is inherently sequential, so a 100 TB corpus packs
     SHARD-PARALLEL: documents are first sharded by a pure function of
@@ -665,20 +672,24 @@ def pack_sequences(
     """
     if ctx_len < 1:
         raise ValueError("ctx_len must be >= 1")
+    ids = list(id_cols)
+    missing = [c for c in ids if c not in doc.columns]
+    if not ids or missing:
+        raise ValueError(f"id_cols must name input columns; missing {missing}")
     spark = doc.sparkSession
     if n_shards is None:
         n_shards = spark.sparkContext.defaultParallelism
     sharded = doc.select(
-        "doc_id",
+        *ids,
         F.col("tokens").cast("long").alias("tokens"),
-        F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int").alias("shard"),
-        F.xxhash64("doc_id", F.lit(seed)).alias("_ord"),
+        F.pmod(F.xxhash64(*ids), F.lit(n_shards)).cast("int").alias("shard"),
+        F.xxhash64(*ids, F.lit(seed)).alias("_ord"),
     )
 
     def pack(pdf):
         import numpy as np
 
-        pdf = pdf.sort_values(["_ord", "doc_id"], kind="mergesort")
+        pdf = pdf.sort_values(["_ord", *ids], kind="mergesort")
         toks = pdf["tokens"].to_numpy()
         if straddle:
             before = np.concatenate(([0], np.cumsum(toks)[:-1]))
@@ -692,12 +703,17 @@ def pack_sequences(
                     used = 0
                 packs[i] = pack_id
                 used += t
-        out = pdf[["doc_id", "tokens", "shard"]].copy()
+        out = pdf[[*ids, "tokens", "shard"]].copy()
         out["pack"] = packs
         return out
 
+    id_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in sharded.schema.fields
+        if f.name in ids
+    )
     return sharded.groupBy("shard").applyInPandas(
-        pack, "doc_id long, tokens long, shard int, pack long"
+        pack, f"{id_schema}, tokens long, shard int, pack long"
     )
 
 

@@ -545,3 +545,42 @@ def test_mixture_guards(spark, source_docs):
         mixture_rates(source_docs, {"src0": 1.0}, 0)
     with pytest.raises(ValueError, match="non-negative"):
         apply_mixture(source_docs, {"src0": -0.1})
+
+
+def test_recipe_composes_mixture_into_packing(spark, source_docs):
+    """The full recipe chain: sampled mixture (duplicate doc_ids across
+    epochs) feeds packing keyed on (doc_id, epoch) — every sampled row
+    packs exactly once, pack sums respect ctx, and a doc's epochs are
+    not forced adjacent (independent hash positions)."""
+    from collections import defaultdict
+
+    from kinesis_iterator_spark.pipeline import apply_mixture, pack_sequences
+
+    sampled = apply_mixture(source_docs, {"src0": 3.0, "src1": 1.0}, seed=2)
+    n_sampled = sampled.count()
+    packed = pack_sequences(
+        sampled, ctx_len=400, n_shards=4, id_cols=("doc_id", "epoch")
+    ).collect()
+    assert len(packed) == n_sampled
+    assert {(r["doc_id"], r["epoch"]) for r in packed} == {
+        (r["doc_id"], r["epoch"]) for r in sampled.collect()
+    }
+    sums = defaultdict(int)
+    sizes = defaultdict(int)
+    for r in packed:
+        sums[(r["shard"], r["pack"])] += r["tokens"]
+        sizes[(r["shard"], r["pack"])] += 1
+    for key, s in sums.items():
+        assert s <= 400 or sizes[key] == 1
+    # epochs of at least one src0 doc land in different shards
+    shards_of = defaultdict(set)
+    for r in packed:
+        shards_of[r["doc_id"]].add(r["shard"])
+    assert any(len(v) > 1 for v in shards_of.values())
+
+
+def test_pack_rejects_unknown_id_cols(spark, token_docs):
+    from kinesis_iterator_spark.pipeline import pack_sequences
+
+    with pytest.raises(ValueError, match="id_cols"):
+        pack_sequences(token_docs, 128, id_cols=("doc_id", "epoch"))
