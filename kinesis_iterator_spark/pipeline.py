@@ -50,6 +50,19 @@ from .queries.text import quality_signal_columns
 from .tables import load_table
 
 
+def _shard_expr(n_shards: int, id_cols: tuple[str, ...] = ("doc_id",)):
+    """THE shard-assignment rule — a pure function of the row identity,
+    shared by `CuratedCorpus.write_shards` and `pack_sequences` so the
+    documented membership identity between them cannot drift."""
+    return F.pmod(F.xxhash64(*id_cols), F.lit(n_shards)).cast("int")
+
+
+def _order_expr(seed: int, id_cols: tuple[str, ...] = ("doc_id",)):
+    """THE within-shard deterministic pseudo-random order key (seeded
+    hash of the row identity) — shared like `_shard_expr`."""
+    return F.xxhash64(*id_cols, F.lit(seed))
+
+
 @dataclass(frozen=True)
 class CurationConfig:
     """Gate thresholds (C4/Gopher-style) and output sharding targets.
@@ -179,11 +192,10 @@ class CuratedCorpus:
         reproducibility property a training-data job needs. One
         shuffle; returns the shard count."""
         n = self.n_shards()
-        shard = F.pmod(F.xxhash64("doc_id"), F.lit(n)).cast("int")
         (
-            self.final.withColumn("shard", shard)
+            self.final.withColumn("shard", _shard_expr(n))
             .repartition(n, "shard")
-            .sortWithinPartitions(F.xxhash64("doc_id", F.lit(seed)))
+            .sortWithinPartitions(_order_expr(seed))
             .write.mode("overwrite")
             .partitionBy("shard")
             .parquet(out_dir)
@@ -679,17 +691,26 @@ def pack_sequences(
     spark = doc.sparkSession
     if n_shards is None:
         n_shards = spark.sparkContext.defaultParallelism
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
     sharded = doc.select(
         *ids,
         F.col("tokens").cast("long").alias("tokens"),
-        F.pmod(F.xxhash64(*ids), F.lit(n_shards)).cast("int").alias("shard"),
-        F.xxhash64(*ids, F.lit(seed)).alias("_ord"),
+        _shard_expr(n_shards, tuple(ids)).alias("shard"),
+        _order_expr(seed, tuple(ids)).alias("_ord"),
     )
 
     def pack(pdf):
         import numpy as np
 
         pdf = pdf.sort_values(["_ord", *ids], kind="mergesort")
+        if pdf["tokens"].isna().any():
+            raise ValueError(
+                "pack_sequences: NULL tokens in shard "
+                f"{int(pdf['shard'].iloc[0])} — a NaN would silently "
+                "corrupt the running pack sums; fix token accounting "
+                "upstream"
+            )
         toks = pdf["tokens"].to_numpy()
         if straddle:
             before = np.concatenate(([0], np.cumsum(toks)[:-1]))
@@ -732,6 +753,9 @@ def mixture_rates(
         raise ValueError("token_budget must be >= 1")
     if not weights or any(w < 0 for w in weights.values()):
         raise ValueError("weights must be non-empty and non-negative")
+    wsum = sum(weights.values())
+    if wsum == 0:
+        raise ValueError("weights sum to zero — no mixture is defined")
     totals = {
         r["source"]: r["t"]
         for r in doc.groupBy("source").agg(F.sum("tokens").alias("t")).collect()
@@ -739,7 +763,11 @@ def mixture_rates(
     missing = sorted(set(weights) - set(totals))
     if missing:
         raise ValueError(f"sources not in the corpus: {missing}")
-    wsum = sum(weights.values())
+    empty = sorted(s for s in weights if not totals[s])
+    if empty:
+        # NULL-only or zero-token sources: no rate can realize a
+        # positive target from them.
+        raise ValueError(f"sources with no tokens to sample: {empty}")
     return {
         s: (token_budget * w / wsum) / totals[s] for s, w in weights.items()
     }
@@ -753,9 +781,14 @@ def apply_mixture(
     passthrough). Returns the input rows plus an ``epoch`` column
     (1-based copy index).
 
-    rate < 1 downsamples by the `text_sample_stratified` rule — a pure
-    hash predicate on doc_id, so the sample is identical on any engine,
-    partitioning, or day, and prunes at the scan. rate ≥ 1 emits
+    rate < 1 downsamples by the `text_sample_stratified` hash rule, so
+    the sample is identical on any engine, partitioning, or day. Note
+    the predicate compares against the JOINED rate column, so it
+    filters after the (broadcast) join, not at the parquet scan — a
+    caller downsampling one source heavily enough that scan pruning
+    matters should pre-filter that source with a literal-rate
+    predicate (the `text_sample_stratified` form) before mixing.
+    rate ≥ 1 emits
     floor(rate) full epochs per document plus a Bernoulli(frac) extra
     copy decided by the same hash — so realized token counts are within
     one Bernoulli draw per document of the target, deterministically.

@@ -584,3 +584,22 @@ def test_pack_rejects_unknown_id_cols(spark, token_docs):
 
     with pytest.raises(ValueError, match="id_cols"):
         pack_sequences(token_docs, 128, id_cols=("doc_id", "epoch"))
+
+
+def test_pack_null_tokens_fail_loudly(spark):
+    from kinesis_iterator_spark.pipeline import pack_sequences
+
+    doc = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 5)], "doc_id long, tokens long"
+    )
+    with pytest.raises(Exception, match="NULL tokens"):
+        pack_sequences(doc, 64, n_shards=1).collect()
+    with pytest.raises(ValueError, match="n_shards"):
+        pack_sequences(doc.filter("tokens is not null"), 64, n_shards=0)
+
+
+def test_mixture_rejects_degenerate_weights(spark, source_docs):
+    from kinesis_iterator_spark.pipeline import mixture_rates
+
+    with pytest.raises(ValueError, match="sum to zero"):
+        mixture_rates(source_docs, {"src0": 0.0}, 1000)
