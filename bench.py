@@ -200,6 +200,33 @@ def main() -> None:
         best = min(best, time.perf_counter() - t0)
     timings["pipeline_curate_minhash"] = round(best, 3)
 
+    # -- round-8 surface: the data-recipe tail — per-source token
+    # mixture (2x upsampled slice + downsampled slice) packed into
+    # fixed-ctx sequences keyed on (doc_id, epoch), driven to a count.
+    from kinesis_iterator_spark.pipeline import build_mixture, pack_sequences
+    from kinesis_iterator_spark.queries.text import quality_signal_columns
+    from kinesis_iterator_spark.tables import load_table as _load
+
+    sig = quality_signal_columns()
+    recipe_doc = _load(spark, sf_dir, "documents").select(
+        "doc_id", "source", sig["bpe_ish_tokens"].alias("tokens")
+    )
+    recipe_weights = {"src0": 2.0, "src1": 1.0, "src2": 1.0}
+
+    def recipe() -> None:
+        sampled = build_mixture(recipe_doc, recipe_weights, 200_000, seed=1)
+        pack_sequences(
+            sampled, ctx_len=2048, n_shards=32, id_cols=("doc_id", "epoch")
+        ).write.format("noop").mode("overwrite").save()
+
+    recipe()  # warm
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        recipe()
+        best = min(best, time.perf_counter() - t0)
+    timings["recipe_mixture_pack"] = round(best, 3)
+
     # -- round-7 surface: incremental corpus admission. Bootstrap a
     # corpus + dedup index from the even-doc_id half ONCE (untimed),
     # then time CorpusWriter.admit of the odd half against a fresh COPY
