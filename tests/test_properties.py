@@ -281,3 +281,48 @@ def test_asof_union_window_matches_bruteforce(spark, rows):
         ]
         want[i] = max(prior) if prior else (None, None, None)
     assert got == want
+
+
+@SLOW
+@given(
+    tokens=st.lists(st.integers(1, 300), min_size=1, max_size=40),
+    ctx=st.integers(8, 200),
+)
+def test_pack_sequences_invariants_random_corpora(spark, tokens, ctx):
+    """Random token distributions: every doc packed exactly once, pack
+    sums within ctx except oversized singletons, packs dense per shard,
+    and the whole assignment equals a pure-Python next-fit over the
+    op's own deterministic shard/order."""
+    from collections import defaultdict
+
+    from kinesis_iterator_spark.pipeline import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(tokens)], "doc_id long, tokens long"
+    )
+    rows = (
+        pack_sequences(df, ctx, n_shards=3, seed=9)
+        .withColumn("_ord", F.xxhash64("doc_id", F.lit(9)))
+        .collect()
+    )
+    assert len(rows) == len(tokens)
+    by_shard = defaultdict(list)
+    for r in rows:
+        by_shard[r["shard"]].append(r)
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: (r["_ord"], r["doc_id"]))
+        pack_id, used = 0, 0
+        for r in rs:
+            t = r["tokens"]
+            if used > 0 and used + t > ctx:
+                pack_id += 1
+                used = 0
+            assert r["pack"] == pack_id
+            used += t
+        sums = defaultdict(int)
+        for r in rs:
+            sums[r["pack"]] += r["tokens"]
+        for p, s in sums.items():
+            if s > ctx:
+                assert sum(1 for r in rs if r["pack"] == p) == 1
+        assert set(sums) == set(range(len(sums)))
