@@ -307,3 +307,63 @@ def test_auto_compact_bounds_index_drift(spark, batches, tmp_path):
     with warnings.catch_warnings():
         warnings.simplefilter("error")
         w.admit(b2.limit(5))
+
+
+def test_structured_stream_feeds_corpus_writer(spark, sf_dir, tmp_path):
+    """The Spark-native shape of the stream→curation composition (the
+    Iterator form is pinned above): the sim_kinesis DataSource's paged
+    available_now drain feeds every micro-batch into CorpusWriter.admit
+    via foreachBatch, Spark's checkpoint store providing the batch
+    boundaries; a full replay with a fresh checkpoint admits nothing
+    (first-seen wins through the persisted index)."""
+    from kinesis_iterator_spark.streaming import (
+        datasource as ds,
+        register_sim_kinesis,
+    )
+
+    register_sim_kinesis(spark, under_drain_guard=False)
+    cfg = CurationConfig(min_words=1)
+    root = str(tmp_path)
+
+    def to_docs(df):
+        return df.select(
+            F.col("sequenceNumber").cast("long").alias("doc_id"),
+            F.lit("en").alias("lang"),
+            F.col("streamName").alias("source"),
+            F.decode("data", "UTF-8").alias("text"),
+        )
+
+    def drain(writer, ck):
+        stats = []
+        q = (
+            spark.readStream.format(ds.FORMAT_NAME)
+            .option("path", sf_dir)
+            .option("n_shards", 4)
+            .option("available_now", "true")
+            .option("limit", 200)
+            .load()
+            .writeStream.foreachBatch(
+                lambda df, e: stats.append(writer.admit(to_docs(df)))
+            )
+            .option("checkpointLocation", ck)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        assert ds.await_drained(q, sf_dir, n_shards=4, timeout=300)
+        return stats
+
+    w = CorpusWriter(spark, f"{root}/corpus", f"{root}/index", cfg)
+    stats = drain(w, f"{root}/ck")
+    assert len(stats) > 1, "paged drain should produce multiple batches"
+    assert sum(s["n_admitted"] for s in stats) > 0
+    # one representative per distinct payload across ALL micro-batches
+    texts = w.corpus().select("text").collect()
+    assert len({r["text"] for r in texts}) == len(texts)
+
+    replay = drain(w, f"{root}/ck_replay")
+    assert sum(s["n_input"] for s in replay) > 0
+    assert sum(s["n_admitted"] for s in replay) == 0
+    assert all(
+        s["rejected_exact"] + s["rejected_near"] == s["n_kept"]
+        for s in replay
+    )
