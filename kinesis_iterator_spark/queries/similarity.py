@@ -830,15 +830,13 @@ def _ivf_topk_impl(spark: SparkSession, sf_dir: str, query_ids) -> DataFrame:
     )
 
 
-def _ivf_ranked_assignment(spark: SparkSession, emb: DataFrame) -> DataFrame:
-    """Codebook + 2-nearest-cell ranked assignment (vec_id, cell, rk) —
-    the IVF inverted-file structure. Factored so the stored-index writer
-    (``write_ann_index``) and the recompute path build the identical
-    artifact. Returns the UNPERSISTED slim frame; callers decide the
-    persistence policy (recompute path persists, writer writes)."""
-    # Coarse codebook: decimal-exact mean embedding per label (distributed:
-    # posexplode → exact sum ÷ count per (label, dim) → rebuild vector).
-    cent = (
+def _ivf_centroids(emb: DataFrame) -> DataFrame:
+    """The IVF coarse codebook: decimal-exact mean embedding per label
+    (distributed: posexplode → exact sum ÷ count per (label, dim) →
+    rebuild vector). Factored out so the index writer can PERSIST it —
+    extension assigns new vectors against the stored codebook (the
+    train-once/add-later contract), never a recomputed one."""
+    return (
         emb.select("label", F.posexplode("embedding").alias("dim", "v"))
         .groupBy("label", "dim")
         .agg(
@@ -857,6 +855,24 @@ def _ivf_ranked_assignment(spark: SparkSession, emb: DataFrame) -> DataFrame:
         )
     )
 
+
+def _ivf_ranked_assignment(
+    spark: SparkSession, emb: DataFrame, crows=None
+) -> DataFrame:
+    """Codebook + 2-nearest-cell ranked assignment (vec_id, cell, rk) —
+    the IVF inverted-file structure. Factored so the stored-index writer
+    (``write_ann_index``) and the recompute path build the identical
+    artifact. Returns the UNPERSISTED slim frame; callers decide the
+    persistence policy (recompute path persists, writer writes).
+
+    ``crows``: optional pre-collected, cell-sorted codebook rows —
+    passed by the index writer (reuse of its one collect) and by
+    `extend_ann_index` (the STORED codebook, which extension must use
+    verbatim for new assignments to join the stored inverted file)."""
+    if crows is None:
+        cent = _ivf_centroids(emb)
+        crows = sorted(cent.collect(), key=lambda r: r["cell"])
+
     # The codebook is probe metadata: collect the ≤ n_cells centroids
     # driver-side (one tiny job — codebook size is n_cells, not corpus) and compute
     # each vector's 2 nearest cells in ONE Arrow kernel pass — replacing
@@ -869,7 +885,6 @@ def _ivf_ranked_assignment(spark: SparkSession, emb: DataFrame) -> DataFrame:
     # stored column — this kernel is that writer.)
     import numpy as np
 
-    crows = sorted(cent.collect(), key=lambda r: r["cell"])
     cells_np = np.array([r["cell"] for r in crows], dtype=np.int64)
     C = np.array([r["centroid"] for r in crows], dtype=np.float64)
 
@@ -946,13 +961,21 @@ def _ivf_candidate_pairs(ranked: DataFrame, query_ids=None) -> DataFrame:
 # is a pure storage-roundtrip property (pinned in tests/test_ann_index.py).
 
 
-def write_ann_index(spark: SparkSession, sf_dir: str, index_dir: str) -> dict:
+def write_ann_index(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    emb: DataFrame | None = None,
+) -> dict:
     """Materialize the ANN index for ``{sf_dir}/embeddings.parquet``:
 
     - ``{index_dir}/lsh_signatures/`` — (vec_id, bucket) partitioned by
       table_id: per-table directory pruning when a query probes a subset.
     - ``{index_dir}/ivf_assignment/`` — (vec_id, cell, rk≤2): rk==1 is
       the inverted file, rk<=2 the per-vector probe set.
+    - ``{index_dir}/centroids/`` — the IVF codebook (cell, centroid);
+      persisted so `extend_ann_index` can assign NEW vectors against
+      the codebook the inverted file was built with.
     - ``{index_dir}/meta.json`` — the parameters the index was built
       with (n, b, cap); queries read them back instead of re-deriving,
       so an index built at one corpus size stays self-consistent even if
@@ -961,21 +984,33 @@ def write_ann_index(spark: SparkSession, sf_dir: str, index_dir: str) -> dict:
 
     Returns the meta dict. Each artifact is one pass over the corpus;
     nothing wide is shuffled (signatures/assignments are ≤24 B rows).
+
+    ``emb``: optional vector frame to index instead of the full table
+    (a subset/bootstrap build); ``n`` then comes from a count of that
+    frame rather than the table footer.
     """
     import json
     import os
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    n = _corpus_size(sf_dir)
+    if emb is None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        n = _corpus_size(sf_dir)
+    else:
+        n = emb.count()
     b = _bits_for(n)
     cap = 32 + 8 * n // (1 << b)
     par = spark.sparkContext.defaultParallelism
     lsh_signatures(emb, b, par).write.mode("overwrite").partitionBy(
         "table_id"
     ).parquet(f"{index_dir}/lsh_signatures")
-    _ivf_ranked_assignment(spark, emb).write.mode("overwrite").parquet(
-        f"{index_dir}/ivf_assignment"
-    )
+    crows = sorted(_ivf_centroids(emb).collect(), key=lambda r: r["cell"])
+    spark.createDataFrame(
+        [(r["cell"], list(r["centroid"])) for r in crows],
+        "cell long, centroid array<double>",
+    ).write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    _ivf_ranked_assignment(spark, emb, crows=crows).write.mode(
+        "overwrite"
+    ).parquet(f"{index_dir}/ivf_assignment")
     meta = {
         "n": n,
         "b": b,
@@ -985,6 +1020,58 @@ def write_ann_index(spark: SparkSession, sf_dir: str, index_dir: str) -> dict:
         "b_cap": B_CAP,
     }
     os.makedirs(index_dir, exist_ok=True)
+    with open(f"{index_dir}/meta.json", "w") as fh:
+        json.dump(meta, fh)
+    return meta
+
+
+def extend_ann_index(
+    spark: SparkSession, new_emb: DataFrame, index_dir: str
+) -> dict:
+    """Append NEW vectors' signature and inverted-file rows to a stored
+    ANN index — the embedding-side analogue of the text index's
+    `incremental.extend_index` (the post-batch "checkpoint save").
+
+    The codebook is FROZEN at build time (the standard train-once /
+    add-later contract: retraining per batch would orphan the existing
+    inverted file): new vectors are assigned against the STORED
+    centroids, and signatures use the stored ``b``, so appended rows
+    join stored rows in every query. Hot-bucket caps are applied at
+    QUERY time from meta, so bucket growth by accumulation degrades
+    candidate recall for boilerplate buckets, never cost. Rebuild via
+    `write_ann_index` when the corpus has drifted far from the codebook
+    (the `CorpusWriter.reconcile` analogue).
+
+    Contract: the embeddings store the queries read must (come to)
+    contain these vectors — extension indexes them, the scorer still
+    gathers their payloads from the store (exactly like the text side,
+    where the corpus append precedes the index extend)."""
+    import json
+    import os
+
+    meta = _read_ann_meta(index_dir)
+    _check_ann_compat(index_dir, meta)
+    if not os.path.isdir(f"{index_dir}/centroids"):
+        raise ValueError(
+            f"ANN index at {index_dir} predates the persisted-codebook "
+            "layout — rebuild it with write_ann_index before extending."
+        )
+    par = spark.sparkContext.defaultParallelism
+    lsh_signatures(
+        new_emb.select("vec_id", "embedding"), meta["b"], par
+    ).write.mode("append").partitionBy("table_id").parquet(
+        f"{index_dir}/lsh_signatures"
+    )
+    crows = sorted(
+        spark.read.parquet(f"{index_dir}/centroids").collect(),
+        key=lambda r: r["cell"],
+    )
+    _ivf_ranked_assignment(spark, new_emb, crows=crows).write.mode(
+        "append"
+    ).parquet(f"{index_dir}/ivf_assignment")
+    meta["n_extended"] = int(meta.get("n_extended", 0)) + int(
+        new_emb.count()
+    )
     with open(f"{index_dir}/meta.json", "w") as fh:
         json.dump(meta, fh)
     return meta

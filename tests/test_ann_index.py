@@ -76,3 +76,102 @@ def test_from_index_external_query_sets(spark, sf_dir, index_dir):
         similarity_ivf_topk_from_index(spark, sf_dir, index_dir, query_ids=ids)
     )
     assert got_ivf == want_ivf
+
+
+# -- extend_ann_index: the embedding-side post-batch index save ---------
+
+
+def test_extend_ann_index_makes_new_vectors_findable(
+    spark, sf_dir, tmp_path
+):
+    """Build on the even-vec_id half, extend with the odd half: before
+    extension a re-ingested odd vector may read novel; after extension
+    every odd re-ingestion is a near_dup self-hit (cosine 1), exactly
+    the text side's extend-then-redetect behavior."""
+    from pyspark.sql import functions as F
+
+    from kinesis_iterator_spark import incremental
+    from kinesis_iterator_spark.queries.similarity import extend_ann_index
+    from kinesis_iterator_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    odd = emb.filter(F.col("vec_id") % 2 == 1)
+    d = str(tmp_path / "idx")
+    write_ann_index(spark, sf_dir, d, emb=even)
+
+    meta = extend_ann_index(spark, odd, d)
+    assert meta["n_extended"] == odd.count()
+
+    verdicts = incremental.embedding_dedup_against_index(
+        spark, odd, d, sf_dir
+    ).collect()
+    assert verdicts, "no verdicts returned"
+    for r in verdicts:
+        assert r["verdict"] == "near_dup", r
+        # the strongest stored match of a re-ingested vector is itself
+        assert r["dup_of"] == r["vec_id"] and r["cosine"] == pytest.approx(1.0)
+    release_persists()
+
+
+def test_extend_ann_index_appends_exact_build_rows(spark, sf_dir, tmp_path):
+    """Appended signature and inverted-file rows must be EXACTLY what the
+    build kernels produce for those vectors against the stored
+    codebook — signatures bit-identical to lsh_signatures(batch), IVF
+    rows assigned to stored cells with rk {1, 2}."""
+    from pyspark.sql import functions as F
+
+    from kinesis_iterator_spark.queries.similarity import (
+        extend_ann_index,
+        lsh_signatures,
+    )
+    from kinesis_iterator_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    d = str(tmp_path / "idx")
+    meta = write_ann_index(spark, sf_dir, d, emb=half)
+    extend_ann_index(spark, rest, d)
+
+    par = spark.sparkContext.defaultParallelism
+    want_sig = _rows(lsh_signatures(rest, meta["b"], par))
+    got_sig = _rows(
+        spark.read.parquet(f"{d}/lsh_signatures")
+        .join(rest.select("vec_id"), "vec_id", "leftsemi")
+        .select("vec_id", "table_id", "bucket")
+    )
+    assert got_sig == want_sig
+
+    cells = {
+        r["cell"] for r in spark.read.parquet(f"{d}/centroids").collect()
+    }
+    ivf = (
+        spark.read.parquet(f"{d}/ivf_assignment")
+        .join(rest.select("vec_id"), "vec_id", "leftsemi")
+        .collect()
+    )
+    by_vec = {}
+    for r in ivf:
+        by_vec.setdefault(r["vec_id"], []).append((r["rk"], r["cell"]))
+    assert set(by_vec) == {r["vec_id"] for r in rest.select("vec_id").collect()}
+    for vec_id, rows in by_vec.items():
+        assert sorted(rk for rk, _ in rows) == [1, 2]
+        assert all(c in cells for _, c in rows)
+    release_persists()
+
+
+def test_extend_ann_index_refuses_codebook_less_layout(spark, sf_dir, tmp_path):
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from kinesis_iterator_spark.queries.similarity import extend_ann_index
+    from kinesis_iterator_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = str(tmp_path / "idx")
+    write_ann_index(spark, sf_dir, d, emb=emb.filter(F.col("vec_id") % 2 == 0))
+    shutil.rmtree(f"{d}/centroids")
+    with pytest.raises(ValueError, match="persisted-codebook"):
+        extend_ann_index(spark, emb.limit(5), d)
