@@ -454,12 +454,32 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
     return meta
 
 
+def _check_vec_ids(new_emb: DataFrame) -> None:
+    """Loud uint32 bound check on a batch's vec_ids — the pair scorer
+    packs (query_id, neighbor_id) into one uint64, so an out-of-range id
+    would silently mis-join and classify the vector novel (the exact
+    silent-miss the check exists to prevent). One 1-row aggregate job."""
+    bounds = new_emb.agg(
+        F.min("vec_id").alias("lo"), F.max("vec_id").alias("hi")
+    ).collect()[0]
+    if bounds["lo"] is not None and (
+        bounds["lo"] < 0 or bounds["hi"] >= (1 << 32)
+    ):
+        raise ValueError(
+            f"batch vec_ids must be in [0, 2^32) (got {bounds['lo']}.."
+            f"{bounds['hi']}): the pair scorer packs (query_id, "
+            "neighbor_id) into one uint64 — renumber the batch."
+        )
+
+
 def embedding_dedup_against_index(
     spark: SparkSession,
     new_emb: DataFrame,
     index_dir: str,
-    sf_dir: str,
+    sf_dir: str | None = None,
     tau: float | None = None,
+    corpus_emb: DataFrame | None = None,
+    batch_sig: DataFrame | None = None,
 ) -> DataFrame:
     """The embedding-side analogue of :func:`dedup_against_index`:
     classify NEW vectors (vec_id, embedding) against a corpus whose ANN
@@ -482,7 +502,15 @@ def embedding_dedup_against_index(
     payload. A zero-norm batch vector (failed encode) has NaN cosine to
     everything and is classified novel, never near_dup. Batch vec_ids
     must fit in uint32 (the scorer's packed-pair dedup contract;
-    corpus ids are ordinal by construction) — validated, loud."""
+    corpus ids are ordinal by construction) — validated, loud.
+
+    ``corpus_emb``: the stored-vector frame the index covers, when it is
+    not the ``{sf_dir}/embeddings.parquet`` table (an `EmbeddingWriter`
+    store) — exactly one of ``sf_dir`` / ``corpus_emb`` is required.
+    ``batch_sig``: optional precomputed `lsh_signatures` rows for
+    EXACTLY the vectors in ``new_emb`` (a sign-once caller restricts its
+    superset frame to the batch ids first — stale superset probe rows
+    would fabricate candidate work)."""
     from .queries.dedup import COSINE_TAU
     from .queries.similarity import (
         _check_ann_compat,
@@ -493,31 +521,30 @@ def embedding_dedup_against_index(
     )
     from .tables import load_table
 
+    if (sf_dir is None) == (corpus_emb is None):
+        raise ValueError(
+            "pass exactly one of sf_dir (the fixture embeddings table) "
+            "or corpus_emb (a writer-managed vector store)"
+        )
     meta = _read_ann_meta(index_dir)
     _check_ann_compat(index_dir, meta)
-    bounds = new_emb.agg(
-        F.min("vec_id").alias("lo"), F.max("vec_id").alias("hi")
-    ).collect()[0]
-    if bounds["lo"] is not None and (
-        bounds["lo"] < 0 or bounds["hi"] >= (1 << 32)
-    ):
-        raise ValueError(
-            f"batch vec_ids must be in [0, 2^32) (got {bounds['lo']}.."
-            f"{bounds['hi']}): the pair scorer packs (query_id, "
-            "neighbor_id) into one uint64 — renumber the batch."
-        )
+    _check_vec_ids(new_emb)
     tau = COSINE_TAU if tau is None else tau
     par = spark.sparkContext.defaultParallelism
     stored_sig = spark.read.parquet(f"{index_dir}/lsh_signatures")
-    new_sig = lsh_signatures(
-        new_emb.select("vec_id", "embedding"), meta["b"], par
-    )
+    new_sig = batch_sig
+    if new_sig is None:
+        new_sig = lsh_signatures(
+            new_emb.select("vec_id", "embedding"), meta["b"], par
+        )
     cand = _lsh_candidate_pairs(
         stored_sig, meta["b"], meta["cap"], probe_sig=new_sig
     )
     scored = _score_pairs_topk(
         cand,
-        load_table(spark, sf_dir, "embeddings"),
+        corpus_emb
+        if corpus_emb is not None
+        else load_table(spark, sf_dir, "embeddings"),
         par,
         sf_dir,
         meta["n"],

@@ -636,6 +636,228 @@ class CorpusWriter:
             self._bench_shingles = None
 
 
+class EmbeddingWriter:
+    """Batch-at-a-time VECTOR admission — :class:`CorpusWriter`'s
+    embedding-side twin for a corpus keyed by representation instead of
+    text (near-duplicate images/audio under different encodings, captions
+    paraphrased past shingle overlap). The store is a plain parquet of
+    admitted vectors (vec_id, label, embedding); the state that bounds
+    per-batch work is the persisted ANN index
+    (`similarity.write_ann_index`): sign-LSH signatures + the
+    frozen-codebook IVF file.
+
+    Each :meth:`admit` signs the arriving batch ONCE with the index's
+    stored geometry and feeds that one checkpointed frame to all three
+    consumers (the text side's band-once lesson): the in-batch self-join,
+    the vs-store probe, and the index extension. Admission is
+    first-seen-wins: in-batch, the greedy smallest-id policy the
+    registered ``dedup_embedding_cosine`` defines; vs-store, a stored
+    near-dup always beats a later arrival. Per-batch cost scales with
+    the batch (the store is never re-signed or re-scanned; stored
+    vectors enter scoring only as the neighbor side of the candidate
+    equi-join).
+
+    Crash safety mirrors the text writer: the store append commits
+    BEFORE the index extend (a crash in the window re-admits later
+    copies — recoverable by :meth:`reconcile` — instead of silently
+    rejecting vectors the store never received), and a crash during
+    bootstrap itself (store written, no meta.json) is detected on the
+    next admit and healed by reconcile instead of an overwrite that
+    would discard the admitted store.
+
+    Precondition: ``vec_id`` is globally unique across batches and fits
+    in uint32 (the pair scorer's packed-pair contract) — validated
+    loudly per batch, including at bootstrap (stored ids become
+    neighbor ids for every later batch)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store_dir: str,
+        index_dir: str,
+        tau: float | None = None,
+    ) -> None:
+        from .queries.dedup import COSINE_TAU
+
+        self.spark = spark
+        self.store_dir = store_dir
+        self.index_dir = index_dir
+        self.tau = COSINE_TAU if tau is None else tau
+
+    def _bootstrapped(self) -> bool:
+        import os
+
+        return os.path.exists(f"{self.index_dir}/meta.json")
+
+    def _store_exists(self) -> bool:
+        import os
+
+        return os.path.isdir(self.store_dir) and any(
+            f == "_SUCCESS" or f.endswith(".parquet")
+            for f in os.listdir(self.store_dir)
+        )
+
+    def store(self) -> DataFrame:
+        """The admitted vectors so far (vec_id, label, embedding)."""
+        return self.spark.read.parquet(self.store_dir)
+
+    def _in_batch_rejects(
+        self, batch_emb: DataFrame, sig: DataFrame, cap: int, b: int
+    ) -> DataFrame:
+        """vec_ids the batch itself rejects: any vector whose best
+        SMALLER-id in-batch candidate scores cosine ≥ τ (the greedy
+        policy of ``dedup_embedding_cosine``, reusing the registered
+        query's candidate machinery). Orienting pairs query=larger lets
+        the shared top-k scorer answer "has any smaller near-dup" from
+        the rnk==1 row alone — no all-pairs materialization."""
+        from .queries.similarity import (
+            _lsh_candidate_pairs,
+            _score_pairs_topk,
+        )
+
+        cand = (
+            _lsh_candidate_pairs(sig, b, cap)
+            .filter(F.col("query_id") > F.col("neighbor_id"))
+        )
+        scored = _score_pairs_topk(
+            cand, batch_emb, self.spark.sparkContext.defaultParallelism,
+            None, 0, query_emb=batch_emb,
+        )
+        return (
+            scored.filter(
+                (F.col("rnk") == 1)
+                & (F.col("cosine") >= self.tau)
+                & ~F.isnan("cosine")
+            )
+            .select(F.col("query_id").alias("vec_id"))
+        )
+
+    def admit(self, batch_emb: DataFrame) -> dict[str, int]:
+        """Run one (vec_id, label, embedding) batch through in-batch
+        near-dup pruning + vs-store classification; append the novel
+        vectors to the store and their index rows to the ANN index.
+        Returns stage counts: ``n_input`` / ``rejected_in_batch`` /
+        ``rejected_near`` / ``n_admitted``."""
+        from . import incremental
+        from .queries import release_local_checkpoint
+        from .queries.similarity import (
+            _bits_for,
+            _read_ann_meta,
+            extend_ann_index,
+            lsh_signatures,
+            write_ann_index,
+        )
+
+        if not self._bootstrapped() and self._store_exists():
+            self.reconcile()
+        incremental._check_vec_ids(batch_emb)
+        par = self.spark.sparkContext.defaultParallelism
+        stats = {"n_input": batch_emb.count()}
+        if not self._bootstrapped():
+            # Bootstrap: in-batch dedup with batch-derived geometry,
+            # then store write + index build (write_ann_index signs the
+            # written store itself — its geometry is derived from the
+            # store size, not the pre-dedup batch).
+            n = stats["n_input"]
+            b = _bits_for(n)
+            cap = 32 + 8 * n // (1 << b)
+            sig = lsh_signatures(
+                batch_emb.select("vec_id", "embedding"), b, par
+            ).localCheckpoint(eager=True)
+            try:
+                rejects = self._in_batch_rejects(
+                    batch_emb, sig, cap, b
+                ).localCheckpoint(eager=True)
+            finally:
+                release_local_checkpoint(sig)
+            try:
+                stats["rejected_in_batch"] = rejects.count()
+                stats["rejected_near"] = 0
+                survivors = batch_emb.join(rejects, "vec_id", "left_anti")
+                survivors.write.mode("overwrite").parquet(self.store_dir)
+            finally:
+                release_local_checkpoint(rejects)
+            write_ann_index(
+                self.spark, self.store_dir, self.index_dir, emb=self.store()
+            )
+            stats["n_admitted"] = stats["n_input"] - stats["rejected_in_batch"]
+            return stats
+
+        meta = _read_ann_meta(self.index_dir)
+        # Sign ONCE with the STORED geometry; every consumer filters
+        # this frame (signatures are a pure per-vector function, so
+        # id-filtered reuse is exact).
+        sig = lsh_signatures(
+            batch_emb.select("vec_id", "embedding"), meta["b"], par
+        ).localCheckpoint(eager=True)
+        verdicts = None
+        rejects = None
+        try:
+            # NOTE: `survivors`' lineage includes the checkpointed
+            # `rejects` (anti-join) — it stays pinned until every
+            # survivors consumer (verdict check, store append, index
+            # extend) has run; released checkpoints are unrecoverable.
+            rejects = self._in_batch_rejects(
+                batch_emb, sig, meta["cap"], meta["b"]
+            ).localCheckpoint(eager=True)
+            stats["rejected_in_batch"] = rejects.count()
+            survivors = batch_emb.join(rejects, "vec_id", "left_anti")
+            surv_sig = sig.join(
+                survivors.select("vec_id"), "vec_id", "leftsemi"
+            )
+            # Slim verdict frame over a wide lineage: checkpoint once,
+            # derive both consumers (counts, novel join) from the
+            # materialized rows — the text writer's pattern.
+            verdicts = incremental.embedding_dedup_against_index(
+                self.spark,
+                survivors,
+                self.index_dir,
+                tau=self.tau,
+                corpus_emb=self.store(),
+                batch_sig=surv_sig,
+            ).localCheckpoint(eager=True)
+            by_verdict = {
+                r["verdict"]: r["n"]
+                for r in verdicts.groupBy("verdict")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            stats["rejected_near"] = by_verdict.get("near_dup", 0)
+            stats["n_admitted"] = by_verdict.get("novel", 0)
+            novel = survivors.join(
+                verdicts.filter(F.col("verdict") == "novel").select("vec_id"),
+                "vec_id",
+            )
+            # Store append commits before the index extend (see class
+            # docstring for why this order).
+            novel.write.mode("append").parquet(self.store_dir)
+            extend_ann_index(
+                self.spark,
+                novel,
+                self.index_dir,
+                sig=sig.join(novel.select("vec_id"), "vec_id", "leftsemi"),
+            )
+            return stats
+        finally:
+            release_local_checkpoint(sig)
+            for ck in (rejects, verdicts):
+                if ck is not None:
+                    release_local_checkpoint(ck)
+
+    def reconcile(self) -> dict:
+        """Rebuild the ANN index from the store as currently written —
+        the recovery path for a crash inside :meth:`admit`'s
+        append-then-extend window (and for a crash during bootstrap,
+        detected and invoked automatically by :meth:`admit`). Also the
+        codebook-refresh path once accumulated extensions have drifted
+        the corpus far from the frozen centroids."""
+        from .queries.similarity import write_ann_index
+
+        return write_ann_index(
+            self.spark, self.store_dir, self.index_dir, emb=self.store()
+        )
+
+
 def pack_sequences(
     doc: DataFrame,
     ctx_len: int,

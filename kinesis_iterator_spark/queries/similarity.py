@@ -1026,7 +1026,10 @@ def write_ann_index(
 
 
 def extend_ann_index(
-    spark: SparkSession, new_emb: DataFrame, index_dir: str
+    spark: SparkSession,
+    new_emb: DataFrame,
+    index_dir: str,
+    sig: DataFrame | None = None,
 ) -> dict:
     """Append NEW vectors' signature and inverted-file rows to a stored
     ANN index — the embedding-side analogue of the text index's
@@ -1045,7 +1048,14 @@ def extend_ann_index(
     Contract: the embeddings store the queries read must (come to)
     contain these vectors — extension indexes them, the scorer still
     gathers their payloads from the store (exactly like the text side,
-    where the corpus append precedes the index extend)."""
+    where the corpus append precedes the index extend).
+
+    ``sig``: optional precomputed `lsh_signatures` rows for EXACTLY the
+    vectors in ``new_emb`` (signatures are a pure per-vector function,
+    so a caller that already signed a superset batch passes the frame
+    RESTRICTED to the new ids — the `EmbeddingWriter` sign-once path,
+    mirroring `incremental.extend_index`'s ``bands``). Must have been
+    built with the stored ``b``."""
     import json
     import os
 
@@ -1057,11 +1067,13 @@ def extend_ann_index(
             "layout — rebuild it with write_ann_index before extending."
         )
     par = spark.sparkContext.defaultParallelism
-    lsh_signatures(
-        new_emb.select("vec_id", "embedding"), meta["b"], par
-    ).write.mode("append").partitionBy("table_id").parquet(
-        f"{index_dir}/lsh_signatures"
-    )
+    if sig is None:
+        sig = lsh_signatures(
+            new_emb.select("vec_id", "embedding"), meta["b"], par
+        )
+    sig.select("vec_id", "table_id", "bucket").write.mode(
+        "append"
+    ).partitionBy("table_id").parquet(f"{index_dir}/lsh_signatures")
     crows = sorted(
         spark.read.parquet(f"{index_dir}/centroids").collect(),
         key=lambda r: r["cell"],

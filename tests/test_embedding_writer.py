@@ -1,0 +1,153 @@
+"""EmbeddingWriter: batch-at-a-time vector admission over the persisted
+ANN index — the embedding-side twin of CorpusWriter (same first-seen-wins
+semantics, same append-then-extend crash-safety posture).
+
+Reference parity note: the incremental-admission shape follows the
+reference's checkpoint discipline (kinesis.go sequence-store usage, see
+SURVEY §2.A A6/A8) — state persisted per batch so the next batch's work
+is bounded by the batch, not the history.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kinesis_iterator_spark.pipeline import EmbeddingWriter
+from kinesis_iterator_spark.tables import load_table
+
+
+@pytest.fixture()
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _writer(spark, tmp_path) -> EmbeddingWriter:
+    return EmbeddingWriter(
+        spark, str(tmp_path / "store"), str(tmp_path / "ann_idx")
+    )
+
+
+def test_bootstrap_then_full_reingest_rejected(spark, emb, tmp_path):
+    """First batch bootstraps store + index; re-admitting the SAME batch
+    admits nothing (every in-batch survivor is its own stored near-dup
+    at cosine 1)."""
+    w = _writer(spark, tmp_path)
+    batch = emb.filter(F.col("vec_id") % 2 == 0)
+    s1 = w.admit(batch)
+    assert s1["n_input"] == batch.count()
+    assert s1["rejected_near"] == 0
+    assert s1["n_admitted"] == s1["n_input"] - s1["rejected_in_batch"]
+    assert w.store().count() == s1["n_admitted"]
+
+    s2 = w.admit(batch)
+    assert s2["n_admitted"] == 0
+    assert (
+        s2["rejected_in_batch"] + s2["rejected_near"] == s2["n_input"]
+    )
+    assert w.store().count() == s1["n_admitted"]
+
+
+def test_disjoint_batches_accumulate_and_become_findable(
+    spark, emb, tmp_path
+):
+    """A second disjoint batch appends its novel vectors and extends the
+    index, so re-ingesting the ADMITTED part of that batch is then fully
+    rejected — extend-then-redetect, the text side's invariant."""
+    w = _writer(spark, tmp_path)
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    odd = emb.filter(F.col("vec_id") % 2 == 1)
+    s1 = w.admit(even)
+    s2 = w.admit(odd)
+    assert w.store().count() == s1["n_admitted"] + s2["n_admitted"]
+
+    admitted_odd = w.store().join(
+        odd.select("vec_id"), "vec_id", "leftsemi"
+    )
+    assert admitted_odd.count() == s2["n_admitted"]
+    s3 = w.admit(admitted_odd)
+    assert s3["n_admitted"] == 0
+
+
+def test_in_batch_copies_lose_to_smaller_ids(spark, emb, tmp_path):
+    """A batch carrying exact copies under larger ids keeps only the
+    original ids (the greedy smallest-id policy of the registered
+    dedup_embedding_cosine query)."""
+    w = _writer(spark, tmp_path)
+    base = emb.filter(F.col("vec_id") < 50)
+    copies = base.withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1_000_000)
+    )
+    s = w.admit(base.unionByName(copies))
+    assert s["rejected_in_batch"] >= base.count()
+    assert (
+        w.store().filter(F.col("vec_id") >= 1_000_000).count() == 0
+    )
+
+
+def test_bootstrap_crash_heals_without_overwriting_store(
+    spark, emb, tmp_path
+):
+    """A crash between the bootstrap store write and the index meta.json
+    (simulated by deleting meta.json) must NOT re-bootstrap with an
+    overwrite: the next admit reconciles the index from the store and
+    appends normally."""
+    import os
+
+    w = _writer(spark, tmp_path)
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    s1 = w.admit(even)
+    os.remove(f"{w.index_dir}/meta.json")
+
+    odd = emb.filter(F.col("vec_id") % 2 == 1)
+    s2 = w.admit(odd)
+    kept_even = w.store().join(even.select("vec_id"), "vec_id", "leftsemi")
+    assert kept_even.count() == s1["n_admitted"]
+    assert w.store().count() == s1["n_admitted"] + s2["n_admitted"]
+
+
+def test_sign_once_probe_equals_recomputed_probe(spark, emb, tmp_path):
+    """The writer's sign-once path (batch_sig handed to
+    embedding_dedup_against_index) must classify identically to the
+    recomputed-signature path — signatures are a pure per-vector
+    function, so filtered reuse is exact."""
+    from kinesis_iterator_spark import incremental
+    from kinesis_iterator_spark.queries.similarity import (
+        _read_ann_meta,
+        lsh_signatures,
+    )
+
+    w = _writer(spark, tmp_path)
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    odd = emb.filter(F.col("vec_id") % 2 == 1)
+    w.admit(even)
+
+    meta = _read_ann_meta(w.index_dir)
+    par = spark.sparkContext.defaultParallelism
+    sig = lsh_signatures(odd.select("vec_id", "embedding"), meta["b"], par)
+
+    def rows(df):
+        return sorted(
+            (r["vec_id"], r["verdict"], r["dup_of"]) for r in df.collect()
+        )
+
+    got = rows(
+        incremental.embedding_dedup_against_index(
+            spark, odd, w.index_dir, corpus_emb=w.store(), batch_sig=sig
+        )
+    )
+    want = rows(
+        incremental.embedding_dedup_against_index(
+            spark, odd, w.index_dir, corpus_emb=w.store()
+        )
+    )
+    assert got == want
+
+
+def test_admit_validates_uint32_ids_at_bootstrap(spark, emb, tmp_path):
+    w = _writer(spark, tmp_path)
+    bad = emb.limit(5).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1 << 32)
+    )
+    with pytest.raises(ValueError, match="uint64"):
+        w.admit(bad)
