@@ -263,6 +263,38 @@ def main() -> None:
     timings["incremental_admit"] = round(min(admit_odd(), admit_odd()), 3)
     shutil.rmtree(template, ignore_errors=True)
 
+    # -- round-8 surface: embedding-side admission (EmbeddingWriter) —
+    # same template-copy discipline: bootstrap store + ANN index from
+    # the even-vec_id half once (untimed), time admit of the odd half
+    # against a fresh copy of that state per pass.
+    from kinesis_iterator_spark.pipeline import EmbeddingWriter
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    even_e = emb.filter(F.col("vec_id") % 2 == 0)
+    odd_e = emb.filter(F.col("vec_id") % 2 == 1)
+    etemplate = tempfile.mkdtemp(prefix="bench_eadmit_tpl_")
+    EmbeddingWriter(
+        spark, f"{etemplate}/store", f"{etemplate}/ann_index"
+    ).admit(even_e)
+    release_persists()
+
+    def admit_odd_emb() -> float:
+        work = tempfile.mkdtemp(prefix="bench_eadmit_")
+        shutil.copytree(f"{etemplate}/store", f"{work}/store")
+        shutil.copytree(f"{etemplate}/ann_index", f"{work}/ann_index")
+        writer = EmbeddingWriter(spark, f"{work}/store", f"{work}/ann_index")
+        t0 = time.perf_counter()
+        writer.admit(odd_e)
+        dt = time.perf_counter() - t0
+        shutil.rmtree(work, ignore_errors=True)
+        return dt
+
+    admit_odd_emb()  # warm
+    timings["embedding_admit"] = round(
+        min(admit_odd_emb(), admit_odd_emb()), 3
+    )
+    shutil.rmtree(etemplate, ignore_errors=True)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_queries_total_runtime",

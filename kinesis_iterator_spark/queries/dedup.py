@@ -706,3 +706,76 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum("n_pairs"), F.lit(0)).cast("long").alias("n_dup_pairs"),
         )
     )
+
+
+def dedup_paragraphs(doc: DataFrame, sep: str = "\n\n") -> DataFrame:
+    """Paragraph-level exact dedup (Lee et al. 2022 / Dolma's paragraph
+    pass): every paragraph that has appeared EARLIER in the corpus —
+    in a previous document, or earlier in the same document — is
+    removed, and each document is reassembled from its kept paragraphs
+    in original order. "Earlier" is the deterministic global order
+    (doc_id, position), so the output is a pure function of the corpus,
+    identical at any partitioning or cluster size.
+
+    Input: (doc_id, text). Output: one row per input document —
+    (doc_id, text, n_paras, n_kept); a document whose every paragraph
+    was seen before keeps its row with empty text and n_kept = 0.
+
+    100 TB posture, stage by stage:
+    - the first-occurrence decision shuffles ONLY slim rows (16-byte
+      md5 of the paragraph + doc_id + pos), one exchange keyed on the
+      digest; the window's row_number rides that same exchange;
+    - paragraph text never rides the digest shuffle: paragraph rows
+      are a pure function of the document, so the keep-set (doc_id,
+      pos) semi-joins back onto a RE-DERIVED explode of the same scan
+      ("persist small, recompute big" — the decision frame is the
+      small side);
+    - reassembly is the one irreducible wide shuffle (kept text must
+      co-locate per document), same cost class as any curation job's
+      output write. Per-document work is O(paragraphs log paragraphs)
+      (the array_sort); no document is held whole until its own
+      groupBy row, matching the other per-doc operators here."""
+    import re
+
+    # ``sep`` is a LITERAL separator (escaped for split's regex arg):
+    # the same string must both split the input and rejoin the kept
+    # paragraphs, and the DuckDB oracle's string_split is literal.
+    sep_re = re.escape(sep)
+    paras = doc.select(
+        "doc_id",
+        F.posexplode(F.split("text", sep_re)).alias("pos", "para"),
+    )
+    slim = paras.select("doc_id", "pos", F.md5("para").alias("h"))
+    first = (
+        slim.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("h").orderBy("doc_id", "pos")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "pos")
+    )
+    kept = paras.join(first, ["doc_id", "pos"], "leftsemi")
+    assembled = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+        ).alias("text"),
+        F.count("*").cast("long").alias("n_kept"),
+    )
+    totals = doc.select(
+        "doc_id", F.size(F.split("text", sep_re)).cast("long").alias("n_paras")
+    )
+    return (
+        totals.join(assembled, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("text", F.lit("")).alias("text"),
+            "n_paras",
+            F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+        )
+    )

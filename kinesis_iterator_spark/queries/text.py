@@ -509,3 +509,47 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_contaminated").cast("double") / F.col("n_shingles"),
         )
     )
+
+
+# PII patterns shared by the Spark plan and the DuckDB oracle test —
+# deliberately RE2-compatible (no backrefs, no lookaround) so both
+# engines' regex flavors (Java util.regex / RE2) agree on every match.
+# Replacement order matters where patterns could overlap: emails first
+# (their local/domain parts contain dots and digits), then IPv4 (dotted
+# digit runs), then phones (the loosest digit-run pattern).
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d\- ]{7,}\d", "<PHONE>"),
+)
+
+
+def scrub_pii(doc: DataFrame) -> DataFrame:
+    """PII redaction over (doc_id, text) — the C4/Dolma-style scrub pass
+    a public-crawl corpus runs before anything else sees the text.
+    Emails, IPv4 addresses, and phone-like digit runs are replaced with
+    typed markers; per-type match counts (measured on the ORIGINAL
+    text, before any replacement could shadow a later pattern) ride
+    along for filtering/reporting.
+
+    Output: (doc_id, text, n_email, n_ipv4, n_phone, n_redacted) —
+    ``text`` scrubbed, counts from the pre-scrub text.
+
+    100 TB posture: entirely built-in `regexp_count`/`regexp_replace`
+    expressions — map-side, whole-stage-codegen'd, zero shuffles, zero
+    Python; the scan's partitioning is untouched, so it composes into
+    any downstream pipeline stage for free. The pattern list is a
+    module constant compiled once per task, not per row."""
+    counts = [
+        F.regexp_count("text", F.lit(pat)).cast("long").alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    scrubbed = F.col("text")
+    for _, pat, marker in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, marker)
+    out = doc.select("doc_id", scrubbed.alias("text"), *counts)
+    total = sum(
+        (F.col(f"n_{name}") for name, _, _ in PII_PATTERNS),
+        F.lit(0).cast("long"),
+    )
+    return out.withColumn("n_redacted", total)

@@ -1,0 +1,187 @@
+"""scrub_pii + dedup_paragraphs: the C4/Dolma-style scrub pass and the
+Lee-et-al. paragraph-level exact dedup, both pinned against DuckDB
+oracles over frames derived IDENTICALLY in both engines from the fixture
+(the fixture text carries no PII and no paragraph breaks, so each test
+derives its input with the same deterministic SQL-expressible rule on
+both sides — no synthesized fixture data)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from kinesis_iterator_spark.queries.dedup import dedup_paragraphs
+from kinesis_iterator_spark.queries.text import PII_PATTERNS, scrub_pii
+from kinesis_iterator_spark.tables import load_table
+
+PII_SNIPPET = (
+    " contact bob.smith+x@ex-ample.org now 10.0.0.255 "
+    "call +44 20-7946 0958 end"
+)
+
+
+def _con(sf_dir: str):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    return con
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+# -- scrub_pii ----------------------------------------------------------
+
+
+def test_scrub_pii_matches_duckdb_oracle(spark, sf_dir):
+    doc = load_table(spark, sf_dir, "documents")
+    derived = doc.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(PII_SNIPPET)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    got = _rows(scrub_pii(derived))
+
+    (_, email, _), (_, ipv4, _), (_, phone, _) = PII_PATTERNS
+    sql = f"""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || '{PII_SNIPPET}'
+                  ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(
+             text, '{email}', '<EMAIL>', 'g'),
+             '{ipv4}', '<IP>', 'g'),
+             '{phone}', '<PHONE>', 'g') AS text,
+           len(regexp_extract_all(text, '{email}')) AS n_email,
+           len(regexp_extract_all(text, '{ipv4}')) AS n_ipv4,
+           len(regexp_extract_all(text, '{phone}')) AS n_phone,
+           len(regexp_extract_all(text, '{email}'))
+             + len(regexp_extract_all(text, '{ipv4}'))
+             + len(regexp_extract_all(text, '{phone}')) AS n_redacted
+    FROM d
+    """
+    want = sorted(tuple(r) for r in _con(sf_dir).execute(sql).fetchall())
+    assert got == want
+    # The derivation actually exercised every pattern type.
+    hit = [r for r in got if r[0] % 7 == 0]
+    assert hit and all(
+        r[2] >= 1 and r[3] >= 1 and r[4] >= 1 for r in hit
+    ), "PII snippet rows must count every pattern type"
+
+
+def test_scrub_pii_is_idempotent(spark, sf_dir):
+    """Markers contain no digits or @-runs, so scrubbed text is a fixed
+    point: a second pass counts zero and changes nothing."""
+    doc = load_table(spark, sf_dir, "documents")
+    derived = doc.select(
+        "doc_id", F.concat(F.col("text"), F.lit(PII_SNIPPET)).alias("text")
+    )
+    once = scrub_pii(derived).select("doc_id", "text")
+    twice = scrub_pii(once)
+    assert twice.filter(F.col("n_redacted") != 0).count() == 0
+    assert _rows(twice.select("doc_id", "text")) == _rows(once)
+
+
+# -- dedup_paragraphs ---------------------------------------------------
+
+SEP = "\n\n"
+# Each derived doc = own text ¶ next doc's text ¶ own text again: every
+# document repeats a paragraph internally AND shares one with its
+# neighbor — both removal modes exercised, same rule on both engines.
+_DERIVE_SQL = f"""
+      SELECT a.doc_id,
+             a.text || '{SEP}' || b.text || '{SEP}' || a.text AS text
+      FROM (SELECT * FROM documents WHERE doc_id < 100) a
+      JOIN (SELECT * FROM documents WHERE doc_id < 100) b
+        ON b.doc_id = (a.doc_id + 1) % 100
+"""
+
+
+@pytest.fixture(scope="module")
+def para_doc(spark, sf_dir):
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", "text")
+    )
+    nbr = base.select(
+        F.col("doc_id").alias("b_id"), F.col("text").alias("next_text")
+    )
+    return (
+        base.join(nbr, F.col("b_id") == (F.col("doc_id") + 1) % 100)
+        .select(
+            "doc_id",
+            F.concat_ws(SEP, "text", "next_text", "text").alias("text"),
+        )
+    )
+
+
+def test_dedup_paragraphs_matches_duckdb_oracle(spark, sf_dir, para_doc):
+    got = _rows(dedup_paragraphs(para_doc, sep=SEP))
+    sql = f"""
+    WITH derived AS ({_DERIVE_SQL}),
+    split AS (
+      SELECT doc_id, string_split(text, '{SEP}') AS parts FROM derived
+    ),
+    paras AS (
+      SELECT doc_id,
+             UNNEST(range(1, len(parts) + 1)) AS pos,
+             UNNEST(parts) AS para
+      FROM split
+    ),
+    firsts AS (
+      SELECT doc_id, pos, para,
+             ROW_NUMBER() OVER (PARTITION BY para
+                                ORDER BY doc_id, pos) AS rn
+      FROM paras
+    ),
+    assembled AS (
+      SELECT doc_id,
+             string_agg(para, '{SEP}' ORDER BY pos) AS text,
+             COUNT(*) AS n_kept
+      FROM firsts WHERE rn = 1 GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           COALESCE(a.text, '') AS text,
+           CAST(len(s.parts) AS BIGINT) AS n_paras,
+           CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept
+    FROM split s LEFT JOIN assembled a USING (doc_id)
+    """
+    want = sorted(tuple(r) for r in _con(sf_dir).execute(sql).fetchall())
+    assert got == want
+    # The derivation produced real removals (internal repeat at least).
+    assert any(r[3] < r[2] for r in got)
+
+
+def test_dedup_paragraphs_keeps_each_paragraph_globally_once(
+    spark, para_doc
+):
+    out = dedup_paragraphs(para_doc, sep=SEP)
+    kept = out.filter(F.col("text") != "").select(
+        F.explode(F.split("text", SEP)).alias("para")
+    )
+    assert kept.count() == kept.distinct().count()
+    # Union of kept paragraphs == union of input paragraphs (nothing
+    # vanishes — only repeats do).
+    inp = para_doc.select(F.explode(F.split("text", SEP)).alias("para"))
+    assert _rows(kept.distinct()) == _rows(inp.distinct())
+
+
+def test_dedup_paragraphs_partitioning_invariant(spark, para_doc):
+    """Pure function of the corpus: same output at any input
+    partitioning (the first-occurrence window is keyed on global
+    (doc_id, pos), never on physical order)."""
+    a = _rows(dedup_paragraphs(para_doc, sep=SEP))
+    b = _rows(dedup_paragraphs(para_doc.repartition(13), sep=SEP))
+    assert a == b
