@@ -676,13 +676,22 @@ class EmbeddingWriter:
         store_dir: str,
         index_dir: str,
         tau: float | None = None,
+        auto_reconcile: bool = False,
     ) -> None:
+        """``auto_reconcile``: rebuild the index (fresh codebook) at the
+        end of any :meth:`admit` that leaves codebook staleness past
+        `similarity.ANN_DRIFT_FACTOR` (the check reads the meta sidecar
+        — zero Spark jobs). Off by default: a rebuild re-signs the
+        whole store, so an operator with maintenance windows keeps it
+        off and calls :meth:`reconcile` on the drift warning instead —
+        the same split as `CorpusWriter`'s ``auto_compact``."""
         from .queries.dedup import COSINE_TAU
 
         self.spark = spark
         self.store_dir = store_dir
         self.index_dir = index_dir
         self.tau = COSINE_TAU if tau is None else tau
+        self.auto_reconcile = auto_reconcile
 
     def _bootstrapped(self) -> bool:
         import os
@@ -837,6 +846,7 @@ class EmbeddingWriter:
                 self.index_dir,
                 sig=sig.join(novel.select("vec_id"), "vec_id", "leftsemi"),
             )
+            self._check_drift()
             return stats
         finally:
             release_local_checkpoint(sig)
@@ -844,13 +854,38 @@ class EmbeddingWriter:
                 if ck is not None:
                     release_local_checkpoint(ck)
 
+    def _check_drift(self) -> None:
+        """Post-extend codebook-staleness hook: reconcile in-loop when
+        configured, warn otherwise. Meta-sidecar read — zero jobs."""
+        from .queries.similarity import ANN_DRIFT_FACTOR, ann_index_drift
+
+        drift = ann_index_drift(self.index_dir)
+        if drift <= ANN_DRIFT_FACTOR:
+            return
+        if self.auto_reconcile:
+            self.reconcile()
+            return
+        import warnings
+
+        warnings.warn(
+            f"ANN index at {self.index_dir} has {drift:.2f}x the "
+            "build-time corpus appended since its codebook was trained "
+            f"(> {ANN_DRIFT_FACTOR}x): IVF probe recall degrades as the "
+            "store drifts from the frozen centroids — run reconcile() "
+            "(full rebuild, fresh codebook) or construct the writer "
+            "with auto_reconcile=True.",
+            stacklevel=3,
+        )
+
     def reconcile(self) -> dict:
         """Rebuild the ANN index from the store as currently written —
         the recovery path for a crash inside :meth:`admit`'s
         append-then-extend window (and for a crash during bootstrap,
         detected and invoked automatically by :meth:`admit`). Also the
         codebook-refresh path once accumulated extensions have drifted
-        the corpus far from the frozen centroids."""
+        the corpus far from the frozen centroids
+        (`similarity.ann_index_drift` past `ANN_DRIFT_FACTOR`; see
+        ``auto_reconcile``)."""
         from .queries.similarity import write_ann_index
 
         return write_ann_index(

@@ -1089,6 +1089,25 @@ def extend_ann_index(
     return meta
 
 
+# Codebook-staleness threshold for the warn/auto-reconcile hooks:
+# extensions equal in size to the build corpus mean the frozen codebook
+# has seen only half the store — cell occupancy is skewed toward
+# wherever the old corpus clustered, degrading IVF probe recall.
+ANN_DRIFT_FACTOR = 1.0
+
+
+def ann_index_drift(index_dir: str) -> float:
+    """Codebook staleness of a stored ANN index: vectors appended since
+    the build (`extend_ann_index`'s running count) over the build-time
+    corpus size — the fraction-of-store-unseen-by-the-codebook proxy.
+    Meta-sidecar read only, zero Spark jobs; the embedding-side
+    analogue of `incremental.index_drift` (there the capacity concern
+    is band-row growth; here it is frozen-codebook coverage — bucket
+    growth on this side is already cap-checked at query time)."""
+    meta = _read_ann_meta(index_dir)
+    return int(meta.get("n_extended", 0)) / max(int(meta["n"]), 1)
+
+
 def _read_ann_meta(index_dir: str) -> dict:
     import json
 

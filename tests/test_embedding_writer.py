@@ -144,6 +144,44 @@ def test_sign_once_probe_equals_recomputed_probe(spark, emb, tmp_path):
     assert got == want
 
 
+def test_drift_warns_then_auto_reconcile_refreshes_codebook(
+    spark, emb, tmp_path
+):
+    """Appending far more than the build-time corpus must surface: the
+    default writer warns past ANN_DRIFT_FACTOR; auto_reconcile=True
+    rebuilds instead (fresh codebook, meta n reset to the store, drift
+    back to zero) — the `CorpusWriter.auto_compact` split."""
+    import warnings
+
+    from kinesis_iterator_spark.queries.similarity import (
+        _read_ann_meta,
+        ann_index_drift,
+    )
+
+    small = emb.filter(F.col("vec_id") < 100)
+    rest = emb.filter(F.col("vec_id") >= 100)
+
+    w = _writer(spark, tmp_path / "warn")
+    w.admit(small)
+    with pytest.warns(UserWarning, match="codebook"):
+        w.admit(rest)
+    assert ann_index_drift(w.index_dir) > 1.0
+
+    w2 = EmbeddingWriter(
+        spark,
+        str(tmp_path / "auto" / "store"),
+        str(tmp_path / "auto" / "ann_idx"),
+        auto_reconcile=True,
+    )
+    w2.admit(small)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        w2.admit(rest)
+    meta = _read_ann_meta(w2.index_dir)
+    assert ann_index_drift(w2.index_dir) == 0.0
+    assert meta["n"] == w2.store().count()
+
+
 def test_admit_validates_uint32_ids_at_bootstrap(spark, emb, tmp_path):
     w = _writer(spark, tmp_path)
     bad = emb.limit(5).withColumn(
