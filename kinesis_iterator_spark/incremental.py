@@ -480,6 +480,7 @@ def embedding_dedup_against_index(
     tau: float | None = None,
     corpus_emb: DataFrame | None = None,
     batch_sig: DataFrame | None = None,
+    ids_validated: bool = False,
 ) -> DataFrame:
     """The embedding-side analogue of :func:`dedup_against_index`:
     classify NEW vectors (vec_id, embedding) against a corpus whose ANN
@@ -510,7 +511,10 @@ def embedding_dedup_against_index(
     ``batch_sig``: optional precomputed `lsh_signatures` rows for
     EXACTLY the vectors in ``new_emb`` (a sign-once caller restricts its
     superset frame to the batch ids first — stale superset probe rows
-    would fabricate candidate work)."""
+    would fabricate candidate work). ``ids_validated``: the caller
+    already ran `_check_vec_ids` on a SUPERSET of ``new_emb`` this
+    admission (`EmbeddingWriter.admit` does, on the raw batch) — skips
+    the redundant bounds aggregate over the batch lineage."""
     from .queries.dedup import COSINE_TAU
     from .queries.similarity import (
         _check_ann_compat,
@@ -528,7 +532,8 @@ def embedding_dedup_against_index(
         )
     meta = _read_ann_meta(index_dir)
     _check_ann_compat(index_dir, meta)
-    _check_vec_ids(new_emb)
+    if not ids_validated:
+        _check_vec_ids(new_emb)
     tau = COSINE_TAU if tau is None else tau
     par = spark.sparkContext.defaultParallelism
     stored_sig = spark.read.parquet(f"{index_dir}/lsh_signatures")

@@ -761,12 +761,12 @@ class EmbeddingWriter:
             self.reconcile()
         incremental._check_vec_ids(batch_emb)
         par = self.spark.sparkContext.defaultParallelism
-        stats = {"n_input": batch_emb.count()}
         if not self._bootstrapped():
             # Bootstrap: in-batch dedup with batch-derived geometry,
             # then store write + index build (write_ann_index signs the
             # written store itself — its geometry is derived from the
             # store size, not the pre-dedup batch).
+            stats = {"n_input": batch_emb.count()}
             n = stats["n_input"]
             b = _bits_for(n)
             cap = 32 + 8 * n // (1 << b)
@@ -793,6 +793,7 @@ class EmbeddingWriter:
             return stats
 
         meta = _read_ann_meta(self.index_dir)
+        stats: dict[str, int] = {}
         # Sign ONCE with the STORED geometry; every consumer filters
         # this frame (signatures are a pure per-vector function, so
         # id-filtered reuse is exact).
@@ -824,6 +825,7 @@ class EmbeddingWriter:
                 tau=self.tau,
                 corpus_emb=self.store(),
                 batch_sig=surv_sig,
+                ids_validated=True,
             ).localCheckpoint(eager=True)
             by_verdict = {
                 r["verdict"]: r["n"]
@@ -833,6 +835,14 @@ class EmbeddingWriter:
             }
             stats["rejected_near"] = by_verdict.get("near_dup", 0)
             stats["n_admitted"] = by_verdict.get("novel", 0)
+            # Every batch row is either an in-batch reject or a
+            # classified survivor — n_input needs no count job here
+            # (the bootstrap path counts because geometry needs n).
+            stats["n_input"] = (
+                stats["rejected_in_batch"]
+                + stats["rejected_near"]
+                + stats["n_admitted"]
+            )
             novel = survivors.join(
                 verdicts.filter(F.col("verdict") == "novel").select("vec_id"),
                 "vec_id",
@@ -845,6 +855,7 @@ class EmbeddingWriter:
                 novel,
                 self.index_dir,
                 sig=sig.join(novel.select("vec_id"), "vec_id", "leftsemi"),
+                n_new=stats["n_admitted"],
             )
             self._check_drift()
             return stats

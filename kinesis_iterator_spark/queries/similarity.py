@@ -1030,6 +1030,7 @@ def extend_ann_index(
     new_emb: DataFrame,
     index_dir: str,
     sig: DataFrame | None = None,
+    n_new: int | None = None,
 ) -> dict:
     """Append NEW vectors' signature and inverted-file rows to a stored
     ANN index — the embedding-side analogue of the text index's
@@ -1055,7 +1056,9 @@ def extend_ann_index(
     so a caller that already signed a superset batch passes the frame
     RESTRICTED to the new ids — the `EmbeddingWriter` sign-once path,
     mirroring `incremental.extend_index`'s ``bands``). Must have been
-    built with the stored ``b``."""
+    built with the stored ``b``. ``n_new``: the caller's known count of
+    ``new_emb`` rows (e.g. from an admission verdict aggregate) — spares
+    a count job re-running the batch lineage just for drift accounting."""
     import json
     import os
 
@@ -1082,7 +1085,7 @@ def extend_ann_index(
         "append"
     ).parquet(f"{index_dir}/ivf_assignment")
     meta["n_extended"] = int(meta.get("n_extended", 0)) + int(
-        new_emb.count()
+        new_emb.count() if n_new is None else n_new
     )
     with open(f"{index_dir}/meta.json", "w") as fh:
         json.dump(meta, fh)
