@@ -97,6 +97,11 @@ class CurationConfig:
     edge_source: str = "minhash"
     jaccard_tau: float = 0.6
     tokens_per_shard: int = 1_000_000
+    # Apply `text.scrub_pii` BEFORE any signal/gate/dedup stage (the C4
+    # order: redaction first, so digests, shingles, and the stored
+    # corpus all see scrubbed text). A pure map-side expression fused
+    # into the existing signal scan — no extra pass over the text.
+    scrub_pii: bool = False
 
     def __post_init__(self) -> None:
         if self.allowed_langs is not None and not self.allowed_langs:
@@ -247,6 +252,17 @@ def curate_frame(
     exact. Off by default: the checkpoint is an extra materialization
     job a single-pass caller doesn't want."""
     config = config or CurationConfig()
+    if config.scrub_pii:
+        from .queries.text import PII_PATTERNS, scrub_pii
+
+        # Redact BEFORE anything reads text: gates, digests, shingle
+        # edges, and the final corpus all operate on scrubbed content
+        # (two documents differing only in their PII become the exact
+        # duplicates they are). The count columns are per-doc extras
+        # the label pass doesn't carry — drop them here.
+        doc = scrub_pii(doc).drop(
+            "n_redacted", *[f"n_{name}" for name, _, _ in PII_PATTERNS]
+        )
     sig = quality_signal_columns()
 
     # -- one map-side pass: slim per-doc labels (no text column) -------

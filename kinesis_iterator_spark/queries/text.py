@@ -532,8 +532,11 @@ def scrub_pii(doc: DataFrame) -> DataFrame:
     text, before any replacement could shadow a later pattern) ride
     along for filtering/reporting.
 
-    Output: (doc_id, text, n_email, n_ipv4, n_phone, n_redacted) —
-    ``text`` scrubbed, counts from the pre-scrub text.
+    Output: every input column with ``text`` scrubbed, plus
+    (n_email, n_ipv4, n_phone, n_redacted) counted from the pre-scrub
+    text — pass-through columns (lang, source, ...) survive so the
+    pass composes into the curation pipeline
+    (`CurationConfig(scrub_pii=True)`) without a re-join.
 
     100 TB posture: entirely built-in `regexp_count`/`regexp_replace`
     expressions — map-side, whole-stage-codegen'd, zero shuffles, zero
@@ -547,7 +550,11 @@ def scrub_pii(doc: DataFrame) -> DataFrame:
     scrubbed = F.col("text")
     for _, pat, marker in PII_PATTERNS:
         scrubbed = F.regexp_replace(scrubbed, pat, marker)
-    out = doc.select("doc_id", scrubbed.alias("text"), *counts)
+    passthrough = [
+        F.col(c) if c != "text" else scrubbed.alias("text")
+        for c in doc.columns
+    ]
+    out = doc.select(*passthrough, *counts)
     total = sum(
         (F.col(f"n_{name}") for name, _, _ in PII_PATTERNS),
         F.lit(0).cast("long"),

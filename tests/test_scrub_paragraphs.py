@@ -93,6 +93,79 @@ def test_scrub_pii_is_idempotent(spark, sf_dir):
     assert _rows(twice.select("doc_id", "text")) == _rows(once)
 
 
+def test_curation_scrub_stage_equals_pre_scrub_composition(spark, sf_dir):
+    """CurationConfig(scrub_pii=True) must equal scrubbing first and
+    curating the result — the in-pipeline stage is the same operator,
+    fused, not a variant."""
+    from kinesis_iterator_spark.pipeline import CurationConfig, curate_frame
+    from kinesis_iterator_spark.queries import release_persists
+
+    doc = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(PII_SNIPPET)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    a = curate_frame(doc, CurationConfig(scrub_pii=True))
+    pre = scrub_pii(doc).drop("n_email", "n_ipv4", "n_phone", "n_redacted")
+    b = curate_frame(pre, CurationConfig())
+    try:
+        assert a.stats() == b.stats()
+        got = _rows(a.final.select("doc_id", "text"))
+        assert got == _rows(b.final.select("doc_id", "text"))
+        # Kept text is actually scrubbed: markers in, raw PII out.
+        kept7 = [t for d, t in got if d % 7 == 0]
+        assert kept7 and all(
+            "<EMAIL>" in t and "ex-ample.org" not in t for t in kept7
+        )
+    finally:
+        a.release()
+        b.release()
+        release_persists()
+
+
+def test_scrub_turns_pii_only_variants_into_exact_dups(spark, sf_dir):
+    """Two documents differing ONLY in their PII must collapse in the
+    exact-dedup stage once scrubbing runs first — the reason the scrub
+    stage precedes every digest."""
+    from kinesis_iterator_spark.pipeline import CurationConfig, curate_frame
+    from kinesis_iterator_spark.queries import release_persists
+
+    base = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    seed = base.filter(F.col("doc_id") == 0)
+    variants = seed.select(
+        F.lit(1_000_000).alias("doc_id"),
+        "lang",
+        "source",
+        F.concat("text", F.lit(" mail alice@example.com")).alias("text"),
+    ).unionByName(
+        seed.select(
+            F.lit(1_000_001).alias("doc_id"),
+            "lang",
+            "source",
+            F.concat("text", F.lit(" mail bob@example.org")).alias("text"),
+        )
+    )
+    # Curate the two variants alone: anything fixture-side would be a
+    # near-dup of BOTH (they share the seed text), stealing the
+    # component election and hiding the exact-dup collapse under test.
+    cur = curate_frame(variants, CurationConfig(scrub_pii=True))
+    try:
+        assert cur.stats()["n_input"] == 2
+        kept = {r["doc_id"] for r in cur.final.select("doc_id").collect()}
+        assert kept == {1_000_000}, kept
+    finally:
+        cur.release()
+        release_persists()
+
+
 # -- dedup_paragraphs ---------------------------------------------------
 
 SEP = "\n\n"
