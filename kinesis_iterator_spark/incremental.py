@@ -455,20 +455,33 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
 
 
 def _check_vec_ids(new_emb: DataFrame) -> None:
-    """Loud uint32 bound check on a batch's vec_ids — the pair scorer
-    packs (query_id, neighbor_id) into one uint64, so an out-of-range id
-    would silently mis-join and classify the vector novel (the exact
-    silent-miss the check exists to prevent). One 1-row aggregate job."""
-    bounds = new_emb.agg(
-        F.min("vec_id").alias("lo"), F.max("vec_id").alias("hi")
+    """Loud uint32 bound + within-batch uniqueness check on a batch's
+    vec_ids, in ONE 1-row aggregate job. Out-of-range ids would
+    silently mis-join in the pair scorer's uint64 pack and classify the
+    vector novel; a duplicated id (an upstream join fan-out) would
+    double verdict-join rows, inflate the admitted count, and land two
+    conflicting rows under one id in the store — both are the silent
+    corruption class this check exists to prevent. (Uniqueness ACROSS
+    batches stays the ingestion layer's contract, as on the text side —
+    checking it would cost a store-sized join per admit.)"""
+    row = new_emb.agg(
+        F.min("vec_id").alias("lo"),
+        F.max("vec_id").alias("hi"),
+        F.count("vec_id").alias("n"),
+        F.countDistinct("vec_id").alias("n_distinct"),
     ).collect()[0]
-    if bounds["lo"] is not None and (
-        bounds["lo"] < 0 or bounds["hi"] >= (1 << 32)
-    ):
+    if row["lo"] is not None and (row["lo"] < 0 or row["hi"] >= (1 << 32)):
         raise ValueError(
-            f"batch vec_ids must be in [0, 2^32) (got {bounds['lo']}.."
-            f"{bounds['hi']}): the pair scorer packs (query_id, "
+            f"batch vec_ids must be in [0, 2^32) (got {row['lo']}.."
+            f"{row['hi']}): the pair scorer packs (query_id, "
             "neighbor_id) into one uint64 — renumber the batch."
+        )
+    if row["n"] != row["n_distinct"]:
+        raise ValueError(
+            f"batch vec_ids must be unique (got {row['n']} rows over "
+            f"{row['n_distinct']} distinct ids): a duplicated id would "
+            "store conflicting vectors under one key and inflate "
+            "admission counts — dedupe or renumber the batch."
         )
 
 

@@ -50,6 +50,36 @@ from .queries.text import quality_signal_columns
 from .tables import load_table
 
 
+def _readable_meta(index_dir: str) -> bool:
+    """meta.json exists AND parses. Existence alone misclassifies a
+    torn meta write as bootstrapped: every admit then dies reading it
+    and the bootstrap-heal path never fires. Writers use this; the
+    crash-recovery semantics live HERE, once, for both writers."""
+    import json
+    import os
+
+    p = f"{index_dir}/meta.json"
+    if not os.path.exists(p):
+        return False
+    try:
+        with open(p) as fh:
+            json.load(fh)
+        return True
+    except (ValueError, OSError):
+        return False
+
+
+def _parquet_dir_committed(path: str) -> bool:
+    """A parquet directory a Spark write actually committed (the
+    _SUCCESS marker or at least one part file) — shared by both
+    writers' crash-window detection."""
+    import os
+
+    return os.path.isdir(path) and any(
+        f == "_SUCCESS" or f.endswith(".parquet") for f in os.listdir(path)
+    )
+
+
 def _shard_expr(n_shards: int, id_cols: tuple[str, ...] = ("doc_id",)):
     """THE shard-assignment rule — a pure function of the row identity,
     shared by `CuratedCorpus.write_shards` and `pack_sequences` so the
@@ -421,17 +451,10 @@ class CorpusWriter:
         self._bench_shingles: DataFrame | None = None
 
     def _bootstrapped(self) -> bool:
-        import os
-
-        return os.path.exists(f"{self.index_dir}/meta.json")
+        return _readable_meta(self.index_dir)
 
     def _corpus_exists(self) -> bool:
-        import os
-
-        return os.path.isdir(self.corpus_dir) and any(
-            f == "_SUCCESS" or f.endswith(".parquet")
-            for f in os.listdir(self.corpus_dir)
-        )
+        return _parquet_dir_committed(self.corpus_dir)
 
     def corpus(self) -> DataFrame:
         """The admitted corpus so far (doc_id, lang, source, text,
@@ -676,15 +699,20 @@ class EmbeddingWriter:
     Crash safety mirrors the text writer: the store append commits
     BEFORE the index extend (a crash in the window re-admits later
     copies — recoverable by :meth:`reconcile` — instead of silently
-    rejecting vectors the store never received), and a crash during
-    bootstrap itself (store written, no meta.json) is detected on the
-    next admit and healed by reconcile instead of an overwrite that
-    would discard the admitted store.
+    rejecting vectors the store never received); a crash during
+    bootstrap itself (store written, no readable meta.json) and a
+    crash inside an in-place index rebuild (the `rebuild.inprogress`
+    marker `write_ann_index` brackets its overwrites with) are both
+    detected on the next admit and healed by reconcile instead of an
+    overwrite that would discard the admitted store.
 
-    Precondition: ``vec_id`` is globally unique across batches and fits
-    in uint32 (the pair scorer's packed-pair contract) — validated
-    loudly per batch, including at bootstrap (stored ids become
-    neighbor ids for every later batch)."""
+    Precondition: ``vec_id`` is globally unique ACROSS batches (the
+    ingestion layer's contract, exactly as for `CorpusWriter` doc_ids).
+    WITHIN a batch, ids are validated loudly — uint32-bounded (the
+    pair scorer's packed-pair contract) and duplicate-free (a fanned-out
+    id would store conflicting vectors under one key) — including at
+    bootstrap, since stored ids become neighbor ids for every later
+    batch."""
 
     def __init__(
         self,
@@ -710,17 +738,20 @@ class EmbeddingWriter:
         self.auto_reconcile = auto_reconcile
 
     def _bootstrapped(self) -> bool:
-        import os
+        """Usable index state: meta parses AND no in-place rebuild died
+        midway (`similarity.ann_rebuild_interrupted` — a half-rebuilt
+        signature store can mix bit geometries, silently matching
+        nothing). Either failure + an existing store routes the next
+        :meth:`admit` through reconcile(), which re-runs the rebuild
+        end-to-end and clears the marker — the self-heal path."""
+        from .queries.similarity import ann_rebuild_interrupted
 
-        return os.path.exists(f"{self.index_dir}/meta.json")
+        return _readable_meta(self.index_dir) and not ann_rebuild_interrupted(
+            self.index_dir
+        )
 
     def _store_exists(self) -> bool:
-        import os
-
-        return os.path.isdir(self.store_dir) and any(
-            f == "_SUCCESS" or f.endswith(".parquet")
-            for f in os.listdir(self.store_dir)
-        )
+        return _parquet_dir_committed(self.store_dir)
 
     def store(self) -> DataFrame:
         """The admitted vectors so far (vec_id, label, embedding)."""
@@ -802,10 +833,17 @@ class EmbeddingWriter:
                 survivors.write.mode("overwrite").parquet(self.store_dir)
             finally:
                 release_local_checkpoint(rejects)
-            write_ann_index(
-                self.spark, self.store_dir, self.index_dir, emb=self.store()
-            )
             stats["n_admitted"] = stats["n_input"] - stats["rejected_in_batch"]
+            # n from the stage-count identity — no count job over the
+            # just-written store (CLAUDE.md: footer/known counts, never
+            # a count() job for parameterization).
+            write_ann_index(
+                self.spark,
+                self.store_dir,
+                self.index_dir,
+                emb=self.store(),
+                n=stats["n_admitted"],
+            )
             return stats
 
         meta = _read_ann_meta(self.index_dir)
@@ -913,10 +951,16 @@ class EmbeddingWriter:
         the corpus far from the frozen centroids
         (`similarity.ann_index_drift` past `ANN_DRIFT_FACTOR`; see
         ``auto_reconcile``)."""
+        from .incremental import _dir_rows
         from .queries.similarity import write_ann_index
 
+        # Store size from parquet footers — zero Spark jobs.
         return write_ann_index(
-            self.spark, self.store_dir, self.index_dir, emb=self.store()
+            self.spark,
+            self.store_dir,
+            self.index_dir,
+            emb=self.store(),
+            n=_dir_rows(self.store_dir),
         )
 
 

@@ -724,7 +724,9 @@ def dedup_paragraphs(doc: DataFrame, sep: str = "\n\n") -> DataFrame:
     100 TB posture, stage by stage:
     - the first-occurrence decision shuffles ONLY slim rows (16-byte
       md5 of the paragraph + doc_id + pos), one exchange keyed on the
-      digest; the window's row_number rides that same exchange;
+      digest, as a min-struct HASH AGGREGATE with map-side partials —
+      a hot digest (empty/boilerplate paragraphs) costs one shuffle
+      row per map partition, never a per-copy sort in one task;
     - paragraph text never rides the digest shuffle: paragraph rows
       are a pure function of the document, so the keep-set (doc_id,
       pos) semi-joins back onto a RE-DERIVED explode of the same scan
@@ -746,15 +748,22 @@ def dedup_paragraphs(doc: DataFrame, sep: str = "\n\n") -> DataFrame:
         F.posexplode(F.split("text", sep_re)).alias("pos", "para"),
     )
     slim = paras.select("doc_id", "pos", F.md5("para").alias("h"))
+    # Global first occurrence as a MIN aggregate, not a row_number
+    # window: min(struct(doc_id, pos)) is the lexicographic first and
+    # hash-aggregates with a guaranteed map-side partial, so a
+    # ubiquitous paragraph (the empty string, boilerplate lines —
+    # billions of copies in a crawl corpus) contributes ONE row per map
+    # partition to the shuffle and O(partitions) rows to its reduce
+    # task. A window form would co-locate and sort every copy of the
+    # hot digest in one task; the optimizer's partial WindowGroupLimit
+    # can bound the shuffle, but the aggregate form guarantees it.
     first = (
-        slim.withColumn(
-            "rn",
-            F.row_number().over(
-                W.partitionBy("h").orderBy("doc_id", "pos")
-            ),
+        slim.groupBy("h")
+        .agg(F.min(F.struct("doc_id", "pos")).alias("first"))
+        .select(
+            F.col("first.doc_id").alias("doc_id"),
+            F.col("first.pos").alias("pos"),
         )
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "pos")
     )
     kept = paras.join(first, ["doc_id", "pos"], "leftsemi")
     assembled = kept.groupBy("doc_id").agg(

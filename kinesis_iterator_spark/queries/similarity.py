@@ -966,6 +966,7 @@ def write_ann_index(
     sf_dir: str,
     index_dir: str,
     emb: DataFrame | None = None,
+    n: int | None = None,
 ) -> dict:
     """Materialize the ANN index for ``{sf_dir}/embeddings.parquet``:
 
@@ -986,20 +987,37 @@ def write_ann_index(
     nothing wide is shuffled (signatures/assignments are ≤24 B rows).
 
     ``emb``: optional vector frame to index instead of the full table
-    (a subset/bootstrap build); ``n`` then comes from a count of that
-    frame rather than the table footer.
+    (a subset/bootstrap build); ``n`` then comes from ``n`` or a count
+    of that frame rather than the table footer. ``n``: the caller's
+    known row count of ``emb`` (e.g. from parquet footers or an
+    admission aggregate) — spares the count job.
+
+    Crash safety: an in-place rebuild OVERWRITES artifacts that a
+    stale meta.json would silently mis-describe (a crash between the
+    b_new signature overwrite and the meta rewrite would leave every
+    later batch signed with b_old joining b_new buckets — matching
+    NOTHING, so every duplicate reads novel). A ``rebuild.inprogress``
+    marker brackets the whole rebuild: `_check_ann_compat` fails
+    LOUDLY while it exists, and `EmbeddingWriter.admit` self-heals by
+    re-running reconcile. The meta write itself goes through a temp
+    file + `os.replace` so a torn write cannot leave unparseable JSON
+    under a valid path.
     """
-    import json
     import os
 
     if emb is None:
         emb = load_table(spark, sf_dir, "embeddings")
-        n = _corpus_size(sf_dir)
-    else:
+        if n is None:
+            n = _corpus_size(sf_dir)
+    elif n is None:
         n = emb.count()
     b = _bits_for(n)
     cap = 32 + 8 * n // (1 << b)
     par = spark.sparkContext.defaultParallelism
+    os.makedirs(index_dir, exist_ok=True)
+    marker = f"{index_dir}/rebuild.inprogress"
+    with open(marker, "w") as fh:
+        fh.write("")
     lsh_signatures(emb, b, par).write.mode("overwrite").partitionBy(
         "table_id"
     ).parquet(f"{index_dir}/lsh_signatures")
@@ -1019,9 +1037,8 @@ def write_ann_index(
         "dim": DIM,
         "b_cap": B_CAP,
     }
-    os.makedirs(index_dir, exist_ok=True)
-    with open(f"{index_dir}/meta.json", "w") as fh:
-        json.dump(meta, fh)
+    _write_ann_meta(index_dir, meta)
+    os.remove(marker)
     return meta
 
 
@@ -1059,7 +1076,6 @@ def extend_ann_index(
     built with the stored ``b``. ``n_new``: the caller's known count of
     ``new_emb`` rows (e.g. from an admission verdict aggregate) — spares
     a count job re-running the batch lineage just for drift accounting."""
-    import json
     import os
 
     meta = _read_ann_meta(index_dir)
@@ -1087,8 +1103,7 @@ def extend_ann_index(
     meta["n_extended"] = int(meta.get("n_extended", 0)) + int(
         new_emb.count() if n_new is None else n_new
     )
-    with open(f"{index_dir}/meta.json", "w") as fh:
-        json.dump(meta, fh)
+    _write_ann_meta(index_dir, meta)
     return meta
 
 
@@ -1118,13 +1133,51 @@ def _read_ann_meta(index_dir: str) -> dict:
         return json.load(fh)
 
 
+def _write_ann_meta(index_dir: str, meta: dict) -> None:
+    """Atomic meta.json replace (temp file + `os.replace`): a plain
+    truncating open("w") has a window where a crash leaves a 0-byte
+    meta.json — the index then LOOKS bootstrapped (path exists) but
+    every reader dies in json.load, and the writers' bootstrap-heal
+    paths never fire because they only test existence."""
+    import json
+    import os
+
+    tmp = f"{index_dir}/meta.json.tmp"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, f"{index_dir}/meta.json")
+
+
+def ann_rebuild_interrupted(index_dir: str) -> bool:
+    """True when a `write_ann_index` rebuild started but never finished
+    (its `rebuild.inprogress` marker survives) — the stored artifacts
+    may mix geometries and meta.json describes none of them reliably.
+    Recovery = re-run the rebuild (`EmbeddingWriter.reconcile` does,
+    automatically, at the next admit)."""
+    import os
+
+    return os.path.exists(f"{index_dir}/rebuild.inprogress")
+
+
 def _check_ann_compat(index_dir: str, meta: dict) -> None:
     """Fail loudly when an index was built under different signature
     geometry than this library: n_tables and b_cap both enter the plane
     index (`_plane(t * B_CAP + i)`), and dim shapes the vectors — drift
     in ANY of them means batch buckets share nothing with stored buckets
     and every duplicate silently reads as novel. Same rationale as the
-    text side's `incremental._check_meta`."""
+    text side's `incremental._check_meta`.
+
+    Also refuses an index whose in-place rebuild was interrupted (see
+    `ann_rebuild_interrupted`): a half-overwritten signature store can
+    mix bit geometries, and joining b_old probes against b_new buckets
+    matches nothing — every duplicate would silently read novel."""
+    if ann_rebuild_interrupted(index_dir):
+        raise ValueError(
+            f"ANN index at {index_dir} has an unfinished in-place "
+            "rebuild (rebuild.inprogress marker present): stored "
+            "artifacts may mix signature geometries. Re-run "
+            "write_ann_index / EmbeddingWriter.reconcile to recover."
+        )
     current = {"n_tables": N_TABLES, "dim": DIM, "b_cap": B_CAP}
     stale = {
         k: (meta.get(k), v) for k, v in current.items() if meta.get(k) != v

@@ -512,15 +512,23 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # PII patterns shared by the Spark plan and the DuckDB oracle test —
-# deliberately RE2-compatible (no backrefs, no lookaround) so both
-# engines' regex flavors (Java util.regex / RE2) agree on every match.
-# Replacement order matters where patterns could overlap: emails first
-# (their local/domain parts contain dots and digits), then IPv4 (dotted
-# digit runs), then phones (the loosest digit-run pattern).
+# deliberately RE2-compatible (no backrefs, no LOOKAROUND — RE2 has
+# neither) so both engines' regex flavors (Java util.regex / RE2)
+# agree on every match. Replacement order matters where patterns could
+# overlap: emails first (their local/domain parts contain dots and
+# digits), then IPv4 (dotted digit runs), then phones.
+#
+# The phone pattern REQUIRES the international "+" prefix — precision
+# over recall, deliberately: without lookarounds a bare digit-run
+# pattern cannot be told apart from ISO dates, timestamps, IDs, or
+# numeric table cells ("2026-08-14 1200" is digit/dash/space all the
+# way through), and in a training corpus silently mangling every date
+# is worse than missing unformatted local numbers, which are
+# indistinguishable from ordinary numerics anyway.
 PII_PATTERNS = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
-    ("phone", r"\+?\d[\d\- ]{7,}\d", "<PHONE>"),
+    ("phone", r"\+\d[\d\- ]{7,}\d", "<PHONE>"),
 )
 
 

@@ -182,6 +182,60 @@ def test_drift_warns_then_auto_reconcile_refreshes_codebook(
     assert meta["n"] == w2.store().count()
 
 
+def test_interrupted_rebuild_fails_queries_and_heals_on_admit(
+    spark, emb, tmp_path
+):
+    """A rebuild.inprogress marker (crash inside write_ann_index's
+    in-place overwrite) must fail index queries LOUDLY — a
+    half-rebuilt signature store can mix bit geometries and silently
+    match nothing — and the next admit must heal via reconcile."""
+    import os
+
+    from kinesis_iterator_spark import incremental
+
+    w = _writer(spark, tmp_path)
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    odd = emb.filter(F.col("vec_id") % 2 == 1)
+    s1 = w.admit(even)
+    marker = f"{w.index_dir}/rebuild.inprogress"
+    open(marker, "w").close()
+
+    with pytest.raises(ValueError, match="unfinished in-place rebuild"):
+        incremental.embedding_dedup_against_index(
+            spark, odd, w.index_dir, corpus_emb=w.store()
+        )
+
+    s2 = w.admit(odd)
+    assert not os.path.exists(marker)
+    assert w.store().count() == s1["n_admitted"] + s2["n_admitted"]
+    s3 = w.admit(odd)
+    assert s3["n_admitted"] == 0
+
+
+def test_torn_meta_write_heals_instead_of_bricking(spark, emb, tmp_path):
+    """A 0-byte meta.json (torn write under the pre-atomic layout, or a
+    crashed replace) must NOT brick the writer: _bootstrapped treats
+    unreadable meta as un-bootstrapped, the existing store routes admit
+    through reconcile, and admission proceeds."""
+    w = _writer(spark, tmp_path)
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    odd = emb.filter(F.col("vec_id") % 2 == 1)
+    s1 = w.admit(even)
+    open(f"{w.index_dir}/meta.json", "w").close()
+
+    s2 = w.admit(odd)
+    kept_even = w.store().join(even.select("vec_id"), "vec_id", "leftsemi")
+    assert kept_even.count() == s1["n_admitted"]
+    assert w.store().count() == s1["n_admitted"] + s2["n_admitted"]
+
+
+def test_admit_rejects_duplicated_batch_ids(spark, emb, tmp_path):
+    w = _writer(spark, tmp_path)
+    batch = emb.filter(F.col("vec_id") < 20)
+    with pytest.raises(ValueError, match="unique"):
+        w.admit(batch.unionByName(batch.limit(3)))
+
+
 def test_admit_validates_uint32_ids_at_bootstrap(spark, emb, tmp_path):
     w = _writer(spark, tmp_path)
     bad = emb.limit(5).withColumn(

@@ -19,6 +19,9 @@ PII_SNIPPET = (
     " contact bob.smith+x@ex-ample.org now 10.0.0.255 "
     "call +44 20-7946 0958 end"
 )
+# Digit runs that must SURVIVE scrubbing (the phone pattern requires
+# the "+" prefix precisely so dates/timestamps/IDs don't get mangled).
+NON_PII_SNIPPET = " released 2026-08-14 1200 units id 123-456-789-012"
 
 
 def _con(sf_dir: str):
@@ -78,6 +81,20 @@ def test_scrub_pii_matches_duckdb_oracle(spark, sf_dir):
     assert hit and all(
         r[2] >= 1 and r[3] >= 1 and r[4] >= 1 for r in hit
     ), "PII snippet rows must count every pattern type"
+
+
+def test_scrub_pii_leaves_dates_and_ids_alone(spark, sf_dir):
+    """Digit runs without the '+' phone prefix — ISO dates, timestamps,
+    dashed IDs — must pass through untouched (the precision-over-recall
+    contract documented on PII_PATTERNS)."""
+    doc = load_table(spark, sf_dir, "documents").limit(20)
+    derived = doc.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(NON_PII_SNIPPET)).alias("text"),
+    )
+    out = scrub_pii(derived)
+    assert out.filter(F.col("n_redacted") != 0).count() == 0
+    assert _rows(out.select("doc_id", "text")) == _rows(derived)
 
 
 def test_scrub_pii_is_idempotent(spark, sf_dir):
