@@ -132,6 +132,17 @@ class CurationConfig:
     # corpus all see scrubbed text). A pure map-side expression fused
     # into the existing signal scan — no extra pass over the text.
     scrub_pii: bool = False
+    # Apply `dedup.dedup_paragraphs` after the scrub and before every
+    # signal/digest (the Dolma order: paragraph-level boilerplate
+    # removal feeds document-level dedup, and scrubbing first lets
+    # paragraphs differing only in PII collapse). NOTE the pass is a
+    # 3-shuffle subquery, not a fused expression: at fixture scale its
+    # recompute per downstream consumer is cheap; a 100 TB job
+    # materializes the paragraph-deduped corpus between passes (the
+    # production shape for every multi-pass rewrite) rather than
+    # persisting TB of rewritten text in executor memory.
+    dedup_paragraphs: bool = False
+    paragraph_sep: str = "\n\n"
 
     def __post_init__(self) -> None:
         if self.allowed_langs is not None and not self.allowed_langs:
@@ -292,6 +303,12 @@ def curate_frame(
         # the label pass doesn't carry — drop them here.
         doc = scrub_pii(doc).drop(
             "n_redacted", *[f"n_{name}" for name, _, _ in PII_PATTERNS]
+        )
+    if config.dedup_paragraphs:
+        from .queries.dedup import dedup_paragraphs
+
+        doc = dedup_paragraphs(doc, sep=config.paragraph_sep).drop(
+            "n_paras", "n_kept"
         )
     sig = quality_signal_columns()
 

@@ -717,9 +717,12 @@ def dedup_paragraphs(doc: DataFrame, sep: str = "\n\n") -> DataFrame:
     (doc_id, position), so the output is a pure function of the corpus,
     identical at any partitioning or cluster size.
 
-    Input: (doc_id, text). Output: one row per input document —
-    (doc_id, text, n_paras, n_kept); a document whose every paragraph
-    was seen before keeps its row with empty text and n_kept = 0.
+    Input: (doc_id, text, ...). Output: one row per input document —
+    every input column with ``text`` rewritten, plus (n_paras, n_kept);
+    a document whose every paragraph was seen before keeps its row
+    with empty text and n_kept = 0. Pass-through columns (lang,
+    source, ...) survive so the pass composes into the curation
+    pipeline (`CurationConfig(dedup_paragraphs=True)`).
 
     100 TB posture, stage by stage:
     - the first-occurrence decision shuffles ONLY slim rows (16-byte
@@ -779,7 +782,7 @@ def dedup_paragraphs(doc: DataFrame, sep: str = "\n\n") -> DataFrame:
     totals = doc.select(
         "doc_id", F.size(F.split("text", sep_re)).cast("long").alias("n_paras")
     )
-    return (
+    out = (
         totals.join(assembled, "doc_id", "left")
         .select(
             "doc_id",
@@ -787,4 +790,14 @@ def dedup_paragraphs(doc: DataFrame, sep: str = "\n\n") -> DataFrame:
             "n_paras",
             F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
         )
+    )
+    extra = [c for c in doc.columns if c not in ("doc_id", "text")]
+    if not extra:
+        return out
+    # Re-attach pass-through columns by doc_id (one equi-join on the
+    # id — the rewritten text is already the join's wide side; carrying
+    # the extras through the reassembly aggregate would widen every
+    # shuffle row instead).
+    return doc.drop("text").join(out, "doc_id").select(
+        *doc.columns, "n_paras", "n_kept"
     )

@@ -55,10 +55,18 @@ def quality_signal_columns() -> dict[str, Column]:
         "n_chars": n_chars,
         "n_words": n_words,
         "avg_word_len": n_chars.cast("double") / n_words,
-        "punct_ratio": (
-            n_chars - F.length(F.regexp_replace("text", "[^a-zA-Z ]", ""))
-        ).cast("double")
-        / n_chars,
+        # Guarded for n_chars == 0 (a paragraph-deduped document can be
+        # fully emptied): ANSI mode makes x/0 an error, not NULL. On
+        # any non-empty text the branch is dead, so the registry
+        # oracle's plain division is still value-identical.
+        "punct_ratio": F.when(
+            n_chars > 0,
+            (
+                n_chars
+                - F.length(F.regexp_replace("text", "[^a-zA-Z ]", ""))
+            ).cast("double")
+            / n_chars,
+        ).otherwise(F.lit(0.0)),
         "stopword_ratio": n_stop.cast("double") / n_words,
         "n_unique": n_unique,
         "lexical_diversity": n_unique.cast("double") / n_words,

@@ -268,6 +268,47 @@ def test_dedup_paragraphs_keeps_each_paragraph_globally_once(
     assert _rows(kept.distinct()) == _rows(inp.distinct())
 
 
+def test_curation_paragraph_stage_equals_pre_dedup_composition(
+    spark, sf_dir
+):
+    """CurationConfig(dedup_paragraphs=True) must equal running the
+    paragraph pass first and curating the rewritten frame — and the
+    kept corpus must contain every paragraph at most once."""
+    from kinesis_iterator_spark.pipeline import CurationConfig, curate_frame
+    from kinesis_iterator_spark.queries import release_persists
+
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", "lang", "source", "text")
+    )
+    nbr = base.select(
+        F.col("doc_id").alias("b_id"), F.col("text").alias("next_text")
+    )
+    doc = base.join(nbr, F.col("b_id") == (F.col("doc_id") + 1) % 100).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.concat_ws(SEP, "text", "next_text", "text").alias("text"),
+    )
+    a = curate_frame(doc, CurationConfig(dedup_paragraphs=True))
+    pre = dedup_paragraphs(doc, sep=SEP).drop("n_paras", "n_kept")
+    b = curate_frame(pre, CurationConfig())
+    try:
+        assert a.stats() == b.stats()
+        got = _rows(a.final.select("doc_id", "text"))
+        assert got == _rows(b.final.select("doc_id", "text"))
+        kept = (
+            a.final.filter(F.col("text") != "")
+            .select(F.explode(F.split("text", SEP)).alias("para"))
+        )
+        assert kept.count() == kept.distinct().count()
+    finally:
+        a.release()
+        b.release()
+        release_persists()
+
+
 def test_dedup_paragraphs_partitioning_invariant(spark, para_doc):
     """Pure function of the corpus: same output at any input
     partitioning (the first-occurrence window is keyed on global
