@@ -261,6 +261,37 @@ class CuratedCorpus:
             self.bands = None
 
 
+def _pre_stages(
+    doc: DataFrame,
+    config: CurationConfig,
+    seen_paras: DataFrame | None = None,
+) -> DataFrame:
+    """The text-REWRITING stages that must run before anything reads
+    text — scrub first (so paragraphs differing only in PII collapse),
+    then paragraph dedup. ONE definition shared by `curate_frame` and
+    `CorpusWriter.admit` (which pre-applies them so it can hand the
+    paragraph pass the stored digest layer as ``seen_paras`` and then
+    curate with the flags off)."""
+    if config.scrub_pii:
+        from .queries.text import PII_PATTERNS, scrub_pii
+
+        # Redact BEFORE anything reads text: gates, digests, shingle
+        # edges, and the final corpus all operate on scrubbed content
+        # (two documents differing only in their PII become the exact
+        # duplicates they are). The count columns are per-doc extras
+        # the label pass doesn't carry — drop them here.
+        doc = scrub_pii(doc).drop(
+            "n_redacted", *[f"n_{name}" for name, _, _ in PII_PATTERNS]
+        )
+    if config.dedup_paragraphs:
+        from .queries.dedup import dedup_paragraphs
+
+        doc = dedup_paragraphs(
+            doc, sep=config.paragraph_sep, seen=seen_paras
+        ).drop("n_paras", "n_kept")
+    return doc
+
+
 def curate(
     spark: SparkSession, sf_dir: str, config: CurationConfig | None = None
 ) -> CuratedCorpus:
@@ -293,23 +324,7 @@ def curate_frame(
     exact. Off by default: the checkpoint is an extra materialization
     job a single-pass caller doesn't want."""
     config = config or CurationConfig()
-    if config.scrub_pii:
-        from .queries.text import PII_PATTERNS, scrub_pii
-
-        # Redact BEFORE anything reads text: gates, digests, shingle
-        # edges, and the final corpus all operate on scrubbed content
-        # (two documents differing only in their PII become the exact
-        # duplicates they are). The count columns are per-doc extras
-        # the label pass doesn't carry — drop them here.
-        doc = scrub_pii(doc).drop(
-            "n_redacted", *[f"n_{name}" for name, _, _ in PII_PATTERNS]
-        )
-    if config.dedup_paragraphs:
-        from .queries.dedup import dedup_paragraphs
-
-        doc = dedup_paragraphs(doc, sep=config.paragraph_sep).drop(
-            "n_paras", "n_kept"
-        )
+    doc = _pre_stages(doc, config)
     sig = quality_signal_columns()
 
     # -- one map-side pass: slim per-doc labels (no text column) -------
@@ -551,10 +566,28 @@ class CorpusWriter:
         if not self._bootstrapped() and self._corpus_exists():
             self.reconcile()
 
+        cfg = self.config
+        if cfg.scrub_pii or cfg.dedup_paragraphs:
+            # The writer applies the text-REWRITING stages itself so
+            # the paragraph pass can see the STORED digest layer
+            # (paragraphs already in the corpus must lose to their
+            # first admission, exactly like whole documents), then
+            # curates with the flags off — same operators, same order
+            # (_pre_stages), incremental state injected.
+            from dataclasses import replace
+
+            seen = (
+                self._stored_paragraphs()
+                if cfg.dedup_paragraphs and self._bootstrapped()
+                else None
+            )
+            batch_doc = _pre_stages(batch_doc, cfg, seen_paras=seen)
+            cfg = replace(cfg, scrub_pii=False, dedup_paragraphs=False)
+
         cur = curate_frame(
             batch_doc,
-            self.config,
-            expose_bands=self.config.edge_source == "minhash",
+            cfg,
+            expose_bands=cfg.edge_source == "minhash",
         )
         verdicts = None
         contaminated = None
@@ -628,6 +661,14 @@ class CorpusWriter:
                 incremental.extend_index(
                     novel, self.index_dir, bands=batch_bands
                 )
+                if self.config.dedup_paragraphs:
+                    # Append the ADMITTED docs' paragraph digests —
+                    # novel text is already paragraph-unique vs store
+                    # and batch (the pre-stage), so these rows extend
+                    # the layer without duplicates. Crash before this
+                    # write = the same recoverable append-then-extend
+                    # window as digests/bands (reconcile rebuilds).
+                    self._write_paragraphs(novel, "append")
                 if self.auto_compact:
                     drift = incremental.index_drift(self.index_dir)
                     if (
@@ -648,6 +689,8 @@ class CorpusWriter:
                 incremental.write_index(
                     self.corpus(), self.index_dir, bands=cur.bands
                 )
+                if self.config.dedup_paragraphs:
+                    self._write_paragraphs(self.corpus(), "overwrite")
             return stats
         finally:
             if batch_bands is not None and batch_bands is not cur.bands:
@@ -664,14 +707,51 @@ class CorpusWriter:
             # blocks per admit.
             release_persists()
 
+    def _paras_dir(self) -> str:
+        return f"{self.index_dir}/paragraphs"
+
+    def _stored_paragraphs(self) -> DataFrame:
+        """The stored paragraph-digest layer (single ``h`` column). A
+        bootstrapped index WITHOUT the layer means the corpus predates
+        `dedup_paragraphs=True` — its paragraphs were never recorded,
+        so silently treating the layer as empty would re-admit every
+        one of them; reconcile() builds the layer from the corpus."""
+        import os
+
+        if not os.path.isdir(self._paras_dir()):
+            raise ValueError(
+                f"index at {self.index_dir} has no paragraph layer but "
+                "the writer is configured with dedup_paragraphs=True — "
+                "run reconcile() once to build it from the corpus."
+            )
+        return self.spark.read.parquet(self._paras_dir())
+
+    def _write_paragraphs(self, doc: DataFrame, mode: str) -> None:
+        from .queries.dedup import paragraph_digests
+
+        paragraph_digests(
+            doc.select("doc_id", "text"), sep=self.config.paragraph_sep
+        ).write.mode(mode).parquet(self._paras_dir())
+
     def reconcile(self) -> dict:
         """Rebuild the dedup index from the corpus as currently written —
         the recovery path for a crash inside :meth:`admit`'s
         append-then-extend window (and for a crash during bootstrap
-        itself, detected and invoked automatically by :meth:`admit`)."""
+        itself, detected and invoked automatically by :meth:`admit`).
+        With ``dedup_paragraphs`` configured, also (re)builds the
+        stored paragraph-digest layer from the corpus text (defensively
+        distinct — the corpus is paragraph-unique by construction, but
+        this is the crash-recovery path)."""
         from . import incremental
+        from .queries.dedup import paragraph_digests
 
-        return incremental.write_index(self.corpus(), self.index_dir)
+        meta = incremental.write_index(self.corpus(), self.index_dir)
+        if self.config.dedup_paragraphs:
+            paragraph_digests(
+                self.corpus().select("doc_id", "text"),
+                sep=self.config.paragraph_sep,
+            ).distinct().write.mode("overwrite").parquet(self._paras_dir())
+        return meta
 
     def compact(self) -> dict:
         """Re-apply the mega-bucket cap across all appends without

@@ -708,7 +708,30 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_paragraphs(doc: DataFrame, sep: str = "\n\n") -> DataFrame:
+def _para_rows(doc: DataFrame, sep: str) -> DataFrame:
+    """(doc_id, pos, para) — one row per paragraph occurrence. ``sep``
+    is a LITERAL separator (escaped for split's regex arg): the same
+    string must both split the input and rejoin kept paragraphs, and
+    the DuckDB oracle's string_split is literal."""
+    import re
+
+    return doc.select(
+        "doc_id",
+        F.posexplode(F.split("text", re.escape(sep))).alias("pos", "para"),
+    )
+
+
+def paragraph_digests(doc: DataFrame, sep: str = "\n\n") -> DataFrame:
+    """Single-column (``h``) md5 digest of every paragraph of ``doc`` —
+    the kernel behind `CorpusWriter`'s stored paragraph layer (write =
+    these rows of the admitted docs; query = `dedup_paragraphs`'s
+    ``seen`` anti-join). 16-byte rows; text never shuffles."""
+    return _para_rows(doc, sep).select(F.md5("para").alias("h"))
+
+
+def dedup_paragraphs(
+    doc: DataFrame, sep: str = "\n\n", seen: DataFrame | None = None
+) -> DataFrame:
     """Paragraph-level exact dedup (Lee et al. 2022 / Dolma's paragraph
     pass): every paragraph that has appeared EARLIER in the corpus —
     in a previous document, or earlier in the same document — is
@@ -723,6 +746,14 @@ def dedup_paragraphs(doc: DataFrame, sep: str = "\n\n") -> DataFrame:
     with empty text and n_kept = 0. Pass-through columns (lang,
     source, ...) survive so the pass composes into the curation
     pipeline (`CurationConfig(dedup_paragraphs=True)`).
+
+    ``seen``: optional single-column (``h``) frame of md5 paragraph
+    digests already used by an EXISTING corpus — every batch paragraph
+    whose digest appears there is dropped before the in-batch
+    first-occurrence election, making this the incremental form
+    (`CorpusWriter`'s stored paragraph layer). The anti-join runs on
+    the slim digest rows; paragraph text still never rides a digest
+    shuffle.
 
     100 TB posture, stage by stage:
     - the first-occurrence decision shuffles ONLY slim rows (16-byte
@@ -740,17 +771,10 @@ def dedup_paragraphs(doc: DataFrame, sep: str = "\n\n") -> DataFrame:
       output write. Per-document work is O(paragraphs log paragraphs)
       (the array_sort); no document is held whole until its own
       groupBy row, matching the other per-doc operators here."""
-    import re
-
-    # ``sep`` is a LITERAL separator (escaped for split's regex arg):
-    # the same string must both split the input and rejoin the kept
-    # paragraphs, and the DuckDB oracle's string_split is literal.
-    sep_re = re.escape(sep)
-    paras = doc.select(
-        "doc_id",
-        F.posexplode(F.split("text", sep_re)).alias("pos", "para"),
-    )
+    paras = _para_rows(doc, sep)
     slim = paras.select("doc_id", "pos", F.md5("para").alias("h"))
+    if seen is not None:
+        slim = slim.join(seen.select("h"), "h", "left_anti")
     # Global first occurrence as a MIN aggregate, not a row_number
     # window: min(struct(doc_id, pos)) is the lexicographic first and
     # hash-aggregates with a guaranteed map-side partial, so a
@@ -779,8 +803,11 @@ def dedup_paragraphs(doc: DataFrame, sep: str = "\n\n") -> DataFrame:
         ).alias("text"),
         F.count("*").cast("long").alias("n_kept"),
     )
+    import re
+
     totals = doc.select(
-        "doc_id", F.size(F.split("text", sep_re)).cast("long").alias("n_paras")
+        "doc_id",
+        F.size(F.split("text", re.escape(sep))).cast("long").alias("n_paras"),
     )
     out = (
         totals.join(assembled, "doc_id", "left")

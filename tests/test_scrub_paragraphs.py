@@ -309,6 +309,140 @@ def test_curation_paragraph_stage_equals_pre_dedup_composition(
         release_persists()
 
 
+# -- CorpusWriter's stored paragraph layer (incremental form) -----------
+
+
+def _texts(spark, sf_dir):
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", "lang", "source", "text")
+    )
+    return base
+
+
+def _two_para_batch(base, ids, left_off, right_off, id_off):
+    """doc (id_off + i) for i in ids: text = t_{i+left_off} ¶
+    t_{i+right_off}, lang/source carried from the left doc."""
+    left = base.select(
+        F.col("doc_id").alias("l_id"),
+        "lang",
+        "source",
+        F.col("text").alias("l_text"),
+    )
+    right = base.select(
+        F.col("doc_id").alias("r_id"), F.col("text").alias("r_text")
+    )
+    ids_df = left.sparkSession.createDataFrame([(i,) for i in ids], ["i"])
+    return (
+        ids_df.join(left, F.col("l_id") == F.col("i") + left_off)
+        .join(right, F.col("r_id") == F.col("i") + right_off)
+        .select(
+            (F.col("i") + id_off).alias("doc_id"),
+            "lang",
+            "source",
+            F.concat_ws(SEP, "l_text", "r_text").alias("text"),
+        )
+    )
+
+
+def test_corpus_writer_paragraph_layer_dedups_across_batches(
+    spark, sf_dir, tmp_path
+):
+    """Paragraphs admitted in batch 1 must be dropped from batch 2's
+    documents (the stored digest layer), and the whole corpus must stay
+    paragraph-unique across admits."""
+    from kinesis_iterator_spark.pipeline import CorpusWriter, CurationConfig
+    from kinesis_iterator_spark.queries import release_persists
+
+    base = _texts(spark, sf_dir)
+    batch1 = _two_para_batch(base, range(50), 0, 50, 0)
+    # batch 2 re-uses t_i (stored) and brings t_{i+200} (fresh).
+    batch2 = _two_para_batch(base, range(50), 0, 200, 1000)
+    w = CorpusWriter(
+        spark,
+        str(tmp_path / "corpus"),
+        str(tmp_path / "index"),
+        CurationConfig(dedup_paragraphs=True),
+    )
+    try:
+        w.admit(batch1)
+        w.admit(batch2)
+        corpus = w.corpus()
+        paras = corpus.filter(F.col("text") != "").select(
+            F.explode(F.split("text", SEP)).alias("para")
+        )
+        assert paras.count() == paras.distinct().count()
+        # A batch-2 doc whose left paragraph made it into the batch-1
+        # corpus keeps ONLY its fresh right paragraph. (all() would be
+        # wrong: a batch-1 doc rejected by doc-level dedup contributes
+        # no paragraphs to the layer, so its text may legitimately
+        # survive inside a batch-2 doc — uniqueness above is the
+        # global invariant.)
+        fresh = {
+            r["text"]
+            for r in base.filter(
+                (F.col("doc_id") >= 200) & (F.col("doc_id") < 250)
+            ).collect()
+        }
+        got2 = [
+            r["text"]
+            for r in corpus.filter(F.col("doc_id") >= 1000).collect()
+        ]
+        assert got2 and any(t in fresh for t in got2)
+    finally:
+        release_persists()
+
+
+def test_paragraph_layer_missing_raises_and_reconcile_builds(
+    spark, sf_dir, tmp_path
+):
+    """A corpus bootstrapped WITHOUT the paragraph layer must fail
+    loudly when a paragraph-deduping writer admits against it (silent
+    empty-layer fallback would re-admit every stored paragraph);
+    reconcile() builds the layer and admission proceeds."""
+    from kinesis_iterator_spark.pipeline import CorpusWriter, CurationConfig
+    from kinesis_iterator_spark.queries import release_persists
+
+    base = _texts(spark, sf_dir)
+    batch1 = base.filter(F.col("doc_id") < 50)
+    batch2 = _two_para_batch(base, range(20), 0, 100, 2000)
+    cdir, idir = str(tmp_path / "corpus"), str(tmp_path / "index")
+    try:
+        CorpusWriter(spark, cdir, idir, CurationConfig()).admit(batch1)
+        w = CorpusWriter(
+            spark, cdir, idir, CurationConfig(dedup_paragraphs=True)
+        )
+        with pytest.raises(ValueError, match="paragraph layer"):
+            w.admit(batch2)
+        w.reconcile()
+        w.admit(batch2)
+        # After reconcile the stored batch-1 texts are in the layer, so
+        # batch-2 docs re-using one as their left paragraph keep only
+        # the fresh right (any(), not all() — batch-1 docs that lost
+        # doc-level dedup never entered the corpus or the layer), and
+        # the corpus stays globally paragraph-unique.
+        got = [
+            r["text"]
+            for r in w.corpus().filter(F.col("doc_id") >= 2000).collect()
+        ]
+        fresh = {
+            r["text"]
+            for r in base.filter(
+                (F.col("doc_id") >= 100) & (F.col("doc_id") < 120)
+            ).collect()
+        }
+        assert got and any(t in fresh for t in got)
+        paras = (
+            w.corpus()
+            .filter(F.col("text") != "")
+            .select(F.explode(F.split("text", SEP)).alias("para"))
+        )
+        assert paras.count() == paras.distinct().count()
+    finally:
+        release_persists()
+
+
 def test_dedup_paragraphs_partitioning_invariant(spark, para_doc):
     """Pure function of the corpus: same output at any input
     partitioning (the first-occurrence window is keyed on global
