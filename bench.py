@@ -227,6 +227,33 @@ def main() -> None:
         best = min(best, time.perf_counter() - t0)
     timings["recipe_mixture_pack"] = round(best, 3)
 
+    # -- round-8 surface: corpus hygiene — PII scrub + paragraph-level
+    # exact dedup composed, driven to a noop write. The fixture text has
+    # no paragraph breaks, so the split runs at WORD granularity: at
+    # sf0.1 that is ~2.5M paragraph rows through the digest first-
+    # occurrence aggregate, the keep-set semi-join, and the reassembly —
+    # a real volume test of the kernel, not a 1-row-per-doc degenerate.
+    from kinesis_iterator_spark.queries.dedup import dedup_paragraphs
+    from kinesis_iterator_spark.queries.text import scrub_pii
+
+    from kinesis_iterator_spark.tables import load_table as _lt
+
+    hyg_doc = _lt(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def hygiene() -> None:
+        scrubbed = scrub_pii(hyg_doc).select("doc_id", "text")
+        dedup_paragraphs(scrubbed, sep=" ").write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    hygiene()  # warm
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        hygiene()
+        best = min(best, time.perf_counter() - t0)
+    timings["corpus_hygiene"] = round(best, 3)
+
     # -- round-7 surface: incremental corpus admission. Bootstrap a
     # corpus + dedup index from the even-doc_id half ONCE (untimed),
     # then time CorpusWriter.admit of the odd half against a fresh COPY

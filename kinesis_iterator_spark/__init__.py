@@ -13,10 +13,14 @@ Layout
 - ``queries``   : the registered operator library — every entry has a
   ``(spark, sf_dir) -> DataFrame`` builder and (where SQL-expressible) a
   DuckDB oracle SQL string.
-- ``pipeline``  : end-to-end corpus curation (gates → dedup → survivor
-  pruning → sharded write) and ``CorpusWriter`` batch admission.
-- ``incremental``: persisted dedup index (digests + LSH bands) for
-  admitting new batches at batch-bounded cost.
+- ``pipeline``  : end-to-end corpus curation (optional PII scrub +
+  paragraph dedup → gates → dedup → survivor pruning → sharded write),
+  ``CorpusWriter`` batch admission, ``EmbeddingWriter`` vector
+  admission over the stored ANN index, and the data-recipe tail
+  (``build_mixture`` / ``pack_sequences``).
+- ``incremental``: persisted dedup index (digests + LSH bands +
+  paragraph digests) for admitting new batches at batch-bounded cost,
+  plus the embedding-side ``embedding_dedup_against_index``.
 """
 
 __version__ = "0.2.0"
