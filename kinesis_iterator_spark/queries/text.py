@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..tables import load_table
-from . import query
+from . import managed_persist, query
 
 # Tiny stopword-marker lists per language for the n-gram/stopword heuristic
 # language ID. Deliberately small + fixed: deterministic, embedded in both
@@ -538,6 +538,250 @@ PII_PATTERNS = (
     ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
     ("phone", r"\+\d[\d\- ]{7,}\d", "<PHONE>"),
 )
+
+
+# -- DSIR importance-weighted data selection ----------------------------
+#
+# Data Selection via Importance Resampling (Xie et al., NeurIPS 2023):
+# score every raw-pool document by the log-likelihood ratio of a
+# hashed-unigram bag-of-words model fit on a TARGET-domain sample vs one
+# fit on the raw pool itself, then resample the pool toward the target
+# distribution with Gumbel top-k (sampling without replacement).
+#
+# Fixed-point discipline: the per-bucket log ratios λ_b and the Gumbel
+# keys are rounded to integers at DSIR_FIX resolution the moment they
+# leave log-space, so every per-document reduction is EXACT integer
+# arithmetic — order-independent, hence bit-identical between Spark's
+# parallel aggregation and DuckDB's sequential one (a raw double sum
+# over thousands of terms would hash-differ on reduction order alone).
+# The only doubles that cross engines are single ln() evaluations of
+# identical inputs, never sums of them.
+DSIR_BUCKETS = 1024
+DSIR_FIX = 1_000_000
+_DSIR_SAMPLE_MOD = 1 << 20
+
+
+def _word_buckets(doc: DataFrame, n_buckets: int, *cols: str) -> DataFrame:
+    """Hashed-unigram feature rows: one (*cols, b) row per word
+    occurrence, b = h60(word) % n_buckets."""
+    from .dedup import _h60
+
+    return doc.select(
+        *cols, F.explode(F.split("text", " ")).alias("w")
+    ).select(*cols, F.pmod(_h60(F.col("w")), F.lit(n_buckets)).alias("b"))
+
+
+def dsir_weights(
+    pool: DataFrame, target: DataFrame, n_buckets: int = DSIR_BUCKETS
+) -> DataFrame:
+    """Per-document DSIR importance weights.
+
+    ``pool`` is the raw corpus (doc_id, text); ``target`` is a sample of
+    the distribution training should look like (text; e.g. a curated or
+    in-domain slice). Output: (doc_id, n_tokens, logweight, w_fix) where
+    logweight = Σ_b c_b·(ln((t_b+1)/(T+B)) − ln((s_b+1)/(S+B))) — the
+    add-1-smoothed hashed-unigram log-likelihood ratio — and w_fix is
+    the same value as an exact DSIR_FIX fixed-point integer (consumed by
+    `dsir_select`; drop it if only the weight matters).
+
+    100 TB posture: documents reduce to (doc_id, bucket, count) rows at
+    the explode's map side (hash-aggregate partials — ≤ n_buckets rows
+    per doc survive per map partition, never one row per token), and
+    that slim frame is persisted and reused for both the global source
+    histogram and the per-doc scoring, so corpus text is scanned ONCE.
+    Both histograms are ≤ n_buckets rows → the λ relation broadcasts;
+    the per-doc aggregation reuses the (doc_id, b) shuffle's
+    partitioning (doc_id is a prefix of its keys). Nothing wide ever
+    shuffles; no Python in the row path."""
+    pw = _word_buckets(pool, n_buckets, "doc_id")
+    dc = managed_persist(
+        pw.groupBy("doc_id", "b").agg(F.count("*").alias("c"))
+    )
+    s = dc.groupBy("b").agg(F.sum("c").alias("sc"))
+    t = _word_buckets(target, n_buckets).groupBy("b").agg(
+        F.count("*").alias("tc")
+    )
+    everything = W.partitionBy()
+    lam = (
+        s.join(t, "b", "full_outer")
+        .select(
+            "b",
+            F.coalesce("sc", F.lit(0)).alias("sc"),
+            F.coalesce("tc", F.lit(0)).alias("tc"),
+        )
+        .select(
+            "b",
+            F.round(
+                (F.log(F.col("tc") + 1) - F.log(F.col("sc") + 1))
+                * DSIR_FIX
+            )
+            .cast("long")
+            .alias("lam_fix"),
+            F.round(
+                (
+                    F.log(F.sum("sc").over(everything) + n_buckets)
+                    - F.log(F.sum("tc").over(everything) + n_buckets)
+                )
+                * DSIR_FIX
+            )
+            .cast("long")
+            .alias("k_fix"),
+        )
+    )
+    return (
+        dc.join(F.broadcast(lam), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            (
+                F.sum(F.col("c") * F.col("lam_fix"))
+                + F.sum("c") * F.min("k_fix")
+            ).alias("w_fix"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("w_fix") / F.lit(float(DSIR_FIX))).alias("logweight"),
+            "w_fix",
+        )
+    )
+
+
+def dsir_select(
+    pool: DataFrame,
+    target: DataFrame,
+    keep: int,
+    n_buckets: int = DSIR_BUCKETS,
+    seed: int = 0,
+) -> DataFrame:
+    """Gumbel top-k resampling over `dsir_weights`: keep the ``keep``
+    pool documents maximizing logweight + Gumbel(0,1), i.e. sample
+    without replacement with probability ∝ the importance weight. The
+    Gumbel draw is a deterministic function of (doc_id, seed) — same
+    selection on any engine, partitioning, or cluster size.
+
+    Output: (doc_id, n_tokens, logweight, sample_key, sel_rank) for the
+    selected documents, sel_rank 1..keep by descending key.
+
+    100 TB posture: the ranking filter is rank-limit-shaped
+    (row_number ≤ k over one global ordering), which Spark rewrites to
+    WindowGroupLimit — each map partition forwards only its local top-k
+    of slim 32-byte rows, so the single reduce task orders
+    k × n_partitions candidates, not the corpus."""
+    from .dedup import _h60
+
+    w = dsir_weights(pool, target, n_buckets)
+    u = (
+        F.pmod(
+            _h60(
+                F.concat(
+                    F.col("doc_id").cast("string"), F.lit(f":dsir:{seed}")
+                )
+            ),
+            F.lit(_DSIR_SAMPLE_MOD),
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(_DSIR_SAMPLE_MOD))
+    g_fix = F.round(-F.log(-F.log(u)) * DSIR_FIX).cast("long")
+    keyed = w.select(
+        "doc_id",
+        "n_tokens",
+        "logweight",
+        (F.col("w_fix") + g_fix).alias("key_fix"),
+    )
+    rn = F.row_number().over(
+        W.partitionBy().orderBy(F.col("key_fix").desc(), F.col("doc_id"))
+    )
+    return (
+        keyed.withColumn("sel_rank", rn.cast("long"))
+        .filter(F.col("sel_rank") <= keep)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "logweight",
+            (F.col("key_fix") / F.lit(float(DSIR_FIX))).alias("sample_key"),
+            "sel_rank",
+        )
+    )
+
+
+def _dsir_oracle_core(pool_sql: str, target_sql: str, n_buckets: int) -> str:
+    """Shared CTE chain for the DSIR DuckDB oracles. ``pool_sql`` must
+    yield (doc_id, text); ``target_sql`` must yield text."""
+    from .dedup import _H60_SQL
+
+    h = _H60_SQL.format(x="w")
+    return f"""
+    WITH pool AS ({pool_sql}),
+    target AS ({target_sql}),
+    pw AS (SELECT doc_id, {h} % {n_buckets} AS b
+           FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
+                 FROM pool)),
+    tw AS (SELECT {h} % {n_buckets} AS b
+           FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM target)),
+    s AS (SELECT b, COUNT(*) AS sc FROM pw GROUP BY b),
+    t AS (SELECT b, COUNT(*) AS tc FROM tw GROUP BY b),
+    lam0 AS (SELECT COALESCE(s.b, t.b) AS b, COALESCE(sc, 0) AS sc,
+                    COALESCE(tc, 0) AS tc
+             FROM s FULL JOIN t ON s.b = t.b),
+    lam AS (SELECT b,
+              CAST(ROUND((ln(tc + 1) - ln(sc + 1)) * {DSIR_FIX}) AS BIGINT)
+                AS lam_fix,
+              CAST(ROUND((ln(SUM(sc) OVER () + {n_buckets})
+                        - ln(SUM(tc) OVER () + {n_buckets}))
+                   * {DSIR_FIX}) AS BIGINT) AS k_fix
+            FROM lam0),
+    dc AS (SELECT doc_id, b, COUNT(*) AS c FROM pw GROUP BY doc_id, b),
+    wgt AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                   CAST(SUM(c * lam_fix) + SUM(c) * MIN(k_fix) AS BIGINT)
+                     AS w_fix
+            FROM dc JOIN lam USING (b) GROUP BY doc_id)
+    """
+
+
+def dsir_weights_oracle(
+    pool_sql: str, target_sql: str, n_buckets: int = DSIR_BUCKETS
+) -> str:
+    return (
+        _dsir_oracle_core(pool_sql, target_sql, n_buckets)
+        + f"""
+    SELECT doc_id, n_tokens,
+           CAST(w_fix AS DOUBLE) / {DSIR_FIX} AS logweight, w_fix
+    FROM wgt
+    """
+    )
+
+
+def dsir_select_oracle(
+    pool_sql: str,
+    target_sql: str,
+    keep: int,
+    n_buckets: int = DSIR_BUCKETS,
+    seed: int = 0,
+) -> str:
+    from .dedup import _H60_SQL
+
+    hdoc = _H60_SQL.format(
+        x=f"CAST(doc_id AS VARCHAR) || ':dsir:{seed}'"
+    )
+    mod = _DSIR_SAMPLE_MOD
+    return (
+        _dsir_oracle_core(pool_sql, target_sql, n_buckets)
+        + f"""
+    , keyed AS (
+      SELECT doc_id, n_tokens, w_fix,
+             w_fix + CAST(ROUND(-ln(-ln(
+                 ({hdoc} % {mod} + 0.5) / {mod})) * {DSIR_FIX}) AS BIGINT)
+               AS key_fix
+      FROM wgt)
+    SELECT doc_id, n_tokens,
+           CAST(w_fix AS DOUBLE) / {DSIR_FIX} AS logweight,
+           CAST(key_fix AS DOUBLE) / {DSIR_FIX} AS sample_key,
+           ROW_NUMBER() OVER (ORDER BY key_fix DESC, doc_id) AS sel_rank
+    FROM keyed
+    QUALIFY sel_rank <= {keep}
+    """
+    )
 
 
 def scrub_pii(doc: DataFrame) -> DataFrame:
