@@ -32,6 +32,39 @@ def _sql_list(words: tuple[str, ...]) -> str:
     return ", ".join(f"'{w}'" for w in words)
 
 
+def _lang_scores() -> dict[str, Column]:
+    """Per-language marker-hit counts over an implicit ``text`` column —
+    shared by the registry's merged quality+lang-id projection and the
+    library-level :func:`text_lang_id`."""
+    words = F.split(F.col("text"), " ")
+    return {
+        lang: F.size(
+            F.filter(words, lambda w: w.isin(*LANG_MARKERS[lang]))
+        ).cast("long")
+        for lang in ("en", "es", "fr", "de", "zh")
+    }
+
+
+def _lang_pred(s: dict[str, Column]) -> Column:
+    """Argmax language with the fixed en>es>fr>de>zh tie priority."""
+    return (
+        F.when(
+            (s["en"] >= s["es"])
+            & (s["en"] >= s["fr"])
+            & (s["en"] >= s["de"])
+            & (s["en"] >= s["zh"]),
+            "en",
+        )
+        .when(
+            (s["es"] >= s["fr"]) & (s["es"] >= s["de"]) & (s["es"] >= s["zh"]),
+            "es",
+        )
+        .when((s["fr"] >= s["de"]) & (s["fr"] >= s["zh"]), "fr")
+        .when(s["de"] >= s["zh"], "de")
+        .otherwise("zh")
+    )
+
+
 def quality_signal_columns() -> dict[str, Column]:
     """The per-document signal expressions over an implicit ``text``
     column, by output name. Factored so the registry query below and the
@@ -79,15 +112,33 @@ def quality_signal_columns() -> dict[str, Column]:
     }
 
 
+def _lang_score_sql(lang: str) -> str:
+    return (
+        f"len(list_filter(string_split(text, ' '), "
+        f"w -> w IN ({_sql_list(LANG_MARKERS[lang])})))"
+    )
+
+
 @query(
     "text_quality_scores",
     oracle=f"""
+    WITH scored AS (
+      SELECT *,
+             {_lang_score_sql("en")} AS s_en,
+             {_lang_score_sql("es")} AS s_es,
+             {_lang_score_sql("fr")} AS s_fr,
+             {_lang_score_sql("de")} AS s_de,
+             {_lang_score_sql("zh")} AS s_zh
+      FROM documents
+    )
     SELECT doc_id,
            LENGTH(text) AS n_chars,
            len(string_split(text, ' ')) AS n_words,
            CAST(LENGTH(text) AS DOUBLE) / len(string_split(text, ' ')) AS avg_word_len,
-           CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE)
-             / LENGTH(text) AS punct_ratio,
+           CASE WHEN LENGTH(text) > 0 THEN
+             CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE)
+               / LENGTH(text)
+           ELSE 0.0 END AS punct_ratio,
            CAST(len(list_filter(string_split(text, ' '),
                                 w -> w IN ({_sql_list(STOPWORDS)}))) AS DOUBLE)
              / len(string_split(text, ' ')) AS stopword_ratio,
@@ -101,45 +152,8 @@ def quality_signal_columns() -> dict[str, Column]:
                list_transform(range(1, LENGTH(text) + 1),
                               i -> unicode(substring(text, i, 1))::BIGINT)),
              (acc, c) -> (acc * 31 + c) % 2147483647) AS BIGINT) AS fingerprint,
-           md5(text) AS digest
-    FROM documents
-    """,
-)
-def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document signal suite: quality scores (length, word stats,
-    punctuation ratio, stopword ratio, lexical diversity — the standard
-    C4/Gopher-style pre-training corpus filters), token counting
-    (whitespace ≡ n_words, BPE-ish regex, bytes/4 rule-of-thumb), and
-    document fingerprinting (rolling 31-polynomial hash over the character
-    stream mod 2^31-1 — the Rabin-Karp building block — plus md5 digest).
-    Pure map-side: zero shuffles."""
-    doc = load_table(spark, sf_dir, "documents")
-    sig = quality_signal_columns()
-    return doc.select(
-        "doc_id", *(col.alias(name) for name, col in sig.items())
-    )
-
-
-def _lang_score_sql(lang: str) -> str:
-    return (
-        f"len(list_filter(string_split(text, ' '), "
-        f"w -> w IN ({_sql_list(LANG_MARKERS[lang])})))"
-    )
-
-
-@query(
-    "text_lang_id",
-    oracle=f"""
-    WITH scores AS (
-      SELECT doc_id, lang AS labeled_lang,
-             {_lang_score_sql("en")} AS s_en,
-             {_lang_score_sql("es")} AS s_es,
-             {_lang_score_sql("fr")} AS s_fr,
-             {_lang_score_sql("de")} AS s_de,
-             {_lang_score_sql("zh")} AS s_zh
-      FROM documents
-    )
-    SELECT doc_id, labeled_lang,
+           md5(text) AS digest,
+           lang AS labeled_lang,
            CASE
              WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de AND s_en >= s_zh THEN 'en'
              WHEN s_es >= s_fr AND s_es >= s_de AND s_es >= s_zh THEN 'es'
@@ -148,48 +162,45 @@ def _lang_score_sql(lang: str) -> str:
              ELSE 'zh'
            END AS predicted_lang,
            CAST(s_en + s_es + s_fr + s_de + s_zh AS BIGINT) AS marker_hits
-    FROM scores
+    FROM scored
     """,
 )
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document signal suite: quality scores (length, word stats,
+    punctuation ratio, stopword ratio, lexical diversity — the standard
+    C4/Gopher-style pre-training corpus filters), token counting
+    (whitespace ≡ n_words, BPE-ish regex, bytes/4 rule-of-thumb), document
+    fingerprinting (rolling 31-polynomial hash over the character
+    stream mod 2^31-1 — the Rabin-Karp building block — plus md5 digest),
+    and marker-word language ID (labeled vs predicted + total marker
+    hits; merged from the former `text_lang_id` registry entry — same
+    input, same per-doc grain, still one 0-exchange projection).
+    Pure map-side: zero shuffles."""
+    doc = load_table(spark, sf_dir, "documents")
+    sig = quality_signal_columns()
+    s = _lang_scores()
+    return doc.select(
+        "doc_id",
+        *(col.alias(name) for name, col in sig.items()),
+        F.col("lang").alias("labeled_lang"),
+        _lang_pred(s).alias("predicted_lang"),
+        (s["en"] + s["es"] + s["fr"] + s["de"] + s["zh"]).alias("marker_hits"),
+    )
+
+
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language ID (n-gram-heuristic family): count stopword
     markers per language, argmax with a fixed priority order for ties.
-    Map-side only."""
+    Map-side only. Library-level since round 9: the registry's copy of
+    these columns rides `text_quality_scores` (same input, same per-doc
+    grain, both 0-exchange projections — merged to free a slot under
+    the 50-entry cap for `corpus_hygiene_stats`)."""
     doc = load_table(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), " ")
-
-    def score(lang: str):
-        return F.size(F.filter(words, lambda w: w.isin(*LANG_MARKERS[lang]))).cast(
-            "long"
-        )
-
-    scored = doc.select(
+    s = _lang_scores()
+    return doc.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
-        score("en").alias("s_en"),
-        score("es").alias("s_es"),
-        score("fr").alias("s_fr"),
-        score("de").alias("s_de"),
-        score("zh").alias("s_zh"),
-    )
-    s = {k: F.col(f"s_{k}") for k in ("en", "es", "fr", "de", "zh")}
-    pred = (
-        F.when(
-            (s["en"] >= s["es"])
-            & (s["en"] >= s["fr"])
-            & (s["en"] >= s["de"])
-            & (s["en"] >= s["zh"]),
-            "en",
-        )
-        .when((s["es"] >= s["fr"]) & (s["es"] >= s["de"]) & (s["es"] >= s["zh"]), "es")
-        .when((s["fr"] >= s["de"]) & (s["fr"] >= s["zh"]), "fr")
-        .when(s["de"] >= s["zh"], "de")
-        .otherwise("zh")
-    )
-    return scored.select(
-        "doc_id",
-        "labeled_lang",
-        pred.alias("predicted_lang"),
+        _lang_pred(s).alias("predicted_lang"),
         (s["en"] + s["es"] + s["fr"] + s["de"] + s["zh"]).alias("marker_hits"),
     )
 
@@ -820,3 +831,134 @@ def scrub_pii(doc: DataFrame) -> DataFrame:
         F.lit(0).cast("long"),
     )
     return out.withColumn("n_redacted", total)
+
+
+# -- corpus hygiene under the oracle gate --------------------------------
+#
+# The scrub→paragraph-dedup composition (the pass a crawl corpus runs
+# before anything else sees the text), driven to a one-row stats
+# aggregate so the driver's 50-query gate value-checks it end-to-end.
+# The fixture text carries no PII and no paragraph breaks, so the query
+# derives both deterministically with SQL-expressible rules applied
+# identically in both engines (the tests/test_scrub_paragraphs.py
+# derivations): a PII snippet appended to every 7th document, and
+# word-granularity paragraphs (sep=" ") — at sf0.01 that is ~100k
+# paragraph rows through the digest first-occurrence aggregate, the
+# keep-set semi-join, and the reassembly, not a 1-row-per-doc
+# degenerate.
+
+# Exercises every PII pattern type; no single quotes (rides SQL string
+# literals verbatim).
+HYGIENE_PII_SNIPPET = (
+    " contact bob.smith+x@ex-ample.org now 10.0.0.255"
+    " call +44 20-7946 0958 end"
+)
+
+
+def _hygiene_oracle() -> str:
+    from .dedup import _H60_SQL
+
+    (_, email, _), (_, ipv4, _), (_, phone, _) = PII_PATTERNS
+    return f"""
+    WITH derived AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || '{HYGIENE_PII_SNIPPET}'
+                  ELSE text END AS text
+      FROM documents
+    ),
+    scrubbed AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(
+               text, '{email}', '<EMAIL>', 'g'),
+               '{ipv4}', '<IP>', 'g'),
+               '{phone}', '<PHONE>', 'g') AS text,
+             len(regexp_extract_all(text, '{email}')) AS n_email,
+             len(regexp_extract_all(text, '{ipv4}')) AS n_ipv4,
+             len(regexp_extract_all(text, '{phone}')) AS n_phone
+      FROM derived
+    ),
+    split AS (
+      SELECT doc_id, text, n_email, n_ipv4, n_phone,
+             string_split(text, ' ') AS parts
+      FROM scrubbed
+    ),
+    paras AS (
+      SELECT doc_id,
+             UNNEST(range(1, len(parts) + 1)) AS pos,
+             UNNEST(parts) AS para
+      FROM split
+    ),
+    firsts AS (
+      SELECT doc_id, pos, para,
+             ROW_NUMBER() OVER (PARTITION BY para
+                                ORDER BY doc_id, pos) AS rn
+      FROM paras
+    ),
+    assembled AS (
+      SELECT doc_id,
+             string_agg(para, ' ' ORDER BY pos) AS text,
+             COUNT(*) AS n_kept
+      FROM firsts WHERE rn = 1 GROUP BY doc_id
+    ),
+    docs AS (
+      SELECT s.doc_id,
+             COALESCE(a.text, '') AS text,
+             len(s.parts) AS n_paras,
+             COALESCE(a.n_kept, 0) AS n_kept,
+             s.n_email, s.n_ipv4, s.n_phone,
+             s.n_email + s.n_ipv4 + s.n_phone AS n_redacted
+      FROM split s LEFT JOIN assembled a USING (doc_id)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_email) AS BIGINT) AS emails_total,
+           CAST(SUM(n_ipv4) AS BIGINT) AS ipv4_total,
+           CAST(SUM(n_phone) AS BIGINT) AS phones_total,
+           CAST(SUM(n_redacted) AS BIGINT) AS redacted_total,
+           CAST(SUM(n_paras) AS BIGINT) AS paras_total,
+           CAST(SUM(n_kept) AS BIGINT) AS kept_total,
+           CAST(COUNT(*) FILTER (WHERE n_kept = 0) AS BIGINT)
+             AS emptied_docs,
+           bit_xor({_H60_SQL.format(x="text")}) AS text_xor
+    FROM docs
+    """
+
+
+@query("corpus_hygiene_stats", oracle=_hygiene_oracle())
+def corpus_hygiene_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus hygiene end-to-end: `scrub_pii` (typed PII redaction with
+    per-type counts) into `dedup_paragraphs` (global first-occurrence
+    paragraph dedup at word granularity), reduced to a one-row stats
+    aggregate — scrub counts, paragraph totals/kept/emptied, and a
+    bit_xor checksum over every rewritten document text (order-free,
+    pins the actual output values without an array column).
+
+    100 TB posture: the scrub is map-side-only on the scan; the
+    paragraph pass shuffles slim digest rows with map-side-partial
+    first-occurrence election (skew-proof on boilerplate words); the
+    stats reduce is ONE single-row aggregate."""
+    from .dedup import _h60, dedup_paragraphs
+
+    doc = load_table(spark, sf_dir, "documents")
+    derived = doc.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(HYGIENE_PII_SNIPPET)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    dd = dedup_paragraphs(scrub_pii(derived), sep=" ")
+    return dd.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_email").cast("long").alias("emails_total"),
+        F.sum("n_ipv4").cast("long").alias("ipv4_total"),
+        F.sum("n_phone").cast("long").alias("phones_total"),
+        F.sum("n_redacted").cast("long").alias("redacted_total"),
+        F.sum("n_paras").cast("long").alias("paras_total"),
+        F.sum("n_kept").cast("long").alias("kept_total"),
+        F.sum(F.when(F.col("n_kept") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("emptied_docs"),
+        F.bit_xor(_h60(F.col("text"))).alias("text_xor"),
+    )

@@ -203,11 +203,25 @@ def test_pandas_grouped_agg_udaf(spark, sf_dir):
 
 
 def test_lang_id_deterministic_and_total(spark, sf_dir):
-    out = QUERIES["text_lang_id"](spark, sf_dir)
+    # Library-level since round 9 (registry copy rides
+    # text_quality_scores); must stay value-identical to the merged
+    # registry columns.
+    from kinesis_iterator_spark.queries.text import text_lang_id
+
+    out = text_lang_id(spark, sf_dir)
     assert out.filter(F.col("predicted_lang").isNull()).count() == 0
     a = sorted(map(tuple, out.collect()))
-    b = sorted(map(tuple, QUERIES["text_lang_id"](spark, sf_dir).collect()))
+    b = sorted(map(tuple, text_lang_id(spark, sf_dir).collect()))
     assert a == b
+    merged = sorted(
+        map(
+            tuple,
+            QUERIES["text_quality_scores"](spark, sf_dir)
+            .select("doc_id", "labeled_lang", "predicted_lang", "marker_hits")
+            .collect(),
+        )
+    )
+    assert merged == a
 
 
 def test_ann_gathered_path_matches_corpus_path(spark, sf_dir, monkeypatch):
