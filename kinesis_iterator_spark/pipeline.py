@@ -658,17 +658,26 @@ class CorpusWriter:
                     "doc_id",
                 )
                 novel.write.mode("append").parquet(self.corpus_dir)
-                incremental.extend_index(
-                    novel, self.index_dir, bands=batch_bands
-                )
                 if self.config.dedup_paragraphs:
                     # Append the ADMITTED docs' paragraph digests —
                     # novel text is already paragraph-unique vs store
                     # and batch (the pre-stage), so these rows extend
-                    # the layer without duplicates. Crash before this
-                    # write = the same recoverable append-then-extend
-                    # window as digests/bands (reconcile rebuilds).
+                    # the layer without duplicates. Deliberately BEFORE
+                    # extend_index: a crash here sits inside the
+                    # documented append-then-extend window (doc index
+                    # stale, reconcile rebuilds everything), whereas
+                    # paragraphs-after-index would open a window the
+                    # meta checks can't see — admitted documents whose
+                    # paragraph digests were never recorded, silently
+                    # re-admitting those paragraphs in later batches.
+                    # Over-recorded paragraphs are impossible in this
+                    # order (the corpus append above already committed
+                    # their text), so the layer is conservative-correct
+                    # at every crash point.
                     self._write_paragraphs(novel, "append")
+                incremental.extend_index(
+                    novel, self.index_dir, bands=batch_bands
+                )
                 if self.auto_compact:
                     drift = incremental.index_drift(self.index_dir)
                     if (
@@ -683,14 +692,19 @@ class CorpusWriter:
                     stats["n_kept"] - stats["rejected_contaminated"]
                 )
                 survivors.write.mode("overwrite").parquet(self.corpus_dir)
+                # Paragraph layer before the index build, same ordering
+                # invariant as the append path: the layer is never
+                # behind the corpus once meta is readable (a crash
+                # anywhere in this window leaves no meta.json, which
+                # admit detects and routes through reconcile).
+                if self.config.dedup_paragraphs:
+                    self._write_paragraphs(self.corpus(), "overwrite")
                 # cur.bands (when exposed) covers the eligible superset
                 # of the just-written corpus; _write_band_files filters
                 # to the corpus ids, saving the bootstrap re-banding.
                 incremental.write_index(
                     self.corpus(), self.index_dir, bands=cur.bands
                 )
-                if self.config.dedup_paragraphs:
-                    self._write_paragraphs(self.corpus(), "overwrite")
             return stats
         finally:
             if batch_bands is not None and batch_bands is not cur.bands:
@@ -1227,8 +1241,16 @@ def apply_mixture(
     if any(r < 0 for _, r in rate_rows):
         raise ValueError("rates must be non-negative")
     rate_df = spark.createDataFrame(rate_rows, "source string, _rate double")
+    # md5-derived `dedup._h60` convention (NOT xxhash64): expressible in
+    # ANSI SQL / DuckDB, so the draw really is identical on any engine —
+    # the same rule text_sample_stratified and dsir_select use.
+    from .queries.dedup import _h60
+
     u = (
-        F.pmod(F.xxhash64("doc_id", F.lit(seed)), F.lit(1_000_000))
+        F.pmod(
+            _h60(F.concat(F.col("doc_id").cast("string"), F.lit(f":mix:{seed}"))),
+            F.lit(1_000_000),
+        )
         / F.lit(1_000_000.0)
     )
     whole = F.floor("_rate").cast("int")

@@ -450,3 +450,70 @@ def test_dedup_paragraphs_partitioning_invariant(spark, para_doc):
     a = _rows(dedup_paragraphs(para_doc, sep=SEP))
     b = _rows(dedup_paragraphs(para_doc.repartition(13), sep=SEP))
     assert a == b
+
+
+def test_paragraph_layer_commits_before_index_extend(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Commit-order pin: a crash between the corpus append and the index
+    extend must leave the paragraph layer ALREADY covering the admitted
+    docs. The reverse order (layer after extend) would open a window no
+    meta check can see — admitted documents whose paragraph digests were
+    never recorded, silently re-admitting those paragraphs in every
+    later batch. With the pinned order, the crash sits inside the
+    documented append-then-extend window (doc index stale, reconcile
+    rebuilds) and the paragraph layer is conservative-correct."""
+    from kinesis_iterator_spark import incremental
+    from kinesis_iterator_spark.pipeline import CorpusWriter, CurationConfig
+    from kinesis_iterator_spark.queries import release_persists
+    from kinesis_iterator_spark.queries.dedup import paragraph_digests
+
+    base = _texts(spark, sf_dir)
+    batch1 = _two_para_batch(base, range(30), 0, 50, 0)
+    batch2 = _two_para_batch(base, range(30), 100, 150, 1000)
+    cdir, idir = str(tmp_path / "corpus"), str(tmp_path / "index")
+    w = CorpusWriter(
+        spark, cdir, idir, CurationConfig(dedup_paragraphs=True)
+    )
+    try:
+        w.admit(batch1)
+        real_extend = incremental.extend_index
+        monkeypatch.setattr(
+            incremental,
+            "extend_index",
+            lambda *a, **k: (_ for _ in ()).throw(
+                RuntimeError("simulated crash before index extend")
+            ),
+        )
+        with pytest.raises(RuntimeError, match="before index extend"):
+            w.admit(batch2)
+        monkeypatch.setattr(incremental, "extend_index", real_extend)
+
+        # Corpus append and paragraph append both committed; every
+        # admitted batch-2 doc's paragraphs are in the layer.
+        admitted = spark.read.parquet(cdir).filter(F.col("doc_id") >= 1000)
+        n_admitted = admitted.count()
+        assert n_admitted > 0
+        layer = spark.read.parquet(f"{idir}/paragraphs")
+        missing = (
+            paragraph_digests(admitted.select("doc_id", "text"), sep=SEP)
+            .join(layer, "h", "left_anti")
+            .count()
+        )
+        assert missing == 0
+
+        # WITHOUT any reconcile: clones of the admitted batch-2 docs
+        # (new ids, same text) admit nothing — their paragraphs empty
+        # out against the layer even though the doc index never heard
+        # of them. Under the reverse commit order this re-admits them.
+        adm_ids = [r["doc_id"] for r in admitted.select("doc_id").collect()]
+        batch3 = batch2.filter(F.col("doc_id").isin(adm_ids)).select(
+            (F.col("doc_id") + 4000).alias("doc_id"),
+            "lang",
+            "source",
+            "text",
+        )
+        stats3 = w.admit(batch3)
+        assert stats3["n_admitted"] == 0
+    finally:
+        release_persists()
