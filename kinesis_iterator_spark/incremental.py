@@ -72,6 +72,38 @@ def _current_meta() -> dict:
     }
 
 
+def _concurrently(*thunks):
+    """Run independent Spark ACTIONS in parallel driver threads and
+    return their results in order. The admit loops are job-count-
+    dominated at batch scale (measured: sf0.001 and sf0.1 admits within
+    ~15% — the data is not the cost, the per-job scheduling floor is),
+    so independent state writes overlap instead of queueing their
+    fixed costs. Spark's scheduler accepts concurrent jobs from one
+    SparkContext; the caller is responsible for ordering ACROSS groups
+    (e.g. the corpus append must commit before any index write starts —
+    crash-ordering contracts survive because the parallel group is
+    all-index-side). Any thunk's exception propagates (first one wins)
+    after all threads finish."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    with ThreadPoolExecutor(max_workers=len(thunks)) as ex:
+        futures = [ex.submit(t) for t in thunks]
+        # Collect everything before raising so a failure in one write
+        # doesn't leave another mid-flight when the caller handles it.
+        results, first_err = [], None
+        for f in futures:
+            try:
+                results.append(f.result())
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                results.append(None)
+                first_err = first_err or e
+        if first_err is not None:
+            raise first_err
+        return results
+
+
 def _digests(doc: DataFrame) -> DataFrame:
     return doc.select("doc_id", F.md5("text").alias("digest"))
 
@@ -155,8 +187,14 @@ def write_index(
     baseline `dedup_against_index` uses to flag append drift).
     ``bands``: optional precomputed band rows of a superset of ``doc``
     (see `_write_band_files`)."""
-    _digests(doc).write.mode("overwrite").parquet(f"{index_dir}/digests")
-    _write_band_files(doc, index_dir, "overwrite", bands=bands)
+    # Independent outputs, concurrent writes (crash anywhere here
+    # leaves no meta.json — detected and healed via reconcile).
+    _concurrently(
+        lambda: _digests(doc)
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/digests"),
+        lambda: _write_band_files(doc, index_dir, "overwrite", bands=bands),
+    )
     meta = _current_meta()
     meta["base_band_rows"] = _dir_rows(f"{index_dir}/bands")
     os.makedirs(index_dir, exist_ok=True)
@@ -388,10 +426,20 @@ def extend_index(
     never re-groups stored buckets).
 
     ``bands``: optional precomputed band rows of a superset of
-    ``accepted_doc`` (see `_write_band_files`)."""
+    ``accepted_doc`` (see `_write_band_files`). The digest append and
+    the band-file writes are independent outputs of the same batch —
+    they run concurrently (`_concurrently`): a crash committing either
+    subset is the same recoverable stale-index window as the sequential
+    order (reconcile rebuilds both from the corpus)."""
     _check_meta(index_dir)
-    _digests(accepted_doc).write.mode("append").parquet(f"{index_dir}/digests")
-    _write_band_files(accepted_doc, index_dir, "append", bands=bands)
+    _concurrently(
+        lambda: _digests(accepted_doc)
+        .write.mode("append")
+        .parquet(f"{index_dir}/digests"),
+        lambda: _write_band_files(
+            accepted_doc, index_dir, "append", bands=bands
+        ),
+    )
 
 
 def compact_index(spark: SparkSession, index_dir: str) -> dict:

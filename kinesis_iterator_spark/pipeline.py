@@ -592,6 +592,7 @@ class CorpusWriter:
         verdicts = None
         contaminated = None
         batch_bands = None
+        novel = None
         try:
             stats = {
                 k: cur.stats()[k] for k in ("n_input", "n_quality", "n_gate", "n_kept")
@@ -644,20 +645,44 @@ class CorpusWriter:
                     self.corpus(),
                     batch_bands=batch_bands,
                 ).localCheckpoint(eager=True)
-                by_verdict = {
-                    r["verdict"]: r["n"]
-                    for r in verdicts.groupBy("verdict")
-                    .agg(F.count("*").alias("n"))
-                    .collect()
-                }
-                stats["rejected_exact"] = by_verdict.get("exact_dup", 0)
-                stats["rejected_near"] = by_verdict.get("near_dup", 0)
-                stats["n_admitted"] = by_verdict.get("novel", 0)
+                # Checkpoint the admitted rows ONCE: novel's lineage is
+                # the whole batch curation join, and FOUR consumers
+                # read it (corpus append, digest append, band filter,
+                # optional paragraph append) — partly in parallel,
+                # where concurrent recomputes of the same lineage
+                # contend. (r8 A/B'd this neutral with two SEQUENTIAL
+                # consumers; the parallel write group changes the
+                # trade.)
                 novel = survivors.join(
                     verdicts.filter(F.col("verdict") == "novel").select("doc_id"),
                     "doc_id",
+                ).localCheckpoint(eager=True)
+                # The verdict-count aggregate is read-only on the
+                # checkpointed frame — overlap it with the corpus
+                # append (which must still commit before any index
+                # write below; the crash-ordering contract is between
+                # the corpus and the index side, not these two).
+                by_verdict: dict[str, int] = {}
+
+                def _counts():
+                    by_verdict.update(
+                        {
+                            r["verdict"]: r["n"]
+                            for r in verdicts.groupBy("verdict")
+                            .agg(F.count("*").alias("n"))
+                            .collect()
+                        }
+                    )
+
+                incremental._concurrently(
+                    _counts,
+                    lambda: novel.write.mode("append").parquet(
+                        self.corpus_dir
+                    ),
                 )
-                novel.write.mode("append").parquet(self.corpus_dir)
+                stats["rejected_exact"] = by_verdict.get("exact_dup", 0)
+                stats["rejected_near"] = by_verdict.get("near_dup", 0)
+                stats["n_admitted"] = by_verdict.get("novel", 0)
                 if self.config.dedup_paragraphs:
                     # Append the ADMITTED docs' paragraph digests —
                     # novel text is already paragraph-unique vs store
@@ -712,7 +737,7 @@ class CorpusWriter:
                 # owned here; cur.release() frees the exposed one.
                 release_local_checkpoint(batch_bands)
             cur.release()
-            for ck in (verdicts, contaminated):
+            for ck in (verdicts, contaminated, novel):
                 if ck is not None:
                     release_local_checkpoint(ck)
             # curate_frame's internals (minhash pair persist, CC round
@@ -847,6 +872,10 @@ class EmbeddingWriter:
         self.index_dir = index_dir
         self.tau = COSINE_TAU if tau is None else tau
         self.auto_reconcile = auto_reconcile
+        # The stored codebook is FROZEN between rebuilds: collect it
+        # once per writer lifetime (invalidated by reconcile) instead
+        # of one centroid job per admit.
+        self._crows: list | None = None
 
     def _bootstrapped(self) -> bool:
         """Usable index state: meta parses AND no in-place rebuild died
@@ -917,13 +946,14 @@ class EmbeddingWriter:
 
         if not self._bootstrapped() and self._store_exists():
             self.reconcile()
-        incremental._check_vec_ids(batch_emb)
         par = self.spark.sparkContext.defaultParallelism
         if not self._bootstrapped():
             # Bootstrap: in-batch dedup with batch-derived geometry,
             # then store write + index build (write_ann_index signs the
             # written store itself — its geometry is derived from the
-            # store size, not the pre-dedup batch).
+            # store size, not the pre-dedup batch). Not the hot loop:
+            # the id guard runs sequentially here.
+            incremental._check_vec_ids(batch_emb)
             stats = {"n_input": batch_emb.count()}
             n = stats["n_input"]
             b = _bits_for(n)
@@ -961,10 +991,26 @@ class EmbeddingWriter:
         stats: dict[str, int] = {}
         # Sign ONCE with the STORED geometry; every consumer filters
         # this frame (signatures are a pure per-vector function, so
-        # id-filtered reuse is exact).
-        sig = lsh_signatures(
-            batch_emb.select("vec_id", "embedding"), meta["b"], par
-        ).localCheckpoint(eager=True)
+        # id-filtered reuse is exact). The id guard is an independent
+        # pre-state-change action on the same batch — it runs
+        # concurrently with the signing (both must finish, and fail
+        # loudly, before any write below starts).
+        sig = None
+
+        def _sign():
+            nonlocal sig
+            sig = lsh_signatures(
+                batch_emb.select("vec_id", "embedding"), meta["b"], par
+            ).localCheckpoint(eager=True)
+
+        try:
+            incremental._concurrently(
+                _sign, lambda: incremental._check_vec_ids(batch_emb)
+            )
+        except BaseException:
+            if sig is not None:
+                release_local_checkpoint(sig)
+            raise
         verdicts = None
         rejects = None
         try:
@@ -992,12 +1038,30 @@ class EmbeddingWriter:
                 batch_sig=surv_sig,
                 ids_validated=True,
             ).localCheckpoint(eager=True)
-            by_verdict = {
-                r["verdict"]: r["n"]
-                for r in verdicts.groupBy("verdict")
-                .agg(F.count("*").alias("n"))
-                .collect()
-            }
+            novel = survivors.join(
+                verdicts.filter(F.col("verdict") == "novel").select("vec_id"),
+                "vec_id",
+            )
+            # The verdict-count aggregate is a read-only action on the
+            # checkpointed frame — it overlaps the store append (which
+            # must still commit before the index extend below; see the
+            # class docstring for why that order).
+            by_verdict: dict[str, int] = {}
+
+            def _counts():
+                by_verdict.update(
+                    {
+                        r["verdict"]: r["n"]
+                        for r in verdicts.groupBy("verdict")
+                        .agg(F.count("*").alias("n"))
+                        .collect()
+                    }
+                )
+
+            incremental._concurrently(
+                _counts,
+                lambda: novel.write.mode("append").parquet(self.store_dir),
+            )
             stats["rejected_near"] = by_verdict.get("near_dup", 0)
             stats["n_admitted"] = by_verdict.get("novel", 0)
             # Every batch row is either an in-batch reject or a
@@ -1008,19 +1072,20 @@ class EmbeddingWriter:
                 + stats["rejected_near"]
                 + stats["n_admitted"]
             )
-            novel = survivors.join(
-                verdicts.filter(F.col("verdict") == "novel").select("vec_id"),
-                "vec_id",
-            )
-            # Store append commits before the index extend (see class
-            # docstring for why this order).
-            novel.write.mode("append").parquet(self.store_dir)
+            if self._crows is None:
+                self._crows = sorted(
+                    self.spark.read.parquet(
+                        f"{self.index_dir}/centroids"
+                    ).collect(),
+                    key=lambda r: r["cell"],
+                )
             extend_ann_index(
                 self.spark,
                 novel,
                 self.index_dir,
                 sig=sig.join(novel.select("vec_id"), "vec_id", "leftsemi"),
                 n_new=stats["n_admitted"],
+                crows=self._crows,
             )
             self._check_drift()
             return stats
@@ -1065,6 +1130,8 @@ class EmbeddingWriter:
         from .incremental import _dir_rows
         from .queries.similarity import write_ann_index
 
+        # The rebuild trains a FRESH codebook — drop the cached one.
+        self._crows = None
         # Store size from parquet footers — zero Spark jobs.
         return write_ann_index(
             self.spark,

@@ -153,32 +153,40 @@ def connected_components(
     # long cast here silently NULLed non-numeric ids and dropped their
     # edges, turning a wrong input type into an empty "no duplicates"
     # answer instead of an error.
-    cur = (
+    dedup = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    prev_key = _key(cur)
-    if prev_key[0] <= DRIVER_CC_MAX_EDGES:
-        # Bounded by the exact count just computed — see
-        # DRIVER_CC_MAX_EDGES. The collect reads the checkpoint's
-        # materialized blocks (no lineage recompute).
+    if DRIVER_CC_MAX_EDGES > 0:
+        # Size-gated driver path as ONE bounded action: collect at most
+        # gate+1 distinct edges (limit short-circuits; ≤ ~3 MB Arrow at
+        # the 200k gate) — if everything fit, solve driver-side without
+        # ever checkpointing. The previous shape (checkpoint → count →
+        # collect) cost 3 jobs for the same decision; a near-dup batch
+        # graph is the common case in the admit loop and iterative
+        # rounds are ~3 jobs each regardless of size. Beyond the gate
+        # the probe's cost is one bounded extra job before the real
+        # checkpoint (its partial-distinct stops at the limit), and the
+        # distributed path below is unchanged.
         import pandas as pd
         from pyspark.sql import types as T
 
-        id_type = cur.schema["u"].dataType
-        nodes, labels = _driver_components(cur.toPandas())
-        release_local_checkpoint(cur)
-        return edges.sparkSession.createDataFrame(
-            pd.DataFrame({"node": nodes, "component": labels}),
-            T.StructType(
-                [
-                    T.StructField("node", id_type, False),
-                    T.StructField("component", id_type, False),
-                ]
-            ),
-        )
+        probe = dedup.limit(DRIVER_CC_MAX_EDGES + 1).toPandas()
+        if len(probe) <= DRIVER_CC_MAX_EDGES:
+            id_type = dedup.schema["u"].dataType
+            nodes, labels = _driver_components(probe)
+            return edges.sparkSession.createDataFrame(
+                pd.DataFrame({"node": nodes, "component": labels}),
+                T.StructType(
+                    [
+                        T.StructField("node", id_type, False),
+                        T.StructField("component", id_type, False),
+                    ]
+                ),
+            )
+    cur = dedup.localCheckpoint(eager=True)
+    prev_key = _key(cur)
     converged = False
     for _ in range(MAX_ROUNDS):
         nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)

@@ -1048,6 +1048,7 @@ def extend_ann_index(
     index_dir: str,
     sig: DataFrame | None = None,
     n_new: int | None = None,
+    crows: list | None = None,
 ) -> dict:
     """Append NEW vectors' signature and inverted-file rows to a stored
     ANN index — the embedding-side analogue of the text index's
@@ -1075,7 +1076,10 @@ def extend_ann_index(
     mirroring `incremental.extend_index`'s ``bands``). Must have been
     built with the stored ``b``. ``n_new``: the caller's known count of
     ``new_emb`` rows (e.g. from an admission verdict aggregate) — spares
-    a count job re-running the batch lineage just for drift accounting."""
+    a count job re-running the batch lineage just for drift accounting.
+    ``crows``: the stored centroid rows, if the caller already collected
+    them (the codebook is FROZEN, so an admission loop reads it once per
+    writer lifetime instead of one collect job per admit)."""
     import os
 
     meta = _read_ann_meta(index_dir)
@@ -1090,16 +1094,26 @@ def extend_ann_index(
         sig = lsh_signatures(
             new_emb.select("vec_id", "embedding"), meta["b"], par
         )
-    sig.select("vec_id", "table_id", "bucket").write.mode(
-        "append"
-    ).partitionBy("table_id").parquet(f"{index_dir}/lsh_signatures")
-    crows = sorted(
-        spark.read.parquet(f"{index_dir}/centroids").collect(),
-        key=lambda r: r["cell"],
+    if crows is None:
+        crows = sorted(
+            spark.read.parquet(f"{index_dir}/centroids").collect(),
+            key=lambda r: r["cell"],
+        )
+    # Signature and inverted-file appends are independent outputs of the
+    # same batch: run them concurrently (a crash committing either
+    # subset is the recoverable stale-index window either way —
+    # reconcile rebuilds both from the store).
+    from ..incremental import _concurrently
+
+    _concurrently(
+        lambda: sig.select("vec_id", "table_id", "bucket")
+        .write.mode("append")
+        .partitionBy("table_id")
+        .parquet(f"{index_dir}/lsh_signatures"),
+        lambda: _ivf_ranked_assignment(spark, new_emb, crows=crows)
+        .write.mode("append")
+        .parquet(f"{index_dir}/ivf_assignment"),
     )
-    _ivf_ranked_assignment(spark, new_emb, crows=crows).write.mode(
-        "append"
-    ).parquet(f"{index_dir}/ivf_assignment")
     meta["n_extended"] = int(meta.get("n_extended", 0)) + int(
         new_emb.count() if n_new is None else n_new
     )
