@@ -243,3 +243,102 @@ def test_admit_validates_uint32_ids_at_bootstrap(spark, emb, tmp_path):
     )
     with pytest.raises(ValueError, match="uint64"):
         w.admit(bad)
+
+
+def test_stream_feeds_embedding_writer_checkpoint_resume(
+    spark, sf_dir, tmp_path
+):
+    """The vector twin of the text side's stream composition (VERDICT r8
+    #4): an Iterator (A5 handler / A6 post-handler checkpoint / A8
+    resume) feeds every trigger batch into EmbeddingWriter.admit. The
+    run stops mid-stream; a NEW Iterator resumes from the same saver and
+    the resumed store must equal an uninterrupted run's; a full replay
+    from TRIM_HORIZON re-delivers everything and admits zero (every
+    replayed vector is its own stored near-dup at cosine 1)."""
+    from kinesis_iterator_spark.streaming import (
+        Iterator,
+        JsonFileSaver,
+        SimulatedShardedSource,
+    )
+
+    # Deterministic 32-dim embedding derived from the payload text
+    # (md5-mixed per dimension, one F.expr so plan building costs one
+    # py4j call, not 32): identical payloads -> identical vectors
+    # (cosine 1, the near-dup layer's job); distinct payloads ->
+    # pseudo-random directions, far apart at the writer's tau=0.9.
+    # The key is (partitionKey, payload): the stream's 100 distinct
+    # payloads alone fit inside one generous first poll, which would
+    # leave the resumed run nothing to admit — the richer key keeps
+    # novel directions arriving across polls while staying a pure
+    # function of the record (so a replayed record is always its own
+    # stored near-dup at cosine 1).
+    dims = ",".join(
+        "cast((cast(conv(substring(md5(concat(pk, ':', payload, '"
+        f"{j}')), 1, 15), 16, 10) as bigint) % 1000) / 1000.0 - 0.5 "
+        "as float)"
+        for j in range(32)
+    )
+
+    def records_to_vectors(df):
+        # label is an int column in the store schema (the fixture's
+        # convention, and the scorer returns it as int32).
+        return df.select(
+            F.col("sequenceNumber").cast("long").alias("vec_id"),
+            F.pmod(F.col("sequenceNumber").cast("long"), F.lit(97))
+            .cast("int")
+            .alias("label"),
+            F.col("partitionKey").alias("pk"),
+            F.decode("data", "UTF-8").alias("payload"),
+        ).select("vec_id", "label", F.expr(f"array({dims})").alias("embedding"))
+
+    root = str(tmp_path)
+
+    def consume(writer, saver_path, max_polls=1000):
+        stats = []
+        it = (
+            Iterator(SimulatedShardedSource(spark, sf_dir, n_shards=4))
+            .set_saver(JsonFileSaver(saver_path))
+            .set_fetch_limit(120)
+            .foreach_batch(
+                lambda df, e: stats.append(
+                    writer.admit(records_to_vectors(df))
+                )
+            )
+        )
+        it.run_until_drained(max_polls=max_polls)
+        return stats
+
+    w = EmbeddingWriter(spark, f"{root}/store", f"{root}/ann", tau=0.9)
+    first = consume(w, f"{root}/ck.json", max_polls=1)
+    assert sum(s["n_admitted"] for s in first) > 0
+    mid_ids = {r["vec_id"] for r in w.store().select("vec_id").collect()}
+    rest = consume(w, f"{root}/ck.json")
+    assert sum(s["n_input"] for s in rest) > 0, "resume delivered nothing"
+    assert sum(s["n_admitted"] for s in rest) > 0, "resume admitted nothing"
+
+    # Uninterrupted reference run (the source is deterministic, so the
+    # trigger sequence is identical).
+    w_ref = EmbeddingWriter(
+        spark, f"{root}/ref_store", f"{root}/ref_ann", tau=0.9
+    )
+    consume(w_ref, f"{root}/ref_ck.json")
+
+    ids = lambda wr: sorted(  # noqa: E731
+        r["vec_id"] for r in wr.store().select("vec_id").collect()
+    )
+    assert ids(w) == ids(w_ref), "resumed store diverged from uninterrupted"
+    assert mid_ids <= set(ids(w)), "resume lost pre-interruption admissions"
+    # First-seen-wins left exactly one stored vector per distinct
+    # payload direction: every stored pair is below tau by construction
+    # of the admission rule, and re-deriving embeddings from stored
+    # labels is unnecessary — the replay below is the semantic check.
+
+    # Full replay from TRIM_HORIZON (fresh checkpoint store) into the
+    # SAME writer: at-least-once re-delivery, zero double-admissions.
+    replay = consume(w, f"{root}/replay_ck.json")
+    assert sum(s["n_admitted"] for s in replay) == 0
+    assert all(
+        s["rejected_in_batch"] + s["rejected_near"] == s["n_input"]
+        for s in replay
+    )
+    assert ids(w) == ids(w_ref), "replay mutated the store"
