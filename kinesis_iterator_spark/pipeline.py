@@ -143,6 +143,15 @@ class CurationConfig:
     # persisting TB of rewritten text in executor memory.
     dedup_paragraphs: bool = False
     paragraph_sep: str = "\n\n"
+    # Split documents LONGER than this many words into multiple
+    # documents at paragraph boundaries (greedy next-fit over
+    # paragraphs, `_split_long_stage`) BEFORE gating — what a
+    # production crawl pipeline does instead of discarding a long
+    # document wholesale (`max_words` then only drops pieces that are
+    # still too long, i.e. single indivisible over-long paragraphs).
+    # Runs after scrub + paragraph dedup in `_pre_stages`. None = off.
+    # NOTE: enabling this RE-KEYS every doc_id (see _split_long_stage).
+    split_long: int | None = None
 
     def __post_init__(self) -> None:
         if self.allowed_langs is not None and not self.allowed_langs:
@@ -157,6 +166,8 @@ class CurationConfig:
             raise ValueError("jaccard_tau must be in (0, 1]")
         if self.tokens_per_shard < 1:
             raise ValueError("tokens_per_shard must be >= 1")
+        if self.split_long is not None and self.split_long < 1:
+            raise ValueError("split_long must be >= 1 words (or None)")
 
 
 class CuratedCorpus:
@@ -289,7 +300,120 @@ def _pre_stages(
         doc = dedup_paragraphs(
             doc, sep=config.paragraph_sep, seen=seen_paras
         ).drop("n_paras", "n_kept")
+    if config.split_long is not None:
+        doc = _split_long_stage(
+            doc, config.split_long, config.paragraph_sep
+        )
     return doc
+
+
+# Piece-index space for `_split_long_stage`'s doc_id re-keying:
+# new_id = orig_id * PIECE_SPACE + piece. 2^20 pieces/doc and ids up to
+# 2^43 fit int64 exactly; both bounds are validated loudly.
+PIECE_SPACE = 1 << 20
+
+
+def _split_long_stage(
+    doc: DataFrame, max_words: int, sep: str
+) -> DataFrame:
+    """Split documents longer than ``max_words`` words into pieces at
+    PARAGRAPH boundaries — greedy next-fit over the paragraphs in
+    original order (each piece fills until the next paragraph would
+    overflow), so every piece is <= ``max_words`` unless a single
+    paragraph alone exceeds it (indivisible at this stage; the
+    ``max_words`` gate downstream judges it as before).
+
+    Identity: every output row gets ``doc_id = orig * PIECE_SPACE +
+    piece`` (uniform re-key — collision-free against other re-keyed
+    ids), with ``orig_doc_id`` and ``piece`` columns kept for
+    provenance. Unsplit documents are piece 0.
+
+    100 TB posture: short documents (the overwhelming majority) pass
+    map-side — only over-long docs pay the paragraph explode, the
+    per-doc next-fit (one `applyInPandas` over slim (pos, n_words)
+    rows, text NOT in the pandas frame), and the per-piece reassembly
+    groupBy; the same cost class as `dedup_paragraphs` restricted to
+    the long tail."""
+    import re as _re
+
+    from .queries.dedup import _para_rows
+
+    n_words = F.size(F.split("text", " "))
+    # Loud bound check as a separate guard job would cost a Spark
+    # action; instead the re-key expression raises per-row via CASE →
+    # raise_error (codegen'd, free on conforming ids).
+    rekey = F.when(
+        (F.col("orig_doc_id") < 0)
+        | (F.col("orig_doc_id") >= F.lit(1 << 43))
+        | (F.col("piece") >= F.lit(PIECE_SPACE)),
+        F.expr(
+            "raise_error('split_long: doc_id out of the re-key range "
+            "[0, 2^43) or piece count over 2^20')"
+        ).cast("long"),
+    ).otherwise(
+        F.col("orig_doc_id") * F.lit(PIECE_SPACE) + F.col("piece")
+    )
+
+    long_docs = doc.filter(n_words > max_words)
+    short = doc.filter(n_words <= max_words).select(
+        F.col("doc_id").alias("orig_doc_id"),
+        F.lit(0).alias("piece"),
+        *[c for c in doc.columns if c != "doc_id"],
+    )
+
+    # Slim per-paragraph rows (pos, words) — text stays out of pandas.
+    paras = _para_rows(long_docs.select("doc_id", "text"), sep)
+    sized = paras.select(
+        "doc_id", "pos", F.size(F.split("para", " ")).alias("w")
+    )
+
+    def assign(pdf):
+        pdf = pdf.sort_values("pos")
+        piece, used = 0, 0
+        out = []
+        for w in pdf["w"].tolist():
+            if used > 0 and used + w > max_words:
+                piece += 1
+                used = 0
+            out.append(piece)
+            used += w
+        pdf = pdf[["doc_id", "pos"]].copy()
+        pdf["piece"] = out
+        return pdf
+
+    pieces = sized.groupBy("doc_id").applyInPandas(
+        assign, "doc_id long, pos int, piece int"
+    )
+    rebuilt = (
+        paras.join(pieces, ["doc_id", "pos"])
+        .groupBy("doc_id", "piece")
+        .agg(
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                    lambda s: s["para"],
+                ),
+            ).alias("text")
+        )
+    )
+    extra = [c for c in doc.columns if c not in ("doc_id", "text")]
+    long_out = (
+        long_docs.drop("text")
+        .withColumnRenamed("doc_id", "orig_doc_id")
+        .join(
+            rebuilt.withColumnRenamed("doc_id", "orig_doc_id"),
+            "orig_doc_id",
+        )
+        .select("orig_doc_id", "piece", "text", *extra)
+    )
+    cols = ["orig_doc_id", "piece", "text", *extra]
+    return (
+        short.select(*cols)
+        .unionByName(long_out)
+        .withColumn("doc_id", rekey)
+        .select("doc_id", "text", *extra, "orig_doc_id", "piece")
+    )
 
 
 def curate(
@@ -1149,6 +1273,7 @@ def pack_sequences(
     seed: int = 0,
     straddle: bool = False,
     id_cols: tuple[str, ...] = ("doc_id",),
+    split_oversized: bool = False,
 ) -> DataFrame:
     """Assign curated documents to fixed-size training sequences
     ("sequence packing" — the step between a curated corpus and a
@@ -1173,9 +1298,20 @@ def pack_sequences(
     ``straddle=False`` (default): exact NEXT-FIT — a document that
     does not fit in the open pack closes it and starts the next; a
     document longer than ``ctx_len`` gets a pack of its own (callers
-    gate or split oversized docs upstream — `CurationConfig.max_words`
-    already bounds them in the curated flow). Pack token sums never
-    exceed ``ctx_len`` except those singletons.
+    gate oversized docs upstream via `CurationConfig.max_words`, or
+    pass ``split_oversized=True``). Pack token sums never exceed
+    ``ctx_len`` except those singletons.
+
+    ``split_oversized=True``: a document longer than ``ctx_len`` is cut
+    into ctx_len-token pieces (last piece = remainder) BEFORE the shard
+    hash — what a training loader actually does with an over-long
+    document. Pure built-ins (one `explode` of a `sequence`, no Python),
+    and the output identity gains a ``chunk`` column (0-based piece
+    index, 0 for every unsplit document) that joins the shard/order
+    hash key, so a document's pieces scatter across shards like
+    independent rows. With this flag no pack ever exceeds ``ctx_len``
+    in next-fit mode, and per-document token totals are conserved
+    across the split (property-pinned).
 
     ``straddle=True``: GPT-style concat-and-chunk — the shard's token
     stream is cut every ``ctx_len`` tokens and a document belongs to the
@@ -1199,9 +1335,30 @@ def pack_sequences(
         n_shards = spark.sparkContext.defaultParallelism
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
-    sharded = doc.select(
+    base = doc.select(*ids, F.col("tokens").cast("long").alias("tokens"))
+    if split_oversized:
+        # hi = ceil(tokens/ctx_len) - 1, floored at 0 so zero-token
+        # rows keep one (empty) piece and the sequence stays ascending
+        # (sequence(1, 0) would yield a DESCENDING [1, 0]); a NULL
+        # tokens value yields hi = 0 via greatest's null handling and a
+        # NULL piece size, preserving the loud NaN guard in the kernel.
+        hi = F.greatest(
+            F.ceil(F.col("tokens") / F.lit(ctx_len)).cast("int") - 1,
+            F.lit(0),
+        )
+        base = base.withColumn(
+            "chunk", F.explode(F.sequence(F.lit(0), hi))
+        ).withColumn(
+            "tokens",
+            F.least(
+                F.lit(ctx_len).cast("long"),
+                F.col("tokens") - F.col("chunk").cast("long") * ctx_len,
+            ),
+        )
+        ids = ids + ["chunk"]
+    sharded = base.select(
         *ids,
-        F.col("tokens").cast("long").alias("tokens"),
+        "tokens",
         _shard_expr(n_shards, tuple(ids)).alias("shard"),
         _order_expr(seed, tuple(ids)).alias("_ord"),
     )
