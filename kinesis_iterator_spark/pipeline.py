@@ -493,6 +493,15 @@ def curate_frame(
         "exact_keep",
         F.col("gate_pass") & (F.col("doc_id") == F.col("exact_keeper")),
     )
+    # Persist the PRE-CC label frame (slim, no text): the eligible set,
+    # the band/pair pipeline's verify side, and the final stats
+    # aggregate all re-derive it otherwise — three recomputes of the
+    # gates + digest-keeper join per curate (measured ~0.3-0.5 s each
+    # at batch scale). Managed: the harness releases it after the
+    # consuming action.
+    from .queries import managed_persist
+
+    labels = managed_persist(labels)
 
     # -- near-dup pruning on the reduced corpus ------------------------
     eligible = doc.join(
@@ -718,13 +727,19 @@ class CorpusWriter:
         batch_bands = None
         novel = None
         try:
-            stats = {
-                k: cur.stats()[k] for k in ("n_input", "n_quality", "n_gate", "n_kept")
-            }
+            stats: dict[str, int] = {"rejected_contaminated": 0}
+
+            def _stage_counts():
+                stats.update(
+                    {
+                        k: cur.stats()[k]
+                        for k in ("n_input", "n_quality", "n_gate", "n_kept")
+                    }
+                )
+
             survivors = cur.final.select(
                 "doc_id", "lang", "source", "text", "tokens"
             )
-            stats["rejected_contaminated"] = 0
             if self.benchmark_doc is not None:
                 # Decontaminate BEFORE the vs-corpus dedup: the benchmark
                 # join is the cheap stage (tiny broadcast side) and a
@@ -762,13 +777,20 @@ class CorpusWriter:
                 # materialized rows — and cut the corpus_dir read out of
                 # novel's plan before the append below re-lists that
                 # same directory ("persist small, recompute big").
-                verdicts = incremental.dedup_against_index(
-                    self.spark,
-                    survivors,
-                    self.index_dir,
-                    self.corpus(),
-                    batch_bands=batch_bands,
-                ).localCheckpoint(eager=True)
+                # The stage-count aggregate (one job over the
+                # persisted labels) is independent of the vs-corpus
+                # check — overlap it with the verdict build+checkpoint.
+                def _build_verdicts():
+                    nonlocal verdicts
+                    verdicts = incremental.dedup_against_index(
+                        self.spark,
+                        survivors,
+                        self.index_dir,
+                        self.corpus(),
+                        batch_bands=batch_bands,
+                    ).localCheckpoint(eager=True)
+
+                incremental._concurrently(_build_verdicts, _stage_counts)
                 # Checkpoint the admitted rows ONCE: novel's lineage is
                 # the whole batch curation join, and FOUR consumers
                 # read it (corpus append, digest append, band filter,
@@ -835,6 +857,7 @@ class CorpusWriter:
                     ):
                         incremental.compact_index(self.spark, self.index_dir)
             else:
+                _stage_counts()
                 stats["rejected_exact"] = 0
                 stats["rejected_near"] = 0
                 stats["n_admitted"] = (
@@ -1137,46 +1160,66 @@ class EmbeddingWriter:
             raise
         verdicts = None
         rejects = None
+        novel = None
         try:
             # NOTE: `survivors`' lineage includes the checkpointed
             # `rejects` (anti-join) — it stays pinned until every
             # survivors consumer (verdict check, store append, index
             # extend) has run; released checkpoints are unrecoverable.
+            # The batch's TWO scoring passes — the in-batch self-join
+            # and the vs-store probe — are per-vector independent (a
+            # vector's verdict against the STORE does not depend on
+            # other batch vectors), so they overlap: the vs-store check
+            # runs on the FULL batch concurrently with the in-batch
+            # reject materialization, and its verdicts are filtered to
+            # the survivors afterwards (slim anti-join on the two
+            # checkpoints — identical results to scoring survivors
+            # only, since in-batch rejects take precedence either way).
             rejects = self._in_batch_rejects(
                 batch_emb, sig, meta["cap"], meta["b"]
-            ).localCheckpoint(eager=True)
-            stats["rejected_in_batch"] = rejects.count()
+            )
+
+            def _ckpt_rejects():
+                nonlocal rejects
+                rejects = rejects.localCheckpoint(eager=True)
+
+            def _build_verdicts():
+                nonlocal verdicts
+                verdicts = incremental.embedding_dedup_against_index(
+                    self.spark,
+                    batch_emb,
+                    self.index_dir,
+                    tau=self.tau,
+                    corpus_emb=self.store(),
+                    batch_sig=sig,
+                    ids_validated=True,
+                ).localCheckpoint(eager=True)
+
+            incremental._concurrently(_ckpt_rejects, _build_verdicts)
             survivors = batch_emb.join(rejects, "vec_id", "left_anti")
-            surv_sig = sig.join(
-                survivors.select("vec_id"), "vec_id", "leftsemi"
-            )
-            # Slim verdict frame over a wide lineage: checkpoint once,
-            # derive both consumers (counts, novel join) from the
-            # materialized rows — the text writer's pattern.
-            verdicts = incremental.embedding_dedup_against_index(
-                self.spark,
-                survivors,
-                self.index_dir,
-                tau=self.tau,
-                corpus_emb=self.store(),
-                batch_sig=surv_sig,
-                ids_validated=True,
-            ).localCheckpoint(eager=True)
+            surv_verdicts = verdicts.join(rejects, "vec_id", "left_anti")
+            # Checkpoint the admitted rows once for their three
+            # consumers (store append, signature filter, IVF
+            # assignment) — same rationale as the text writer's novel
+            # checkpoint.
             novel = survivors.join(
-                verdicts.filter(F.col("verdict") == "novel").select("vec_id"),
+                surv_verdicts.filter(
+                    F.col("verdict") == "novel"
+                ).select("vec_id"),
                 "vec_id",
-            )
-            # The verdict-count aggregate is a read-only action on the
-            # checkpointed frame — it overlaps the store append (which
-            # must still commit before the index extend below; see the
-            # class docstring for why that order).
+            ).localCheckpoint(eager=True)
+            # Three independent actions over the two checkpoints
+            # overlap: the survivor verdict counts, the in-batch reject
+            # count, and the store append (which must still commit
+            # before the index extend below; see the class docstring
+            # for why that order).
             by_verdict: dict[str, int] = {}
 
             def _counts():
                 by_verdict.update(
                     {
                         r["verdict"]: r["n"]
-                        for r in verdicts.groupBy("verdict")
+                        for r in surv_verdicts.groupBy("verdict")
                         .agg(F.count("*").alias("n"))
                         .collect()
                     }
@@ -1184,6 +1227,9 @@ class EmbeddingWriter:
 
             incremental._concurrently(
                 _counts,
+                lambda: stats.__setitem__(
+                    "rejected_in_batch", rejects.count()
+                ),
                 lambda: novel.write.mode("append").parquet(self.store_dir),
             )
             stats["rejected_near"] = by_verdict.get("near_dup", 0)
@@ -1215,7 +1261,7 @@ class EmbeddingWriter:
             return stats
         finally:
             release_local_checkpoint(sig)
-            for ck in (rejects, verdicts):
+            for ck in (rejects, verdicts, novel):
                 if ck is not None:
                     release_local_checkpoint(ck)
 

@@ -246,6 +246,12 @@ def minhash_bands(doc: DataFrame) -> DataFrame:
     # instead of re-reading this lineage (see verify_jaccard).
     # Persisting it was measured slower anyway (1.86 s vs 0.97 s at
     # sf0.1: every doc × every shingle is the pipeline's widest set).
+    # Expressions are built as SQL strings (one py4j round trip per
+    # F.expr) instead of Column-operator chains (~100 round trips for
+    # the 16 aggs + 4 band structs — measured ~0.4 s of pure plan
+    # construction PER CALL, paid on every admit). Semantically
+    # identical: the resolved plans match the old builder node for
+    # node.
     h = sh_rows.select(
         "doc_id",
         (_h60(F.col("s")) % F.lit(1 << 30)).alias("h1"),
@@ -253,35 +259,24 @@ def minhash_bands(doc: DataFrame) -> DataFrame:
     )
     sig = h.groupBy("doc_id").agg(
         *[
-            F.min(
-                (F.col("h1") + (j + 1) * F.col("h2")) % F.lit(_MERSENNE31)
-            ).alias(f"m{j}")
+            F.expr(f"min((h1 + {j + 1} * h2) % {_MERSENNE31}) AS m{j}")
             for j in range(N_HASHES)
         ]
     )
+    band_structs = ", ".join(
+        "struct(CAST({b} AS BIGINT) AS band_id, md5(concat_ws(',', {ms}))"
+        " AS band_key)".format(
+            b=b,
+            ms=", ".join(
+                f"CAST(m{b * ROWS_PER_BAND + r} AS STRING)"
+                for r in range(ROWS_PER_BAND)
+            ),
+        )
+        for b in range(N_BANDS)
+    )
     bands = sig.select(
         "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).cast("long").alias("band_id"),
-                        F.md5(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col(f"m{b * ROWS_PER_BAND + r}").cast(
-                                        "string"
-                                    )
-                                    for r in range(ROWS_PER_BAND)
-                                ],
-                            )
-                        ).alias("band_key"),
-                    )
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("band"),
+        F.expr(f"explode(array({band_structs}))").alias("band"),
     ).select("doc_id", "band.band_id", "band.band_key")
     return bands
 
