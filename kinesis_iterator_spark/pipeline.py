@@ -429,6 +429,7 @@ def curate_frame(
     config: CurationConfig | None = None,
     persist_labels: bool = True,
     expose_bands: bool = False,
+    on_bands=None,
 ) -> CuratedCorpus:
     """The pipeline over any document frame with (doc_id, lang, source,
     text) columns.
@@ -446,7 +447,15 @@ def curate_frame(
     loop's vs-index check + index extension) reuses them instead —
     band rows are a pure per-document function, so filtered reuse is
     exact. Off by default: the checkpoint is an extra materialization
-    job a single-pass caller doesn't want."""
+    job a single-pass caller doesn't want.
+
+    ``on_bands(bands, eligible)`` (requires ``expose_bands``): invoked
+    the moment the eligible set's band rows are checkpointed — BEFORE
+    the in-batch CC runs — so a caller can overlap work that needs
+    only the bands and the eligible documents (the admit loop's
+    vs-corpus verdict build) with the CC rounds. The callback runs on
+    the curate thread; start your own thread inside it for overlap,
+    and own its cleanup if curate later raises."""
     config = config or CurationConfig()
     doc = _pre_stages(doc, config)
     sig = quality_signal_columns()
@@ -514,6 +523,8 @@ def curate_frame(
                 from .queries.dedup import minhash_bands
 
                 bands = minhash_bands(eligible).localCheckpoint(eager=True)
+                if on_bands is not None:
+                    on_bands(bands, eligible)
             raw_edges = minhash_pairs(eligible, bands=bands)
         else:
             raw_edges = ngram_jaccard_edges(eligible, tau=config.jaccard_tau)
@@ -717,11 +728,67 @@ class CorpusWriter:
             batch_doc = _pre_stages(batch_doc, cfg, seen_paras=seen)
             cfg = replace(cfg, scrub_pii=False, dedup_paragraphs=False)
 
-        cur = curate_frame(
-            batch_doc,
-            cfg,
-            expose_bands=cfg.edge_source == "minhash",
-        )
+        # Start the vs-corpus verdict build the moment the eligible
+        # set's band rows exist — BEFORE the in-batch CC runs — so the
+        # two expensive phases overlap. Valid because a document's
+        # verdict against the CORPUS is independent of the in-batch
+        # survivor election: the check runs on the ELIGIBLE superset
+        # and its verdicts are filtered to the survivors afterwards
+        # (slim semi-join on the checkpoint; identical results).
+        # Skipped when there is no index yet (bootstrap) or no bands
+        # (ngram edge source) — those paths build verdicts as before.
+        vbox: dict = {"thread": None, "ckpt": None, "err": None}
+
+        def _on_bands(bands, eligible):
+            if not self._bootstrapped():
+                return
+            import threading
+
+            def _run():
+                try:
+                    vbox["ckpt"] = incremental.dedup_against_index(
+                        self.spark,
+                        eligible,
+                        self.index_dir,
+                        self.corpus(),
+                        batch_bands=bands,
+                    ).localCheckpoint(eager=True)
+                except BaseException as e:  # noqa: BLE001 — re-raised on join
+                    vbox["err"] = e
+
+            t = threading.Thread(
+                target=_run, name="vs-index-verdicts", daemon=True
+            )
+            t.start()
+            vbox["thread"] = t
+
+        def _join_eligible_verdicts():
+            if vbox["thread"] is not None:
+                vbox["thread"].join()
+                vbox["thread"] = None
+            if vbox["err"] is not None:
+                raise vbox["err"]
+            return vbox["ckpt"]
+
+        try:
+            cur = curate_frame(
+                batch_doc,
+                cfg,
+                expose_bands=cfg.edge_source == "minhash",
+                on_bands=_on_bands,
+            )
+        except BaseException:
+            # curate failed mid-flight (e.g. the CC rounds): the hook's
+            # thread may still hold a checkpoint no one will consume.
+            try:
+                ck = _join_eligible_verdicts()
+                if ck is not None:
+                    from .queries import release_local_checkpoint as _rl
+
+                    _rl(ck)
+            except BaseException:
+                pass
+            raise
         verdicts = None
         contaminated = None
         batch_bands = None
@@ -770,27 +837,44 @@ class CorpusWriter:
                     batch_bands = minhash_bands(
                         survivors.select("doc_id", "text")
                     ).localCheckpoint(eager=True)
-                # The verdict frame is slim (one row per batch survivor)
+                # The verdict frame is slim (one row per checked doc)
                 # but its lineage is the whole vs-corpus check (band
                 # join + corpus-text verify): checkpoint it once, derive
                 # BOTH consumers (stats, novel join) from the
                 # materialized rows — and cut the corpus_dir read out of
                 # novel's plan before the append below re-lists that
                 # same directory ("persist small, recompute big").
-                # The stage-count aggregate (one job over the
-                # persisted labels) is independent of the vs-corpus
-                # check — overlap it with the verdict build+checkpoint.
-                def _build_verdicts():
-                    nonlocal verdicts
-                    verdicts = incremental.dedup_against_index(
-                        self.spark,
-                        survivors,
-                        self.index_dir,
-                        self.corpus(),
-                        batch_bands=batch_bands,
-                    ).localCheckpoint(eager=True)
+                if vbox["thread"] is not None or vbox["ckpt"] is not None:
+                    # The build started at band time (inside curate,
+                    # overlapping the CC rounds); let the stage-count
+                    # aggregate run while its tail completes, then
+                    # restrict the eligible-superset verdicts to the
+                    # survivors (slim semi-join on the checkpoint —
+                    # identical to scoring survivors only, since a
+                    # doc's verdict vs the corpus is per-doc).
+                    incremental._concurrently(
+                        _stage_counts, _join_eligible_verdicts
+                    )
+                    verdicts = vbox["ckpt"]
+                    sverd = verdicts.join(
+                        survivors.select("doc_id"), "doc_id", "leftsemi"
+                    )
+                else:
+                    # ngram edge source (no bands hook): build on the
+                    # survivors directly, overlapped with the stage
+                    # counts as before.
+                    def _build_verdicts():
+                        nonlocal verdicts
+                        verdicts = incremental.dedup_against_index(
+                            self.spark,
+                            survivors,
+                            self.index_dir,
+                            self.corpus(),
+                            batch_bands=batch_bands,
+                        ).localCheckpoint(eager=True)
 
-                incremental._concurrently(_build_verdicts, _stage_counts)
+                    incremental._concurrently(_build_verdicts, _stage_counts)
+                    sverd = verdicts
                 # Checkpoint the admitted rows ONCE: novel's lineage is
                 # the whole batch curation join, and FOUR consumers
                 # read it (corpus append, digest append, band filter,
@@ -800,7 +884,7 @@ class CorpusWriter:
                 # consumers; the parallel write group changes the
                 # trade.)
                 novel = survivors.join(
-                    verdicts.filter(F.col("verdict") == "novel").select("doc_id"),
+                    sverd.filter(F.col("verdict") == "novel").select("doc_id"),
                     "doc_id",
                 ).localCheckpoint(eager=True)
                 # The verdict-count aggregate is read-only on the
@@ -814,7 +898,7 @@ class CorpusWriter:
                     by_verdict.update(
                         {
                             r["verdict"]: r["n"]
-                            for r in verdicts.groupBy("verdict")
+                            for r in sverd.groupBy("verdict")
                             .agg(F.count("*").alias("n"))
                             .collect()
                         }
@@ -1020,9 +1104,14 @@ class EmbeddingWriter:
         self.tau = COSINE_TAU if tau is None else tau
         self.auto_reconcile = auto_reconcile
         # The stored codebook is FROZEN between rebuilds: collect it
-        # once per writer lifetime (invalidated by reconcile) instead
-        # of one centroid job per admit.
+        # once per writer lifetime instead of one centroid job per
+        # admit. Keyed on the build identity (meta n, b): reconcile()
+        # clears it, and a rebuild by ANY writer changes (n, b) when
+        # the store grew — when they are unchanged the deterministic
+        # codebook (decimal-exact k-means over the same store) makes a
+        # cached copy still exact.
         self._crows: list | None = None
+        self._crows_key: tuple | None = None
 
     def _bootstrapped(self) -> bool:
         """Usable index state: meta parses AND no in-place rebuild died
@@ -1242,13 +1331,15 @@ class EmbeddingWriter:
                 + stats["rejected_near"]
                 + stats["n_admitted"]
             )
-            if self._crows is None:
+            crows_key = (meta["n"], meta["b"])
+            if self._crows is None or self._crows_key != crows_key:
                 self._crows = sorted(
                     self.spark.read.parquet(
                         f"{self.index_dir}/centroids"
                     ).collect(),
                     key=lambda r: r["cell"],
                 )
+                self._crows_key = crows_key
             extend_ann_index(
                 self.spark,
                 novel,
@@ -1302,6 +1393,7 @@ class EmbeddingWriter:
 
         # The rebuild trains a FRESH codebook — drop the cached one.
         self._crows = None
+        self._crows_key = None
         # Store size from parquet footers — zero Spark jobs.
         return write_ann_index(
             self.spark,

@@ -342,3 +342,49 @@ def test_stream_feeds_embedding_writer_checkpoint_resume(
         for s in replay
     )
     assert ids(w) == ids(w_ref), "replay mutated the store"
+
+
+def test_cross_writer_rebuild_invalidates_cached_codebook(
+    spark, emb, tmp_path
+):
+    """The per-writer codebook cache is keyed on the index's build
+    identity (meta n, b): a rebuild by ANOTHER writer handle over the
+    grown store changes that key, so the first writer's next admit
+    re-collects the FRESH centroids instead of assigning cells with
+    the stale cached codebook (stale cells would park appended rows in
+    buckets the probe path never visits — silent re-admission)."""
+    import warnings
+
+    from kinesis_iterator_spark.queries.similarity import _read_ann_meta
+
+    small = emb.filter(F.col("vec_id") < 200)
+    mid = emb.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 300))
+    rest = emb.filter(F.col("vec_id") >= 300)
+
+    w_a = _writer(spark, tmp_path)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        w_a.admit(small)  # bootstrap: no cache yet
+        w_a.admit(mid)  # append: cache warms against the small-build key
+    assert w_a._crows_key is not None
+    stale_key = w_a._crows_key
+
+    # A SECOND handle on the same state rebuilds (fresh codebook over
+    # the grown store, meta n reset) — w_a is never told.
+    w_b = EmbeddingWriter(spark, w_a.store_dir, w_a.index_dir)
+    w_b.reconcile()
+    meta = _read_ann_meta(w_a.index_dir)
+    assert (meta["n"], meta["b"]) != stale_key
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        s = w_a.admit(rest)
+    assert s["n_admitted"] > 0
+    assert w_a._crows_key == (meta["n"], meta["b"]), (
+        "admit after a cross-writer rebuild must re-key the cache"
+    )
+    # The behavioral stake: rows extended post-rebuild live in cells
+    # the CURRENT codebook probes — re-admitting them rejects all.
+    admitted = w_a.store().join(rest.select("vec_id"), "vec_id", "leftsemi")
+    s2 = w_a.admit(admitted)
+    assert s2["n_admitted"] == 0

@@ -556,3 +556,38 @@ def test_index_drift_self_heals_interrupted_swap(spark, sf_dir, tmp_path):
     assert drift is not None and drift == pytest.approx(1.0)
     assert os.path.isdir(f"{d}/bands")
     assert not os.path.isdir(f"{d}/bands.compact")
+
+
+def test_concurrently_returns_in_order_and_propagates_first_error():
+    """The thread helper behind the admit loops' overlapped state
+    writes: results come back in submission order; a failing thunk's
+    exception propagates only AFTER every thunk has finished (so a
+    failed write never leaves a sibling mid-flight when the caller's
+    error handling runs)."""
+    import threading
+    import time as _t
+
+    from kinesis_iterator_spark.incremental import _concurrently
+
+    assert _concurrently(lambda: 1, lambda: "b", lambda: None) == [
+        1,
+        "b",
+        None,
+    ]
+    assert _concurrently(lambda: 42) == [42]
+
+    finished = threading.Event()
+
+    def slow_ok():
+        _t.sleep(0.2)
+        finished.set()
+        return "ok"
+
+    def boom():
+        raise RuntimeError("first failure")
+
+    import pytest as _pt
+
+    with _pt.raises(RuntimeError, match="first failure"):
+        _concurrently(boom, slow_ok)
+    assert finished.is_set(), "error propagated before siblings finished"
