@@ -294,6 +294,26 @@ def main() -> None:
 
     library.append(("dsir_select", timed_dsir))
 
+    # -- round-9 surface: SemDeDup-style semantic dedup (Abbas et al.
+    # 2023) — IVF-cell-blocked pairwise cosine, CC, keep-least-central
+    # election — driven to a noop write of the full labeling.
+    from kinesis_iterator_spark.queries.dedup import semantic_dedup
+
+    def semded() -> None:
+        semantic_dedup(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        release_persists()
+
+    semded()  # warm
+
+    def timed_semded() -> float:
+        t0 = time.perf_counter()
+        semded()
+        return time.perf_counter() - t0
+
+    library.append(("semantic_dedup", timed_semded))
+
     # -- round-7 surface: incremental corpus admission. Bootstrap a
     # corpus + dedup index from the even-doc_id half ONCE (untimed),
     # then time CorpusWriter.admit of the odd half against a fresh COPY

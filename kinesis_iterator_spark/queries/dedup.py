@@ -703,6 +703,244 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup) — cluster-then-prune over embeddings
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup_oracle(tau: float = COSINE_TAU) -> str:
+    """DuckDB oracle for :func:`semantic_dedup` — the identical
+    derivation in SQL: decimal-exact per-label centroids (the shared
+    ``_IVF_CENT_SQL``), nearest-cell assignment by the same left-fold
+    dot, within-cell pairwise cosine edges at ``tau``, min-label
+    transitive closure (``WITH RECURSIVE`` — oracle scale only), and
+    the keep-least-central election."""
+    from .similarity import _DOT_SQL, _IVF_CENT_SQL
+
+    return f"""
+    WITH RECURSIVE {_IVF_CENT_SQL},
+    assigned AS (
+      SELECT vec_id, embedding, cell, centroid FROM (
+        SELECT e.vec_id, e.embedding, c.cell, c.centroid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_DOT_SQL.format(a="e.embedding", b="c.centroid")} DESC, c.cell
+               ) AS rk
+        FROM embeddings e, cent c
+      ) WHERE rk = 1
+    ),
+    cosed AS (
+      SELECT vec_id, cell,
+             {_DOT_SQL.format(a="embedding", b="centroid")}
+               / (SQRT({_DOT_SQL.format(a="embedding", b="embedding")})
+                  * SQRT({_DOT_SQL.format(a="centroid", b="centroid")})) AS cos_cent
+      FROM assigned
+    ),
+    edges AS (
+      SELECT x.vec_id AS u, y.vec_id AS v
+      FROM assigned x JOIN assigned y
+        ON x.cell = y.cell AND x.vec_id < y.vec_id
+      WHERE {_DOT_SQL.format(a="x.embedding", b="y.embedding")}
+              / (SQRT({_DOT_SQL.format(a="x.embedding", b="x.embedding")})
+                 * SQRT({_DOT_SQL.format(a="y.embedding", b="y.embedding")})) >= {tau!r}
+    ),
+    sym AS (SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges),
+    walk(node, reach) AS (
+      SELECT u AS node, u AS reach FROM sym
+      UNION
+      SELECT s.u AS node, w.reach FROM sym s JOIN walk w ON w.node = s.v
+    ),
+    ccomp AS (SELECT node, MIN(reach) AS component FROM walk GROUP BY node)
+    SELECT vec_id, cell, component, cos_cent, is_kept FROM (
+      SELECT co.vec_id, co.cell, co.cos_cent,
+             COALESCE(cm.component, co.vec_id) AS component,
+             (ROW_NUMBER() OVER (
+                PARTITION BY COALESCE(cm.component, co.vec_id)
+                ORDER BY co.cos_cent ASC, co.vec_id ASC) = 1) AS is_kept
+      FROM cosed co LEFT JOIN ccomp cm ON cm.node = co.vec_id
+    )
+    """
+
+
+def semantic_dedup(
+    spark: SparkSession, sf_dir: str, tau: float = COSINE_TAU
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication" — public method, implemented from its description):
+    cluster the embedding space, compare pairs ONLY within a cluster,
+    and keep per duplicate-group the example LEAST similar to its
+    cluster centroid (the diversity-preserving election — the member
+    closest to the centroid is the one its cluster-mates already
+    represent).
+
+    Spark-first derivation, reusing the repo's existing kernels:
+
+    1. cluster = the IVF coarse codebook (`_ivf_centroids`, decimal-
+       exact per-label mean ⇒ bit-identical across engines) + nearest-
+       cell assignment (`_ivf_ranked_assignment` rk==1 — ONE Arrow
+       kernel pass, same left-fold dot as the oracle's list_reduce);
+    2. candidates = within-cell pairs (vec_a < vec_b) — an equi-join on
+       cell, never all-pairs: the cluster count is the scale lever
+       (SemDeDup runs k ≈ 10⁵ clusters at web scale, bounding each
+       cell's pairwise block), exactly the IVF partition-pruning story;
+    3. exact cosine at ``tau`` → near-dup edges (dual-path scorer:
+       executor-side corpus cache + transposed gather-folds below
+       SMALL_CORPUS_MAX, shuffle-side join-gather above — the
+       dedup_embedding_cosine machinery);
+    4. components over the edges (`graph.label_corpus`: large/small-star
+       rounds, or the bounded driver fast path) — NOT the greedy
+       smallest-id rule, so chains collapse to one group;
+    5. keeper per component = min (cos_to_centroid, vec_id): the least
+       central member survives; singletons keep themselves.
+
+    Output (one row per vector, scalars only): vec_id, cell, component,
+    cos_cent, is_kept. Value-oracle-pinned against
+    :func:`semantic_dedup_oracle` in tests/test_semantic_dedup.py."""
+    from .graph import label_corpus
+    from .similarity import (
+        SMALL_CORPUS_MAX,
+        _corpus_size,
+        _fold_dot_rows_T,
+        _ivf_centroids,
+        _ivf_ranked_assignment,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    par = spark.sparkContext.defaultParallelism
+    n = _corpus_size(sf_dir)
+
+    # ONE tiny codebook collect feeds both the cell assignment and the
+    # cos-to-centroid kernel (codebook size is n_cells, never corpus).
+    crows = sorted(_ivf_centroids(emb).collect(), key=lambda r: r["cell"])
+    ranked = managed_persist(_ivf_ranked_assignment(spark, emb, crows=crows))
+    assigned = ranked.filter(F.col("rk") == 1).select("vec_id", "cell")
+
+    import numpy as np
+
+    cells_np = np.array([r["cell"] for r in crows], dtype=np.int64)
+    C = np.array([r["centroid"] for r in crows], dtype=np.float64)
+    CT = np.ascontiguousarray(C.T)
+    cnrm = np.sqrt(_fold_dot_rows_T(CT, CT))
+
+    def cos_cent_kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            ET = np.ascontiguousarray(E.T)
+            enrm = np.sqrt(_fold_dot_rows_T(ET, ET))
+            idx = np.searchsorted(cells_np, pdf["cell"].to_numpy())
+            GT = np.ascontiguousarray(C[idx].T)
+            cos = _fold_dot_rows_T(ET, GT) / (enrm * cnrm[idx])
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy().astype(np.int64),
+                    "cell": pdf["cell"].to_numpy().astype(np.int64),
+                    "cos_cent": cos,
+                }
+            )
+
+    cosed = (
+        assigned.join(emb.select("vec_id", "embedding"), "vec_id")
+        .repartition(par)
+        .mapInPandas(cos_cent_kernel, "vec_id long, cell long, cos_cent double")
+    )
+
+    a = assigned.select(F.col("vec_id").alias("vec_a"), "cell")
+    b = assigned.select(F.col("vec_id").alias("vec_b"), "cell")
+    # Each vector sits in exactly ONE cell (rk==1), so the cell join
+    # emits every unordered pair at most once — no multi-table dedup
+    # pass (unlike the LSH-blocked candidates).
+    cand = (
+        a.join(b, "cell")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+    )
+
+    if n <= SMALL_CORPUS_MAX:
+
+        def edge_small(batches):
+            import numpy as np
+            import pandas as pd
+
+            from .similarity import _executor_corpus, _fold_dot_pairs
+
+            ids, _labels, _M, nrm, MT = _executor_corpus(sf_dir)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                va = pdf["vec_a"].to_numpy().astype(np.int64)
+                vb = pdf["vec_b"].to_numpy().astype(np.int64)
+                ai = np.searchsorted(ids, va)
+                bi = np.searchsorted(ids, vb)
+                cos = _fold_dot_pairs(MT, ai, bi) / (nrm[ai] * nrm[bi])
+                m = cos >= tau
+                yield pd.DataFrame({"vec_a": va[m], "vec_b": vb[m]})
+
+        edges = cand.repartition(par).mapInPandas(
+            edge_small, "vec_a long, vec_b long"
+        )
+    else:
+        ea = emb.select(
+            F.col("vec_id").alias("vec_a"), F.col("embedding").alias("a_emb")
+        )
+        eb = emb.select(
+            F.col("vec_id").alias("vec_b"), F.col("embedding").alias("b_emb")
+        )
+
+        def edge_gathered(batches):
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                AT = np.ascontiguousarray(
+                    np.stack(pdf["a_emb"].to_numpy()).astype(np.float64).T
+                )
+                BT = np.ascontiguousarray(
+                    np.stack(pdf["b_emb"].to_numpy()).astype(np.float64).T
+                )
+                cos = _fold_dot_rows_T(AT, BT) / (
+                    np.sqrt(_fold_dot_rows_T(AT, AT))
+                    * np.sqrt(_fold_dot_rows_T(BT, BT))
+                )
+                m = cos >= tau
+                yield pd.DataFrame(
+                    {
+                        "vec_a": pdf["vec_a"].to_numpy().astype(np.int64)[m],
+                        "vec_b": pdf["vec_b"].to_numpy().astype(np.int64)[m],
+                    }
+                )
+
+        edges = (
+            cand.join(eb, "vec_b")
+            .join(ea, "vec_a")
+            .mapInPandas(edge_gathered, "vec_a long, vec_b long")
+        )
+
+    labeled = label_corpus(
+        cosed, edges, "vec_id", src="vec_a", dst="vec_b"
+    ).drop("is_survivor")
+    win = W.partitionBy("component").orderBy(
+        F.col("cos_cent").asc(), F.col("vec_id").asc()
+    )
+    return (
+        labeled.withColumn("rn", F.row_number().over(win))
+        .select(
+            "vec_id",
+            "cell",
+            "component",
+            "cos_cent",
+            (F.col("rn") == 1).alias("is_kept"),
+        )
+    )
+
+
 def _para_rows(doc: DataFrame, sep: str) -> DataFrame:
     """(doc_id, pos, para) — one row per paragraph occurrence. ``sep``
     is a LITERAL separator (escaped for split's regex arg): the same

@@ -728,6 +728,21 @@ def similarity_lsh_topk_for_queries(
     )
 
 
+# The double→decimal quantization goes THROUGH VARCHAR: Spark's cast
+# rounds the SHORTEST decimal representation of the double (Java
+# BigDecimal.valueOf), while DuckDB's direct cast rounds the exact
+# binary expansion — they disagree in the 17th-18th fractional digit
+# (e.g. -0.06541278213262558 → ...580 vs ...576). DuckDB's
+# double→VARCHAR is the same shortest round-trip repr, so casting the
+# string makes both engines quantize identical digit sequences and the
+# codebooks become bit-identical (pinned in tests/test_semantic_dedup.py,
+# where cos-to-centroid exposes centroid ULPs directly; the IVF top-k
+# oracle only consumed centroids through an ORDER BY, which masked it).
+# The decimal→double direction needs the same detour: DuckDB's direct
+# cast scales the int128 in float arithmetic (two roundings), Spark's
+# BigDecimal.doubleValue is correctly rounded — VARCHAR of a decimal is
+# its exact digits, and string→double is correctly-rounded strtod in
+# both engines.
 _IVF_CENT_SQL = f"""
     dims AS (SELECT UNNEST(range({DIM})) AS dim),
     comp AS (
@@ -736,7 +751,7 @@ _IVF_CENT_SQL = f"""
     ),
     cent0 AS (
       SELECT label AS cell, dim,
-             CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(27,18))) AS DOUBLE)
+             CAST(CAST(SUM(CAST(CAST(CAST(v AS DOUBLE) AS VARCHAR) AS DECIMAL(27,18))) AS VARCHAR) AS DOUBLE)
                / COUNT(*) AS c
       FROM comp GROUP BY label, dim
     ),
