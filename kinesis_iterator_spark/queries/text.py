@@ -601,9 +601,11 @@ def dsir_weights(
     that slim frame is persisted and reused for both the global source
     histogram and the per-doc scoring, so corpus text is scanned ONCE.
     Both histograms are ≤ n_buckets rows → the λ relation broadcasts;
-    the per-doc aggregation reuses the (doc_id, b) shuffle's
-    partitioning (doc_id is a prefix of its keys). Nothing wide ever
-    shuffles; no Python in the row path."""
+    the per-doc aggregation after the broadcast join adds one more
+    SLIM exchange (hash-agg partials again: ≤ 1 row per doc per map
+    partition — hashpartitioning(doc_id, b) does not co-locate a
+    doc_id, so the exchange is required and cheap, not elided).
+    Nothing wide ever shuffles; no Python in the row path."""
     pw = _word_buckets(pool, n_buckets, "doc_id")
     dc = managed_persist(
         pw.groupBy("doc_id", "b").agg(F.count("*").alias("c"))
@@ -793,6 +795,127 @@ def dsir_select_oracle(
     QUALIFY sel_rank <= {keep}
     """
     )
+
+
+# -- Model-based quality classifier -------------------------------------
+#
+# The CCNet / FineWeb-style "model filter" stage: score every document
+# with a LINEAR classifier over hashed-unigram features (fasttext's
+# architecture minus the learned embedding nonlinearity) and keep docs
+# above a threshold. The weight table is the plug point — a production
+# run loads real trained weights as a (b, w_fix) relation; the
+# synthetic generator below stands in so the Spark plumbing (feature
+# hashing, broadcast weight join, exact integer reductions, the keep
+# decision) is real and oracle-checkable end to end.
+#
+# Same fixed-point discipline as DSIR: weights are integers at QC_FIX
+# resolution, per-document reductions are exact integer sums
+# (order-independent ⇒ bit-identical across engines/partitionings),
+# and the keep decision compares integers — the only double that
+# crosses engines is one division chain over identical integers.
+QC_BUCKETS = 4096
+QC_FIX = 1_000_000
+
+
+def quality_classifier_weights(
+    spark: SparkSession, n_buckets: int = QC_BUCKETS, seed: int = 0
+) -> DataFrame:
+    """Deterministic synthetic weight table (b, w_fix), w_fix uniform in
+    [-QC_FIX, QC_FIX] from the md5 `_h60` convention — identical on any
+    engine. Swap for real trained weights at production time (same
+    schema; `quality_classifier_score` only needs (b, w_fix))."""
+    from .dedup import _h60
+
+    return spark.range(n_buckets).select(
+        F.col("id").alias("b"),
+        (
+            F.pmod(
+                _h60(F.concat(F.lit(f"qc:{seed}:"), F.col("id").cast("string"))),
+                F.lit(2 * QC_FIX + 1),
+            )
+            - QC_FIX
+        ).alias("w_fix"),
+    )
+
+
+def quality_classifier_score(
+    doc: DataFrame,
+    weights: DataFrame,
+    n_buckets: int = QC_BUCKETS,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Per-document linear quality score + keep decision.
+
+    Output (doc_id, n_words, s_fix, score, keep): s_fix = Σ_w
+    w_fix[h60(w) % n_buckets] over word occurrences (exact integer),
+    score = (s_fix / n_words) / QC_FIX — the mean feature weight — and
+    keep ⇔ s_fix ≥ round(threshold·QC_FIX)·n_words (the SAME predicate
+    in pure integers, so the decision never rides float rounding).
+
+    100 TB posture (the dsir_weights shape): documents reduce to
+    (doc_id, b, c) at the explode's map side (hash-agg partials — at
+    most n_buckets rows per doc cross the shuffle, never one per
+    token); the weight relation is ≤ n_buckets rows and BROADCASTS, so
+    the join is map-side; the final per-doc sum is a second SLIM
+    exchange of hash-agg partials (≤ 1 row per doc per map partition —
+    hashpartitioning(doc_id, b) does not co-locate a doc_id, so the
+    exchange is required and cheap, not elided). Corpus text never
+    shuffles; no Python in the row path."""
+    thr_fix = int(round(threshold * QC_FIX))
+    dc = _word_buckets(doc, n_buckets, "doc_id").groupBy("doc_id", "b").agg(
+        F.count("*").alias("c")
+    )
+    per_doc = (
+        dc.join(F.broadcast(weights), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("c") * F.col("w_fix")).alias("s_fix"),
+            F.sum("c").alias("n_words"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_words",
+        "s_fix",
+        (
+            (F.col("s_fix").cast("double") / F.col("n_words")) / QC_FIX
+        ).alias("score"),
+        (F.col("s_fix") >= F.lit(thr_fix) * F.col("n_words")).alias("keep"),
+    )
+
+
+def quality_classifier_oracle(
+    n_buckets: int = QC_BUCKETS, seed: int = 0, threshold: float = 0.0
+) -> str:
+    """DuckDB oracle over the ``documents`` view — the identical
+    derivation, synthetic weights included."""
+    from .dedup import _H60_SQL
+
+    hw = _H60_SQL.format(x="w")
+    hb = _H60_SQL.format(x=f"'qc:{seed}:' || CAST(b AS VARCHAR)")
+    thr_fix = int(round(threshold * QC_FIX))
+    return f"""
+    WITH wt AS (
+      SELECT b, ({hb}) % {2 * QC_FIX + 1} - {QC_FIX} AS w_fix
+      FROM (SELECT UNNEST(range({n_buckets})) AS b)
+    ),
+    dc AS (
+      SELECT doc_id, ({hw}) % {n_buckets} AS b, COUNT(*) AS c
+      FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
+            FROM documents)
+      GROUP BY 1, 2
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(SUM(c * w_fix) AS BIGINT) AS s_fix,
+             CAST(SUM(c) AS BIGINT) AS n_words
+      FROM dc JOIN wt USING (b) GROUP BY doc_id
+    )
+    SELECT doc_id, n_words, s_fix,
+           (CAST(s_fix AS DOUBLE) / n_words) / {QC_FIX} AS score,
+           s_fix >= {thr_fix} * n_words AS keep
+    FROM per_doc
+    """
 
 
 def scrub_pii(doc: DataFrame) -> DataFrame:
