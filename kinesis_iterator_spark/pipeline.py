@@ -152,6 +152,18 @@ class CurationConfig:
     # Runs after scrub + paragraph dedup in `_pre_stages`. None = off.
     # NOTE: enabling this RE-KEYS every doc_id (see _split_long_stage).
     split_long: int | None = None
+    # Model-based quality filter (`text.quality_classifier_score`, the
+    # CCNet/FineWeb stage): a (b, w_fix) weight DataFrame — real
+    # trained weights in production, `quality_classifier_weights` as
+    # the deterministic stand-in. When set, a document must score
+    # ≥ classifier_threshold (mean fixed-point feature weight) to pass
+    # the gate; the decision is integer-exact, so the kept set is
+    # bit-reproducible. Scoring runs on the post-pre-stage text (after
+    # scrub/paragraph/split rewrites — the text being admitted). None
+    # = off (the default; the registry's gate query is unaffected).
+    classifier_weights: DataFrame | None = None
+    classifier_threshold: float = 0.0
+    classifier_buckets: int = 4096
 
     def __post_init__(self) -> None:
         if self.allowed_langs is not None and not self.allowed_langs:
@@ -168,6 +180,8 @@ class CurationConfig:
             raise ValueError("tokens_per_shard must be >= 1")
         if self.split_long is not None and self.split_long < 1:
             raise ValueError("split_long must be >= 1 words (or None)")
+        if self.classifier_buckets < 1:
+            raise ValueError("classifier_buckets must be >= 1")
 
 
 class CuratedCorpus:
@@ -488,8 +502,24 @@ def curate_frame(
         if config.allowed_langs is None
         else F.col("lang").isin(*config.allowed_langs)
     )
+    clf_ok = F.lit(True)
+    if config.classifier_weights is not None:
+        from .queries.text import quality_classifier_score
+
+        # The classifier is a subquery (explode → broadcast weight join
+        # → per-doc integer sum — see its docstring for the two-slim-
+        # exchange shape), joined back onto the slim labels by doc_id.
+        # Scores see the same post-pre-stage text the signals do.
+        scores = quality_classifier_score(
+            doc.select("doc_id", "text"),
+            config.classifier_weights,
+            n_buckets=config.classifier_buckets,
+            threshold=config.classifier_threshold,
+        ).select("doc_id", F.col("keep").alias("clf_pass"))
+        slim = slim.join(scores, "doc_id")
+        clf_ok = F.col("clf_pass")
     labels = slim.withColumn("quality_pass", quality).withColumn(
-        "gate_pass", quality & lang_ok
+        "gate_pass", quality & lang_ok & clf_ok
     )
 
     # -- exact dedup among gate-passing docs: slim digest shuffle ------

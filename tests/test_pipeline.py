@@ -790,3 +790,47 @@ def test_curate_frame_with_split_long_gates_pieces(spark, sf_dir):
         a.release()
         b.release()
         release_persists()
+
+
+def test_classifier_gate_composes(spark, sf_dir):
+    """CurationConfig(classifier_weights=...): the model filter joins
+    the gate — gate_pass ⇔ quality ∧ lang ∧ classifier keep, the kept
+    set is a subset of the classifier's keep set, and the stage
+    actually bites (quality-passing docs fall to the model filter)."""
+    from kinesis_iterator_spark.queries.text import (
+        quality_classifier_score,
+        quality_classifier_weights,
+    )
+    from kinesis_iterator_spark.tables import load_table
+
+    doc = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    w = quality_classifier_weights(spark, seed=0)
+    cfg = CurationConfig(
+        edge_source="ngram",
+        classifier_weights=w,
+        classifier_threshold=0.0,
+    )
+    keep_ids = {
+        r["doc_id"]
+        for r in quality_classifier_score(
+            doc.select("doc_id", "text"), w, threshold=0.0
+        )
+        .filter("keep")
+        .collect()
+    }
+    cur = curate_frame(doc, cfg)
+    try:
+        rows = cur.labels.collect()
+        assert all(
+            r["gate_pass"] == (r["quality_pass"] and r["doc_id"] in keep_ids)
+            for r in rows
+        )
+        assert any(
+            r["quality_pass"] and r["doc_id"] not in keep_ids for r in rows
+        ), "the model filter never bit — weights/threshold degenerate"
+        final_ids = {r["doc_id"] for r in cur.final.select("doc_id").collect()}
+        assert final_ids and final_ids <= keep_ids
+    finally:
+        cur.release()
