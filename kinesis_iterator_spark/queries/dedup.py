@@ -797,18 +797,41 @@ def semantic_dedup(
     Output (one row per vector, scalars only): vec_id, cell, component,
     cos_cent, is_kept. Value-oracle-pinned against
     :func:`semantic_dedup_oracle` in tests/test_semantic_dedup.py."""
+    from .similarity import _corpus_size
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _semantic_dedup_impl(
+        spark, emb, tau, sf_dir=sf_dir, n=_corpus_size(sf_dir)
+    )
+
+
+def semantic_dedup_frame(
+    spark: SparkSession, emb: DataFrame, tau: float = COSINE_TAU
+) -> DataFrame:
+    """Frame-level :func:`semantic_dedup` over any (vec_id, label,
+    embedding) DataFrame — same derivation and output, always the
+    shuffle-side join-gather scorer (no fixture-file executor cache to
+    lean on). Hand-crafted cluster semantics pinned in
+    tests/test_semantic_dedup.py."""
+    return _semantic_dedup_impl(spark, emb, tau, sf_dir=None, n=None)
+
+
+def _semantic_dedup_impl(
+    spark: SparkSession,
+    emb: DataFrame,
+    tau: float,
+    sf_dir: str | None,
+    n: int | None,
+) -> DataFrame:
     from .graph import label_corpus
     from .similarity import (
         SMALL_CORPUS_MAX,
-        _corpus_size,
         _fold_dot_rows_T,
         _ivf_centroids,
         _ivf_ranked_assignment,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
     par = spark.sparkContext.defaultParallelism
-    n = _corpus_size(sf_dir)
 
     # ONE tiny codebook collect feeds both the cell assignment and the
     # cos-to-centroid kernel (codebook size is n_cells, never corpus).
@@ -861,7 +884,7 @@ def semantic_dedup(
         .select("vec_a", "vec_b")
     )
 
-    if n <= SMALL_CORPUS_MAX:
+    if sf_dir is not None and n is not None and n <= SMALL_CORPUS_MAX:
 
         def edge_small(batches):
             import numpy as np

@@ -80,3 +80,37 @@ def test_semantic_dedup_distributed_cc_path_identical(
     base = _spark_rows(spark, sf_dir, COSINE_TAU)
     monkeypatch.setattr(graph, "DRIVER_CC_MAX_EDGES", -1)
     assert _spark_rows(spark, sf_dir, COSINE_TAU) == base
+
+
+def test_semantic_dedup_frame_hand_crafted_clusters(spark):
+    """Readable pin of the defining semantics on a 6-vector frame:
+    exact copies in one cell collapse to a single keeper (min vec_id on
+    the cos_cent tie); singletons keep themselves; and a cos-0.96 pair
+    SPLIT ACROSS CELLS is untouched — within-cluster-only comparison is
+    SemDeDup's published approximation, not a bug."""
+    from kinesis_iterator_spark.queries.dedup import semantic_dedup_frame
+
+    rows = [
+        (0, 0, [1.0, 0.0, 0.0, 0.0]),
+        (1, 0, [1.0, 0.0, 0.0, 0.0]),
+        (2, 0, [1.0, 0.0, 0.0, 0.0]),
+        (3, 1, [0.0, 1.0, 0.0, 0.0]),
+        (4, 0, [0.8, 0.6, 0.0, 0.0]),  # nearest cell 0
+        (5, 1, [0.6, 0.8, 0.0, 0.0]),  # nearest cell 1; cos(4,5)=0.96
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, label long, embedding array<double>")
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup_frame(spark, emb, tau=0.9).collect()
+    }
+    assert len(out) == 6
+    # copies: one component rooted at 0, keeper = min id on the tie
+    assert {out[i]["component"] for i in (0, 1, 2)} == {0}
+    assert out[0]["is_kept"] and not out[1]["is_kept"] and not out[2]["is_kept"]
+    # cells: nearest-centroid assignment, not the raw label
+    assert out[4]["cell"] == out[0]["cell"]
+    assert out[5]["cell"] == out[3]["cell"]
+    # the cross-cell near-identical pair is never compared: both kept
+    assert out[4]["is_kept"] and out[5]["is_kept"]
+    assert out[4]["component"] == 4 and out[5]["component"] == 5
+    assert out[3]["is_kept"]
