@@ -918,6 +918,197 @@ def quality_classifier_oracle(
     """
 
 
+# -- LM-perplexity quality scoring (CCNet) -------------------------------
+#
+# CCNet (Wenzek et al. 2020) scores crawl documents by the perplexity
+# of a language model trained on a target corpus (Wikipedia) and keeps
+# the low-perplexity head/middle. The production model is a KenLM
+# 5-gram; this is the same mechanism at hashed-BIGRAM granularity —
+# add-1-smoothed conditional probabilities over hashed buckets, so the
+# model is a bounded (≤ observed-bigrams) relation that broadcasts.
+# Fixed-point discipline as DSIR: per-bigram log-probs are integers at
+# DSIR_FIX resolution the moment they leave log-space, per-doc
+# reductions are exact integer sums, and the only doubles crossing
+# engines are single ln() evaluations of identical integer-valued
+# inputs (the ln(a)-ln(b) idiom — never a division inside the log).
+LM_BUCKETS = 4096
+
+
+def _bigram_rows(doc: DataFrame, n_buckets: int) -> DataFrame:
+    """(doc_id, bp, b) — one row per adjacent word pair, buckets via the
+    md5 `_h60` convention. posexplode → window `lead`, the sanctioned
+    shingling shape (interpreted HOF lambdas re-tokenize per element —
+    the measured O(words²) cliff)."""
+    from .dedup import _h60
+
+    w = doc.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    ).select(
+        "doc_id", "pos", F.pmod(_h60(F.col("w")), F.lit(n_buckets)).alias("b")
+    )
+    win = W.partitionBy("doc_id").orderBy("pos")
+    return (
+        w.withColumn("nb", F.lead("b").over(win))
+        .filter(F.col("nb").isNotNull())
+        .select("doc_id", F.col("b").alias("bp"), F.col("nb").alias("b"))
+    )
+
+
+def _lm_default_fix(n_buckets: int) -> int:
+    """λ for a bigram whose CONTEXT bucket is unseen in the target:
+    ln((0+1)/(0+B)) = −ln(B), as a fixed-point integer. Computed ONCE in
+    Python and passed to both engines as the same literal (a ULP
+    disagreement between two ln implementations cannot flip a value
+    this far from a rounding boundary, but a shared literal removes
+    even that)."""
+    import math
+
+    return int(round(-math.log(n_buckets) * DSIR_FIX))
+
+
+def lm_perplexity(
+    doc: DataFrame, target: DataFrame, n_buckets: int = LM_BUCKETS
+) -> DataFrame:
+    """Per-document negative log-likelihood under a hashed-bigram LM
+    trained on ``target`` — the CCNet quality signal (lower = more
+    target-like). Both inputs need (doc_id, text).
+
+    Output (doc_id, n_bigrams, nll_fix, nll): nll_fix = −Σ λ_fix over
+    the document's bigrams (exact integer; λ = ln-probability of the
+    bigram under the add-1 model), nll = (nll_fix / n_bigrams) /
+    DSIR_FIX — mean negative log-prob per bigram. Documents with < 2
+    words have no bigrams: n_bigrams = 0, nll = 0.0 (guarded — ANSI
+    x/0 is an error). Perplexity is exp(nll); exp is deliberately NOT
+    computed here (cross-engine exp ULPs would poison the value hash —
+    callers exponentiate locally if they want the conventional scale).
+
+    100 TB posture: documents reduce to (doc_id, bp, b, count) hash-agg
+    partials behind the posexplode's one doc_id exchange; the model is
+    ≤ observed-target-bigrams rows (bounded by the target SAMPLE, the
+    CCNet regime — Wikipedia, not the crawl) and BROADCASTS twice
+    (bigram λ + context fallback); the per-doc sum is one more slim
+    partial-agg exchange. Corpus text never shuffles; no Python."""
+    default_fix = _lm_default_fix(n_buckets)
+    tb = _bigram_rows(target, n_buckets)
+    n2 = tb.groupBy("bp", "b").agg(F.count("*").alias("c2"))
+    n1 = tb.groupBy("bp").agg(F.count("*").alias("c1"))
+    lam2 = n2.join(n1, "bp").select(
+        "bp",
+        "b",
+        F.round(
+            (F.log(F.col("c2") + 1) - F.log(F.col("c1") + n_buckets))
+            * DSIR_FIX
+        )
+        .cast("long")
+        .alias("lam_fix"),
+    )
+    lamu = n1.select(
+        "bp",
+        F.round(-F.log(F.col("c1") + n_buckets) * DSIR_FIX)
+        .cast("long")
+        .alias("lamu_fix"),
+    )
+    dc = _bigram_rows(doc, n_buckets).groupBy("doc_id", "bp", "b").agg(
+        F.count("*").alias("c")
+    )
+    per_doc = (
+        dc.join(F.broadcast(lam2), ["bp", "b"], "left")
+        .join(F.broadcast(lamu), "bp", "left")
+        .select(
+            "doc_id",
+            "c",
+            F.coalesce(
+                "lam_fix", "lamu_fix", F.lit(default_fix)
+            ).alias("lf"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            (-F.sum(F.col("c") * F.col("lf"))).alias("nll_fix"),
+            F.sum("c").alias("n_bigrams"),
+        )
+    )
+    return (
+        doc.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("nll_fix", F.lit(0)).alias("nll_fix"),
+            F.when(
+                F.coalesce("n_bigrams", F.lit(0)) > 0,
+                (
+                    F.col("nll_fix").cast("double") / F.col("n_bigrams")
+                )
+                / DSIR_FIX,
+            )
+            .otherwise(F.lit(0.0))
+            .alias("nll"),
+        )
+    )
+
+
+def lm_perplexity_oracle(
+    doc_sql: str = "SELECT doc_id, text FROM documents",
+    target_sql: str = "SELECT doc_id, text FROM documents WHERE lang = 'en'",
+    n_buckets: int = LM_BUCKETS,
+) -> str:
+    """DuckDB oracle — identical derivation; bigrams via direct list
+    indexing (the `_SHINGLES_SQL` idiom) instead of the window."""
+    from .dedup import _H60_SQL
+
+    hw = _H60_SQL.format(x="string_split(text, ' ')[i]")
+    hn = _H60_SQL.format(x="string_split(text, ' ')[i + 1]")
+    default_fix = _lm_default_fix(n_buckets)
+    return f"""
+    WITH doc AS ({doc_sql}),
+    target AS ({target_sql}),
+    tb AS (
+      SELECT doc_id, ({hw}) % {n_buckets} AS bp, ({hn}) % {n_buckets} AS b
+      FROM target,
+           UNNEST(range(1, greatest(len(string_split(text, ' ')) - 1, 0) + 1))
+             AS t(i)
+    ),
+    n2 AS (SELECT bp, b, COUNT(*) AS c2 FROM tb GROUP BY bp, b),
+    n1 AS (SELECT bp, COUNT(*) AS c1 FROM tb GROUP BY bp),
+    lam2 AS (
+      SELECT bp, b,
+             CAST(ROUND((ln(c2 + 1) - ln(c1 + {n_buckets})) * {DSIR_FIX})
+                  AS BIGINT) AS lam_fix
+      FROM n2 JOIN n1 USING (bp)
+    ),
+    lamu AS (
+      SELECT bp,
+             CAST(ROUND(-ln(c1 + {n_buckets}) * {DSIR_FIX}) AS BIGINT)
+               AS lamu_fix
+      FROM n1
+    ),
+    db AS (
+      SELECT doc_id, ({hw}) % {n_buckets} AS bp, ({hn}) % {n_buckets} AS b
+      FROM doc,
+           UNNEST(range(1, greatest(len(string_split(text, ' ')) - 1, 0) + 1))
+             AS t(i)
+    ),
+    dc AS (SELECT doc_id, bp, b, COUNT(*) AS c FROM db GROUP BY doc_id, bp, b),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(-SUM(c * COALESCE(lam_fix, lamu_fix, {default_fix}))
+                  AS BIGINT) AS nll_fix,
+             CAST(SUM(c) AS BIGINT) AS n_bigrams
+      FROM dc
+      LEFT JOIN lam2 USING (bp, b)
+      LEFT JOIN lamu USING (bp)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(n_bigrams, 0) AS n_bigrams,
+           COALESCE(nll_fix, 0) AS nll_fix,
+           CASE WHEN COALESCE(n_bigrams, 0) > 0
+                THEN (CAST(nll_fix AS DOUBLE) / n_bigrams) / {DSIR_FIX}
+                ELSE 0.0 END AS nll
+    FROM doc d LEFT JOIN per_doc USING (doc_id)
+    """
+
+
 def scrub_pii(doc: DataFrame) -> DataFrame:
     """PII redaction over (doc_id, text) — the C4/Dolma-style scrub pass
     a public-crawl corpus runs before anything else sees the text.
