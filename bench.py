@@ -314,6 +314,30 @@ def main() -> None:
 
     library.append(("semantic_dedup", timed_semded))
 
+    # -- round-9 surface: ExactSubstr duplicated-span removal (Lee et
+    # al. 2022) — rolling-window first-occurrence election, mark-union
+    # span removal, per-doc reassembly — driven to a noop write. The
+    # fixture's tiny vocabulary makes w-word windows genuinely repeat
+    # across documents, so the removal path does real work at sf0.1
+    # (~2.8M window rows through the digest election).
+    from kinesis_iterator_spark.queries.dedup import dedup_exact_substr
+
+    es_doc = _lt(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def exact_substr() -> None:
+        dedup_exact_substr(es_doc).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    exact_substr()  # warm
+
+    def timed_exact_substr() -> float:
+        t0 = time.perf_counter()
+        exact_substr()
+        return time.perf_counter() - t0
+
+    library.append(("exact_substr", timed_exact_substr))
+
     # -- round-7 surface: incremental corpus admission. Bootstrap a
     # corpus + dedup index from the even-doc_id half ONCE (untimed),
     # then time CorpusWriter.admit of the odd half against a fresh COPY

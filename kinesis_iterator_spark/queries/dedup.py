@@ -1084,3 +1084,117 @@ def dedup_paragraphs(
     return doc.drop("text").join(out, "doc_id").select(
         *doc.columns, "n_paras", "n_kept"
     )
+
+
+# ExactSubstr window length (words). Lee et al. 2022 use 50 BPE tokens;
+# the fixture documents average ~50 words, so the default here is scaled
+# down to exercise the kernel. Production crawls tune w to the tokenizer.
+EXACT_SUBSTR_W = 8
+
+
+def dedup_exact_substr(doc: DataFrame, w: int = EXACT_SUBSTR_W) -> DataFrame:
+    """ExactSubstr duplicated-span removal (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better") at word
+    granularity: any ``w``-word window whose text appears EARLIER in the
+    corpus — in a previous document, or earlier in the same document —
+    has all ``w`` of its word positions removed, and each document is
+    reassembled from its surviving words in original order. The paper
+    builds a suffix array over the concatenated corpus and strips
+    duplicated spans of >= 50 tokens from all but one occurrence; the
+    relational reformulation here marks every non-first occurrence of a
+    fixed-width rolling window and takes the UNION of the marks, which
+    removes exactly the maximal duplicated span for any duplicate run of
+    length >= w (overlapping duplicated windows merge by construction).
+    "First" is the deterministic global order (doc_id, position), so the
+    output is a pure function of the corpus, identical at any
+    partitioning or cluster size.
+
+    Like the paper's sequential algorithm, the pass is NOT idempotent:
+    removing a span creates new word adjacencies that a second pass may
+    again find duplicated. Documents shorter than ``w`` words carry no
+    windows and pass through untouched.
+
+    Input: (doc_id, text, ...). Output: one row per input document —
+    every input column with ``text`` rewritten, plus (n_words, n_kept);
+    a document whose every word was covered by duplicated windows keeps
+    its row with empty text and n_kept = 0.
+
+    100 TB posture, stage by stage:
+    - window digests shuffle SLIM (16-byte md5 + doc_id + pos); word
+      text rides only the per-doc `lead` window (one exchange on
+      doc_id) and never the digest shuffle;
+    - the first-occurrence election is a min-struct HASH AGGREGATE with
+      map-side partials — a boilerplate window with a billion copies
+      costs one shuffle row per map partition (the dedup_paragraphs
+      discipline), never a per-copy sort in one task;
+    - the duplicate-detection join keys the slim occurrence rows on the
+      digest; a hot digest co-locates its copies in one join task, but
+      the build side is exactly ONE row per digest, so AQE's skew-join
+      split replicates it freely (and the downstream `distinct` on the
+      marked indexes hash-aggregates with partials);
+    - removal marks are w rows per duplicated occurrence (bounded
+      explode), de-duplicated before touching the word rows;
+    - the anti-join + per-doc reassembly mirror dedup_paragraphs: the
+      decision frames are the small side, words re-derive from the
+      scan, and no document is held whole until its own groupBy row.
+    """
+    words = doc.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("i", "w0")
+    )
+    win = W.partitionBy("doc_id").orderBy("i")
+    leads = [F.lead("w0", j).over(win) for j in range(1, w)]
+    grams = (
+        words.select(
+            "doc_id",
+            F.col("i").alias("pos"),
+            F.md5(F.concat_ws(" ", "w0", *leads)).alias("h"),
+            # leads are NULL only past the partition tail, monotonically:
+            # the LAST lead being non-NULL implies a full w-word window.
+            leads[-1].alias("_tail"),
+        )
+        .filter(F.col("_tail").isNotNull())
+        .select("doc_id", "pos", "h")
+    )
+    first = grams.groupBy("h").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first")
+    )
+    dup = (
+        grams.join(first, "h")
+        .filter(
+            (F.col("doc_id") != F.col("first.doc_id"))
+            | (F.col("pos") != F.col("first.pos"))
+        )
+        .select("doc_id", "pos")
+    )
+    removed = dup.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(w - 1))
+        ).alias("i"),
+    ).distinct()
+    kept = words.join(removed, ["doc_id", "i"], "left_anti")
+    assembled = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "w0"))),
+                lambda s: s["w0"],
+            ),
+        ).alias("text"),
+        F.count("*").cast("long").alias("n_kept"),
+    )
+    totals = doc.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_words")
+    )
+    out = totals.join(assembled, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("text", F.lit("")).alias("text"),
+        "n_words",
+        F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+    )
+    extra = [c for c in doc.columns if c not in ("doc_id", "text")]
+    if not extra:
+        return out
+    return doc.drop("text").join(out, "doc_id").select(
+        *doc.columns, "n_words", "n_kept"
+    )

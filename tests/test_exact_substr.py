@@ -1,0 +1,191 @@
+"""ExactSubstr duplicated-span removal (Lee et al. 2022), pinned
+bit-identical against a full DuckDB derivation of the same semantics at
+sf0.001 AND sf0.01, plus keeper-survival / short-doc / invariance
+properties. The planted-span derivation is the same deterministic
+SQL-expressible rule on both sides (no synthesized fixture data)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from kinesis_iterator_spark.queries.dedup import (
+    EXACT_SUBSTR_W,
+    dedup_exact_substr,
+)
+from kinesis_iterator_spark.tables import load_table
+
+SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+
+# 12 words none of which appear in the fixture vocabulary, appended to
+# every 5th document: with w=8 every window of the planted span is
+# duplicated across those docs, so the LOWEST such doc_id keeps the span
+# and every other one loses it wholesale.
+SPAN = (
+    "omega kappa sigma lambda theta gamma delta epsilon zeta iota nu xi"
+)
+
+
+def _con(sf_dir: str):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    return con
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _derived(spark, sf_dir):
+    doc = load_table(spark, sf_dir, "documents")
+    return doc.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat_ws(" ", F.col("text"), F.lit(SPAN)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def _oracle_sql(w: int) -> str:
+    lead_cols = ", ".join(
+        f"lead(w, {j}) OVER win" for j in range(1, w)
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN text || ' ' || '{SPAN}'
+                  ELSE text END AS text
+      FROM documents
+    ),
+    t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM d),
+    wi AS (SELECT doc_id, unnest(range(len(ws))) AS i, ws FROM t),
+    word AS (SELECT doc_id, i, ws[i + 1] AS w FROM wi),
+    grams0 AS (
+      SELECT doc_id, i AS pos,
+             md5(concat_ws(' ', w, {lead_cols})) AS h,
+             lead(w, {w - 1}) OVER win AS tail
+      FROM word WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+    ),
+    g AS (SELECT doc_id, pos, h FROM grams0 WHERE tail IS NOT NULL),
+    fst AS (
+      SELECT h, doc_id, pos FROM (
+        SELECT h, doc_id, pos,
+               row_number() OVER (PARTITION BY h ORDER BY doc_id, pos)
+                 AS rn
+        FROM g
+      ) WHERE rn = 1
+    ),
+    dup AS (
+      SELECT g.doc_id, g.pos
+      FROM g JOIN fst USING (h)
+      WHERE (g.doc_id, g.pos) <> (fst.doc_id, fst.pos)
+    ),
+    rme AS (
+      SELECT doc_id, pos, unnest(range({w})) AS j FROM dup
+    ),
+    removed AS (SELECT DISTINCT doc_id, pos + j AS i FROM rme),
+    kept AS (
+      SELECT word.* FROM word ANTI JOIN removed USING (doc_id, i)
+    ),
+    asm AS (
+      SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS text,
+             COUNT(*)::BIGINT AS n_kept
+      FROM kept GROUP BY doc_id
+    ),
+    tot AS (
+      SELECT doc_id,
+             len(string_split(text, ' '))::BIGINT AS n_words
+      FROM d
+    )
+    SELECT tot.doc_id, COALESCE(asm.text, '') AS text, n_words,
+           COALESCE(n_kept, 0)::BIGINT AS n_kept
+    FROM tot LEFT JOIN asm USING (doc_id)
+    """
+
+
+@pytest.mark.parametrize("sf_dir2", SF_DIRS)
+def test_exact_substr_matches_duckdb_oracle(spark, sf_dir2):
+    got = _rows(dedup_exact_substr(_derived(spark, sf_dir2)))
+    want = sorted(
+        tuple(r)
+        for r in _con(sf_dir2).execute(_oracle_sql(EXACT_SUBSTR_W)).fetchall()
+    )
+    assert got == want
+    # The pass actually removed something (the planted span guarantees
+    # cross-doc duplicates; the tiny fixture vocabulary adds natural
+    # ones) AND kept something.
+    assert any(r[3] < r[2] for r in got)
+    assert any(r[3] == r[2] for r in got)
+
+
+def test_exact_substr_keeper_survives(spark, sf_dir):
+    out = dedup_exact_substr(_derived(spark, sf_dir)).collect()
+    planted = sorted(r for r in out if r["doc_id"] % 5 == 0)
+    keeper, rest = planted[0], planted[1:]
+    # The globally-first occurrence of the planted span keeps it; every
+    # later planted doc loses the whole span (all its windows are
+    # non-first occurrences and their marks union over the full span).
+    assert SPAN in keeper["text"]
+    assert all("omega" not in r["text"] for r in rest)
+    assert all("xi" not in r["text"].split() for r in rest)
+
+
+def test_exact_substr_short_docs_untouched(spark, sf_dir):
+    doc = load_table(spark, sf_dir, "documents")
+    # 3-word prefixes: shorter than w, so no windows exist — every doc
+    # passes through verbatim even though the tiny vocabulary makes the
+    # prefixes heavily duplicated across docs.
+    short = doc.select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.slice(F.split("text", " "), 1, 3)
+        ).alias("text"),
+    )
+    out = dedup_exact_substr(short)
+    n = short.count()
+    same = out.join(
+        short.withColumnRenamed("text", "orig"), "doc_id"
+    ).filter(
+        (F.col("text") == F.col("orig"))
+        & (F.col("n_kept") == F.col("n_words"))
+    )
+    assert same.count() == n
+
+
+def test_exact_substr_partitioning_invariant(spark, sf_dir):
+    base = _derived(spark, sf_dir)
+    a = _rows(dedup_exact_substr(base.repartition(7)))
+    b = _rows(dedup_exact_substr(base.repartition(2)))
+    assert a == b
+
+
+def test_exact_substr_counts_consistent(spark, sf_dir):
+    out = dedup_exact_substr(_derived(spark, sf_dir))
+    bad = out.filter(
+        (F.col("n_kept") > F.col("n_words"))
+        | (
+            (F.col("n_kept") > 0)
+            & (F.size(F.split("text", " ")) != F.col("n_kept"))
+        )
+        | ((F.col("n_kept") == 0) & (F.col("text") != ""))
+    )
+    assert bad.count() == 0
+
+
+def test_exact_substr_passthrough_columns(spark, sf_dir):
+    doc = load_table(spark, sf_dir, "documents")
+    out = dedup_exact_substr(doc)
+    assert out.columns == [
+        "doc_id", "text", "lang", "source", "n_chars", "n_words", "n_kept"
+    ]
+    # Pass-through values survive the rewrite join.
+    orig = doc.select("doc_id", "lang", "source", "n_chars")
+    back = out.select("doc_id", "lang", "source", "n_chars")
+    assert _rows(orig) == _rows(back)
