@@ -338,6 +338,30 @@ def main() -> None:
 
     library.append(("exact_substr", timed_exact_substr))
 
+    # -- round-9 surface: fixed-point Lloyd's k-means over embeddings
+    # (the codebook-training counterpart of the stored-ANN surface) —
+    # one scan pass + one slim k*d aggregate per iteration, final
+    # assignment driven to a noop write.
+    from kinesis_iterator_spark.queries.clustering import (
+        kmeans_embeddings,
+    )
+
+    km_emb = _lt(spark, sf_dir, "embeddings")
+
+    def kmeans() -> None:
+        res = kmeans_embeddings(spark, km_emb, k=8, iters=4)
+        res.assignment.write.format("noop").mode("overwrite").save()
+        release_persists()
+
+    kmeans()  # warm
+
+    def timed_kmeans() -> float:
+        t0 = time.perf_counter()
+        kmeans()
+        return time.perf_counter() - t0
+
+    library.append(("kmeans_codebook", timed_kmeans))
+
     # -- round-7 surface: incremental corpus admission. Bootstrap a
     # corpus + dedup index from the even-doc_id half ONCE (untimed),
     # then time CorpusWriter.admit of the odd half against a fresh COPY

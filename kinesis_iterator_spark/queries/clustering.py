@@ -1,0 +1,289 @@
+"""Deterministic fixed-point k-means over the ``embeddings`` table —
+the codebook-training counterpart of the stored-ANN surface (FAISS's
+train-once contract: `write_ann_index` freezes a codebook; this is the
+operator that would TRAIN it) and the cluster stage SemDeDup-style
+semantic dedup builds on (Abbas et al. 2023 run k-means at k ≈ 10⁵ and
+prune within cells).
+
+Classic Lloyd's iteration (Lloyd 1982 / MacQueen 1967) with the repo's
+fixed-point discipline (see `text.dsir_weights`): embedding components
+quantize to integers at 1e-6 resolution the moment they leave float
+space, every reduction after that is EXACT integer arithmetic —
+order-independent, hence bit-identical between Spark's parallel
+aggregation, the in-kernel numpy int64 sums, and DuckDB's sequential
+one — and centroid updates round half-away-from-zero with an
+all-integer formula, so no step of the iteration ever depends on float
+summation order. The result is a pure function of the corpus: identical
+at any partitioning, any cluster size, and against the unrolled-CTE
+DuckDB oracle (`tests/test_clustering.py`).
+
+Determinism choices (documented, not hidden): initial centroids are the
+``k`` vectors with the smallest vec_id (production swaps in k-means‖
+seeding; the contract here is oracle checkability), ties in the
+nearest-centroid argmin break toward the smallest cluster id, and a
+cluster that loses every member is DROPPED (the standard Lloyd's
+variant that neither re-seeds nor carries ghosts — both engines drop by
+construction, the empty group simply vanishes from the update join).
+
+100 TB posture: each iteration is ONE pass over the corpus — an Arrow
+kernel computes per-partition per-cluster integer component sums
+(≤ k·d slim rows per partition leave the map side), one hash
+aggregation reduces them, and the ≤ k·d summed rows collect to the
+driver (codebook-sized, never corpus-sized) where the integer update
+runs. Centroids travel executor-ward inside the kernel closure
+(k·d int64s). Jobs per iteration: exactly one; lineage does not grow
+with rounds (every round re-reads the scan against a NEW constant
+codebook, so no checkpoint discipline is needed). The final assignment
+is the same kernel emitting (vec_id, cluster) — at scale, a write-time
+stored column, exactly like the IVF cell assignment it would feed.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import managed_persist
+
+# Fixed-point resolution: 1e-6 of a component. |x_fix| ≤ ~2·10⁶ for
+# unit-scale embeddings, so a squared distance over d=64 dims is
+# ≤ ~10¹⁵ and an int64 component sum overflows only past ~9·10¹² rows
+# per cluster — beyond that, widen to decimal in the reducer.
+FIX = 1_000_000
+
+
+def _quantize(E32: np.ndarray) -> np.ndarray:
+    """float32 components → int64 fixed-point, identically to the
+    oracle's CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT):
+    float32→float64 is exact, the double multiply is the same
+    correctly-rounded IEEE op in numpy and both engines, floor has no
+    tie semantics (unlike round) — so the quantization is a pure
+    function of the stored bits."""
+    return np.floor(E32.astype(np.float64) * FIX).astype(np.int64)
+
+
+def _round_div(s: int, n: int) -> int:
+    """round-half-away-from-zero of s/n in pure integer arithmetic —
+    (2|s| + n) // (2n) on non-negative operands (where truncating and
+    floor division coincide in Python, Spark `div`, and DuckDB `//`),
+    sign restored after."""
+    if s >= 0:
+        return (2 * s + n) // (2 * n)
+    return -((2 * -s + n) // (2 * n))
+
+
+class KMeansResult(NamedTuple):
+    assignment: DataFrame  # (vec_id, cluster) — nearest FINAL centroid
+    clusters: list[int]  # surviving cluster ids, ascending
+    centroids: np.ndarray  # (len(clusters), d) int64 fixed-point
+
+
+def _dists_int(X: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """(n, k) exact int64 squared distances, one cluster at a time so
+    the working set stays (n, d) instead of (n, k, d)."""
+    D = np.empty((X.shape[0], C.shape[0]), dtype=np.int64)
+    for j in range(C.shape[0]):
+        diff = X - C[j]
+        D[:, j] = np.sum(diff * diff, axis=1)
+    return D
+
+
+def kmeans_embeddings(
+    spark: SparkSession,
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 4,
+) -> KMeansResult:
+    """Fixed-point Lloyd's k-means over an (vec_id, embedding) frame.
+
+    Runs ``iters`` (assign → update) rounds from the smallest-vec_id
+    init, then one final assignment against the final centroids — so
+    ``assignment`` satisfies the invariant "cluster == argmin distance
+    to a returned centroid" exactly (pinned)."""
+    init_rows = (
+        emb.select("vec_id", "embedding").orderBy("vec_id").limit(k).collect()
+    )
+    C = _quantize(
+        np.array([r["embedding"] for r in init_rows], dtype=np.float32)
+    )
+    cls = list(range(len(init_rows)))
+
+    n_part = spark.sparkContext.defaultParallelism
+    # One materialization feeds iters+1 scan passes (A/B'd at sf0.1:
+    # 2.77 s persisted vs 3.26 s recomputed, min-of-3; the caller
+    # frees it via queries.release_persists() once `assignment` is
+    # consumed — releasing a persist is safe, unlike a checkpoint).
+    src = managed_persist(
+        emb.select("vec_id", "embedding").repartition(n_part)
+    )
+
+    for _ in range(iters):
+        parts = src.mapInPandas(
+            _partial_sums_fn(np.asarray(cls), C),
+            "cl long, dim long, s long, cnt long",
+        )
+        rows = (
+            parts.groupBy("cl", "dim")
+            .agg(F.sum("s").alias("s"), F.sum("cnt").alias("cnt"))
+            .collect()
+        )
+        by_cl: dict[int, list] = {}
+        for r in rows:
+            by_cl.setdefault(r["cl"], []).append(r)
+        cls = sorted(by_cl)  # empty clusters vanish from the agg
+        d = C.shape[1]
+        C = np.empty((len(cls), d), dtype=np.int64)
+        for j, cl in enumerate(cls):
+            for r in by_cl[cl]:
+                C[j, r["dim"]] = _round_div(int(r["s"]), int(r["cnt"]))
+
+    assignment = src.mapInPandas(
+        _assign_fn(np.asarray(cls), C), "vec_id long, cluster long"
+    )
+    return KMeansResult(assignment, cls, C)
+
+
+def _partial_sums_fn(cls_np: np.ndarray, C: np.ndarray):
+    def partial_sums(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = _quantize(
+                np.stack(pdf["embedding"].to_numpy()).astype(np.float32)
+            )
+            idx = np.argmin(_dists_int(X, C), axis=1)  # first min =
+            # smallest cluster id (cls_np ascending) — the oracle's
+            # ORDER BY dist, cl tie-break.
+            out_cl, out_dim, out_s, out_cnt = [], [], [], []
+            for j in range(len(cls_np)):
+                mask = idx == j
+                n = int(mask.sum())
+                if not n:
+                    continue
+                s = X[mask].sum(axis=0)  # exact int64
+                d = X.shape[1]
+                out_cl += [int(cls_np[j])] * d
+                out_dim += list(range(d))
+                out_s += [int(v) for v in s]
+                out_cnt += [n] * d
+            yield pd.DataFrame(
+                {
+                    "cl": np.array(out_cl, dtype=np.int64),
+                    "dim": np.array(out_dim, dtype=np.int64),
+                    "s": np.array(out_s, dtype=np.int64),
+                    "cnt": np.array(out_cnt, dtype=np.int64),
+                }
+            )
+
+    return partial_sums
+
+
+def _assign_fn(cls_np: np.ndarray, C: np.ndarray):
+    def assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = _quantize(
+                np.stack(pdf["embedding"].to_numpy()).astype(np.float32)
+            )
+            idx = np.argmin(_dists_int(X, C), axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(np.int64),
+                    "cluster": cls_np[idx].astype(np.int64),
+                }
+            )
+
+    return assign
+
+
+def kmeans_sse(emb: DataFrame, cls: list[int], C: np.ndarray) -> int:
+    """Exact integer within-cluster sum of squared (fixed-point)
+    distances of every vector to its nearest centroid in ``C`` — the
+    Lloyd's objective, used by the non-increase pin. One job."""
+    cls_np = np.asarray(cls)
+
+    def sse_part(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = _quantize(
+                np.stack(pdf["embedding"].to_numpy()).astype(np.float32)
+            )
+            D = _dists_int(X, C)
+            yield pd.DataFrame(
+                {"sse": np.array([int(D.min(axis=1).sum())], dtype=np.int64)}
+            )
+
+    _ = cls_np  # centroid ids don't affect the objective
+    rows = (
+        emb.select("vec_id", "embedding")
+        .mapInPandas(sse_part, "sse long")
+        .agg(F.sum("sse").alias("sse"))
+        .collect()
+    )
+    return int(rows[0]["sse"])
+
+
+def kmeans_oracle_sqls(k: int, iters: int, dim: int = 64) -> tuple[str, str]:
+    """(assignment_sql, centroid_sql) — the unrolled-CTE DuckDB
+    derivation of the identical iteration over the pre-registered
+    ``embeddings`` view. Integer quantization, exact integer reductions,
+    the same half-away centroid rounding (`//` truncates toward zero in
+    DuckDB exactly like Spark's `div`; operands are kept non-negative),
+    the same dist-then-id tie-break, and empty clusters dropped by the
+    update join — so both queries are bit-comparable to the Spark
+    result, not merely close."""
+    ctes = [
+        f"dims AS (SELECT UNNEST(range({dim})) AS dim)",
+        "xfix AS (SELECT vec_id, dim, CAST(FLOOR(CAST(embedding[dim + 1]"
+        " AS DOUBLE) * 1000000) AS BIGINT) AS x FROM embeddings, dims)",
+        "init AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1"
+        f" AS cl FROM (SELECT vec_id FROM embeddings ORDER BY vec_id"
+        f" LIMIT {k}))",
+        "cent0 AS (SELECT i.cl, x.dim, x.x AS c FROM init i JOIN xfix x"
+        " USING (vec_id))",
+    ]
+    for i in range(1, iters + 2):
+        prev = f"cent{i - 1}"
+        ctes.append(
+            f"a{i} AS (SELECT vec_id, cl FROM ("
+            f"SELECT x.vec_id, c.cl, ROW_NUMBER() OVER ("
+            f"PARTITION BY x.vec_id "
+            f"ORDER BY SUM((x.x - c.c) * (x.x - c.c)), c.cl) AS rk "
+            f"FROM xfix x JOIN {prev} c USING (dim) "
+            f"GROUP BY x.vec_id, c.cl) WHERE rk = 1)"
+        )
+        if i <= iters:
+            ctes.append(
+                f"cent{i} AS (SELECT a.cl, x.dim, "
+                f"CASE WHEN SUM(x.x) >= 0 "
+                f"THEN (2 * SUM(x.x) + COUNT(*)) // (2 * COUNT(*)) "
+                f"ELSE -((2 * -SUM(x.x) + COUNT(*)) // (2 * COUNT(*))) "
+                f"END AS c "
+                f"FROM a{i} a JOIN xfix x USING (vec_id) "
+                f"GROUP BY a.cl, x.dim)"
+            )
+    with_clause = "WITH " + ",\n".join(ctes)
+    assign_sql = (
+        f"{with_clause}\n"
+        f"SELECT vec_id, cl AS cluster FROM a{iters + 1}"
+    )
+    cent_sql = (
+        f"{with_clause}\n"
+        f"SELECT cl AS cluster, dim, CAST(c AS BIGINT) AS c"
+        f" FROM cent{iters}"
+    )
+    return assign_sql, cent_sql

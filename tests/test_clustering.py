@@ -1,0 +1,122 @@
+"""Fixed-point Lloyd's k-means (`queries/clustering.py`) pinned
+bit-identical against the unrolled-CTE DuckDB oracle at sf0.001 AND
+sf0.01, plus partitioning invariance, the nearest-final-centroid
+assignment invariant, the Lloyd's objective non-increase, and
+empty-cluster drop semantics on a duplicate-collapsed derived frame."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from kinesis_iterator_spark.queries.clustering import (
+    _dists_int,
+    _quantize,
+    kmeans_embeddings,
+    kmeans_oracle_sqls,
+    kmeans_sse,
+)
+from kinesis_iterator_spark.tables import load_table
+
+SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+K, ITERS = 8, 4
+
+
+def _con(sf_dir: str):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS "
+        f"SELECT * FROM '{sf_dir}/embeddings.parquet'"
+    )
+    return con
+
+
+@pytest.mark.parametrize("sf_dir2", SF_DIRS)
+def test_kmeans_matches_duckdb_oracle(spark, sf_dir2):
+    emb = load_table(spark, sf_dir2, "embeddings")
+    res = kmeans_embeddings(spark, emb, k=K, iters=ITERS)
+    assign_sql, cent_sql = kmeans_oracle_sqls(K, ITERS)
+    con = _con(sf_dir2)
+
+    got_assign = sorted(tuple(r) for r in res.assignment.collect())
+    want_assign = sorted(tuple(r) for r in con.execute(assign_sql).fetchall())
+    assert got_assign == want_assign
+
+    got_cent = sorted(
+        (cl, dim, int(res.centroids[j, dim]))
+        for j, cl in enumerate(res.clusters)
+        for dim in range(res.centroids.shape[1])
+    )
+    want_cent = sorted(tuple(r) for r in con.execute(cent_sql).fetchall())
+    assert got_cent == want_cent
+    # Real clustering happened: more than one surviving cluster, and
+    # assignments actually use several of them.
+    assert len(res.clusters) > 1
+    assert len({cl for _, cl in got_assign}) == len(res.clusters)
+
+
+def test_kmeans_partitioning_invariant(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = kmeans_embeddings(spark, emb.repartition(7), k=K, iters=ITERS)
+    b = kmeans_embeddings(spark, emb.repartition(2), k=K, iters=ITERS)
+    assert a.clusters == b.clusters
+    assert np.array_equal(a.centroids, b.centroids)
+    assert sorted(map(tuple, a.assignment.collect())) == sorted(
+        map(tuple, b.assignment.collect())
+    )
+
+
+def test_kmeans_assignment_is_nearest_final_centroid(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    res = kmeans_embeddings(spark, emb, k=K, iters=ITERS)
+    rows = emb.select("vec_id", "embedding").collect()
+    X = _quantize(
+        np.array([r["embedding"] for r in rows], dtype=np.float32)
+    )
+    idx = np.argmin(_dists_int(X, res.centroids), axis=1)
+    want = {
+        r["vec_id"]: int(np.asarray(res.clusters)[i])
+        for r, i in zip(rows, idx)
+    }
+    got = {r["vec_id"]: r["cluster"] for r in res.assignment.collect()}
+    assert got == want
+
+
+def test_kmeans_objective_non_increasing(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    init_rows = (
+        emb.select("vec_id", "embedding").orderBy("vec_id").limit(K).collect()
+    )
+    C0 = _quantize(
+        np.array([r["embedding"] for r in init_rows], dtype=np.float32)
+    )
+    res = kmeans_embeddings(spark, emb, k=K, iters=ITERS)
+    sse0 = kmeans_sse(emb, list(range(K)), C0)
+    sse1 = kmeans_sse(emb, res.clusters, res.centroids)
+    assert sse1 <= sse0
+    assert sse1 > 0  # fixture vectors aren't all centroid-identical
+
+
+def test_kmeans_duplicate_points_drop_empty_clusters(spark, sf_dir):
+    # Collapse the first 9 vectors onto 3 distinct embeddings
+    # (vec_id % 3 picks the payload) and ask for k=5: the init seeds 5
+    # centroids on ≤3 distinct points, so Lloyd's must DROP the starved
+    # clusters and converge to exactly one cluster per distinct point,
+    # with duplicates co-assigned.
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") < 9).select("vec_id")
+    payload = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("pid"), "embedding"
+    )
+    derived = base.withColumn("pid", F.col("vec_id") % 3).join(
+        payload, "pid"
+    ).select("vec_id", "embedding")
+    res = kmeans_embeddings(spark, derived, k=5, iters=3)
+    assert len(res.clusters) == 3
+    got = {r["vec_id"]: r["cluster"] for r in res.assignment.collect()}
+    assert len(got) == 9
+    for v in range(9):
+        assert got[v] == got[v % 3]
+    assert kmeans_sse(derived, res.clusters, res.centroids) == 0
