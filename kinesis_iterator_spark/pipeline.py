@@ -1673,3 +1673,55 @@ def build_mixture(
     document). The training-data "recipe" step that follows curation
     and precedes `pack_sequences`."""
     return apply_mixture(doc, mixture_rates(doc, weights, token_budget), seed)
+
+
+def cluster_balanced_mixture(
+    spark,
+    doc: DataFrame,
+    emb: DataFrame,
+    token_budget: int,
+    k: int = 8,
+    iters: int = 4,
+    cluster_weights: dict[int, float] | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Mixture over LEARNED domains: train a fixed-point codebook over
+    ``emb`` (`clustering.kmeans_embeddings`), label each document by
+    its embedding's nearest final centroid (vec_id == doc_id), and run
+    the standard token mixture with clusters as sources — the
+    cluster-balanced sampling device (DoReMi-adjacent: reweight
+    machine-discovered domains instead of trusting crawl provenance;
+    Xie et al. 2023b trains the weights, this takes them as input).
+
+    ``doc`` needs (doc_id, tokens); its ``source`` column, if any, is
+    REPLACED by the cluster domain (alias provenance out beforehand).
+    Documents without an embedding row are dropped by the inner join —
+    at scale the assignment is a stored column and the join is the
+    corpus' own 1:1 key. ``cluster_weights`` maps surviving cluster id
+    → weight (default balanced); weights naming non-surviving clusters
+    fail loudly rather than silently skewing the realized proportions.
+    Output rows carry ``cluster`` and ``epoch``. The codebook source
+    frame is managed-persisted — callers release via
+    `queries.release_persists()` once the result is consumed.
+
+    Everything downstream of the (deterministic) codebook is the
+    engine-portable mixture rule, so the whole composition is a pure
+    function of the corpus (pinned in tests/test_clustering.py)."""
+    from .queries.clustering import kmeans_embeddings
+
+    res = kmeans_embeddings(spark, emb, k=k, iters=iters)
+    if cluster_weights is None:
+        cluster_weights = {c: 1.0 for c in res.clusters}
+    unknown = sorted(set(cluster_weights) - set(res.clusters))
+    if unknown:
+        raise ValueError(
+            f"cluster_weights name non-surviving clusters: {unknown}"
+        )
+    labeled = doc.drop("source").join(
+        res.assignment.withColumnRenamed("vec_id", "doc_id"), "doc_id"
+    )
+    domains = labeled.withColumn(
+        "source", F.concat(F.lit("cluster_"), F.col("cluster").cast("string"))
+    )
+    weights = {f"cluster_{c}": w for c, w in cluster_weights.items()}
+    return build_mixture(domains, weights, token_budget, seed)

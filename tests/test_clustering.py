@@ -99,6 +99,115 @@ def test_kmeans_objective_non_increasing(spark, sf_dir):
     assert sse1 > 0  # fixture vectors aren't all centroid-identical
 
 
+# -- cluster-balanced mixture: learned clusters as recipe domains -------
+
+
+def _doc_with_tokens(spark, sf_dir):
+    from kinesis_iterator_spark.queries.text import quality_signal_columns
+
+    doc = load_table(spark, sf_dir, "documents")
+    sig = quality_signal_columns()
+    return doc.select(
+        "doc_id", "source", sig["bpe_ish_tokens"].alias("tokens")
+    )
+
+
+def test_cluster_balanced_mixture_balances_tokens(spark, sf_dir):
+    """Each surviving cluster's realized tokens land between the
+    floor- and ceil-epoch bounds of an EQUAL share of the budget —
+    the only slack is one Bernoulli copy per document."""
+    import math
+
+    from kinesis_iterator_spark.pipeline import (
+        cluster_balanced_mixture,
+        mixture_rates,
+    )
+    from kinesis_iterator_spark.queries import release_persists
+
+    doc = _doc_with_tokens(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    budget = 30_000
+    out = cluster_balanced_mixture(spark, doc, emb, budget, k=K, iters=2)
+    realized = {
+        r["source"]: r["t"]
+        for r in out.groupBy("source").agg(F.sum("tokens").alias("t")).collect()
+    }
+    # Recompute the domain frame the composition built to derive the
+    # exact per-cluster rates it must have used.
+    res = kmeans_embeddings(spark, emb, k=K, iters=2)
+    domains = (
+        doc.drop("source")
+        .join(res.assignment.withColumnRenamed("vec_id", "doc_id"), "doc_id")
+        .withColumn(
+            "source",
+            F.concat(F.lit("cluster_"), F.col("cluster").cast("string")),
+        )
+    )
+    weights = {f"cluster_{c}": 1.0 for c in res.clusters}
+    rates = mixture_rates(domains, weights, budget)
+    totals = {
+        r["source"]: r["t"]
+        for r in domains.groupBy("source")
+        .agg(F.sum("tokens").alias("t"))
+        .collect()
+    }
+    assert set(realized) <= set(weights) and len(realized) > 1
+    for s, rate in rates.items():
+        lo = math.floor(rate) * totals[s]
+        hi = math.ceil(rate) * totals[s]
+        assert lo <= realized.get(s, 0) <= hi, (s, rate)
+    release_persists()
+
+
+def test_cluster_balanced_mixture_equals_manual_composition(spark, sf_dir):
+    """The convenience op is EXACTLY kmeans → label → build_mixture —
+    same rows, same epochs, at a different input partitioning (the
+    whole chain is a pure function of the corpus)."""
+    from kinesis_iterator_spark.pipeline import (
+        build_mixture,
+        cluster_balanced_mixture,
+    )
+    from kinesis_iterator_spark.queries import release_persists
+
+    doc = _doc_with_tokens(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = cluster_balanced_mixture(
+        spark, doc.repartition(5), emb.repartition(3), 20_000, k=5,
+        iters=2, seed=7,
+    )
+    res = kmeans_embeddings(spark, emb, k=5, iters=2)
+    domains = (
+        doc.drop("source")
+        .join(res.assignment.withColumnRenamed("vec_id", "doc_id"), "doc_id")
+        .withColumn(
+            "source",
+            F.concat(F.lit("cluster_"), F.col("cluster").cast("string")),
+        )
+    )
+    want = build_mixture(
+        domains, {f"cluster_{c}": 1.0 for c in res.clusters}, 20_000, seed=7
+    )
+    key = ["doc_id", "source", "cluster", "epoch", "tokens"]
+    assert sorted(map(tuple, got.select(*key).collect())) == sorted(
+        map(tuple, want.select(*key).collect())
+    )
+    release_persists()
+
+
+def test_cluster_balanced_mixture_unknown_cluster_raises(spark, sf_dir):
+    from kinesis_iterator_spark.pipeline import cluster_balanced_mixture
+    from kinesis_iterator_spark.queries import release_persists
+
+    doc = _doc_with_tokens(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="non-surviving"):
+        cluster_balanced_mixture(
+            spark, doc, emb, 10_000, k=4, iters=1,
+            cluster_weights={0: 1.0, 99: 1.0},
+        )
+    release_persists()
+
+
 def test_kmeans_duplicate_points_drop_empty_clusters(spark, sf_dir):
     # Collapse the first 9 vectors onto 3 distinct embeddings
     # (vec_id % 3 picks the payload) and ask for k=5: the init seeds 5
