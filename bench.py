@@ -362,6 +362,26 @@ def main() -> None:
 
     library.append(("kmeans_codebook", timed_kmeans))
 
+    # -- round-9 surface: BM25 ranked retrieval — postings filtered to
+    # the query's terms before any shuffle, fixed-point scores,
+    # TakeOrdered top-k; driven to a collect of the k result rows.
+    from kinesis_iterator_spark.queries.retrieval import bm25_topk
+
+    bm_doc = _lt(spark, sf_dir, "documents").select("doc_id", "text")
+    bm_terms = ["scan", "column", "window", "order", "sort"]
+
+    def bm25() -> None:
+        bm25_topk(bm_doc, bm_terms, topk=10).collect()
+
+    bm25()  # warm
+
+    def timed_bm25() -> float:
+        t0 = time.perf_counter()
+        bm25()
+        return time.perf_counter() - t0
+
+    library.append(("bm25_topk", timed_bm25))
+
     # -- round-7 surface: incremental corpus admission. Bootstrap a
     # corpus + dedup index from the even-doc_id half ONCE (untimed),
     # then time CorpusWriter.admit of the odd half against a fresh COPY

@@ -1,0 +1,227 @@
+"""BM25 ranked retrieval over the ``documents`` table — the scoring
+function a training-data pipeline reaches for when mining a corpus for
+query-relevant documents (targeted data selection, eval-set curation,
+RAG context building). Robertson/Sparck Jones BM25 (Robertson et al.,
+TREC-3) under the repo's fixed-point discipline (`text.dsir_weights`):
+
+- k1 and b are EXACT RATIONALS (defaults 6/5 and 3/4 — the standard
+  1.2/0.75), so the tf-normalization term clears to pure integer
+  arithmetic when multiplied through by the corpus token total:
+  with k1 = kn/kd, b = bn/bd, T = Σ dl, N = doc count,
+
+      num_i = (kd + kn) · bd · T · tf
+      den_i = kd · bd · T · tf + kn · (bd − bn) · T + kn · bn · dl · N
+
+  is exactly (k1+1)·tf / (tf + k1·(1−b+b·dl/avgdl)) scaled by the
+  same positive constant in numerator and denominator.
+- idf = ln(N − df + 0.5) − ln(df + 0.5) is rewritten as
+  ln(2N − 2df + 1) − ln(2df + 1): the only doubles that cross engines
+  are single ln() evaluations OF INTEGERS, rounded to int64 at
+  BM25_FIX immediately (the DSIR idiom, held bit-exact at two scales).
+- each (doc, term) score is then (idf_fix · num_i) div den_i — exact
+  truncating division (Spark decimal `div` ≡ DuckDB HUGEINT `//`,
+  both truncate toward zero — verified on negative operands) — and
+  the per-document total is an exact int64 SUM: order-independent,
+  hence bit-identical across partitionings and engines. The
+  intermediates ride DECIMAL(38,0) / int128, NOT int64: at the 100 TB
+  design point T ≈ 2·10¹³ tokens puts idf_fix·num_i near 10²⁹ —
+  int64 would overflow silently (the scaled-int64 trap q1's decimal
+  accumulation deliberately avoids); the QUOTIENT is ≤ idf_fix·(k1+1)
+  ≈ 10⁸, so the result column is plain int64.
+
+Only documents matching ≥1 query term appear (inner-join semantics —
+retrieval returns a posting intersection, not the corpus). Tokens are
+the corpus convention: `split(text, ' ')` ≡ `string_split(text, ' ')`.
+
+100 TB posture: the exploded word stream is filtered to the query's
+terms BEFORE any shuffle (a broadcast isin over ≤|query| literals), so
+the heavy frame is |matching postings|, never |corpus tokens|; df and
+(N, T) are slim aggregates (≤|query| rows and 1 row) that broadcast
+back; at scale tf/df come from a stored inverted index instead of a
+scan, and the scoring join is unchanged. No Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+
+BM25_FIX = 1_000_000
+
+
+def _check_params(k1: tuple[int, int], b: tuple[int, int]) -> None:
+    kn, kd = k1
+    bn, bd = b
+    if kd <= 0 or bd <= 0 or kn < 0 or bn < 0 or bn > bd:
+        raise ValueError(
+            "k1 must be a non-negative rational, b a rational in [0, 1]"
+        )
+
+
+def bm25_scores(
+    doc: DataFrame,
+    query_terms: list[str],
+    k1: tuple[int, int] = (6, 5),
+    b: tuple[int, int] = (3, 4),
+) -> DataFrame:
+    """(doc_id, n_terms, bm25_fix, bm25) for every document matching at
+    least one of ``query_terms``; bm25_fix is the exact int64 score at
+    BM25_FIX resolution (the hash-stable column), bm25 its double view.
+    Fully declarative — corpus totals ride a 1-row broadcast, nothing
+    collects."""
+    _check_params(k1, b)
+    terms = sorted(set(query_terms))
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    kn, kd = k1
+    bn, bd = b
+
+    dl = doc.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("dl")
+    )
+    totals = dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("t_tokens"),
+    )
+    postings = (
+        doc.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("term")
+        )
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    df_rel = postings.groupBy("term").agg(
+        F.count("*").cast("long").alias("df")
+    )
+    # idf_fix = round((ln(2N-2df+1) - ln(2df+1)) * FIX): ln of integers
+    # only; negative for terms in more than half the corpus (classic
+    # probabilistic idf — callers wanting Lucene's non-negative variant
+    # add 1 inside the ratio upstream).
+    scored = (
+        postings.join(dl, "doc_id")
+        .join(F.broadcast(df_rel), "term")
+        .join(F.broadcast(totals))
+        .withColumn(
+            "idf_fix",
+            F.round(
+                (
+                    F.log(2 * F.col("n_docs") - 2 * F.col("df") + 1)
+                    - F.log(2 * F.col("df") + 1)
+                )
+                * F.lit(BM25_FIX)
+            ).cast("long"),
+        )
+        .withColumn(
+            "num_i",
+            F.lit(int((kd + kn) * bd))
+            * F.col("t_tokens").cast("decimal(20,0)")
+            * F.col("tf").cast("decimal(20,0)"),
+        )
+        .withColumn(
+            "den_i",
+            F.lit(int(kd * bd))
+            * F.col("t_tokens").cast("decimal(20,0)")
+            * F.col("tf").cast("decimal(20,0)")
+            + F.lit(int(kn * (bd - bn)))
+            * F.col("t_tokens").cast("decimal(20,0)")
+            + F.lit(int(kn * bn))
+            * F.col("dl").cast("decimal(20,0)")
+            * F.col("n_docs").cast("decimal(20,0)"),
+        )
+        .withColumn(
+            "s_fix",
+            F.expr(
+                "(CAST(idf_fix AS DECIMAL(10,0)) * num_i) div den_i"
+            ).cast("long"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_terms"),
+            F.sum("s_fix").cast("long").alias("bm25_fix"),
+        )
+        .withColumn(
+            "bm25", (F.col("bm25_fix") / F.lit(float(BM25_FIX))).cast("double")
+        )
+    )
+
+
+def bm25_topk(
+    doc: DataFrame,
+    query_terms: list[str],
+    topk: int = 10,
+    k1: tuple[int, int] = (6, 5),
+    b: tuple[int, int] = (3, 4),
+) -> DataFrame:
+    """Top-k retrieval: the k highest-scoring documents, deterministic
+    tie-break on doc_id (exact integer scores make ties REAL ties, not
+    float noise). TakeOrdered-shaped — never a global sort of the
+    corpus."""
+    if topk < 1:
+        raise ValueError("topk must be >= 1")
+    s = bm25_scores(doc, query_terms, k1=k1, b=b)
+    return s.orderBy(F.desc("bm25_fix"), "doc_id").limit(topk)
+
+
+def bm25_oracle_sql(
+    query_terms: list[str],
+    k1: tuple[int, int] = (6, 5),
+    b: tuple[int, int] = (3, 4),
+) -> str:
+    """DuckDB derivation of the identical scoring over the
+    pre-registered ``documents`` view — same tokenization, same integer
+    quantities, same ln-of-integers idf, same truncating division."""
+    _check_params(k1, b)
+    terms = sorted(set(query_terms))
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    kn, kd = k1
+    bn, bd = b
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    return f"""
+WITH dl AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+  FROM documents
+),
+totals AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS t_tokens
+  FROM dl
+),
+postings AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+        FROM documents)
+  WHERE term IN ({in_list})
+  GROUP BY doc_id, term
+),
+dfrel AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM postings GROUP BY term
+),
+scored AS (
+  SELECT p.doc_id,
+         CAST(
+           CAST(CAST(ROUND((ln(2 * t.n_docs - 2 * f.df + 1)
+                          - ln(2 * f.df + 1)) * {BM25_FIX}) AS BIGINT)
+                AS HUGEINT)
+           * ({int((kd + kn) * bd)} * CAST(t.t_tokens AS HUGEINT) * p.tf)
+           // ({int(kd * bd)} * CAST(t.t_tokens AS HUGEINT) * p.tf
+               + {int(kn * (bd - bn))} * CAST(t.t_tokens AS HUGEINT)
+               + {int(kn * bn)} * CAST(d.dl AS HUGEINT) * t.n_docs)
+         AS BIGINT) AS s_fix
+  FROM postings p
+  JOIN dl d USING (doc_id)
+  JOIN dfrel f USING (term)
+  CROSS JOIN totals t
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_terms,
+       CAST(SUM(s_fix) AS BIGINT) AS bm25_fix,
+       CAST(CAST(SUM(s_fix) AS BIGINT) / {BM25_FIX}.0 AS DOUBLE) AS bm25
+FROM scored
+GROUP BY doc_id
+"""
