@@ -1710,9 +1710,7 @@ def cluster_balanced_mixture(
     from .queries.clustering import kmeans_embeddings
 
     res = kmeans_embeddings(spark, emb, k=k, iters=iters)
-    if cluster_weights is None:
-        cluster_weights = {c: 1.0 for c in res.clusters}
-    unknown = sorted(set(cluster_weights) - set(res.clusters))
+    unknown = sorted(set(cluster_weights or {}) - set(res.clusters))
     if unknown:
         raise ValueError(
             f"cluster_weights name non-surviving clusters: {unknown}"
@@ -1720,6 +1718,23 @@ def cluster_balanced_mixture(
     labeled = doc.drop("source").join(
         res.assignment.withColumnRenamed("vec_id", "doc_id"), "doc_id"
     )
+    # A cluster can survive k-means yet label zero documents when its
+    # embeddings' vec_ids have no doc row — validate against the joined
+    # frame (bounded: <= k distinct values) so the failure names the
+    # key mismatch instead of mixture_rates' opaque "sources not in the
+    # corpus" error, and so default weights cover only real domains.
+    present = sorted(
+        r["cluster"] for r in labeled.select("cluster").distinct().collect()
+    )
+    if cluster_weights is None:
+        cluster_weights = {c: 1.0 for c in present}
+    else:
+        orphaned = sorted(set(cluster_weights) - set(present))
+        if orphaned:
+            raise ValueError(
+                "cluster_weights name clusters whose embeddings matched no"
+                f" document row (vec_id/doc_id mismatch): {orphaned}"
+            )
     domains = labeled.withColumn(
         "source", F.concat(F.lit("cluster_"), F.col("cluster").cast("string"))
     )

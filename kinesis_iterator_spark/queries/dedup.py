@@ -1138,6 +1138,8 @@ def dedup_exact_substr(doc: DataFrame, w: int = EXACT_SUBSTR_W) -> DataFrame:
       decision frames are the small side, words re-derive from the
       scan, and no document is held whole until its own groupBy row.
     """
+    if w < 2:
+        raise ValueError(f"dedup_exact_substr requires w >= 2, got {w}")
     words = doc.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("i", "w0")
     )
