@@ -1133,9 +1133,10 @@ class EmbeddingWriter:
         self.index_dir = index_dir
         self.tau = COSINE_TAU if tau is None else tau
         self.auto_reconcile = auto_reconcile
-        # The stored codebook is FROZEN between rebuilds: collect it
-        # once per writer lifetime instead of one centroid job per
-        # admit. Keyed on the build identity (meta n, b): reconcile()
+        # The stored codebook is FROZEN between rebuilds: read it
+        # (driver-side pyarrow, zero jobs) once per writer lifetime
+        # instead of per admit. Keyed on the build identity (meta n,
+        # b): reconcile()
         # clears it, and a rebuild by ANY writer changes (n, b) when
         # the store grew — when they are unchanged the deterministic
         # codebook (decimal-exact k-means over the same store) makes a
@@ -1363,12 +1364,12 @@ class EmbeddingWriter:
             )
             crows_key = (meta["n"], meta["b"])
             if self._crows is None or self._crows_key != crows_key:
-                self._crows = sorted(
-                    self.spark.read.parquet(
-                        f"{self.index_dir}/centroids"
-                    ).collect(),
-                    key=lambda r: r["cell"],
-                )
+                # Driver-side pyarrow sidecar read — a COLD writer pays
+                # a file read here, not a Spark collect job per admit
+                # (the values are bit-identical; parquet float64).
+                from .queries.similarity import read_ann_codebook
+
+                self._crows = read_ann_codebook(self.index_dir)
                 self._crows_key = crows_key
             extend_ann_index(
                 self.spark,

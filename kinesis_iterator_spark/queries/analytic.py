@@ -19,34 +19,6 @@ from ..tables import load_table
 from . import query
 
 
-@query(
-    "analytic_percentiles_moments",
-    oracle="""
-    WITH s AS (
-      SELECT l_returnflag,
-             quantile_cont(l_extendedprice, 0.5)  AS p50,
-             quantile_cont(l_extendedprice, 0.9)  AS p90,
-             quantile_cont(l_extendedprice, 0.99) AS p99,
-             COUNT(*) AS n,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS syy,
-             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sxy
-      FROM lineitem GROUP BY l_returnflag
-    )
-    SELECT l_returnflag,
-           p50, p90, p99,
-           TRUE AS approx_within_tol,
-           n,
-           sx / n AS mean_qty,
-           (sxx - sx * sx / n) / (n - 1) AS var_qty,
-           SQRT((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
-           ROUND((sxy - sx * sy / n)
-             / SQRT((sxx - sx * sx / n) * (syy - sy * sy / n)), 10) AS corr_qty_price
-    FROM s
-    """,
-)
 def analytic_percentiles_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group distribution profile in ONE grouped aggregation: exact
     percentiles (linear interpolation — identical in both engines), the
@@ -109,20 +81,6 @@ def analytic_percentiles_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "analytic_histogram_hll",
-    oracle="""
-    SELECT event_type,
-           CAST(FLOOR(value / 50) AS BIGINT) AS bucket,
-           COUNT(*) AS n,
-           MIN(value) AS lo,
-           MAX(value) AS hi,
-           COUNT(DISTINCT user_id) AS exact_users,
-           TRUE AS approx_within_tol
-    FROM events
-    GROUP BY 1, 2
-    """,
-)
 def analytic_histogram_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width histogram (floor-bucketing — one shuffle at bucket
     cardinality regardless of input size) crossed with the HyperLogLog++
@@ -159,5 +117,100 @@ def analytic_histogram_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("approx_within_tol"),
         )
     )
+
+
+@query(
+    "analytic_suite",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.5)  AS p50,
+             quantile_cont(l_extendedprice, 0.9)  AS p90,
+             quantile_cont(l_extendedprice, 0.99) AS p99,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT 'lineitem_profile' AS part, l_returnflag AS grp,
+           CAST(NULL AS BIGINT) AS bucket,
+           n,
+           p50, p90, p99,
+           TRUE AS approx_within_tol,
+           sx / n AS mean_qty,
+           (sxx - sx * sx / n) / (n - 1) AS var_qty,
+           SQRT((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
+           ROUND((sxy - sx * sy / n)
+             / SQRT((sxx - sx * sx / n) * (syy - sy * sy / n)), 10) AS corr_qty_price,
+           CAST(NULL AS DOUBLE) AS lo, CAST(NULL AS DOUBLE) AS hi,
+           CAST(NULL AS BIGINT) AS exact_users
+    FROM s
+    UNION ALL
+    SELECT 'events_histogram', event_type,
+           CAST(FLOOR(value / 50) AS BIGINT),
+           COUNT(*),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           TRUE,
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE),
+           MIN(value), MAX(value),
+           COUNT(DISTINCT user_id)
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def analytic_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both analytic passes in one registry entry (merged per VERDICT r9
+    #2 to free a slot for `semantic_dedup` under the driver's 50-query
+    gate; every function of both originals kept): the per-returnflag
+    lineitem distribution profile (`analytic_percentiles_moments`) and
+    the events histogram × HLL cardinality check
+    (`analytic_histogram_hll`), union-tagged by ``part`` over a
+    NULL-padded common schema — the `join_outer_suite` discipline. Both
+    leg builders remain the public library surface; each leg's grain and
+    plan are unchanged (two independent grouped passes, no extra
+    exchange). Nullable bigints (bucket, exact_users) land as float64
+    under BOTH engines' pandas canonicalization, so the padding is
+    hash-symmetric."""
+    nd = F.lit(None).cast("double")
+    nl = F.lit(None).cast("long")
+    prof = analytic_percentiles_moments(spark, sf_dir).select(
+        F.lit("lineitem_profile").alias("part"),
+        F.col("l_returnflag").alias("grp"),
+        nl.alias("bucket"),
+        "n",
+        "p50",
+        "p90",
+        "p99",
+        "approx_within_tol",
+        "mean_qty",
+        "var_qty",
+        "stddev_qty",
+        "corr_qty_price",
+        nd.alias("lo"),
+        nd.alias("hi"),
+        nl.alias("exact_users"),
+    )
+    hist = analytic_histogram_hll(spark, sf_dir).select(
+        F.lit("events_histogram").alias("part"),
+        F.col("event_type").alias("grp"),
+        "bucket",
+        "n",
+        nd.alias("p50"),
+        nd.alias("p90"),
+        nd.alias("p99"),
+        "approx_within_tol",
+        nd.alias("mean_qty"),
+        nd.alias("var_qty"),
+        nd.alias("stddev_qty"),
+        nd.alias("corr_qty_price"),
+        "lo",
+        "hi",
+        "exact_users",
+    )
+    return prof.unionByName(hist)
 
 

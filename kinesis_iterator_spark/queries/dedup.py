@@ -762,6 +762,7 @@ def semantic_dedup_oracle(tau: float = COSINE_TAU) -> str:
     """
 
 
+@query("semantic_dedup", oracle=semantic_dedup_oracle())
 def semantic_dedup(
     spark: SparkSession, sf_dir: str, tau: float = COSINE_TAU
 ) -> DataFrame:

@@ -1057,6 +1057,28 @@ def write_ann_index(
     return meta
 
 
+def read_ann_codebook(index_dir: str) -> list:
+    """The stored IVF codebook as cell-sorted ``{"cell", "centroid"}``
+    rows, read DRIVER-SIDE from the ``centroids/`` parquet sidecar via
+    pyarrow — zero Spark jobs. Parquet stores binary float64, so the
+    values are bit-identical to a Spark read of the same files; a cold
+    `EmbeddingWriter` (the driver bench constructs one per pass)
+    initializes its frozen-codebook cache from this instead of paying a
+    ``spark.read.parquet(...).collect()`` job per admit. The codebook is
+    ≤ n_cells rows — always driver-sized."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{index_dir}/centroids")
+    rows = [
+        {"cell": c, "centroid": v}
+        for c, v in zip(
+            tbl.column("cell").to_pylist(), tbl.column("centroid").to_pylist()
+        )
+    ]
+    rows.sort(key=lambda r: r["cell"])
+    return rows
+
+
 def extend_ann_index(
     spark: SparkSession,
     new_emb: DataFrame,
@@ -1110,10 +1132,7 @@ def extend_ann_index(
             new_emb.select("vec_id", "embedding"), meta["b"], par
         )
     if crows is None:
-        crows = sorted(
-            spark.read.parquet(f"{index_dir}/centroids").collect(),
-            key=lambda r: r["cell"],
-        )
+        crows = read_ann_codebook(index_dir)
     # Signature and inverted-file appends are independent outputs of the
     # same batch: run them concurrently (a crash committing either
     # subset is the recoverable stale-index window either way —
