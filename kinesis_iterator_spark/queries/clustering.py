@@ -206,6 +206,24 @@ def _assign_fn(cls_np: np.ndarray, C: np.ndarray):
     return assign
 
 
+def codebook_rows(res: KMeansResult) -> list[dict]:
+    """A trained :class:`KMeansResult` as ANN-codebook rows — the
+    ``{"cell", "centroid"}`` shape `similarity._ivf_ranked_assignment`,
+    `write_ann_index(codebook=...)` and `semantic_dedup_frame
+    (clusters=...)` consume — closing the FAISS train-once story: this
+    trainer's output now feeds the index it was built to train.
+
+    Fixed-point → float64 is ONE correctly-rounded IEEE division of an
+    exactly-representable int64 (|c| ≪ 2⁵³) by 10⁶ — deterministic and
+    identical to the oracle's ``CAST(c AS DOUBLE) / 1000000``, so a
+    trained codebook stays cross-engine bit-exact without the varchar
+    mediation the decimal label-means need."""
+    return [
+        {"cell": int(cl), "centroid": [float(c) / FIX for c in res.centroids[j]]}
+        for j, cl in enumerate(res.clusters)
+    ]
+
+
 def kmeans_sse(emb: DataFrame, cls: list[int], C: np.ndarray) -> int:
     """Exact integer within-cluster sum of squared (fixed-point)
     distances of every vector to its nearest centroid in ``C`` — the
@@ -246,6 +264,38 @@ def kmeans_oracle_sqls(k: int, iters: int, dim: int = 64) -> tuple[str, str]:
     the same dist-then-id tie-break, and empty clusters dropped by the
     update join — so both queries are bit-comparable to the Spark
     result, not merely close."""
+    ctes = _kmeans_ctes(k, iters, dim)
+    with_clause = "WITH " + ",\n".join(ctes)
+    assign_sql = (
+        f"{with_clause}\n"
+        f"SELECT vec_id, cl AS cluster FROM a{iters + 1}"
+    )
+    cent_sql = (
+        f"{with_clause}\n"
+        f"SELECT cl AS cluster, dim, CAST(c AS BIGINT) AS c"
+        f" FROM cent{iters}"
+    )
+    return assign_sql, cent_sql
+
+
+def kmeans_cent_ctes(k: int, iters: int, dim: int = 64) -> str:
+    """The k-means iteration as a CTE fragment ending in
+    ``cent(cell, centroid)`` — splice point for oracles whose default
+    codebook relation is the label-mean ``cent`` (e.g.
+    `dedup.semantic_dedup_oracle(cent_ctes=...)`), so SemDeDup over
+    TRAINED cells is value-checkable end-to-end. The float centroid is
+    ``CAST(c AS DOUBLE) / 1000000`` — the same single correctly-rounded
+    division `codebook_rows` performs."""
+    ctes = _kmeans_ctes(k, iters, dim)
+    ctes.append(
+        f"cent AS (SELECT cl AS cell,"
+        f" list(CAST(c AS DOUBLE) / 1000000 ORDER BY dim) AS centroid"
+        f" FROM cent{iters} GROUP BY cl)"
+    )
+    return ",\n".join(ctes)
+
+
+def _kmeans_ctes(k: int, iters: int, dim: int) -> list[str]:
     ctes = [
         f"dims AS (SELECT UNNEST(range({dim})) AS dim)",
         "xfix AS (SELECT vec_id, dim, CAST(FLOOR(CAST(embedding[dim + 1]"
@@ -276,14 +326,4 @@ def kmeans_oracle_sqls(k: int, iters: int, dim: int = 64) -> tuple[str, str]:
                 f"FROM a{i} a JOIN xfix x USING (vec_id) "
                 f"GROUP BY a.cl, x.dim)"
             )
-    with_clause = "WITH " + ",\n".join(ctes)
-    assign_sql = (
-        f"{with_clause}\n"
-        f"SELECT vec_id, cl AS cluster FROM a{iters + 1}"
-    )
-    cent_sql = (
-        f"{with_clause}\n"
-        f"SELECT cl AS cluster, dim, CAST(c AS BIGINT) AS c"
-        f" FROM cent{iters}"
-    )
-    return assign_sql, cent_sql
+    return ctes

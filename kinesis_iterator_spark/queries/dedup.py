@@ -708,17 +708,26 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def semantic_dedup_oracle(tau: float = COSINE_TAU) -> str:
+def semantic_dedup_oracle(
+    tau: float = COSINE_TAU, cent_ctes: str | None = None
+) -> str:
     """DuckDB oracle for :func:`semantic_dedup` — the identical
     derivation in SQL: decimal-exact per-label centroids (the shared
     ``_IVF_CENT_SQL``), nearest-cell assignment by the same left-fold
     dot, within-cell pairwise cosine edges at ``tau``, min-label
     transitive closure (``WITH RECURSIVE`` — oracle scale only), and
-    the keep-least-central election."""
+    the keep-least-central election.
+
+    ``cent_ctes``: alternative CTE fragment ending in ``cent(cell,
+    centroid)`` — e.g. `clustering.kmeans_cent_ctes(...)` to pin
+    SemDeDup over TRAINED k-means cells
+    (`semantic_dedup_frame(clusters=...)`) end-to-end."""
     from .similarity import _DOT_SQL, _IVF_CENT_SQL
 
+    if cent_ctes is None:
+        cent_ctes = _IVF_CENT_SQL
     return f"""
-    WITH RECURSIVE {_IVF_CENT_SQL},
+    WITH RECURSIVE {cent_ctes},
     assigned AS (
       SELECT vec_id, embedding, cell, centroid FROM (
         SELECT e.vec_id, e.embedding, c.cell, c.centroid,
@@ -807,14 +816,27 @@ def semantic_dedup(
 
 
 def semantic_dedup_frame(
-    spark: SparkSession, emb: DataFrame, tau: float = COSINE_TAU
+    spark: SparkSession,
+    emb: DataFrame,
+    tau: float = COSINE_TAU,
+    clusters=None,
 ) -> DataFrame:
     """Frame-level :func:`semantic_dedup` over any (vec_id, label,
     embedding) DataFrame — same derivation and output, always the
     shuffle-side join-gather scorer (no fixture-file executor cache to
     lean on). Hand-crafted cluster semantics pinned in
-    tests/test_semantic_dedup.py."""
-    return _semantic_dedup_impl(spark, emb, tau, sf_dir=None, n=None)
+    tests/test_semantic_dedup.py.
+
+    ``clusters``: a TRAINED cluster structure — a
+    `clustering.KMeansResult` or explicit ``{"cell", "centroid"}`` rows
+    — replacing the default label-mean codebook (SemDeDup as published
+    runs over k-means cells; Abbas et al. 2023 §3). The blocking,
+    cos-to-centroid election, and oracle derivation are unchanged —
+    only the ``cent`` relation differs (oracle: splice the k-means CTE
+    chain via `semantic_dedup_oracle(cent_ctes=...)`)."""
+    return _semantic_dedup_impl(
+        spark, emb, tau, sf_dir=None, n=None, clusters=clusters
+    )
 
 
 def _semantic_dedup_impl(
@@ -823,6 +845,7 @@ def _semantic_dedup_impl(
     tau: float,
     sf_dir: str | None,
     n: int | None,
+    clusters=None,
 ) -> DataFrame:
     from .graph import label_corpus
     from .similarity import (
@@ -836,7 +859,11 @@ def _semantic_dedup_impl(
 
     # ONE tiny codebook collect feeds both the cell assignment and the
     # cos-to-centroid kernel (codebook size is n_cells, never corpus).
-    crows = sorted(_ivf_centroids(emb).collect(), key=lambda r: r["cell"])
+    from .similarity import _resolve_codebook
+
+    crows = _resolve_codebook(clusters) or sorted(
+        _ivf_centroids(emb).collect(), key=lambda r: r["cell"]
+    )
     ranked = managed_persist(_ivf_ranked_assignment(spark, emb, crows=crows))
     assigned = ranked.filter(F.col("rk") == 1).select("vec_id", "cell")
 

@@ -982,6 +982,7 @@ def write_ann_index(
     index_dir: str,
     emb: DataFrame | None = None,
     n: int | None = None,
+    codebook=None,
 ) -> dict:
     """Materialize the ANN index for ``{sf_dir}/embeddings.parquet``:
 
@@ -1005,7 +1006,14 @@ def write_ann_index(
     (a subset/bootstrap build); ``n`` then comes from ``n`` or a count
     of that frame rather than the table footer. ``n``: the caller's
     known row count of ``emb`` (e.g. from parquet footers or an
-    admission aggregate) — spares the count job.
+    admission aggregate) — spares the count job. ``codebook``: a
+    TRAINED coarse codebook — a `clustering.KMeansResult` or explicit
+    ``{"cell", "centroid"}`` rows — used instead of the default
+    label-mean centroids (`_ivf_centroids`); the trained cells become
+    the inverted file's cells, extension keeps assigning against them
+    (frozen-codebook contract — the stored ``centroids/`` sidecar IS
+    the codebook regardless of provenance), and every stored-index
+    query reads them transparently.
 
     Crash safety: an in-place rebuild OVERWRITES artifacts that a
     stale meta.json would silently mis-describe (a crash between the
@@ -1036,7 +1044,9 @@ def write_ann_index(
     lsh_signatures(emb, b, par).write.mode("overwrite").partitionBy(
         "table_id"
     ).parquet(f"{index_dir}/lsh_signatures")
-    crows = sorted(_ivf_centroids(emb).collect(), key=lambda r: r["cell"])
+    crows = _resolve_codebook(codebook) or sorted(
+        _ivf_centroids(emb).collect(), key=lambda r: r["cell"]
+    )
     spark.createDataFrame(
         [(r["cell"], list(r["centroid"])) for r in crows],
         "cell long, centroid array<double>",
@@ -1051,10 +1061,26 @@ def write_ann_index(
         "n_tables": N_TABLES,
         "dim": DIM,
         "b_cap": B_CAP,
+        "codebook": "label_mean" if codebook is None else "trained",
     }
     _write_ann_meta(index_dir, meta)
     os.remove(marker)
     return meta
+
+
+def _resolve_codebook(codebook) -> list | None:
+    """Normalize a caller-supplied codebook to cell-sorted crows.
+    Accepts a trained `clustering.KMeansResult` (converted via
+    `clustering.codebook_rows` — the train-once wiring), an explicit
+    ``{"cell", "centroid"}`` row list, or None (caller falls back to
+    the decimal-exact label-mean codebook)."""
+    if codebook is None:
+        return None
+    if hasattr(codebook, "centroids") and hasattr(codebook, "clusters"):
+        from .clustering import codebook_rows
+
+        codebook = codebook_rows(codebook)
+    return sorted(codebook, key=lambda r: r["cell"])
 
 
 def read_ann_codebook(index_dir: str) -> list:
