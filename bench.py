@@ -362,16 +362,23 @@ def main() -> None:
 
     library.append(("kmeans_codebook", timed_kmeans))
 
-    # -- round-9 surface: BM25 ranked retrieval — postings filtered to
-    # the query's terms before any shuffle, fixed-point scores,
-    # TakeOrdered top-k; driven to a collect of the k result rows.
-    from kinesis_iterator_spark.queries.retrieval import bm25_topk
+    # -- round-9 surface: BM25 ranked retrieval, served from the STORED
+    # inverted index since round 10 (the production read path — tf/df/dl
+    # from the postings layer, corpus text never rescanned; the index
+    # build is setup, outside the timer, like the ANN/admit templates).
+    # Scan-vs-index bit-equality is pinned in tests/test_bm25_index.py.
+    from kinesis_iterator_spark.queries.retrieval import (
+        bm25_topk_from_index,
+        write_bm25_index,
+    )
 
     bm_doc = _lt(spark, sf_dir, "documents").select("doc_id", "text")
     bm_terms = ["scan", "column", "window", "order", "sort"]
+    bm_idx = tempfile.mkdtemp(prefix="bench_bm25_idx_")
+    write_bm25_index(spark, bm_doc, bm_idx)
 
     def bm25() -> None:
-        bm25_topk(bm_doc, bm_terms, topk=10).collect()
+        bm25_topk_from_index(spark, bm_idx, bm_terms, topk=10).collect()
 
     bm25()  # warm
 
@@ -456,6 +463,7 @@ def main() -> None:
 
     shutil.rmtree(template, ignore_errors=True)
     shutil.rmtree(etemplate, ignore_errors=True)
+    shutil.rmtree(bm_idx, ignore_errors=True)
 
     # Belt-and-braces: if anything in this process installed the
     # under-drain listener anyway, drop it before teardown.

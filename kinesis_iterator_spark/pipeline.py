@@ -628,6 +628,7 @@ class CorpusWriter:
         benchmark_doc: DataFrame | None = None,
         decontam_max_frac: float = 0.0,
         auto_compact: bool = False,
+        bm25_index: bool = False,
     ) -> None:
         """``auto_compact``: run `incremental.compact_index` at the end
         of any :meth:`admit` that leaves band-row growth past
@@ -646,7 +647,14 @@ class CorpusWriter:
         one broadcast equi-join; corpus text never shuffles) and docs
         whose contaminated shingle fraction EXCEEDS ``decontam_max_frac``
         are rejected before they ever reach the corpus. The default 0.0
-        is the GPT-3-style rule: any shared shingle rejects."""
+        is the GPT-3-style rule: any shared shingle rejects.
+
+        ``bm25_index``: maintain a stored BM25 inverted index
+        (`queries.retrieval.write_bm25_index` layout) under
+        ``{index_dir}/bm25`` — bootstrapped with the corpus, extended
+        with every admitted batch (the band/paragraph-layer
+        discipline), queried via :meth:`bm25_topk`. Off by default:
+        the layer costs a few batch-bounded jobs per admit."""
         self.spark = spark
         self.corpus_dir = corpus_dir
         self.index_dir = index_dir
@@ -654,6 +662,7 @@ class CorpusWriter:
         self.benchmark_doc = benchmark_doc
         self.decontam_max_frac = decontam_max_frac
         self.auto_compact = auto_compact
+        self.bm25_index = bm25_index
         self._bench_shingles: DataFrame | None = None
 
     def _bootstrapped(self) -> bool:
@@ -963,6 +972,13 @@ class CorpusWriter:
                 incremental.extend_index(
                     novel, self.index_dir, bands=batch_bands
                 )
+                if self.bm25_index:
+                    # After the dedup-index extend: a crash anywhere in
+                    # the index-side window leaves DERIVED layers stale
+                    # w.r.t. the committed corpus, and _extend_bm25
+                    # self-heals a missing/interrupted layer by
+                    # rebuilding from the corpus (the reconcile path).
+                    self._extend_bm25(novel)
                 if self.auto_compact:
                     drift = incremental.index_drift(self.index_dir)
                     if (
@@ -991,6 +1007,14 @@ class CorpusWriter:
                 incremental.write_index(
                     self.corpus(), self.index_dir, bands=cur.bands
                 )
+                if self.bm25_index:
+                    from .queries.retrieval import write_bm25_index
+
+                    write_bm25_index(
+                        self.spark,
+                        self.corpus().select("doc_id", "text"),
+                        self._bm25_dir(),
+                    )
             return stats
         finally:
             if batch_bands is not None and batch_bands is not cur.bands:
@@ -1006,6 +1030,48 @@ class CorpusWriter:
             # a long-running ingestion loop must not pin one batch's
             # blocks per admit.
             release_persists()
+
+    def _bm25_dir(self) -> str:
+        return f"{self.index_dir}/bm25"
+
+    def _extend_bm25(self, novel: DataFrame) -> None:
+        """Extend the stored BM25 layer with the admitted docs; rebuild
+        from the corpus when the layer is missing or was left
+        interrupted (late enablement on pre-existing state, or a crash
+        inside a previous admit's index-side window — the corpus is the
+        source of truth, the layer is derived)."""
+        from .queries.retrieval import (
+            _check_bm25_meta,
+            extend_bm25_index,
+            write_bm25_index,
+        )
+
+        try:
+            _check_bm25_meta(self._bm25_dir())
+        except ValueError:
+            write_bm25_index(
+                self.spark,
+                self.corpus().select("doc_id", "text"),
+                self._bm25_dir(),
+            )
+            return
+        extend_bm25_index(
+            self.spark, novel.select("doc_id", "text"), self._bm25_dir()
+        )
+
+    def bm25_topk(self, query_terms: list[str], topk: int = 10, **kw) -> DataFrame:
+        """Ranked retrieval over the admitted corpus from the stored
+        inverted index (requires ``bm25_index=True``) — tf/df/dl come
+        from the postings layer, never a corpus-text scan."""
+        from .queries.retrieval import bm25_topk_from_index
+
+        if not self.bm25_index:
+            raise ValueError(
+                "this CorpusWriter was constructed without bm25_index=True"
+            )
+        return bm25_topk_from_index(
+            self.spark, self._bm25_dir(), query_terms, topk=topk, **kw
+        )
 
     def _paras_dir(self) -> str:
         return f"{self.index_dir}/paragraphs"
@@ -1051,6 +1117,14 @@ class CorpusWriter:
                 self.corpus().select("doc_id", "text"),
                 sep=self.config.paragraph_sep,
             ).distinct().write.mode("overwrite").parquet(self._paras_dir())
+        if self.bm25_index:
+            from .queries.retrieval import write_bm25_index
+
+            write_bm25_index(
+                self.spark,
+                self.corpus().select("doc_id", "text"),
+                self._bm25_dir(),
+            )
         return meta
 
     def compact(self) -> dict:

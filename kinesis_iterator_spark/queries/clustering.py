@@ -91,26 +91,160 @@ def _dists_int(X: np.ndarray, C: np.ndarray) -> np.ndarray:
     return D
 
 
+# Deterministic k-means‖ seeding (Bahmani et al. 2012, "Scalable
+# k-means++") with the randomness replaced by the repo's md5 h60 hash:
+# the per-round sampling predicate  u < ℓ·d²(x,C)/φ(C)  becomes the
+# EXACT integer comparison  (h60(vec_id:salt) mod P)·φ < ℓ·P·d²(x) —
+# a pure function of the corpus, identical in Spark and DuckDB, so the
+# seeded iteration stays fully oracle-checkable. φ rides DECIMAL(38,0)
+# / HUGEINT (Σ d² exceeds int64 past ~35k fixture-scale vectors).
+KMPAR_P = 1 << 20
+
+
+def _kmpar_pred_sql(phi: int, ell: int, seed: int, r: int) -> str:
+    h = (
+        "CAST(conv(substring(md5(concat(CAST(vec_id AS STRING), "
+        f"':kmpar:{seed}:{r}')), 1, 15), 16, 10) AS BIGINT)"
+    )
+    return (
+        f"CAST(pmod({h}, {KMPAR_P}) AS DECIMAL(38,0))"
+        f" * CAST('{int(phi)}' AS DECIMAL(38,0))"
+        f" < CAST('{ell * KMPAR_P}' AS DECIMAL(38,0))"
+        f" * CAST(d2 AS DECIMAL(38,0))"
+    )
+
+
+def _kmeans_par_C(
+    spark: SparkSession,
+    src: DataFrame,
+    k: int,
+    oversample: int,
+    rounds: int,
+    seed: int,
+) -> np.ndarray:
+    """(k, d) int64 init centroids by deterministic k-means‖ over the
+    persisted (vec_id, embedding) frame: fixed ``rounds`` of hashed
+    oversampling at ℓ = oversample·k, then weight every candidate by
+    the corpus points nearest to it and keep the top-k by
+    (weight DESC, vec_id) — the classic recluster-the-candidates step
+    collapsed to its deterministic top-k form. Per round: one Arrow
+    distance pass over the corpus emitting a SLIM (vec_id, d2) frame
+    (checkpointed), a 1-row φ aggregate, and a bounded candidate
+    collect (expected ℓ rows — candidate vectors travel driver-side,
+    like the Lloyd codebook). Candidates themselves have d² = 0 and can
+    never re-select."""
+    from . import release_local_checkpoint
+
+    first = src.orderBy("vec_id").limit(1).collect()
+    if not first:
+        raise ValueError("kmeans over an empty frame")
+    cand: dict[int, np.ndarray] = {
+        int(first[0]["vec_id"]): _quantize(
+            np.array([first[0]["embedding"]], dtype=np.float32)
+        )[0]
+    }
+    ell = oversample * k
+    for r in range(1, rounds + 1):
+        ids = np.array(sorted(cand), dtype=np.int64)
+        CAND = np.stack([cand[i] for i in ids])
+
+        def dist_fn(batches, CAND=CAND):
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = _quantize(
+                    np.stack(pdf["embedding"].to_numpy()).astype(np.float32)
+                )
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"].to_numpy(np.int64),
+                        "d2": _dists_int(X, CAND).min(axis=1),
+                    }
+                )
+
+        d2f = src.mapInPandas(dist_fn, "vec_id long, d2 long").localCheckpoint(
+            eager=True
+        )
+        try:
+            phi = (
+                d2f.agg(
+                    F.sum(F.col("d2").cast("decimal(38,0)")).alias("phi")
+                ).collect()[0]["phi"]
+            )
+            if phi is None or int(phi) == 0:
+                break  # every point coincides with a candidate
+            sel = (
+                d2f.filter(F.expr(_kmpar_pred_sql(int(phi), ell, seed, r)))
+                .join(src, "vec_id")
+                .select("vec_id", "embedding")
+                .collect()
+            )
+        finally:
+            release_local_checkpoint(d2f)
+        for row in sel:
+            cand[int(row["vec_id"])] = _quantize(
+                np.array([row["embedding"]], dtype=np.float32)
+            )[0]
+    if len(cand) < k:
+        raise ValueError(
+            f"k-means|| seeding produced {len(cand)} candidates < k={k}; "
+            "raise oversample or rounds"
+        )
+    ids = np.array(sorted(cand), dtype=np.int64)
+    CAND = np.stack([cand[i] for i in ids])
+
+    def near_fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = _quantize(
+                np.stack(pdf["embedding"].to_numpy()).astype(np.float32)
+            )
+            # first argmin = smallest candidate vec_id (ids ascending)
+            yield pd.DataFrame(
+                {"cand": ids[np.argmin(_dists_int(X, CAND), axis=1)]}
+            )
+
+    w = {
+        int(r["cand"]): int(r["n"])
+        for r in src.mapInPandas(near_fn, "cand long")
+        .groupBy("cand")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    order = sorted(cand, key=lambda v: (-w.get(v, 0), v))[:k]
+    return np.stack([cand[v] for v in order])
+
+
 def kmeans_embeddings(
     spark: SparkSession,
     emb: DataFrame,
     k: int = 8,
     iters: int = 4,
+    init: str = "min_id",
+    oversample: int = 2,
+    rounds: int = 3,
+    seed: int = 0,
 ) -> KMeansResult:
     """Fixed-point Lloyd's k-means over an (vec_id, embedding) frame.
 
-    Runs ``iters`` (assign → update) rounds from the smallest-vec_id
-    init, then one final assignment against the final centroids — so
+    Runs ``iters`` (assign → update) rounds from the chosen init, then
+    one final assignment against the final centroids — so
     ``assignment`` satisfies the invariant "cluster == argmin distance
-    to a returned centroid" exactly (pinned)."""
-    init_rows = (
-        emb.select("vec_id", "embedding").orderBy("vec_id").limit(k).collect()
-    )
-    C = _quantize(
-        np.array([r["embedding"] for r in init_rows], dtype=np.float32)
-    )
-    cls = list(range(len(init_rows)))
+    to a returned centroid" exactly (pinned).
 
+    ``init``: ``"min_id"`` (the k smallest-vec_id vectors — the
+    original oracle-checkability contract, quality-degenerate at scale)
+    or ``"kmeans_par"`` (deterministic k-means‖, `_kmeans_par_C` — the
+    production seeding; equally oracle-checkable via
+    `kmeans_oracle_sqls(init="kmeans_par")`, and pinned to never score
+    a worse Lloyd objective than min_id on the fixtures)."""
     n_part = spark.sparkContext.defaultParallelism
     # One materialization feeds iters+1 scan passes (A/B'd at sf0.1:
     # 2.77 s persisted vs 3.26 s recomputed, min-of-3; the caller
@@ -119,6 +253,22 @@ def kmeans_embeddings(
     src = managed_persist(
         emb.select("vec_id", "embedding").repartition(n_part)
     )
+    if init == "min_id":
+        init_rows = (
+            emb.select("vec_id", "embedding")
+            .orderBy("vec_id")
+            .limit(k)
+            .collect()
+        )
+        C = _quantize(
+            np.array([r["embedding"] for r in init_rows], dtype=np.float32)
+        )
+        cls = list(range(len(init_rows)))
+    elif init == "kmeans_par":
+        C = _kmeans_par_C(spark, src, k, oversample, rounds, seed)
+        cls = list(range(C.shape[0]))
+    else:
+        raise ValueError(f"unknown init {init!r}")
 
     for _ in range(iters):
         parts = src.mapInPandas(

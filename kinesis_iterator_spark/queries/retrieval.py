@@ -37,8 +37,13 @@ the corpus convention: `split(text, ' ')` ≡ `string_split(text, ' ')`.
 terms BEFORE any shuffle (a broadcast isin over ≤|query| literals), so
 the heavy frame is |matching postings|, never |corpus tokens|; df and
 (N, T) are slim aggregates (≤|query| rows and 1 row) that broadcast
-back; at scale tf/df come from a stored inverted index instead of a
-scan, and the scoring join is unchanged. No Python in the row path.
+back. At scale tf/df come from the STORED inverted index in this
+module (`write_bm25_index` / `extend_bm25_index` /
+`bm25_topk_from_index` — term-pushdown postings scan, per-segment df
+rows, totals as meta literals; extended per `CorpusWriter.admit` batch
+like the band/paragraph layers), and the scoring join is unchanged —
+the two forms are bit-equal (tests/test_bm25_index.py). No Python in
+the row path.
 """
 
 from __future__ import annotations
@@ -96,15 +101,30 @@ def bm25_scores(
     df_rel = postings.groupBy("term").agg(
         F.count("*").cast("long").alias("df")
     )
+    joined = (
+        postings.join(dl, "doc_id")
+        .join(F.broadcast(df_rel), "term")
+        .join(F.broadcast(totals))
+    )
+    return _finish_scores(joined, k1, b)
+
+
+def _finish_scores(joined: DataFrame, k1, b) -> DataFrame:
+    """The exact-arithmetic scoring tail shared by the scan form
+    (`bm25_scores`) and the stored-index form (`bm25_scores_from_index`):
+    ``joined`` carries one row per (doc, matched term) with columns
+    (doc_id, tf, dl, df, n_docs, t_tokens); the output is the per-doc
+    (n_terms, bm25_fix, bm25). Every operation is integer/decimal-exact
+    (see the module docstring), so the two forms are BIT-equal, not
+    merely close — the stored-index equality pin rests on this."""
+    kn, kd = k1
+    bn, bd = b
     # idf_fix = round((ln(2N-2df+1) - ln(2df+1)) * FIX): ln of integers
     # only; negative for terms in more than half the corpus (classic
     # probabilistic idf — callers wanting Lucene's non-negative variant
     # add 1 inside the ratio upstream).
     scored = (
-        postings.join(dl, "doc_id")
-        .join(F.broadcast(df_rel), "term")
-        .join(F.broadcast(totals))
-        .withColumn(
+        joined.withColumn(
             "idf_fix",
             F.round(
                 (
@@ -225,3 +245,244 @@ SELECT doc_id,
 FROM scored
 GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Stored inverted index — the postings layer the module docstring promises
+# ("at scale tf/df come from a stored inverted index instead of a scan")
+# ---------------------------------------------------------------------------
+#
+# Layout under ``index_dir`` (the ANN-index sidecar discipline,
+# `similarity.write_ann_index`):
+#
+# - ``postings/``  (doc_id, term, tf)  — the inverted file, full vocab
+# - ``doclen/``    (doc_id, dl)       — per-doc token counts (dl = Σ tf)
+# - ``df/``        (term, df)         — per-SEGMENT document frequencies:
+#   the bootstrap writes one segment, every extend appends one; queries
+#   SUM over matching terms, so extension is append-only (the band-file
+#   discipline — no read-modify-write of a corpus-sized artifact).
+# - ``meta.json``  {n_docs, t_tokens, fix, format} — corpus totals as
+#   driver-side literals (they enter the score as constants, not joins).
+#
+# Crash contract: every mutation is bracketed by an ``extend.inprogress``
+# marker (written first, removed after the meta replace). A crash inside
+# the bracket leaves the marker; readers and extenders refuse loudly and
+# `write_bm25_index` (full rebuild from the corpus — the reconcile path)
+# heals. The meta write itself is temp-file + os.replace, so a torn
+# write cannot leave unparseable JSON under a valid path.
+
+BM25_INDEX_FORMAT = 1
+
+
+def _bm25_marker(index_dir: str) -> str:
+    return f"{index_dir}/extend.inprogress"
+
+
+def bm25_rebuild_interrupted(index_dir: str) -> bool:
+    """True if a bootstrap/extend died inside its marker bracket — the
+    stored relations may disagree with meta (or with each other)."""
+    import os
+
+    return os.path.exists(_bm25_marker(index_dir))
+
+
+def _write_bm25_meta(index_dir: str, meta: dict) -> None:
+    import json
+    import os
+
+    tmp = f"{index_dir}/meta.json.tmp"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, f"{index_dir}/meta.json")
+
+
+def _check_bm25_meta(index_dir: str) -> dict:
+    import json
+
+    if bm25_rebuild_interrupted(index_dir):
+        raise ValueError(
+            f"BM25 index at {index_dir} has an unfinished write "
+            "(extend.inprogress marker present): stored postings/totals "
+            "may be inconsistent. Rebuild with write_bm25_index."
+        )
+    try:
+        with open(f"{index_dir}/meta.json") as fh:
+            meta = json.load(fh)
+    except (OSError, ValueError) as e:
+        raise ValueError(
+            f"BM25 index at {index_dir} has no readable meta.json — "
+            "not bootstrapped, or a crashed write; run write_bm25_index."
+        ) from e
+    if meta.get("format") != BM25_INDEX_FORMAT or meta.get("fix") != BM25_FIX:
+        raise ValueError(
+            f"BM25 index at {index_dir} was built with an incompatible "
+            f"layout/fix ({meta}); rebuild with write_bm25_index."
+        )
+    return meta
+
+
+def _postings_frame(doc: DataFrame) -> DataFrame:
+    """(doc_id, term, tf) over the FULL vocabulary — the write-time twin
+    of `bm25_scores`' query-filtered postings (same tokenization, so
+    dl = Σ tf reproduces `size(split(text, ' '))` exactly, empty docs
+    included: split('') yields [''])."""
+    return (
+        doc.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+
+
+def write_bm25_index(spark: SparkSession, doc: DataFrame, index_dir: str) -> dict:
+    """Materialize the inverted index for ``doc`` (doc_id, text) —
+    bootstrap and reconcile path (mode overwrite).
+
+    One corpus-scale pass builds ``postings/``; ``doclen/`` and ``df/``
+    are then derived by re-READING the written parquet (column-pruned
+    slim scans — the stored-column discipline: never recompute the
+    explode, never persist the token-scale frame), with the two derived
+    writes overlapped in driver threads. n_docs comes from the doclen
+    parquet footers (zero jobs); t_tokens is a 1-row aggregate."""
+    import os
+
+    from ..incremental import _concurrently, _dir_rows
+
+    os.makedirs(index_dir, exist_ok=True)
+    with open(_bm25_marker(index_dir), "w") as fh:
+        fh.write("")
+    _postings_frame(doc).write.mode("overwrite").parquet(
+        f"{index_dir}/postings"
+    )
+    post = spark.read.parquet(f"{index_dir}/postings")
+    _concurrently(
+        lambda: post.groupBy("doc_id")
+        .agg(F.sum("tf").cast("long").alias("dl"))
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/doclen"),
+        lambda: post.groupBy("term")
+        .agg(F.count("*").cast("long").alias("df"))
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/df"),
+    )
+    t_tokens = int(
+        spark.read.parquet(f"{index_dir}/doclen")
+        .agg(F.sum("dl").alias("t"))
+        .collect()[0]["t"]
+        or 0
+    )
+    meta = {
+        "format": BM25_INDEX_FORMAT,
+        "fix": BM25_FIX,
+        "n_docs": _dir_rows(f"{index_dir}/doclen"),
+        "t_tokens": t_tokens,
+    }
+    _write_bm25_meta(index_dir, meta)
+    os.remove(_bm25_marker(index_dir))
+    return meta
+
+
+def extend_bm25_index(
+    spark: SparkSession, new_doc: DataFrame, index_dir: str
+) -> dict:
+    """Append a batch's postings/doclen/df rows and roll the totals —
+    the per-admit extension (`incremental.extend_index`'s discipline:
+    batch-bounded work, append-only artifacts, marker-bracketed).
+
+    Precondition (the CorpusWriter contract): ``new_doc``'s doc_ids are
+    NOT already in the index — the admission layer's exact-dedup
+    guarantees it; a re-extended id would double-count its postings."""
+    import os
+
+    from ..incremental import _concurrently
+
+    meta = _check_bm25_meta(index_dir)
+    batch = _postings_frame(new_doc).localCheckpoint(eager=True)
+    try:
+        with open(_bm25_marker(index_dir), "w") as fh:
+            fh.write("")
+        box: dict = {}
+
+        def _totals():
+            r = batch.agg(
+                F.count_distinct("doc_id").alias("n"),
+                F.sum("tf").alias("t"),
+            ).collect()[0]
+            box["n"], box["t"] = int(r["n"] or 0), int(r["t"] or 0)
+
+        _concurrently(
+            _totals,
+            lambda: batch.write.mode("append").parquet(
+                f"{index_dir}/postings"
+            ),
+            lambda: batch.groupBy("doc_id")
+            .agg(F.sum("tf").cast("long").alias("dl"))
+            .write.mode("append")
+            .parquet(f"{index_dir}/doclen"),
+            lambda: batch.groupBy("term")
+            .agg(F.count("*").cast("long").alias("df"))
+            .write.mode("append")
+            .parquet(f"{index_dir}/df"),
+        )
+        meta["n_docs"] += box["n"]
+        meta["t_tokens"] += box["t"]
+        _write_bm25_meta(index_dir, meta)
+        os.remove(_bm25_marker(index_dir))
+        return meta
+    finally:
+        from . import release_local_checkpoint
+
+        release_local_checkpoint(batch)
+
+
+def bm25_scores_from_index(
+    spark: SparkSession,
+    index_dir: str,
+    query_terms: list[str],
+    k1: tuple[int, int] = (6, 5),
+    b: tuple[int, int] = (3, 4),
+) -> DataFrame:
+    """`bm25_scores` served from the stored index: tf rows come from a
+    term-pushdown parquet scan of ``postings/`` (never the corpus text),
+    df from the slim per-segment ``df/`` relation summed over matching
+    terms, dl from an equi-join against ``doclen/``, and (N, T) enter as
+    driver-side literals from meta — zero corpus-text work per query.
+    Bit-equal to the scan form over the same corpus (shared
+    `_finish_scores` tail; pinned in tests/test_bm25_index.py)."""
+    _check_params(k1, b)
+    terms = sorted(set(query_terms))
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    meta = _check_bm25_meta(index_dir)
+    post = spark.read.parquet(f"{index_dir}/postings").filter(
+        F.col("term").isin(terms)
+    )
+    dfr = (
+        spark.read.parquet(f"{index_dir}/df")
+        .filter(F.col("term").isin(terms))
+        .groupBy("term")
+        .agg(F.sum("df").cast("long").alias("df"))
+    )
+    dl = spark.read.parquet(f"{index_dir}/doclen")
+    joined = (
+        post.join(dl, "doc_id")
+        .join(F.broadcast(dfr), "term")
+        .withColumn("n_docs", F.lit(int(meta["n_docs"])).cast("long"))
+        .withColumn("t_tokens", F.lit(int(meta["t_tokens"])).cast("long"))
+    )
+    return _finish_scores(joined, k1, b)
+
+
+def bm25_topk_from_index(
+    spark: SparkSession,
+    index_dir: str,
+    query_terms: list[str],
+    topk: int = 10,
+    k1: tuple[int, int] = (6, 5),
+    b: tuple[int, int] = (3, 4),
+) -> DataFrame:
+    """`bm25_topk` served from the stored index — same deterministic
+    (score desc, doc_id) TakeOrdered top-k."""
+    if topk < 1:
+        raise ValueError("topk must be >= 1")
+    s = bm25_scores_from_index(spark, index_dir, query_terms, k1=k1, b=b)
+    return s.orderBy(F.desc("bm25_fix"), "doc_id").limit(topk)
