@@ -143,6 +143,17 @@ class CurationConfig:
     # persisting TB of rewritten text in executor memory.
     dedup_paragraphs: bool = False
     paragraph_sep: str = "\n\n"
+    # Apply `dedup.dedup_exact_substr` (Lee et al. 2022 ExactSubstr
+    # span removal) after scrub + paragraph dedup and before the
+    # long-document split/gates — the paper runs it corpus-wide before
+    # training, and running it before the gates means length/quality
+    # signals score the text that will actually be admitted. NOT
+    # idempotent (like the paper's sequential pass) and corpus-global
+    # ("first occurrence" is over the whole input frame): in
+    # `CorpusWriter.admit` it is therefore BATCH-scoped (in-batch
+    # spans; the cross-batch layer is the document-level dedup index).
+    dedup_exact_substr: bool = False
+    exact_substr_w: int = 8  # dedup.EXACT_SUBSTR_W
     # Split documents LONGER than this many words into multiple
     # documents at paragraph boundaries (greedy next-fit over
     # paragraphs, `_split_long_stage`) BEFORE gating — what a
@@ -180,6 +191,8 @@ class CurationConfig:
             raise ValueError("tokens_per_shard must be >= 1")
         if self.split_long is not None and self.split_long < 1:
             raise ValueError("split_long must be >= 1 words (or None)")
+        if self.exact_substr_w < 2:
+            raise ValueError("exact_substr_w must be >= 2")
         if self.classifier_buckets < 1:
             raise ValueError("classifier_buckets must be >= 1")
 
@@ -314,6 +327,12 @@ def _pre_stages(
         doc = dedup_paragraphs(
             doc, sep=config.paragraph_sep, seen=seen_paras
         ).drop("n_paras", "n_kept")
+    if config.dedup_exact_substr:
+        from .queries.dedup import dedup_exact_substr
+
+        doc = dedup_exact_substr(doc, w=config.exact_substr_w).drop(
+            "n_words", "n_kept"
+        )
     if config.split_long is not None:
         doc = _split_long_stage(
             doc, config.split_long, config.paragraph_sep
@@ -750,7 +769,7 @@ class CorpusWriter:
             self.reconcile()
 
         cfg = self.config
-        if cfg.scrub_pii or cfg.dedup_paragraphs:
+        if cfg.scrub_pii or cfg.dedup_paragraphs or cfg.dedup_exact_substr:
             # The writer applies the text-REWRITING stages itself so
             # the paragraph pass can see the STORED digest layer
             # (paragraphs already in the corpus must lose to their
@@ -765,7 +784,15 @@ class CorpusWriter:
                 else None
             )
             batch_doc = _pre_stages(batch_doc, cfg, seen_paras=seen)
-            cfg = replace(cfg, scrub_pii=False, dedup_paragraphs=False)
+            # Every pre-applied rewrite flag is cleared for the inner
+            # curate — dedup_exact_substr is NOT idempotent, so leaving
+            # it on would strip spans twice.
+            cfg = replace(
+                cfg,
+                scrub_pii=False,
+                dedup_paragraphs=False,
+                dedup_exact_substr=False,
+            )
 
         # Start the vs-corpus verdict build the moment the eligible
         # set's band rows exist — BEFORE the in-batch CC runs — so the
@@ -1517,6 +1544,7 @@ def pack_sequences(
     straddle: bool = False,
     id_cols: tuple[str, ...] = ("doc_id",),
     split_oversized: bool = False,
+    tokens_col: str = "tokens",
 ) -> DataFrame:
     """Assign curated documents to fixed-size training sequences
     ("sequence packing" — the step between a curated corpus and a
@@ -1566,6 +1594,11 @@ def pack_sequences(
     shard count changes pack assignment (it changes the shard hash
     domain), so pin it when reproducing a run — same contract as
     `CuratedCorpus.write_shards`.
+
+    ``tokens_col``: SQL expression (usually a column name) for the
+    integer token count — swap in a real BPE count column without
+    forking the kernel; every packing property holds under any counter
+    (pinned in tests/test_properties.py).
     """
     if ctx_len < 1:
         raise ValueError("ctx_len must be >= 1")
@@ -1578,7 +1611,10 @@ def pack_sequences(
         n_shards = spark.sparkContext.defaultParallelism
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
-    base = doc.select(*ids, F.col("tokens").cast("long").alias("tokens"))
+    # ``tokens_col`` names ANY integer token-count column/expr (a real
+    # BPE count in production; the whitespace/BPE-ish columns here) —
+    # the packing kernel is counter-agnostic, it only sums.
+    base = doc.select(*ids, F.expr(tokens_col).cast("long").alias("tokens"))
     if split_oversized:
         # hi = ceil(tokens/ctx_len) - 1, floored at 0 so zero-token
         # rows keep one (empty) piece and the sequence stays ascending
@@ -1645,7 +1681,10 @@ def pack_sequences(
 
 
 def mixture_rates(
-    doc: DataFrame, weights: dict[str, float], token_budget: int
+    doc: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    tokens_col: str = "tokens",
 ) -> dict[str, float]:
     """Per-source sampling rates that realize a target token MIXTURE:
     source s gets ``token_budget * w_s / Σw`` tokens, so its rate is
@@ -1654,7 +1693,9 @@ def mixture_rates(
     `apply_mixture` handles both directions. One aggregate job; the
     collect is one row per source (bounded by the recipe, not the
     corpus). Unknown sources in ``weights`` fail loudly — a silent
-    zero-token source would skew every other proportion."""
+    zero-token source would skew every other proportion. ``tokens_col``:
+    SQL expression for the integer token count (the `pack_sequences`
+    hook — a BPE count column drops in without forking the recipe)."""
     if token_budget < 1:
         raise ValueError("token_budget must be >= 1")
     if not weights or any(w < 0 for w in weights.values()):
@@ -1664,7 +1705,9 @@ def mixture_rates(
         raise ValueError("weights sum to zero — no mixture is defined")
     totals = {
         r["source"]: r["t"]
-        for r in doc.groupBy("source").agg(F.sum("tokens").alias("t")).collect()
+        for r in doc.groupBy("source")
+        .agg(F.sum(F.expr(tokens_col)).alias("t"))
+        .collect()
     }
     missing = sorted(set(weights) - set(totals))
     if missing:
@@ -1741,13 +1784,16 @@ def build_mixture(
     weights: dict[str, float],
     token_budget: int,
     seed: int = 0,
+    tokens_col: str = "tokens",
 ) -> DataFrame:
     """`mixture_rates` + `apply_mixture`: sample ``doc`` so each source
     contributes tokens in proportion to ``weights``, totaling
     approximately ``token_budget`` (exact up to one Bernoulli draw per
     document). The training-data "recipe" step that follows curation
     and precedes `pack_sequences`."""
-    return apply_mixture(doc, mixture_rates(doc, weights, token_budget), seed)
+    return apply_mixture(
+        doc, mixture_rates(doc, weights, token_budget, tokens_col), seed
+    )
 
 
 def cluster_balanced_mixture(

@@ -405,7 +405,15 @@ def kmeans_sse(emb: DataFrame, cls: list[int], C: np.ndarray) -> int:
     return int(rows[0]["sse"])
 
 
-def kmeans_oracle_sqls(k: int, iters: int, dim: int = 64) -> tuple[str, str]:
+def kmeans_oracle_sqls(
+    k: int,
+    iters: int,
+    dim: int = 64,
+    init: str = "min_id",
+    oversample: int = 2,
+    rounds: int = 3,
+    seed: int = 0,
+) -> tuple[str, str]:
     """(assignment_sql, centroid_sql) — the unrolled-CTE DuckDB
     derivation of the identical iteration over the pre-registered
     ``embeddings`` view. Integer quantization, exact integer reductions,
@@ -413,8 +421,10 @@ def kmeans_oracle_sqls(k: int, iters: int, dim: int = 64) -> tuple[str, str]:
     DuckDB exactly like Spark's `div`; operands are kept non-negative),
     the same dist-then-id tie-break, and empty clusters dropped by the
     update join — so both queries are bit-comparable to the Spark
-    result, not merely close."""
-    ctes = _kmeans_ctes(k, iters, dim)
+    result, not merely close. ``init="kmeans_par"`` splices the
+    deterministic k-means‖ seeding chain in place of the min-id init
+    (same oversample/rounds/seed as the Spark call)."""
+    ctes = _kmeans_ctes(k, iters, dim, init, oversample, rounds, seed)
     with_clause = "WITH " + ",\n".join(ctes)
     assign_sql = (
         f"{with_clause}\n"
@@ -445,17 +455,90 @@ def kmeans_cent_ctes(k: int, iters: int, dim: int = 64) -> str:
     return ",\n".join(ctes)
 
 
-def _kmeans_ctes(k: int, iters: int, dim: int) -> list[str]:
+def _kmpar_ctes(k: int, oversample: int, rounds: int, seed: int) -> list[str]:
+    """The deterministic k-means‖ seeding as CTEs ending in
+    ``init(vec_id, cl)`` — the oracle twin of `_kmeans_par_C`: the same
+    hashed-oversampling predicate in HUGEINT, the same
+    nearest-candidate weights, the same (w DESC, vec_id) top-k."""
+    ell = oversample * k
+    ctes = ["kp_c0 AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 1)"]
+    pair = (
+        "SELECT a.vec_id AS vec_id, c.vec_id AS cid,"
+        " SUM((a.x - b.x) * (a.x - b.x)) AS s"
+        " FROM xfix a CROSS JOIN kp_c{prev} c"
+        " JOIN xfix b ON b.vec_id = c.vec_id AND b.dim = a.dim"
+        " GROUP BY a.vec_id, c.vec_id"
+    )
+    for r in range(1, rounds + 1):
+        p = pair.format(prev=r - 1)
+        ctes.append(
+            f"kp_d{r} AS (SELECT vec_id, MIN(s) AS d2 FROM ({p})"
+            f" GROUP BY vec_id)"
+        )
+        ctes.append(
+            f"kp_phi{r} AS (SELECT SUM(CAST(d2 AS HUGEINT)) AS phi"
+            f" FROM kp_d{r})"
+        )
+        h = (
+            "CAST('0x' || substring(md5(CAST(d.vec_id AS VARCHAR)"
+            f" || ':kmpar:{seed}:{r}'), 1, 15) AS BIGINT)"
+        )
+        ctes.append(
+            f"kp_s{r} AS (SELECT d.vec_id FROM kp_d{r} d, kp_phi{r} p"
+            f" WHERE ({h} % {KMPAR_P}) * p.phi"
+            f" < {ell * KMPAR_P} * CAST(d.d2 AS HUGEINT))"
+        )
+        ctes.append(
+            f"kp_c{r} AS (SELECT vec_id FROM kp_c{r - 1}"
+            f" UNION SELECT vec_id FROM kp_s{r})"
+        )
+    near = pair.format(prev=rounds)
+    ctes.append(
+        "kp_near AS (SELECT vec_id, cid FROM ("
+        "SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id"
+        f" ORDER BY s, cid) AS rk FROM ({near})) WHERE rk = 1)"
+    )
+    ctes.append(
+        f"kp_w AS (SELECT c.vec_id, COALESCE(n.w, 0) AS w FROM kp_c{rounds} c"
+        " LEFT JOIN (SELECT cid, COUNT(*) AS w FROM kp_near GROUP BY cid) n"
+        " ON n.cid = c.vec_id)"
+    )
+    ctes.append(
+        "init AS (SELECT vec_id, cl FROM (SELECT vec_id,"
+        " ROW_NUMBER() OVER (ORDER BY w DESC, vec_id) - 1 AS cl"
+        f" FROM kp_w) WHERE cl < {k})"
+    )
+    return ctes
+
+
+def _kmeans_ctes(
+    k: int,
+    iters: int,
+    dim: int,
+    init: str = "min_id",
+    oversample: int = 2,
+    rounds: int = 3,
+    seed: int = 0,
+) -> list[str]:
     ctes = [
         f"dims AS (SELECT UNNEST(range({dim})) AS dim)",
         "xfix AS (SELECT vec_id, dim, CAST(FLOOR(CAST(embedding[dim + 1]"
         " AS DOUBLE) * 1000000) AS BIGINT) AS x FROM embeddings, dims)",
-        "init AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1"
-        f" AS cl FROM (SELECT vec_id FROM embeddings ORDER BY vec_id"
-        f" LIMIT {k}))",
-        "cent0 AS (SELECT i.cl, x.dim, x.x AS c FROM init i JOIN xfix x"
-        " USING (vec_id))",
     ]
+    if init == "min_id":
+        ctes.append(
+            "init AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1"
+            f" AS cl FROM (SELECT vec_id FROM embeddings ORDER BY vec_id"
+            f" LIMIT {k}))"
+        )
+    elif init == "kmeans_par":
+        ctes.extend(_kmpar_ctes(k, oversample, rounds, seed))
+    else:
+        raise ValueError(f"unknown init {init!r}")
+    ctes.append(
+        "cent0 AS (SELECT i.cl, x.dim, x.x AS c FROM init i JOIN xfix x"
+        " USING (vec_id))"
+    )
     for i in range(1, iters + 2):
         prev = f"cent{i - 1}"
         ctes.append(

@@ -666,6 +666,7 @@ def dsir_select(
     keep: int,
     n_buckets: int = DSIR_BUCKETS,
     seed: int = 0,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Gumbel top-k resampling over `dsir_weights`: keep the ``keep``
     pool documents maximizing logweight + Gumbel(0,1), i.e. sample
@@ -680,10 +681,23 @@ def dsir_select(
     (row_number ≤ k over one global ordering), which Spark rewrites to
     WindowGroupLimit — each map partition forwards only its local top-k
     of slim 32-byte rows, so the single reduce task orders
-    k × n_partitions candidates, not the corpus."""
+    k × n_partitions candidates, not the corpus.
+
+    ``tokens_col``: name of an integer column on ``pool`` (e.g. a real
+    BPE count) to REPORT as ``n_tokens`` instead of the derivation's
+    hashed-word count — the importance weights themselves are defined
+    over hashed unigrams (Xie et al.'s method) and do not change; only
+    the accounting column callers budget with does."""
     from .dedup import _h60
 
     w = dsir_weights(pool, target, n_buckets)
+    if tokens_col is not None:
+        w = w.drop("n_tokens").join(
+            pool.select(
+                "doc_id", F.col(tokens_col).cast("long").alias("n_tokens")
+            ),
+            "doc_id",
+        )
     u = (
         F.pmod(
             _h60(

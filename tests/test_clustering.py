@@ -99,6 +99,69 @@ def test_kmeans_objective_non_increasing(spark, sf_dir):
     assert sse1 > 0  # fixture vectors aren't all centroid-identical
 
 
+# -- deterministic k-means|| seeding (init="kmeans_par") ----------------
+
+
+@pytest.mark.parametrize("sf_dir2", SF_DIRS)
+def test_kmeans_par_matches_duckdb_oracle(spark, sf_dir2):
+    """The hashed-oversampling seeding chain is as oracle-exact as the
+    Lloyd rounds: assignment AND centroids bit-identical with the
+    k-means|| CTEs spliced in place of the min-id init."""
+    emb = load_table(spark, sf_dir2, "embeddings")
+    res = kmeans_embeddings(spark, emb, k=K, iters=ITERS, init="kmeans_par")
+    assign_sql, cent_sql = kmeans_oracle_sqls(K, ITERS, init="kmeans_par")
+    con = _con(sf_dir2)
+    got_assign = sorted(tuple(r) for r in res.assignment.collect())
+    want_assign = sorted(tuple(r) for r in con.execute(assign_sql).fetchall())
+    assert got_assign == want_assign
+    got_cent = sorted(
+        (cl, dim, int(res.centroids[j, dim]))
+        for j, cl in enumerate(res.clusters)
+        for dim in range(res.centroids.shape[1])
+    )
+    want_cent = sorted(tuple(r) for r in con.execute(cent_sql).fetchall())
+    assert got_cent == want_cent
+    assert len(res.clusters) > 1
+
+
+@pytest.mark.parametrize("sf_dir2", SF_DIRS)
+def test_kmeans_par_objective_not_worse_than_min_id(spark, sf_dir2):
+    """The seeding earns its cost: after the same Lloyd budget, the
+    k-means|| init never scores a WORSE objective than the degenerate
+    min-id init (the VERDICT r9 #5 'done' pin; measured strictly better
+    at both fixture scales when added)."""
+    from kinesis_iterator_spark.queries import release_persists
+
+    emb = load_table(spark, sf_dir2, "embeddings")
+    r_min = kmeans_embeddings(spark, emb, k=K, iters=ITERS)
+    sse_min = kmeans_sse(emb, r_min.clusters, r_min.centroids)
+    release_persists()
+    r_par = kmeans_embeddings(spark, emb, k=K, iters=ITERS, init="kmeans_par")
+    sse_par = kmeans_sse(emb, r_par.clusters, r_par.centroids)
+    assert 0 < sse_par <= sse_min
+
+
+def test_kmeans_par_partitioning_invariant(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = kmeans_embeddings(
+        spark, emb.repartition(7), k=K, iters=ITERS, init="kmeans_par"
+    )
+    b = kmeans_embeddings(
+        spark, emb.repartition(2), k=K, iters=ITERS, init="kmeans_par"
+    )
+    assert a.clusters == b.clusters
+    assert np.array_equal(a.centroids, b.centroids)
+    assert sorted(map(tuple, a.assignment.collect())) == sorted(
+        map(tuple, b.assignment.collect())
+    )
+
+
+def test_kmeans_unknown_init_raises(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="unknown init"):
+        kmeans_embeddings(spark, emb, k=K, iters=1, init="random")
+
+
 # -- cluster-balanced mixture: learned clusters as recipe domains -------
 
 

@@ -189,3 +189,82 @@ def test_exact_substr_passthrough_columns(spark, sf_dir):
     orig = doc.select("doc_id", "lang", "source", "n_chars")
     back = out.select("doc_id", "lang", "source", "n_chars")
     assert _rows(orig) == _rows(back)
+
+
+# -- pipeline composition: CurationConfig(dedup_exact_substr=True) ------
+
+
+def test_curation_exact_substr_stage_equals_pre_pass_composition(
+    spark, sf_dir
+):
+    """CurationConfig(dedup_exact_substr=True) ≡ running the span pass
+    first and curating the rewritten frame (the paragraph-stage pin's
+    shape) — stats and kept text identical."""
+    from kinesis_iterator_spark.pipeline import CurationConfig, curate_frame
+    from kinesis_iterator_spark.queries import release_persists
+
+    doc = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat_ws(" ", F.col("text"), F.lit(SPAN)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    a = curate_frame(doc, CurationConfig(dedup_exact_substr=True))
+    pre = dedup_exact_substr(doc, w=EXACT_SUBSTR_W).drop("n_words", "n_kept")
+    b = curate_frame(pre, CurationConfig())
+    try:
+        assert a.stats() == b.stats()
+        assert _rows(a.final.select("doc_id", "text")) == _rows(
+            b.final.select("doc_id", "text")
+        )
+    finally:
+        a.release()
+        b.release()
+        release_persists()
+
+
+def test_curation_all_rewrite_stages_order(spark, sf_dir):
+    """With scrub + paragraphs + exact-substr all on, the pipeline
+    equals the manual scrub → dedup_paragraphs → dedup_exact_substr →
+    curate(default) chain — pinning the documented _pre_stages order."""
+    from kinesis_iterator_spark.pipeline import CurationConfig, curate_frame
+    from kinesis_iterator_spark.queries import release_persists
+    from kinesis_iterator_spark.queries.dedup import dedup_paragraphs
+    from kinesis_iterator_spark.queries.text import PII_PATTERNS, scrub_pii
+
+    doc = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    a = curate_frame(
+        doc,
+        CurationConfig(
+            scrub_pii=True, dedup_paragraphs=True, dedup_exact_substr=True
+        ),
+    )
+    pre = scrub_pii(doc).drop(
+        "n_redacted", *[f"n_{name}" for name, _, _ in PII_PATTERNS]
+    )
+    pre = dedup_paragraphs(pre).drop("n_paras", "n_kept")
+    pre = dedup_exact_substr(pre, w=EXACT_SUBSTR_W).drop("n_words", "n_kept")
+    b = curate_frame(pre, CurationConfig())
+    try:
+        assert a.stats() == b.stats()
+        assert _rows(a.final.select("doc_id", "text")) == _rows(
+            b.final.select("doc_id", "text")
+        )
+    finally:
+        a.release()
+        b.release()
+        release_persists()
+
+
+def test_curation_exact_substr_w_guard():
+    from kinesis_iterator_spark.pipeline import CurationConfig
+
+    with pytest.raises(ValueError, match="exact_substr_w"):
+        CurationConfig(exact_substr_w=1)

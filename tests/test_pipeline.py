@@ -834,3 +834,76 @@ def test_classifier_gate_composes(spark, sf_dir):
         assert final_ids and final_ids <= keep_ids
     finally:
         cur.release()
+
+
+def test_tokens_col_hook_equals_renamed_column(spark, source_docs):
+    """`tokens_col` (VERDICT r9 #8): any integer counter column drops
+    into pack_sequences / mixture_rates / build_mixture / dsir_select
+    without forking the kernels — results identical to materializing
+    the counter under the default name."""
+    from pyspark.sql import functions as F
+
+    from kinesis_iterator_spark.pipeline import (
+        build_mixture,
+        mixture_rates,
+        pack_sequences,
+    )
+
+    # A "real tokenizer" stand-in: a different integer counter than the
+    # default column (here: the BPE-ish count + a doc_id-dependent
+    # perturbation, renamed so the default name does not exist).
+    alt = source_docs.select(
+        "doc_id",
+        "source",
+        (F.col("tokens") + F.pmod("doc_id", F.lit(7))).alias("bpe_count"),
+    )
+    ref = alt.withColumn("tokens", F.col("bpe_count"))
+
+    got = sorted(
+        map(tuple, pack_sequences(alt, 512, n_shards=3, tokens_col="bpe_count")
+            .select("doc_id", "tokens", "shard", "pack").collect())
+    )
+    want = sorted(
+        map(tuple, pack_sequences(ref, 512, n_shards=3)
+            .select("doc_id", "tokens", "shard", "pack").collect())
+    )
+    assert got == want and got
+
+    w = {"src0": 2.0, "src1": 1.0}
+    assert mixture_rates(alt, w, 50_000, tokens_col="bpe_count") == \
+        mixture_rates(ref, w, 50_000)
+    got_mix = sorted(
+        map(tuple, build_mixture(alt, w, 50_000, tokens_col="bpe_count")
+            .select("doc_id", "epoch").collect())
+    )
+    want_mix = sorted(
+        map(tuple, build_mixture(ref, w, 50_000)
+            .select("doc_id", "epoch").collect())
+    )
+    assert got_mix == want_mix and got_mix
+
+
+def test_dsir_select_tokens_col_reports_caller_counts(spark, sf_dir):
+    """dsir_select(tokens_col=...) swaps only the n_tokens ACCOUNTING
+    column; selection (doc set, ranks, keys) is unchanged — the
+    importance weights are defined over hashed unigrams."""
+    from pyspark.sql import functions as F
+
+    from kinesis_iterator_spark.queries.text import dsir_select
+    from kinesis_iterator_spark.tables import load_table
+
+    pool = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .withColumn("bpe_count", F.lit(1000) + F.col("doc_id"))
+    )
+    target = pool.filter(F.col("doc_id") % 3 == 0).select("text")
+    base = dsir_select(pool, target, keep=20)
+    alt = dsir_select(pool, target, keep=20, tokens_col="bpe_count")
+    brows = {r["doc_id"]: r for r in base.collect()}
+    arows = {r["doc_id"]: r for r in alt.collect()}
+    assert set(brows) == set(arows) and len(brows) == 20
+    for did, r in arows.items():
+        assert r["n_tokens"] == 1000 + did  # caller's accounting
+        assert r["sel_rank"] == brows[did]["sel_rank"]
+        assert r["sample_key"] == brows[did]["sample_key"]
