@@ -583,6 +583,7 @@ def embedding_dedup_against_index(
         _read_ann_meta,
         _score_pairs_topk,
         lsh_signatures,
+        stored_bucket_sizes,
     )
     from .tables import load_table
 
@@ -603,8 +604,15 @@ def embedding_dedup_against_index(
         new_sig = lsh_signatures(
             new_emb.select("vec_id", "embedding"), meta["b"], par
         )
+    # The stored bucket-occupancy layer replaces a per-admit window over
+    # the WHOLE stored signature frame (corpus-sized shuffle at scale)
+    # with a slim aggregate; pre-layer indexes fall back to the window.
     cand = _lsh_candidate_pairs(
-        stored_sig, meta["b"], meta["cap"], probe_sig=new_sig
+        stored_sig,
+        meta["b"],
+        meta["cap"],
+        probe_sig=new_sig,
+        bucket_sizes=stored_bucket_sizes(spark, index_dir),
     )
     scored = _score_pairs_topk(
         cand,

@@ -1283,9 +1283,12 @@ class EmbeddingWriter:
             _lsh_candidate_pairs(sig, b, cap)
             .filter(F.col("query_id") > F.col("neighbor_id"))
         )
+        # pre_dedup=False: both pair sides are the batch, so the
+        # duplicate-gather volume is batch-bounded and the dropDuplicates
+        # exchange's stage wave is the dominant cost (see the scorer).
         scored = _score_pairs_topk(
             cand, batch_emb, self.spark.sparkContext.defaultParallelism,
-            None, 0, query_emb=batch_emb,
+            None, 0, query_emb=batch_emb, pre_dedup=False,
         )
         return (
             scored.filter(
@@ -1419,22 +1422,26 @@ class EmbeddingWriter:
             incremental._concurrently(_ckpt_rejects, _build_verdicts)
             survivors = batch_emb.join(rejects, "vec_id", "left_anti")
             surv_verdicts = verdicts.join(rejects, "vec_id", "left_anti")
-            # Checkpoint the admitted rows once for their three
-            # consumers (store append, signature filter, IVF
-            # assignment) — same rationale as the text writer's novel
-            # checkpoint.
-            novel = survivors.join(
-                surv_verdicts.filter(
-                    F.col("verdict") == "novel"
-                ).select("vec_id"),
-                "vec_id",
-            ).localCheckpoint(eager=True)
-            # Three independent actions over the two checkpoints
-            # overlap: the survivor verdict counts, the in-batch reject
-            # count, and the store append (which must still commit
-            # before the index extend below; see the class docstring
-            # for why that order).
+            # Three independent actions over the two just-materialized
+            # checkpoints overlap: the novel checkpoint (admitted rows,
+            # materialized once for its three consumers — store append,
+            # signature filter, IVF assignment), the survivor verdict
+            # counts, and the in-batch reject count. The store append
+            # runs AFTER, alone: it needs novel materialized and must
+            # still commit before the index extend below (see the class
+            # docstring for why that order).
             by_verdict: dict[str, int] = {}
+            novel_box: dict = {}
+
+            def _ckpt_novel():
+                novel_box["ck"] = (
+                    survivors.join(
+                        surv_verdicts.filter(
+                            F.col("verdict") == "novel"
+                        ).select("vec_id"),
+                        "vec_id",
+                    ).localCheckpoint(eager=True)
+                )
 
             def _counts():
                 by_verdict.update(
@@ -1446,13 +1453,17 @@ class EmbeddingWriter:
                     }
                 )
 
-            incremental._concurrently(
-                _counts,
-                lambda: stats.__setitem__(
-                    "rejected_in_batch", rejects.count()
-                ),
-                lambda: novel.write.mode("append").parquet(self.store_dir),
-            )
+            try:
+                incremental._concurrently(
+                    _ckpt_novel,
+                    _counts,
+                    lambda: stats.__setitem__(
+                        "rejected_in_batch", rejects.count()
+                    ),
+                )
+            finally:
+                novel = novel_box.get("ck")
+            novel.write.mode("append").parquet(self.store_dir)
             stats["rejected_near"] = by_verdict.get("near_dup", 0)
             stats["n_admitted"] = by_verdict.get("novel", 0)
             # Every batch row is either an in-batch reject or a

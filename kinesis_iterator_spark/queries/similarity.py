@@ -335,6 +335,7 @@ def _score_pairs_topk(
     sf_dir: str,
     n: int,
     query_emb: DataFrame | None = None,
+    pre_dedup: bool = True,
 ) -> DataFrame:
     """Shared tail of the LSH / IVF ANN paths: slim (query_id, neighbor_id)
     candidate pairs → exact tie-broken top-k. Neither path collects the
@@ -355,7 +356,17 @@ def _score_pairs_topk(
     ``query_emb`` (vec_id, embedding) supplies the QUERY side when the
     queries are not corpus rows (batch admission) — this forces the
     join-gather path, because the executor corpus cache cannot hold
-    vectors that are not in the corpus file."""
+    vectors that are not in the corpus file.
+
+    ``pre_dedup=False`` skips the slim-pair dropDuplicates exchange:
+    the kernel's packed-pair dedup (`_unique_pairs`) makes results
+    identical either way, so the exchange is purely a data-volume
+    guard — it stops duplicate pairs (multi-table/probe collisions)
+    from gathering wide vectors repeatedly. Keep it when the neighbor
+    side is corpus-scale; skip it when BOTH pair sides are
+    batch-bounded (the in-batch admission arm), where the duplicate
+    gather is a small constant and the extra AQE stage wave is the
+    dominant cost (measured: −0.55 s of a ~2.3 s arm at sf0.1)."""
     if query_emb is None and n <= SMALL_CORPUS_MAX:
         return pairs.repartition(par, "query_id").mapInPandas(
             _corpus_pair_topk_scorer(sf_dir), schema=_PAIR_SCHEMA + ", rnk long"
@@ -368,11 +379,9 @@ def _score_pairs_topk(
     eq = (emb if query_emb is None else query_emb).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    wide = (
-        pairs.dropDuplicates(["query_id", "neighbor_id"])
-        .join(en, "neighbor_id")
-        .join(eq, "query_id")
-    )
+    if pre_dedup:
+        pairs = pairs.dropDuplicates(["query_id", "neighbor_id"])
+    wide = pairs.join(en, "neighbor_id").join(eq, "query_id")
     return wide.repartition(par, "query_id").mapInPandas(
         _pair_topk_scorer, schema=_PAIR_SCHEMA + ", rnk long"
     )
@@ -655,7 +664,8 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_candidate_pairs(
-    sig: DataFrame, b: int, cap: int, query_ids=None, probe_sig=None
+    sig: DataFrame, b: int, cap: int, query_ids=None, probe_sig=None,
+    bucket_sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate generation shared by the self-kNN, external-query-set,
     stored-index, and batch-admission LSH forms: ONE co-partitioned
@@ -667,7 +677,16 @@ def _lsh_candidate_pairs(
     side = signatures minus hot buckets. The hot-bucket cap is a window
     count over the SAME keys the join shuffles on, so Catalyst reuses
     the exchange — no broadcasts, no extra jobs, and the identical plan
-    co-partitions at any scale."""
+    co-partitions at any scale.
+
+    ``bucket_sizes``: optional precomputed (table_id, bucket, bsz)
+    occupancy relation — the STORED-index path passes the per-segment
+    `bucket_sizes/` layer summed over segments, replacing the window
+    with a slim-relation equi-join. The window form recounts the WHOLE
+    signature frame per call, which for a stored index means a
+    corpus-sized shuffle on every admit/query — the stored layer makes
+    that cost O(distinct buckets) instead (identical candidates:
+    sum-of-segment-counts ≡ the window count, pinned)."""
     probe_src = sig if probe_sig is None else probe_sig
     if query_ids is not None:
         probe_src = _restrict_to_query_ids(probe_src, "vec_id", query_ids)
@@ -681,13 +700,21 @@ def _lsh_candidate_pairs(
             )
         ).alias("bucket"),
     )
-    capped = (
-        sig.withColumn(
-            "bsz", F.count("*").over(W.partitionBy("table_id", "bucket"))
+    if bucket_sizes is not None:
+        hot = bucket_sizes.filter(F.col("bsz") > cap).select(
+            "table_id", "bucket"
         )
-        .filter(F.col("bsz") <= cap)
-        .select(F.col("vec_id").alias("neighbor_id"), "table_id", "bucket")
-    )
+        capped = sig.join(hot, ["table_id", "bucket"], "left_anti").select(
+            F.col("vec_id").alias("neighbor_id"), "table_id", "bucket"
+        )
+    else:
+        capped = (
+            sig.withColumn(
+                "bsz", F.count("*").over(W.partitionBy("table_id", "bucket"))
+            )
+            .filter(F.col("bsz") <= cap)
+            .select(F.col("vec_id").alias("neighbor_id"), "table_id", "bucket")
+        )
     joined = probe_side.join(capped, ["table_id", "bucket"])
     if probe_sig is None:
         # Self-kNN only: a (v, v) pair is the vector meeting itself.
@@ -1044,6 +1071,16 @@ def write_ann_index(
     lsh_signatures(emb, b, par).write.mode("overwrite").partitionBy(
         "table_id"
     ).parquet(f"{index_dir}/lsh_signatures")
+    # Bucket-occupancy layer, derived by re-READING the written
+    # signatures (stored-column discipline): per-segment counts that
+    # queries/admits SUM instead of re-windowing the whole signature
+    # frame — the window form costs a corpus-sized shuffle per call at
+    # scale (see _lsh_candidate_pairs).
+    spark.read.parquet(f"{index_dir}/lsh_signatures").groupBy(
+        "table_id", "bucket"
+    ).agg(F.count("*").cast("long").alias("bsz")).write.mode(
+        "overwrite"
+    ).parquet(f"{index_dir}/bucket_sizes")
     crows = _resolve_codebook(codebook) or sorted(
         _ivf_centroids(emb).collect(), key=lambda r: r["cell"]
     )
@@ -1081,6 +1118,24 @@ def _resolve_codebook(codebook) -> list | None:
 
         codebook = codebook_rows(codebook)
     return sorted(codebook, key=lambda r: r["cell"])
+
+
+def stored_bucket_sizes(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    """The stored signature-bucket occupancy (table_id, bucket, bsz),
+    summed over the per-segment `bucket_sizes/` rows — or None for a
+    pre-layer index (callers then fall back to the window form). The
+    relation is O(distinct buckets): hot-bucket filtering over it costs
+    a slim aggregate instead of re-windowing corpus-sized signatures on
+    every stored-index query / admission."""
+    import os
+
+    if not os.path.isdir(f"{index_dir}/bucket_sizes"):
+        return None
+    return (
+        spark.read.parquet(f"{index_dir}/bucket_sizes")
+        .groupBy("table_id", "bucket")
+        .agg(F.sum("bsz").cast("long").alias("bsz"))
+    )
 
 
 def read_ann_codebook(index_dir: str) -> list:
@@ -1165,7 +1220,7 @@ def extend_ann_index(
     # reconcile rebuilds both from the store).
     from ..incremental import _concurrently
 
-    _concurrently(
+    appends = [
         lambda: sig.select("vec_id", "table_id", "bucket")
         .write.mode("append")
         .partitionBy("table_id")
@@ -1173,7 +1228,18 @@ def extend_ann_index(
         lambda: _ivf_ranked_assignment(spark, new_emb, crows=crows)
         .write.mode("append")
         .parquet(f"{index_dir}/ivf_assignment"),
-    )
+    ]
+    if os.path.isdir(f"{index_dir}/bucket_sizes"):
+        # Per-segment occupancy append (readers sum segments). Absent on
+        # a pre-layout index: readers then fall back to the window form,
+        # so extension stays compatible without maintaining the layer.
+        appends.append(
+            lambda: sig.groupBy("table_id", "bucket")
+            .agg(F.count("*").cast("long").alias("bsz"))
+            .write.mode("append")
+            .parquet(f"{index_dir}/bucket_sizes")
+        )
+    _concurrently(*appends)
     meta["n_extended"] = int(meta.get("n_extended", 0)) + int(
         new_emb.count() if n_new is None else n_new
     )
@@ -1276,7 +1342,13 @@ def similarity_lsh_topk_from_index(
     sig = spark.read.parquet(f"{index_dir}/lsh_signatures")
     emb = load_table(spark, sf_dir, "embeddings")
     return _score_pairs_topk(
-        _lsh_candidate_pairs(sig, meta["b"], meta["cap"], query_ids=query_ids),
+        _lsh_candidate_pairs(
+            sig,
+            meta["b"],
+            meta["cap"],
+            query_ids=query_ids,
+            bucket_sizes=stored_bucket_sizes(spark, index_dir),
+        ),
         emb,
         spark.sparkContext.defaultParallelism,
         sf_dir,

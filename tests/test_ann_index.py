@@ -175,3 +175,60 @@ def test_extend_ann_index_refuses_codebook_less_layout(spark, sf_dir, tmp_path):
     shutil.rmtree(f"{d}/centroids")
     with pytest.raises(ValueError, match="persisted-codebook"):
         extend_ann_index(spark, emb.limit(5), d)
+
+
+def test_bucket_sizes_layer_equals_window_form(spark, sf_dir, tmp_path):
+    """The stored bucket-occupancy layer (round 10): candidates from the
+    sizes-relation anti-join ≡ the window form, at build AND after an
+    extension (sum-of-segment-counts ≡ the recount), and the stored
+    sizes themselves equal a recount of the stored signatures."""
+    from pyspark.sql import functions as F
+
+    from kinesis_iterator_spark.queries.similarity import (
+        _lsh_candidate_pairs,
+        extend_ann_index,
+        stored_bucket_sizes,
+        write_ann_index,
+    )
+    from kinesis_iterator_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    odd = emb.filter(F.col("vec_id") % 2 == 1)
+    d = str(tmp_path / "idx")
+    meta = write_ann_index(spark, sf_dir, d, emb=even)
+    extend_ann_index(spark, odd, d)
+
+    sig = spark.read.parquet(f"{d}/lsh_signatures")
+    sizes = stored_bucket_sizes(spark, d)
+    assert sizes is not None
+    # stored occupancy == recount of the stored signatures
+    want_sizes = _rows(
+        sig.groupBy("table_id", "bucket").agg(
+            F.count("*").cast("long").alias("bsz")
+        )
+    )
+    assert _rows(sizes) == want_sizes
+    # candidate sets identical under both cap mechanisms
+    want = _rows(_lsh_candidate_pairs(sig, meta["b"], meta["cap"]))
+    got = _rows(
+        _lsh_candidate_pairs(
+            sig, meta["b"], meta["cap"], bucket_sizes=sizes
+        )
+    )
+    assert got == want and got
+    release_persists()
+
+
+def test_stored_bucket_sizes_absent_on_pre_layer_index(spark, sf_dir, tmp_path):
+    import shutil
+
+    from kinesis_iterator_spark.queries.similarity import (
+        stored_bucket_sizes,
+        write_ann_index,
+    )
+
+    d = str(tmp_path / "idx")
+    write_ann_index(spark, sf_dir, d)
+    shutil.rmtree(f"{d}/bucket_sizes")  # simulate a pre-layer index
+    assert stored_bucket_sizes(spark, d) is None
