@@ -1363,25 +1363,13 @@ class EmbeddingWriter:
         # Sign ONCE with the STORED geometry; every consumer filters
         # this frame (signatures are a pure per-vector function, so
         # id-filtered reuse is exact). The id guard is an independent
-        # pre-state-change action on the same batch — it runs
-        # concurrently with the signing (both must finish, and fail
-        # loudly, before any write below starts).
-        sig = None
-
-        def _sign():
-            nonlocal sig
-            sig = lsh_signatures(
-                batch_emb.select("vec_id", "embedding"), meta["b"], par
-            ).localCheckpoint(eager=True)
-
-        try:
-            incremental._concurrently(
-                _sign, lambda: incremental._check_vec_ids(batch_emb)
-            )
-        except BaseException:
-            if sig is not None:
-                release_local_checkpoint(sig)
-            raise
+        # pre-state-change action on the same batch — it rides the
+        # scoring block below (both scoring arms and the guard must
+        # finish, and fail loudly, before any write starts — the first
+        # write is the store append, two blocks later).
+        sig = lsh_signatures(
+            batch_emb.select("vec_id", "embedding"), meta["b"], par
+        ).localCheckpoint(eager=True)
         verdicts = None
         rejects = None
         novel = None
@@ -1419,7 +1407,11 @@ class EmbeddingWriter:
                     ids_validated=True,
                 ).localCheckpoint(eager=True)
 
-            incremental._concurrently(_ckpt_rejects, _build_verdicts)
+            incremental._concurrently(
+                _ckpt_rejects,
+                _build_verdicts,
+                lambda: incremental._check_vec_ids(batch_emb),
+            )
             survivors = batch_emb.join(rejects, "vec_id", "left_anti")
             surv_verdicts = verdicts.join(rejects, "vec_id", "left_anti")
             # Three independent actions over the two just-materialized
