@@ -1219,6 +1219,9 @@ class EmbeddingWriter:
         index_dir: str,
         tau: float | None = None,
         auto_reconcile: bool = False,
+        train_codebook: bool = False,
+        train_k: int = 8,
+        train_iters: int = 4,
     ) -> None:
         """``auto_reconcile``: rebuild the index (fresh codebook) at the
         end of any :meth:`admit` that leaves codebook staleness past
@@ -1226,7 +1229,16 @@ class EmbeddingWriter:
         — zero Spark jobs). Off by default: a rebuild re-signs the
         whole store, so an operator with maintenance windows keeps it
         off and calls :meth:`reconcile` on the drift warning instead —
-        the same split as `CorpusWriter`'s ``auto_compact``."""
+        the same split as `CorpusWriter`'s ``auto_compact``.
+
+        ``train_codebook``: train the IVF coarse codebook with
+        fixed-point k-means‖ (`clustering.kmeans_embeddings(init=
+        "kmeans_par")`, ``train_k`` cells × ``train_iters`` Lloyd
+        rounds) at every index BUILD — bootstrap and reconcile — in
+        place of the default label-mean centroids. Training cost sits
+        on the build path only; admits keep assigning against the
+        FROZEN stored codebook either way (the train-once contract),
+        so the hot loop is unchanged."""
         from .queries.dedup import COSINE_TAU
 
         self.spark = spark
@@ -1234,6 +1246,9 @@ class EmbeddingWriter:
         self.index_dir = index_dir
         self.tau = COSINE_TAU if tau is None else tau
         self.auto_reconcile = auto_reconcile
+        self.train_codebook = train_codebook
+        self.train_k = train_k
+        self.train_iters = train_iters
         # The stored codebook is FROZEN between rebuilds: read it
         # (driver-side pyarrow, zero jobs) once per writer lifetime
         # instead of per admit. Keyed on the build identity (meta n,
@@ -1244,6 +1259,32 @@ class EmbeddingWriter:
         # cached copy still exact.
         self._crows: list | None = None
         self._crows_key: tuple | None = None
+
+    def _build_codebook(self):
+        """The codebook for an index BUILD: a freshly trained k-means‖
+        result when ``train_codebook`` is on (the trainer runs over the
+        just-written store — build path only, never the admit loop),
+        else None (label-mean default)."""
+        if not self.train_codebook:
+            return None
+        from .queries import release_persists
+        from .queries.clustering import kmeans_embeddings
+
+        try:
+            return kmeans_embeddings(
+                self.spark,
+                self.store(),
+                k=self.train_k,
+                iters=self.train_iters,
+                init="kmeans_par",
+            )
+        finally:
+            # The trainer's managed persist of its scan frame is only
+            # needed across its own iteration jobs; releasing here is
+            # always SAFE (a released persist recomputes, unlike a
+            # checkpoint) — the centroids travel driver-side and the
+            # assignment frame is unused by the index build.
+            release_persists()
 
     def _bootstrapped(self) -> bool:
         """Usable index state: meta parses AND no in-place rebuild died
@@ -1355,6 +1396,7 @@ class EmbeddingWriter:
                 self.index_dir,
                 emb=self.store(),
                 n=stats["n_admitted"],
+                codebook=self._build_codebook(),
             )
             return stats
 
@@ -1536,6 +1578,7 @@ class EmbeddingWriter:
             self.index_dir,
             emb=self.store(),
             n=_dir_rows(self.store_dir),
+            codebook=self._build_codebook(),
         )
 
 

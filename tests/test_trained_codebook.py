@@ -128,3 +128,52 @@ def test_semantic_dedup_trained_clusters_matches_spliced_oracle(spark, sf2):
         ).fetchall()
     )
     assert got == want
+
+
+def test_embedding_writer_trains_codebook_at_build(spark, sf_dir, tmp_path):
+    """EmbeddingWriter(train_codebook=True): the bootstrap build stores
+    exactly the k-means|| codebook trained over the admitted store; the
+    admit loop still assigns against the FROZEN stored centroids
+    (sidecar untouched by the second admit); reconcile retrains over
+    the grown store."""
+    from kinesis_iterator_spark.pipeline import EmbeddingWriter
+    from kinesis_iterator_spark.queries import release_persists
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    b1 = emb.filter(F.col("vec_id") % 2 == 0)
+    b2 = emb.filter(F.col("vec_id") % 2 == 1)
+    w = EmbeddingWriter(
+        spark,
+        str(tmp_path / "store"),
+        str(tmp_path / "idx"),
+        train_codebook=True,
+        train_k=4,
+        train_iters=2,
+    )
+    s1 = w.admit(b1)
+    release_persists()
+    # Stored centroids == a fresh train over exactly the admitted store.
+    want = codebook_rows(
+        kmeans_embeddings(spark, w.store(), k=4, iters=2, init="kmeans_par")
+    )
+    release_persists()
+    stored = read_ann_codebook(str(tmp_path / "idx"))
+    assert [(r["cell"], r["centroid"]) for r in stored] == [
+        (r["cell"], r["centroid"]) for r in want
+    ]
+    before = stored
+    s2 = w.admit(b2)
+    release_persists()
+    assert s2["n_admitted"] >= 0 and s1["n_admitted"] > 0
+    assert read_ann_codebook(str(tmp_path / "idx")) == before  # frozen
+    # Reconcile = fresh training over the grown store.
+    w.reconcile()
+    release_persists()
+    want2 = codebook_rows(
+        kmeans_embeddings(spark, w.store(), k=4, iters=2, init="kmeans_par")
+    )
+    release_persists()
+    got2 = read_ann_codebook(str(tmp_path / "idx"))
+    assert [(r["cell"], r["centroid"]) for r in got2] == [
+        (r["cell"], r["centroid"]) for r in want2
+    ]
