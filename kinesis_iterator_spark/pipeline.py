@@ -1456,26 +1456,26 @@ class EmbeddingWriter:
             )
             survivors = batch_emb.join(rejects, "vec_id", "left_anti")
             surv_verdicts = verdicts.join(rejects, "vec_id", "left_anti")
-            # Three independent actions over the two just-materialized
-            # checkpoints overlap: the novel checkpoint (admitted rows,
-            # materialized once for its three consumers — store append,
-            # signature filter, IVF assignment), the survivor verdict
-            # counts, and the in-batch reject count. The store append
-            # runs AFTER, alone: it needs novel materialized and must
-            # still commit before the index extend below (see the class
-            # docstring for why that order).
+            # `novel` is NOT checkpointed (A/B'd: the materialization
+            # job cost 0.6 s of the admit; identical stats without it):
+            # its DECISION inputs — which ids are admitted — are the
+            # two checkpoints (deterministic by construction), and only
+            # the payload re-derives from ``batch_emb``, the same
+            # deterministic-input assumption every multi-consumer batch
+            # lineage in the writer family already makes (the text
+            # side's batch_doc feeds gates, digests, and paragraphs the
+            # same way).
+            novel = survivors.join(
+                surv_verdicts.filter(
+                    F.col("verdict") == "novel"
+                ).select("vec_id"),
+                "vec_id",
+            )
+            # The verdict counts and reject count are read-only on the
+            # checkpoints — overlap them; the store append runs AFTER
+            # (it must commit before the index extend below; see the
+            # class docstring for why that order).
             by_verdict: dict[str, int] = {}
-            novel_box: dict = {}
-
-            def _ckpt_novel():
-                novel_box["ck"] = (
-                    survivors.join(
-                        surv_verdicts.filter(
-                            F.col("verdict") == "novel"
-                        ).select("vec_id"),
-                        "vec_id",
-                    ).localCheckpoint(eager=True)
-                )
 
             def _counts():
                 by_verdict.update(
@@ -1487,16 +1487,12 @@ class EmbeddingWriter:
                     }
                 )
 
-            try:
-                incremental._concurrently(
-                    _ckpt_novel,
-                    _counts,
-                    lambda: stats.__setitem__(
-                        "rejected_in_batch", rejects.count()
-                    ),
-                )
-            finally:
-                novel = novel_box.get("ck")
+            incremental._concurrently(
+                _counts,
+                lambda: stats.__setitem__(
+                    "rejected_in_batch", rejects.count()
+                ),
+            )
             novel.write.mode("append").parquet(self.store_dir)
             stats["rejected_near"] = by_verdict.get("near_dup", 0)
             stats["n_admitted"] = by_verdict.get("novel", 0)
@@ -1529,7 +1525,7 @@ class EmbeddingWriter:
             return stats
         finally:
             release_local_checkpoint(sig)
-            for ck in (rejects, verdicts, novel):
+            for ck in (rejects, verdicts):
                 if ck is not None:
                     release_local_checkpoint(ck)
 
