@@ -149,9 +149,12 @@ class CurationConfig:
     # training, and running it before the gates means length/quality
     # signals score the text that will actually be admitted. NOT
     # idempotent (like the paper's sequential pass) and corpus-global
-    # ("first occurrence" is over the whole input frame): in
-    # `CorpusWriter.admit` it is therefore BATCH-scoped (in-batch
-    # spans; the cross-batch layer is the document-level dedup index).
+    # ("first occurrence" is over the whole input frame). In
+    # `CorpusWriter.admit` the pass is CORPUS-scoped: the writer
+    # maintains a stored window-digest layer (`exact_substr_digests`
+    # of the admitted text, the paragraph-layer discipline) and hands
+    # it to the pass as ``seen``, so a batch span duplicating text
+    # admitted in ANY earlier batch is removed too.
     dedup_exact_substr: bool = False
     exact_substr_w: int = 8  # dedup.EXACT_SUBSTR_W
     # Split documents LONGER than this many words into multiple
@@ -303,12 +306,14 @@ def _pre_stages(
     doc: DataFrame,
     config: CurationConfig,
     seen_paras: DataFrame | None = None,
+    seen_substr: DataFrame | None = None,
 ) -> DataFrame:
     """The text-REWRITING stages that must run before anything reads
     text — scrub first (so paragraphs differing only in PII collapse),
-    then paragraph dedup. ONE definition shared by `curate_frame` and
-    `CorpusWriter.admit` (which pre-applies them so it can hand the
-    paragraph pass the stored digest layer as ``seen_paras`` and then
+    then paragraph dedup, then ExactSubstr span removal. ONE definition
+    shared by `curate_frame` and `CorpusWriter.admit` (which
+    pre-applies them so it can hand the paragraph / window passes their
+    stored digest layers as ``seen_paras`` / ``seen_substr`` and then
     curate with the flags off)."""
     if config.scrub_pii:
         from .queries.text import PII_PATTERNS, scrub_pii
@@ -330,9 +335,9 @@ def _pre_stages(
     if config.dedup_exact_substr:
         from .queries.dedup import dedup_exact_substr
 
-        doc = dedup_exact_substr(doc, w=config.exact_substr_w).drop(
-            "n_words", "n_kept"
-        )
+        doc = dedup_exact_substr(
+            doc, w=config.exact_substr_w, seen=seen_substr
+        ).drop("n_words", "n_kept")
     if config.split_long is not None:
         doc = _split_long_stage(
             doc, config.split_long, config.paragraph_sep
@@ -783,7 +788,14 @@ class CorpusWriter:
                 if cfg.dedup_paragraphs and self._bootstrapped()
                 else None
             )
-            batch_doc = _pre_stages(batch_doc, cfg, seen_paras=seen)
+            seen_sub = (
+                self._stored_substr()
+                if cfg.dedup_exact_substr and self._bootstrapped()
+                else None
+            )
+            batch_doc = _pre_stages(
+                batch_doc, cfg, seen_paras=seen, seen_substr=seen_sub
+            )
             # Every pre-applied rewrite flag is cleared for the inner
             # curate — dedup_exact_substr is NOT idempotent, so leaving
             # it on would strip spans twice.
@@ -996,6 +1008,12 @@ class CorpusWriter:
                     # their text), so the layer is conservative-correct
                     # at every crash point.
                     self._write_paragraphs(novel, "append")
+                if self.config.dedup_exact_substr:
+                    # Same ordering invariant as the paragraph layer:
+                    # record the ADMITTED docs' window digests before
+                    # any index-side write, so a crash can only leave
+                    # the layer covering text the corpus holds.
+                    self._write_substr(novel, "append")
                 incremental.extend_index(
                     novel, self.index_dir, bands=batch_bands
                 )
@@ -1028,6 +1046,8 @@ class CorpusWriter:
                 # admit detects and routes through reconcile).
                 if self.config.dedup_paragraphs:
                     self._write_paragraphs(self.corpus(), "overwrite")
+                if self.config.dedup_exact_substr:
+                    self._write_substr(self.corpus(), "overwrite")
                 # cur.bands (when exposed) covers the eligible superset
                 # of the just-written corpus; _write_band_files filters
                 # to the corpus ids, saving the bootstrap re-banding.
@@ -1126,6 +1146,38 @@ class CorpusWriter:
             doc.select("doc_id", "text"), sep=self.config.paragraph_sep
         ).write.mode(mode).parquet(self._paras_dir())
 
+    def _substr_dir(self) -> str:
+        return f"{self.index_dir}/exact_substr"
+
+    def _stored_substr(self) -> DataFrame:
+        """The stored ExactSubstr window-digest layer (single ``h``
+        column, one row per distinct ``w``-word window of admitted
+        text). A bootstrapped index WITHOUT the layer means the corpus
+        predates `dedup_exact_substr=True` — treating it as empty would
+        let later batches re-admit every stored span; reconcile()
+        builds the layer from the corpus. The window width is the
+        writer config's ``exact_substr_w`` — like ``paragraph_sep``,
+        it must stay constant across the corpus's writer lifetimes
+        (digests of different widths never match, silently disabling
+        the cross-batch check)."""
+        import os
+
+        if not os.path.isdir(self._substr_dir()):
+            raise ValueError(
+                f"index at {self.index_dir} has no exact-substr layer "
+                "but the writer is configured with "
+                "dedup_exact_substr=True — run reconcile() once to "
+                "build it from the corpus."
+            )
+        return self.spark.read.parquet(self._substr_dir())
+
+    def _write_substr(self, doc: DataFrame, mode: str) -> None:
+        from .queries.dedup import exact_substr_digests
+
+        exact_substr_digests(
+            doc.select("doc_id", "text"), w=self.config.exact_substr_w
+        ).write.mode(mode).parquet(self._substr_dir())
+
     def reconcile(self) -> dict:
         """Rebuild the dedup index from the corpus as currently written —
         the recovery path for a crash inside :meth:`admit`'s
@@ -1134,7 +1186,9 @@ class CorpusWriter:
         With ``dedup_paragraphs`` configured, also (re)builds the
         stored paragraph-digest layer from the corpus text (defensively
         distinct — the corpus is paragraph-unique by construction, but
-        this is the crash-recovery path)."""
+        this is the crash-recovery path); with ``dedup_exact_substr``,
+        the stored window-digest layer likewise (and this is the
+        late-enablement path for a corpus admitted before the flag)."""
         from . import incremental
         from .queries.dedup import paragraph_digests
 
@@ -1144,6 +1198,10 @@ class CorpusWriter:
                 self.corpus().select("doc_id", "text"),
                 sep=self.config.paragraph_sep,
             ).distinct().write.mode("overwrite").parquet(self._paras_dir())
+        if self.config.dedup_exact_substr:
+            # Also the late-enablement path: _stored_substr refuses on a
+            # corpus whose windows were never recorded until this runs.
+            self._write_substr(self.corpus(), "overwrite")
         if self.bm25_index:
             from .queries.retrieval import write_bm25_index
 

@@ -1120,7 +1120,37 @@ def dedup_paragraphs(
 EXACT_SUBSTR_W = 8
 
 
-def dedup_exact_substr(doc: DataFrame, w: int = EXACT_SUBSTR_W) -> DataFrame:
+def exact_substr_digests(doc: DataFrame, w: int = EXACT_SUBSTR_W) -> DataFrame:
+    """Single-column (``h``) md5 digests of every ``w``-word rolling
+    window of ``doc`` — the kernel behind `CorpusWriter`'s stored
+    ExactSubstr layer (write = these rows of the admitted docs' final
+    text; query = :func:`dedup_exact_substr`'s ``seen`` sentinel
+    election). Distinct within the frame: the layer is a SET of
+    window digests, and surviving text can still repeat a window
+    (span removal creates new adjacencies), so dedup here keeps the
+    stored rows slim. 16-byte rows; word text rides only the per-doc
+    `lead` window, never a digest shuffle."""
+    if w < 2:
+        raise ValueError(f"exact_substr_digests requires w >= 2, got {w}")
+    words = doc.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("i", "w0")
+    )
+    win = W.partitionBy("doc_id").orderBy("i")
+    leads = [F.lead("w0", j).over(win) for j in range(1, w)]
+    return (
+        words.select(
+            F.md5(F.concat_ws(" ", "w0", *leads)).alias("h"),
+            leads[-1].alias("_tail"),
+        )
+        .filter(F.col("_tail").isNotNull())
+        .select("h")
+        .distinct()
+    )
+
+
+def dedup_exact_substr(
+    doc: DataFrame, w: int = EXACT_SUBSTR_W, seen: DataFrame | None = None
+) -> DataFrame:
     """ExactSubstr duplicated-span removal (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better") at word
     granularity: any ``w``-word window whose text appears EARLIER in the
@@ -1146,6 +1176,19 @@ def dedup_exact_substr(doc: DataFrame, w: int = EXACT_SUBSTR_W) -> DataFrame:
     every input column with ``text`` rewritten, plus (n_words, n_kept);
     a document whose every word was covered by duplicated windows keeps
     its row with empty text and n_kept = 0.
+
+    ``seen``: optional single-column (``h``) frame of window digests
+    already present in an EXISTING corpus (`exact_substr_digests` of
+    the stored text — `CorpusWriter`'s stored ExactSubstr layer).
+    Stored windows precede every batch occurrence, so EVERY batch
+    occurrence of a stored digest is removed (no in-batch keeper) and
+    the in-batch first-occurrence election runs only among unseen
+    digests. Implemented by injecting one sentinel occurrence at
+    (doc_id=-1, pos=-1) per stored digest into the min-struct election
+    — for a frame whose ids all exceed an existing corpus's, this is
+    exactly the full kernel over (corpus ∪ batch) restricted to the
+    batch (pinned). Requires nonnegative ``doc_id`` (the sentinel must
+    sort first).
 
     100 TB posture, stage by stage:
     - window digests shuffle SLIM (16-byte md5 + doc_id + pos); word
@@ -1185,7 +1228,21 @@ def dedup_exact_substr(doc: DataFrame, w: int = EXACT_SUBSTR_W) -> DataFrame:
         .filter(F.col("_tail").isNotNull())
         .select("doc_id", "pos", "h")
     )
-    first = grams.groupBy("h").agg(
+    occ = grams
+    if seen is not None:
+        # One sentinel occurrence per stored digest: (-1, -1) sorts
+        # before any real (doc_id >= 0, pos >= 0), so a stored window
+        # wins every election it enters and all its batch occurrences
+        # land in `dup` (the join below runs on the batch-only grams —
+        # sentinels never reach the output).
+        occ = grams.unionByName(
+            seen.select(
+                F.lit(-1).cast("long").alias("doc_id"),
+                F.lit(-1).cast("int").alias("pos"),
+                "h",
+            )
+        )
+    first = occ.groupBy("h").agg(
         F.min(F.struct("doc_id", "pos")).alias("first")
     )
     dup = (

@@ -268,3 +268,141 @@ def test_curation_exact_substr_w_guard():
 
     with pytest.raises(ValueError, match="exact_substr_w"):
         CurationConfig(exact_substr_w=1)
+
+# -- incremental form: `seen` + CorpusWriter's stored window layer ------
+
+
+@pytest.mark.parametrize("sf_dir2", SF_DIRS)
+def test_exact_substr_seen_equals_union_oracle(spark, sf_dir2):
+    """The incremental form is EXACTLY the full kernel over
+    (store ∪ batch) restricted to the batch when every store doc_id
+    precedes every batch doc_id: seen-form(batch,
+    exact_substr_digests(store)) ≡ the DuckDB union-form oracle
+    filtered to batch ids — bit-identical at both scales."""
+    from kinesis_iterator_spark.queries.dedup import exact_substr_digests
+
+    derived = _derived(spark, sf_dir2)
+    ids = sorted(r[0] for r in derived.select("doc_id").collect())
+    split = ids[len(ids) // 2]
+    store = derived.filter(F.col("doc_id") < split)
+    batch = derived.filter(F.col("doc_id") >= split)
+    got = _rows(
+        dedup_exact_substr(batch, seen=exact_substr_digests(store))
+    )
+    want = sorted(
+        tuple(r)
+        for r in _con(sf_dir2)
+        .execute(
+            f"SELECT * FROM ({_oracle_sql(EXACT_SUBSTR_W)}) "
+            f"WHERE doc_id >= {split}"
+        )
+        .fetchall()
+    )
+    assert got == want
+    # The pure-Spark union form agrees too (same restriction).
+    union = _rows(
+        dedup_exact_substr(derived).filter(F.col("doc_id") >= split)
+    )
+    assert got == union
+    # Stored spans actually bit: some batch doc lost words the
+    # batch-scoped pass would have kept.
+    batch_only = {
+        r[0]: r[3] for r in _rows(dedup_exact_substr(batch))
+    }
+    assert any(r[3] < batch_only[r[0]] for r in got)
+
+
+def test_corpus_writer_substr_layer_strips_cross_batch_spans(
+    spark, sf_dir, tmp_path
+):
+    """A span admitted in batch 1 must be stripped from every batch-2
+    document that repeats it — the stored window-digest layer at work
+    (pre-layer, the pass was batch-scoped and batch 2 would have kept
+    its own first occurrence)."""
+    from kinesis_iterator_spark.pipeline import CorpusWriter, CurationConfig
+    from kinesis_iterator_spark.queries import release_persists
+
+    base = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+
+    def planted(lo, hi, id_off):
+        return base.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).select(
+            (F.col("doc_id") + id_off).alias("doc_id"),
+            "lang",
+            "source",
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat_ws(" ", F.col("text"), F.lit(SPAN)),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+
+    w = CorpusWriter(
+        spark,
+        str(tmp_path / "corpus"),
+        str(tmp_path / "index"),
+        CurationConfig(dedup_exact_substr=True),
+    )
+    try:
+        w.admit(planted(0, 60, 0))
+        corpus1 = [r["text"] for r in w.corpus().collect()]
+        # Exactly one batch-1 doc keeps the planted span (the in-batch
+        # keeper) and it was admitted — so the layer holds its windows.
+        assert sum(SPAN in t for t in corpus1) == 1
+        w.admit(planted(60, 120, 10_000))
+        got2 = [
+            r["text"]
+            for r in w.corpus().filter(F.col("doc_id") >= 10_000).collect()
+        ]
+        # Batch 2 re-plants the span on its %5 docs; every occurrence
+        # is stored now, so NO batch-2 doc keeps any of its words.
+        assert got2 and all("omega" not in t.split() for t in got2)
+        assert all("xi" not in t.split() for t in got2)
+    finally:
+        release_persists()
+
+
+def test_substr_layer_missing_raises_and_reconcile_builds(
+    spark, sf_dir, tmp_path
+):
+    """A corpus bootstrapped WITHOUT the window layer must fail loudly
+    when an exact-substr writer admits against it (an empty-layer
+    fallback would silently re-admit every stored span); reconcile()
+    builds the layer from the corpus and admission proceeds with
+    cross-batch removal active."""
+    from kinesis_iterator_spark.pipeline import CorpusWriter, CurationConfig
+    from kinesis_iterator_spark.queries import release_persists
+
+    base = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    span_on = lambda df, id_off: df.select(  # noqa: E731
+        (F.col("doc_id") + id_off).alias("doc_id"),
+        "lang",
+        "source",
+        F.concat_ws(" ", F.col("text"), F.lit(SPAN)).alias("text"),
+    )
+    cdir, idir = str(tmp_path / "corpus"), str(tmp_path / "index")
+    try:
+        CorpusWriter(spark, cdir, idir, CurationConfig()).admit(
+            span_on(base.filter(F.col("doc_id") == 0), 0)
+        )
+        w = CorpusWriter(
+            spark, cdir, idir, CurationConfig(dedup_exact_substr=True)
+        )
+        batch2 = span_on(base.filter(F.col("doc_id").isin(7, 11)), 5_000)
+        with pytest.raises(ValueError, match="exact-substr layer"):
+            w.admit(batch2)
+        w.reconcile()
+        w.admit(batch2)
+        got = [
+            r["text"]
+            for r in w.corpus().filter(F.col("doc_id") >= 5_000).collect()
+        ]
+        assert got and all("omega" not in t.split() for t in got)
+    finally:
+        release_persists()
