@@ -1474,10 +1474,10 @@ class EmbeddingWriter:
         rejects = None
         novel = None
         try:
-            # NOTE: `survivors`' lineage includes the checkpointed
+            # NOTE: `novel_ids`' lineage includes the checkpointed
             # `rejects` (anti-join) — it stays pinned until every
-            # survivors consumer (verdict check, store append, index
-            # extend) has run; released checkpoints are unrecoverable.
+            # downstream consumer (counts, store append, index extend)
+            # has run; released checkpoints are unrecoverable.
             # The batch's TWO scoring passes — the in-batch self-join
             # and the vs-store probe — are per-vector independent (a
             # vector's verdict against the STORE does not depend on
@@ -1512,27 +1512,29 @@ class EmbeddingWriter:
                 _build_verdicts,
                 lambda: incremental._check_vec_ids(batch_emb),
             )
-            survivors = batch_emb.join(rejects, "vec_id", "left_anti")
             surv_verdicts = verdicts.join(rejects, "vec_id", "left_anti")
             # `novel` is NOT checkpointed (A/B'd: the materialization
             # job cost 0.6 s of the admit; identical stats without it):
-            # its DECISION inputs — which ids are admitted — are the
-            # two checkpoints (deterministic by construction), and only
-            # the payload re-derives from ``batch_emb``, the same
-            # deterministic-input assumption every multi-consumer batch
-            # lineage in the writer family already makes (the text
-            # side's batch_doc feeds gates, digests, and paragraphs the
-            # same way).
-            novel = survivors.join(
-                surv_verdicts.filter(
-                    F.col("verdict") == "novel"
-                ).select("vec_id"),
-                "vec_id",
-            )
+            # its DECISION input — which ids are admitted — is
+            # `novel_ids`, whose lineage is the two checkpoints ONLY
+            # (slim anti-join + filter, no batch scan; deterministic by
+            # construction), so every index-side consumer re-derives it
+            # per action for the cost of a broadcast-sized join. Only
+            # the payload re-derives from ``batch_emb`` — one scan +
+            # one id join per consumer, the same deterministic-input
+            # assumption every multi-consumer batch lineage in the
+            # writer family already makes. (Equivalent to filtering
+            # reject-free survivors: novel verdicts are already
+            # in-batch-reject-free via the anti-join.)
+            novel_ids = surv_verdicts.filter(
+                F.col("verdict") == "novel"
+            ).select("vec_id")
+            novel = batch_emb.join(novel_ids, "vec_id")
             # The verdict counts and reject count are read-only on the
-            # checkpoints — overlap them; the store append runs AFTER
-            # (it must commit before the index extend below; see the
-            # class docstring for why that order).
+            # checkpoints — overlap them WITH the store append (all
+            # three are independent actions; the crash-ordering
+            # contract only requires the append to commit before the
+            # index extend below, and the whole group finishes first).
             by_verdict: dict[str, int] = {}
 
             def _counts():
@@ -1550,8 +1552,10 @@ class EmbeddingWriter:
                 lambda: stats.__setitem__(
                     "rejected_in_batch", rejects.count()
                 ),
+                lambda: novel.write.mode("append").parquet(
+                    self.store_dir
+                ),
             )
-            novel.write.mode("append").parquet(self.store_dir)
             stats["rejected_near"] = by_verdict.get("near_dup", 0)
             stats["n_admitted"] = by_verdict.get("novel", 0)
             # Every batch row is either an in-batch reject or a
@@ -1575,7 +1579,7 @@ class EmbeddingWriter:
                 self.spark,
                 novel,
                 self.index_dir,
-                sig=sig.join(novel.select("vec_id"), "vec_id", "leftsemi"),
+                sig=sig.join(novel_ids, "vec_id", "leftsemi"),
                 n_new=stats["n_admitted"],
                 crows=self._crows,
             )
