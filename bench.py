@@ -389,6 +389,43 @@ def main() -> None:
 
     library.append(("bm25_topk", timed_bm25))
 
+    # -- round-10 surface: PQ/ADC approximate top-k (Jégou et al.
+    # 2011). Train-once + encode-once are setup (the FAISS build path,
+    # outside the timer, like the BM25/ANN templates); the timed query
+    # is the production read path — an 8 B/vec ADC scan with the
+    # lookup tables folded into the scan expression, shortlist, then
+    # exact re-rank of the shortlist's gathered payloads. Pinned
+    # bit-identical to DuckDB in tests/test_quantization.py.
+    from kinesis_iterator_spark.queries.quantization import (
+        pq_adc_topk,
+        pq_codes,
+        pq_train,
+    )
+
+    from pyspark.sql import functions as F
+
+    pq_emb = _lt(spark, sf_dir, "embeddings")
+    pq_res = pq_train(spark, pq_emb, iters=2)
+    release_persists()
+    pq_code_df = pq_codes(pq_emb, pq_res).localCheckpoint(eager=True)
+    pq_q = list(
+        pq_emb.filter(F.col("vec_id") == 7).collect()[0]["embedding"]
+    )
+
+    def pq_query() -> None:
+        pq_adc_topk(
+            spark, pq_emb, pq_code_df, pq_q, pq_res, topk=10, shortlist=64
+        ).collect()
+
+    pq_query()  # warm
+
+    def timed_pq() -> float:
+        t0 = time.perf_counter()
+        pq_query()
+        return time.perf_counter() - t0
+
+    library.append(("pq_adc_topk", timed_pq))
+
     # -- round-7 surface: incremental corpus admission. Bootstrap a
     # corpus + dedup index from the even-doc_id half ONCE (untimed),
     # then time CorpusWriter.admit of the odd half against a fresh COPY

@@ -1,0 +1,459 @@
+"""Product quantization for ANN search (Jégou, Douze, Schmid 2011,
+"Product Quantization for Nearest Neighbor Search" — the IVFADC
+layout FAISS ships as `IndexIVFPQ`). At 100 TB the raw vectors
+(64 × f32 = 256 B each) cannot ride candidate shuffles or executor
+caches; PQ stores an 8-byte code per vector (m subspace centroids
+ids packed into one int64) and answers queries with asymmetric
+distance computation (ADC): one tiny per-query lookup table of exact
+query·centroid products, summed per candidate by table lookups — no
+vector payload is touched until the final exact re-rank of a bounded
+shortlist.
+
+Reference parity note: the reference (`kinesis.go`) has no vector
+surface at all — this extends the driver-mandated similarity-search
+group (SURVEY §2.C) along its published scale path.
+
+House fixed-point discipline (see `clustering`): components quantize
+to int64 at 1e-6 the moment they leave float space; training, code
+assignment, and ADC tables are all EXACT integer arithmetic —
+order-independent, so bit-identical between Spark, numpy kernels, and
+DuckDB. The shortlist score (approximate cosine) is derived from
+exact integers by correctly-rounded IEEE double ops only (convert,
+multiply, sqrt, divide — each deterministic and identical across
+engines), and the final re-rank uses the similarity module's
+sequential-fold cosine, the oracle-equal exact path.
+
+Training: per-subspace Lloyd's k-means, all m subspaces advanced in
+ONE Spark job per iteration (the kernel emits ≤ m·ks·dsub slim integer
+rows per partition; the update is a codebook-sized driver loop).
+Pinned bit-identical to running the oracle-pinned
+`clustering.kmeans_embeddings(init="min_id")` on each sliced frame —
+the trainer IS m fused copies of that iteration.
+
+100 TB posture: training scans the corpus iters+1 times with
+codebook-sized collects (the `kmeans_embeddings` posture, ×1 not ×m
+jobs); encoding is one Arrow pass emitting 16-byte (vec_id, code)
+rows; a query's ADC pass reads ONLY the stored code column (8 B/vec)
+with the m·ks lookup table folded into the scan as a codegen
+expression — no join, no shuffle; the exact re-rank touches
+``shortlist`` vector payloads. The scale lever is (m, ks): FAISS-scale
+indexes use m=8..64, ks=256.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .clustering import FIX, _dists_int, _quantize, _round_div
+from . import managed_persist
+
+# Fixture-scale defaults: 8 subspaces of 8 dims, 16 centroids each —
+# an 8-byte code per vector (slots fit 8 bits each by construction).
+PQ_M = 8
+PQ_KS = 16
+_SLOT_BITS = 8
+
+
+class PQResult(NamedTuple):
+    m: int
+    dsub: int
+    # Per subspace: (surviving slot ids ascending, (len, dsub) int64
+    # fixed-point centroids). Slot ids are the kmeans cluster ids of
+    # the sliced-frame training run (dense 0..ks-1 unless a cluster
+    # emptied; always < 256 — the packed-code contract).
+    books: list[tuple[list[int], np.ndarray]]
+
+
+def pq_train(
+    spark: SparkSession,
+    emb: DataFrame,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    iters: int = 2,
+) -> PQResult:
+    """Train per-subspace codebooks over an (vec_id, embedding) frame —
+    bit-identical to `clustering.kmeans_embeddings(k=ks, iters=iters,
+    init="min_id")` run on each of the m sliced sub-vector frames
+    (pinned), but every iteration advances ALL subspaces in one job.
+
+    Init mirrors min_id: the ks smallest-vec_id vectors, sliced —
+    the same rows for every subspace, collected once."""
+    if ks < 1 or ks > (1 << _SLOT_BITS):
+        raise ValueError(f"ks must be in [1, {1 << _SLOT_BITS}], got {ks}")
+    if m < 1:
+        raise ValueError(f"m must be >= 1, got {m}")
+    n_part = spark.sparkContext.defaultParallelism
+    src = managed_persist(
+        emb.select("vec_id", "embedding").repartition(n_part)
+    )
+    init_rows = (
+        emb.select("vec_id", "embedding").orderBy("vec_id").limit(ks).collect()
+    )
+    E0 = _quantize(
+        np.array([r["embedding"] for r in init_rows], dtype=np.float32)
+    )
+    d = E0.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} is not divisible by m={m}")
+    dsub = d // m
+    books: list[tuple[list[int], np.ndarray]] = [
+        (list(range(E0.shape[0])), E0[:, s * dsub : (s + 1) * dsub].copy())
+        for s in range(m)
+    ]
+
+    for _ in range(iters):
+        parts = src.mapInPandas(
+            _pq_partial_sums_fn(books, dsub),
+            "sub long, cl long, dim long, s long, cnt long",
+        )
+        rows = (
+            parts.groupBy("sub", "cl", "dim")
+            .agg(F.sum("s").alias("s"), F.sum("cnt").alias("cnt"))
+            .collect()
+        )
+        by_sub: dict[int, dict[int, list]] = {}
+        for r in rows:
+            by_sub.setdefault(r["sub"], {}).setdefault(r["cl"], []).append(r)
+        new_books = []
+        for s in range(m):
+            by_cl = by_sub.get(s, {})
+            cls = sorted(by_cl)  # empty clusters vanish, per subspace
+            C = np.empty((len(cls), dsub), dtype=np.int64)
+            for j, cl in enumerate(cls):
+                for r in by_cl[cl]:
+                    C[j, r["dim"]] = _round_div(int(r["s"]), int(r["cnt"]))
+            new_books.append((cls, C))
+        books = new_books
+    return PQResult(m, dsub, books)
+
+
+def _pq_partial_sums_fn(books, dsub: int):
+    """Per-partition per-(subspace, cluster) integer component sums —
+    m fused copies of `clustering._partial_sums_fn` over the sliced
+    sub-vectors, one output row set per subspace."""
+
+    def partial_sums(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = _quantize(
+                np.stack(pdf["embedding"].to_numpy()).astype(np.float32)
+            )
+            out = {"sub": [], "cl": [], "dim": [], "s": [], "cnt": []}
+            for s, (cls, C) in enumerate(books):
+                Xs = X[:, s * dsub : (s + 1) * dsub]
+                idx = np.argmin(_dists_int(Xs, C), axis=1)  # first min =
+                # smallest cluster id (cls ascending) — the kmeans
+                # tie-break.
+                for j in range(len(cls)):
+                    mask = idx == j
+                    n = int(mask.sum())
+                    if not n:
+                        continue
+                    ssum = Xs[mask].sum(axis=0)  # exact int64
+                    out["sub"] += [s] * dsub
+                    out["cl"] += [int(cls[j])] * dsub
+                    out["dim"] += list(range(dsub))
+                    out["s"] += [int(v) for v in ssum]
+                    out["cnt"] += [n] * dsub
+            yield pd.DataFrame(
+                {k: np.array(v, dtype=np.int64) for k, v in out.items()}
+            )
+
+    return partial_sums
+
+
+def pq_codes(emb: DataFrame, pq: PQResult) -> DataFrame:
+    """Encode vectors against a trained codebook: (vec_id, pq_code)
+    with the m per-subspace SLOT indexes (position in the subspace's
+    ascending id list — the ADC tables index by slot) packed 8 bits
+    each into one int64, subspace 0 in the low byte. One Arrow pass,
+    16-byte output rows."""
+    m, dsub, books = pq.m, pq.dsub, pq.books
+    for s, (cls, _) in enumerate(books):
+        if len(cls) > (1 << _SLOT_BITS):
+            raise ValueError(
+                f"subspace {s} has {len(cls)} centroids — packed codes "
+                f"carry {_SLOT_BITS} bits per subspace"
+            )
+
+    def encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = _quantize(
+                np.stack(pdf["embedding"].to_numpy()).astype(np.float32)
+            )
+            code = np.zeros(len(pdf), dtype=np.int64)
+            for s in range(m):
+                Xs = X[:, s * dsub : (s + 1) * dsub]
+                slot = np.argmin(_dists_int(Xs, books[s][1]), axis=1)
+                code |= slot.astype(np.int64) << (_SLOT_BITS * s)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(np.int64), "pq_code": code}
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        encode, "vec_id long, pq_code long"
+    )
+
+
+def adc_tables(query: list[float], pq: PQResult) -> tuple[list, list, int]:
+    """The per-query ADC lookup tables, exact int64: ``T[s][slot]`` =
+    query_sub · centroid (fixed-point dot), ``N[s][slot]`` = |centroid|²
+    (for the reconstruction norm), plus |query_fix|². Bounds: products
+    ≤ (2·10⁶)²·dsub ≈ 3·10¹³ per entry, m-entry sums < 2⁵³ — exact in
+    int64 AND in the double conversions the shortlist score makes."""
+    q = _quantize(np.asarray(query, dtype=np.float32)[None, :])[0]
+    if q.shape[0] != pq.m * pq.dsub:
+        raise ValueError(
+            f"query dim {q.shape[0]} != trained dim {pq.m * pq.dsub}"
+        )
+    T, N = [], []
+    for s, (_, C) in enumerate(pq.books):
+        qs = q[s * pq.dsub : (s + 1) * pq.dsub]
+        T.append([int(v) for v in (C * qs).sum(axis=1)])
+        N.append([int(v) for v in (C * C).sum(axis=1)])
+    return T, N, int((q * q).sum())
+
+
+def _adc_expr(tables: list, col: str) -> str:
+    """One codegen SQL expression summing m array-literal lookups on
+    the packed code column — built as a single F.expr string (plan-
+    construction discipline: no per-literal py4j calls)."""
+    terms = []
+    for s, tab in enumerate(tables):
+        # L-suffix every literal: a small-valued table would otherwise
+        # type the array INT and the m-term sum could overflow int32
+        # under ANSI mode.
+        arr = ",".join(f"{v}L" for v in tab)
+        idx = f"CAST(shiftright({col}, {_SLOT_BITS * s}) & 255 AS INT) + 1"
+        terms.append(f"element_at(array({arr}), {idx})")
+    return " + ".join(terms)
+
+
+def pq_adc_scores(
+    codes: DataFrame, query: list[float], pq: PQResult
+) -> DataFrame:
+    """Per-vector ADC scores from the stored codes ONLY (the 8 B/vec
+    scan — no vector payload, no join): exact int64 approximate dot
+    (``adc_dot``) and reconstruction norm (``adc_norm2``), plus the
+    approximate cosine ``adc_cos`` = adc_dot / sqrt(|q|²·|x̂|²) —
+    correctly-rounded IEEE ops on exactly-representable ints, so the
+    float is deterministic and cross-engine identical. Zero-norm
+    reconstructions (or a zero query) score NULL, ranking last."""
+    T, N, qn2 = adc_tables(query, pq)
+    dot = _adc_expr(T, "pq_code")
+    nrm = _adc_expr(N, "pq_code")
+    return codes.select(
+        "vec_id",
+        F.expr(f"CAST(({dot}) AS BIGINT)").alias("adc_dot"),
+        F.expr(f"CAST(({nrm}) AS BIGINT)").alias("adc_norm2"),
+    ).withColumn(
+        "adc_cos",
+        F.expr(
+            "CASE WHEN adc_norm2 > 0 AND CAST("
+            f"{qn2} AS BIGINT) > 0 THEN CAST(adc_dot AS DOUBLE) / "
+            f"sqrt(CAST({qn2} AS DOUBLE) * CAST(adc_norm2 AS DOUBLE)) "
+            "END"
+        ),
+    )
+
+
+def pq_adc_topk(
+    spark: SparkSession,
+    emb: DataFrame,
+    codes: DataFrame,
+    query: list[float],
+    pq: PQResult,
+    topk: int = 5,
+    shortlist: int = 64,
+) -> DataFrame:
+    """ADC-shortlisted exact top-k: rank ALL codes by (adc_cos DESC,
+    vec_id) — an 8 B/vec scan with the lookup tables folded into the
+    scan expression — take the ``shortlist`` best, gather ONLY their
+    vector payloads (one id equi-join), re-rank by EXACT cosine (the
+    similarity module's sequential left fold ≡ DuckDB list_reduce) and
+    return (vec_id, cosine) rows, ``topk`` best by (cosine DESC,
+    vec_id). With ``shortlist`` ≥ corpus size this equals brute-force
+    exact top-k (pinned); smaller shortlists trade recall for the
+    payload-gather bound — the published PQ contract."""
+    from .similarity import _fold_dot_rows
+
+    if topk > shortlist:
+        raise ValueError(f"topk {topk} > shortlist {shortlist}")
+    cand = (
+        pq_adc_scores(codes, query, pq)
+        .filter(F.col("adc_cos").isNotNull())
+        .orderBy(F.col("adc_cos").desc(), "vec_id")
+        .limit(shortlist)
+        .select("vec_id")
+    )
+    qv = np.asarray(query, dtype=np.float32)
+
+    def rerank(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            # float32 → float64 is exact — the folds then match the
+            # oracle's per-element CAST(x AS DOUBLE) fold bit-for-bit.
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            Q = np.repeat(qv.astype(np.float64)[None, :], len(pdf), axis=0)
+            dots = _fold_dot_rows(Q, X)
+            q64 = qv.astype(np.float64)[None, :]
+            qn = float(_fold_dot_rows(q64, q64)[0])
+            xn = _fold_dot_rows(X, X)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cos = dots / np.sqrt(qn * xn)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(np.int64), "cosine": cos}
+            )
+
+    scored = (
+        emb.select("vec_id", "embedding")
+        .join(cand, "vec_id")
+        .mapInPandas(rerank, "vec_id long, cosine double")
+    )
+    return (
+        scored.filter(~F.isnan("cosine"))
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(topk)
+    )
+
+
+# -- DuckDB oracle ------------------------------------------------------
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """The house left-fold dot (`similarity._DOT_SQL`) over two list
+    expressions — bit-identical to `_fold_dot_rows`."""
+    from .similarity import _DOT_SQL
+
+    return _DOT_SQL.format(a=a, b=b)
+
+
+def pq_oracle_sqls(
+    pq: PQResult, query: list[float], topk: int = 5, shortlist: int = 64
+) -> dict[str, str]:
+    """Full-derivation DuckDB SQL over the ``embeddings`` view for the
+    ENCODE → ADC → shortlist → exact-re-rank chain, given a trained
+    codebook (training itself is pinned ≡ m sliced runs of the
+    oracle-pinned `clustering.kmeans_embeddings`; the centroids enter
+    here as exact int literals). Returns {"codes": ..., "scores": ...,
+    "topk": ...} with column names matching the Spark surfaces."""
+    q = _quantize(np.asarray(query, dtype=np.float32)[None, :])[0]
+    cent_rows = []
+    for s, (_, C) in enumerate(pq.books):
+        for slot in range(C.shape[0]):
+            vals = ",".join(str(int(v)) for v in C[slot])
+            cent_rows.append(f"({s}, {slot}, [{vals}]::BIGINT[])")
+    T, N, qn2 = adc_tables(query, pq)
+    qvals = ",".join(str(int(v)) for v in q)
+    dsub, m = pq.dsub, pq.m
+    base = f"""
+    WITH cent(sub, slot, c) AS (VALUES {", ".join(cent_rows)}),
+    qfix(qv) AS (SELECT [{qvals}]::BIGINT[]),
+    efix AS (
+      SELECT vec_id,
+             [CAST(FLOOR(CAST(x AS DOUBLE) * {FIX}) AS BIGINT)
+              FOR x IN embedding] AS v
+      FROM embeddings
+    ),
+    sub AS (
+      SELECT vec_id, s.sub,
+             v[s.sub * {dsub} + 1 : (s.sub + 1) * {dsub}] AS vs
+      FROM efix, (SELECT unnest(range({m})) AS sub) s
+    ),
+    dist AS (
+      SELECT vec_id, sub.sub, slot,
+             list_sum([ (vs[i] - c[i]) * (vs[i] - c[i])
+                        FOR i IN range(1, {dsub + 1}) ]) AS d2
+      FROM sub JOIN cent ON sub.sub = cent.sub
+    ),
+    slot_of AS (
+      SELECT vec_id, sub, slot FROM (
+        SELECT vec_id, sub, slot,
+               row_number() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY d2, slot) AS rn
+        FROM dist
+      ) WHERE rn = 1
+    ),
+    code AS (
+      -- integer shifts, never POWER(): a packed code exceeds 2^53 and
+      -- a double-mediated sum silently rounds the low byte
+      SELECT vec_id,
+             CAST(SUM(slot << ({_SLOT_BITS} * sub)) AS BIGINT) AS pq_code
+      FROM slot_of GROUP BY vec_id
+    )"""
+    codes_sql = base + "\n    SELECT vec_id, pq_code FROM code"
+    # ADC from the packed code via the SAME lookup tables (exact ints).
+    t_rows = []
+    for s in range(m):
+        for slot in range(len(T[s])):
+            t_rows.append(f"({s}, {slot}, {T[s][slot]}, {N[s][slot]})")
+    adc = f""",
+    adc_t(sub, slot, t, n2) AS (VALUES {", ".join(t_rows)}),
+    unpack AS (
+      SELECT vec_id,
+             CAST((pq_code >> ({_SLOT_BITS} * s.sub)) & 255 AS BIGINT)
+               AS slot, s.sub
+      FROM code, (SELECT unnest(range({m})) AS sub) s
+    ),
+    scores AS (
+      SELECT vec_id, CAST(SUM(t) AS BIGINT) AS adc_dot,
+             CAST(SUM(n2) AS BIGINT) AS adc_norm2
+      FROM unpack JOIN adc_t USING (sub, slot) GROUP BY vec_id
+    ),
+    scored AS (
+      SELECT vec_id, adc_dot, adc_norm2,
+             CASE WHEN adc_norm2 > 0 AND {qn2} > 0 THEN
+               CAST(adc_dot AS DOUBLE) /
+               sqrt(CAST({qn2} AS DOUBLE) * CAST(adc_norm2 AS DOUBLE))
+             END AS adc_cos
+      FROM scores
+    )"""
+    scores_sql = (
+        base + adc
+        + "\n    SELECT vec_id, adc_dot, adc_norm2, adc_cos FROM scored"
+    )
+    # VARCHAR → DOUBLE → FLOAT: bare decimal literals parse as DECIMAL
+    # in DuckDB and DECIMAL→FLOAT scales the integer in float
+    # arithmetic (NOT correctly rounded — the known cross-engine cast
+    # landmine); strtod then double→float32 recovers the exact input
+    # floats.
+    qlist = ",".join(
+        f"'{float(x)!r}'" for x in np.asarray(query, np.float32)
+    )
+    topk_sql = (
+        base
+        + adc
+        + f""",
+    cand AS (
+      SELECT vec_id FROM scored WHERE adc_cos IS NOT NULL
+      ORDER BY adc_cos DESC, vec_id LIMIT {shortlist}
+    ),
+    qv(q) AS (SELECT ([{qlist}]::VARCHAR[])::DOUBLE[]::FLOAT[]),
+    exact AS (
+      SELECT e.vec_id,
+             {_dot_sql("q", "e.embedding")} /
+             sqrt({_dot_sql("q", "q")} *
+                  {_dot_sql("e.embedding", "e.embedding")}) AS cosine
+      FROM embeddings e JOIN cand USING (vec_id), qv
+    )
+    SELECT vec_id, cosine FROM exact WHERE NOT isnan(cosine)
+    ORDER BY cosine DESC, vec_id LIMIT {topk}"""
+    )
+    return {"codes": codes_sql, "scores": scores_sql, "topk": topk_sql}
