@@ -1280,6 +1280,10 @@ class EmbeddingWriter:
         train_codebook: bool = False,
         train_k: int = 8,
         train_iters: int = 4,
+        pq_layer: bool = False,
+        pq_m: int | None = None,
+        pq_ks: int | None = None,
+        pq_iters: int = 2,
     ) -> None:
         """``auto_reconcile``: rebuild the index (fresh codebook) at the
         end of any :meth:`admit` that leaves codebook staleness past
@@ -1296,8 +1300,21 @@ class EmbeddingWriter:
         place of the default label-mean centroids. Training cost sits
         on the build path only; admits keep assigning against the
         FROZEN stored codebook either way (the train-once contract),
-        so the hot loop is unchanged."""
+        so the hot loop is unchanged.
+
+        ``pq_layer``: maintain a stored product-quantization layer
+        (`quantization.write_pq_layer` layout) under the index —
+        trained at every index BUILD (bootstrap + reconcile — the
+        same train-once cadence as the IVF codebook), extended with
+        every admitted batch's codes against the FROZEN stored books,
+        queried via :meth:`pq_topk`. A missing or interrupted layer
+        self-heals at the next admit by rebuilding from the store (the
+        BM25-layer discipline — the layer is derived, the store is the
+        source of truth). Off by default: the layer costs one
+        batch-bounded encode+append per admit. ``pq_m`` / ``pq_ks``
+        default to the module's fixture-scale geometry."""
         from .queries.dedup import COSINE_TAU
+        from .queries.quantization import PQ_KS, PQ_M
 
         self.spark = spark
         self.store_dir = store_dir
@@ -1307,6 +1324,13 @@ class EmbeddingWriter:
         self.train_codebook = train_codebook
         self.train_k = train_k
         self.train_iters = train_iters
+        self.pq_layer = pq_layer
+        self.pq_m = PQ_M if pq_m is None else pq_m
+        self.pq_ks = PQ_KS if pq_ks is None else pq_ks
+        self.pq_iters = pq_iters
+        # Frozen-books cache, keyed like the IVF codebook cache below.
+        self._pq_books = None
+        self._pq_key: tuple | None = None
         # The stored codebook is FROZEN between rebuilds: read it
         # (driver-side pyarrow, zero jobs) once per writer lifetime
         # instead of per admit. Keyed on the build identity (meta n,
@@ -1456,6 +1480,8 @@ class EmbeddingWriter:
                 n=stats["n_admitted"],
                 codebook=self._build_codebook(),
             )
+            if self.pq_layer:
+                self._rebuild_pq()
             return stats
 
         meta = _read_ann_meta(self.index_dir)
@@ -1583,6 +1609,14 @@ class EmbeddingWriter:
                 n_new=stats["n_admitted"],
                 crows=self._crows,
             )
+            if self.pq_layer:
+                # After the ANN extend: a crash anywhere in the
+                # index-side window leaves DERIVED layers stale w.r.t.
+                # the committed store, and _extend_pq self-heals a
+                # missing/interrupted layer by rebuilding from the
+                # store (which already holds this batch — the append
+                # above committed first).
+                self._extend_pq(novel)
             self._check_drift()
             return stats
         finally:
@@ -1590,6 +1624,83 @@ class EmbeddingWriter:
             for ck in (rejects, verdicts):
                 if ck is not None:
                     release_local_checkpoint(ck)
+
+    def _pq_meta_key(self) -> tuple:
+        from .queries.similarity import _read_ann_meta
+
+        meta = _read_ann_meta(self.index_dir)
+        return (meta["n"], meta["b"])
+
+    def _rebuild_pq(self):
+        """(Re)train + (re)encode the stored PQ layer from the store —
+        the build path (bootstrap/reconcile) and the self-heal path."""
+        from .queries.quantization import write_pq_layer
+
+        self._pq_books = write_pq_layer(
+            self.spark,
+            self.index_dir,
+            self.store(),
+            m=self.pq_m,
+            ks=self.pq_ks,
+            iters=self.pq_iters,
+        )
+        self._pq_key = self._pq_meta_key()
+
+    def _cached_pq_books(self):
+        from .queries.quantization import read_pq_books
+
+        key = self._pq_meta_key()
+        if self._pq_books is None or self._pq_key != key:
+            self._pq_books = read_pq_books(self.index_dir)
+            self._pq_key = key
+        return self._pq_books
+
+    def _extend_pq(self, novel: DataFrame) -> None:
+        """Append the admitted batch's codes against the FROZEN stored
+        books; a missing or interrupted layer rebuilds from the store
+        instead (late enablement on pre-existing state, or a crash
+        inside a previous admit's index-side window — the store is the
+        source of truth, the layer is derived). The rebuild path
+        already covers this batch: the store append committed before
+        any index-side write."""
+        from .queries.quantization import (
+            extend_pq_layer,
+            pq_layer_exists,
+            pq_layer_interrupted,
+        )
+
+        if not pq_layer_exists(self.index_dir) or pq_layer_interrupted(
+            self.index_dir
+        ):
+            self._rebuild_pq()
+            return
+        extend_pq_layer(
+            self.spark, self.index_dir, novel, books=self._cached_pq_books()
+        )
+
+    def pq_topk(
+        self, query: list[float], topk: int = 5, shortlist: int = 64
+    ) -> DataFrame:
+        """ADC-shortlisted exact top-k over the admitted store from the
+        stored PQ layer (requires ``pq_layer=True``) — codes from the
+        8 B/vec parquet scan, books from the writer's frozen cache,
+        shortlist payloads gathered from the store."""
+        from .queries.quantization import pq_topk_from_index
+
+        if not self.pq_layer:
+            raise ValueError(
+                "this EmbeddingWriter was constructed without "
+                "pq_layer=True"
+            )
+        return pq_topk_from_index(
+            self.spark,
+            self.index_dir,
+            self.store(),
+            query,
+            topk=topk,
+            shortlist=shortlist,
+            books=self._cached_pq_books(),
+        )
 
     def _check_drift(self) -> None:
         """Post-extend codebook-staleness hook: reconcile in-loop when
@@ -1626,11 +1737,13 @@ class EmbeddingWriter:
         from .incremental import _dir_rows
         from .queries.similarity import write_ann_index
 
-        # The rebuild trains a FRESH codebook — drop the cached one.
+        # The rebuild trains FRESH codebooks — drop the cached ones.
         self._crows = None
         self._crows_key = None
+        self._pq_books = None
+        self._pq_key = None
         # Store size from parquet footers — zero Spark jobs.
-        return write_ann_index(
+        meta = write_ann_index(
             self.spark,
             self.store_dir,
             self.index_dir,
@@ -1638,6 +1751,9 @@ class EmbeddingWriter:
             n=_dir_rows(self.store_dir),
             codebook=self._build_codebook(),
         )
+        if self.pq_layer:
+            self._rebuild_pq()
+        return meta
 
 
 def pack_sequences(

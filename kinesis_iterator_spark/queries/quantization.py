@@ -334,6 +334,167 @@ def pq_adc_topk(
     )
 
 
+# -- stored PQ layer on an ANN index ------------------------------------
+#
+# The writer-family stored-layer discipline (BM25 postings / paragraph
+# digests): every mutation is bracketed by an `pq.inprogress` marker —
+# readers and extenders refuse loudly while it exists (a half-written
+# layer would silently mis-rank), a full rebuild from the store heals.
+# Codebooks are FROZEN between rebuilds (the train-once contract):
+# extension encodes new vectors against the stored books, read
+# driver-side via pyarrow (ints in parquet — bit-exact, zero jobs).
+
+
+def _pq_marker(index_dir: str) -> str:
+    return f"{index_dir}/pq.inprogress"
+
+
+def pq_layer_exists(index_dir: str) -> bool:
+    import os
+
+    return os.path.isdir(f"{index_dir}/pq_codebooks")
+
+
+def pq_layer_interrupted(index_dir: str) -> bool:
+    import os
+
+    return os.path.exists(_pq_marker(index_dir))
+
+
+def _check_pq_layer(index_dir: str) -> None:
+    if not pq_layer_exists(index_dir):
+        raise ValueError(
+            f"ANN index at {index_dir} has no PQ layer — build it with "
+            "write_pq_layer (or EmbeddingWriter(pq_layer=True).reconcile())."
+        )
+    if pq_layer_interrupted(index_dir):
+        raise ValueError(
+            f"PQ layer at {index_dir} has an unfinished write "
+            "(pq.inprogress marker present): codes and codebooks may "
+            "mix trainings. Rebuild via write_pq_layer / reconcile."
+        )
+
+
+def write_pq_layer(
+    spark: SparkSession,
+    index_dir: str,
+    emb: DataFrame,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    iters: int = 2,
+) -> PQResult:
+    """(Re)build the stored PQ layer for the vectors in ``emb``:
+    ``{index_dir}/pq_codebooks/`` — (sub, slot, centroid array<long>),
+    the exact int64 fixed-point books; ``{index_dir}/pq_codes/`` —
+    (vec_id, pq_code). Marker-bracketed overwrite; one training pass
+    per iteration + one encode pass."""
+    import os
+
+    from . import release_persists
+
+    os.makedirs(index_dir, exist_ok=True)
+    with open(_pq_marker(index_dir), "w") as fh:
+        fh.write("")
+    try:
+        pq = pq_train(spark, emb, m=m, ks=ks, iters=iters)
+        rows = [
+            (s, int(slot), [int(v) for v in pq.books[s][1][j]])
+            for s in range(pq.m)
+            for j, slot in enumerate(pq.books[s][0])
+        ]
+        spark.createDataFrame(
+            rows, "sub long, slot long, centroid array<long>"
+        ).write.mode("overwrite").parquet(f"{index_dir}/pq_codebooks")
+        pq_codes(emb, pq).write.mode("overwrite").parquet(
+            f"{index_dir}/pq_codes"
+        )
+    finally:
+        # The trainer's managed persist only helps its own iteration
+        # jobs + this encode pass — releasing is always safe (a
+        # released persist recomputes, unlike a checkpoint).
+        release_persists()
+    os.remove(_pq_marker(index_dir))
+    return pq
+
+
+def read_pq_books(index_dir: str) -> PQResult:
+    """The stored codebooks as a :class:`PQResult`, read DRIVER-side
+    via pyarrow (int64 parquet — bit-exact, zero Spark jobs; the books
+    are m·ks rows — always driver-sized)."""
+    import pyarrow.parquet as pq_
+
+    _check_pq_layer(index_dir)
+    tbl = pq_.read_table(f"{index_dir}/pq_codebooks")
+    by_sub: dict[int, list] = {}
+    for s, slot, cent in zip(
+        tbl.column("sub").to_pylist(),
+        tbl.column("slot").to_pylist(),
+        tbl.column("centroid").to_pylist(),
+    ):
+        by_sub.setdefault(s, []).append((slot, cent))
+    m = max(by_sub) + 1
+    books = []
+    for s in range(m):
+        entries = sorted(by_sub[s])
+        books.append(
+            (
+                [slot for slot, _ in entries],
+                np.array([c for _, c in entries], dtype=np.int64),
+            )
+        )
+    return PQResult(m, books[0][1].shape[1], books)
+
+
+def extend_pq_layer(
+    spark: SparkSession,
+    index_dir: str,
+    new_emb: DataFrame,
+    books: PQResult | None = None,
+) -> None:
+    """Append NEW vectors' codes, encoded against the FROZEN stored
+    books (``books``: the caller's driver-side cache of
+    `read_pq_books`, sparing the sidecar read per admit). The books
+    sidecar is never touched — the train-once contract; rebuild via
+    `write_pq_layer` when the corpus has drifted (the ANN codebook's
+    drift accounting covers both layers)."""
+    import os
+
+    if books is None:
+        books = read_pq_books(index_dir)
+    else:
+        _check_pq_layer(index_dir)
+    with open(_pq_marker(index_dir), "w") as fh:
+        fh.write("")
+    pq_codes(new_emb, books).write.mode("append").parquet(
+        f"{index_dir}/pq_codes"
+    )
+    os.remove(_pq_marker(index_dir))
+
+
+def pq_topk_from_index(
+    spark: SparkSession,
+    index_dir: str,
+    emb: DataFrame,
+    query: list[float],
+    topk: int = 5,
+    shortlist: int = 64,
+    books: PQResult | None = None,
+) -> DataFrame:
+    """`pq_adc_topk` served from the stored layer: codes come from the
+    ``pq_codes/`` parquet (the 8 B/vec production scan), books from the
+    sidecar (or the caller's cache); ``emb`` is the vector store the
+    exact re-rank gathers shortlist payloads from — pinned equal to
+    the recompute form over the same store."""
+    if books is None:
+        books = read_pq_books(index_dir)
+    else:
+        _check_pq_layer(index_dir)
+    codes = spark.read.parquet(f"{index_dir}/pq_codes")
+    return pq_adc_topk(
+        spark, emb, codes, query, books, topk=topk, shortlist=shortlist
+    )
+
+
 # -- DuckDB oracle ------------------------------------------------------
 
 

@@ -203,3 +203,127 @@ def test_pq_shortlist_recall_reasonable(spark, sf_dir):
         )
     }
     assert len(exact & approx) >= 6
+
+# -- stored PQ layer + EmbeddingWriter composition ----------------------
+
+
+def test_pq_layer_roundtrip_and_from_index(spark, sf_dir, tmp_path):
+    """write → read roundtrips the exact int64 books; the from-index
+    query equals the recompute form over the same corpus."""
+    from kinesis_iterator_spark.queries.quantization import (
+        pq_topk_from_index,
+        read_pq_books,
+        write_pq_layer,
+    )
+
+    idx = str(tmp_path / "ann")
+    emb = _emb(spark, sf_dir)
+    pq = write_pq_layer(spark, idx, emb, m=M, ks=KS, iters=ITERS)
+    got = read_pq_books(idx)
+    assert got.m == pq.m and got.dsub == pq.dsub
+    for s in range(pq.m):
+        assert got.books[s][0] == pq.books[s][0]
+        assert np.array_equal(got.books[s][1], pq.books[s][1])
+    q = _query_vec(spark, sf_dir)
+    a = _rows(pq_topk_from_index(spark, idx, emb, q, topk=10))
+    b = _rows(
+        pq_adc_topk(spark, emb, pq_codes(emb, pq), q, pq, topk=10)
+    )
+    assert a == b and len(a) == 10
+
+
+def test_pq_layer_marker_refuses_and_rebuild_heals(spark, sf_dir, tmp_path):
+    from kinesis_iterator_spark.queries.quantization import (
+        read_pq_books,
+        write_pq_layer,
+    )
+
+    idx = str(tmp_path / "ann")
+    emb = _emb(spark, sf_dir)
+    write_pq_layer(spark, idx, emb, m=M, ks=KS, iters=1)
+    with open(f"{idx}/pq.inprogress", "w") as fh:
+        fh.write("")
+    with pytest.raises(ValueError, match="pq.inprogress"):
+        read_pq_books(idx)
+    write_pq_layer(spark, idx, emb, m=M, ks=KS, iters=1)
+    assert read_pq_books(idx).m == M  # healed: marker gone, books read
+
+
+def test_embedding_writer_pq_layer_frozen_and_equal(spark, sf_dir, tmp_path):
+    """Writer-maintained layer: books train at bootstrap and stay
+    FROZEN across admits (sidecar byte-identical); stored codes equal
+    a fresh encode of the whole store against those books; pq_topk
+    equals the recompute form."""
+    from kinesis_iterator_spark.pipeline import EmbeddingWriter
+    from kinesis_iterator_spark.queries import release_persists
+    from kinesis_iterator_spark.queries.quantization import read_pq_books
+
+    emb = _emb(spark, sf_dir)
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    odd = emb.filter(F.col("vec_id") % 2 == 1)
+    w = EmbeddingWriter(
+        spark,
+        str(tmp_path / "store"),
+        str(tmp_path / "ann"),
+        pq_layer=True,
+        pq_ks=KS,
+        pq_iters=1,
+    )
+    try:
+        w.admit(even)
+        books0 = read_pq_books(str(tmp_path / "ann"))
+        w.admit(odd)
+        books1 = read_pq_books(str(tmp_path / "ann"))
+        for s in range(books0.m):
+            assert books0.books[s][0] == books1.books[s][0]
+            assert np.array_equal(books0.books[s][1], books1.books[s][1])
+        stored_codes = _rows(
+            spark.read.parquet(f"{tmp_path}/ann/pq_codes")
+        )
+        fresh_codes = _rows(pq_codes(w.store(), books1))
+        assert stored_codes == fresh_codes
+        q = _query_vec(spark, sf_dir)
+        a = _rows(w.pq_topk(q, topk=10))
+        b = _rows(
+            pq_adc_topk(
+                spark, w.store(), pq_codes(w.store(), books1), q, books1,
+                topk=10,
+            )
+        )
+        assert a == b and len(a) == 10
+    finally:
+        release_persists()
+
+
+def test_embedding_writer_pq_late_enablement_heals(spark, sf_dir, tmp_path):
+    """A store bootstrapped WITHOUT the layer gains it on the first
+    admit of a pq_layer=True writer (rebuild from the store — the
+    derived-layer self-heal), covering every stored vector."""
+    from kinesis_iterator_spark.pipeline import EmbeddingWriter
+    from kinesis_iterator_spark.queries import release_persists
+
+    emb = _emb(spark, sf_dir)
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    odd = emb.filter(F.col("vec_id") % 2 == 1)
+    sdir, idir = str(tmp_path / "store"), str(tmp_path / "ann")
+    try:
+        EmbeddingWriter(spark, sdir, idir).admit(even)
+        w = EmbeddingWriter(spark, sdir, idir, pq_layer=True, pq_iters=1)
+        with pytest.raises(ValueError, match="no PQ layer"):
+            w.pq_topk(_query_vec(spark, sf_dir))
+        w.admit(odd)
+        n_store = w.store().count()
+        n_codes = spark.read.parquet(f"{idir}/pq_codes").count()
+        assert n_codes == n_store
+        got = w.pq_topk(_query_vec(spark, sf_dir), topk=5)
+        assert got.count() == 5
+    finally:
+        release_persists()
+
+
+def test_embedding_writer_pq_guard(spark, sf_dir, tmp_path):
+    from kinesis_iterator_spark.pipeline import EmbeddingWriter
+
+    w = EmbeddingWriter(spark, str(tmp_path / "s"), str(tmp_path / "i"))
+    with pytest.raises(ValueError, match="pq_layer"):
+        w.pq_topk([0.0] * 64)
