@@ -495,6 +495,71 @@ def pq_topk_from_index(
     )
 
 
+def _probe_cells(index_dir: str, query: list[float], nprobe: int) -> list[int]:
+    """The ``nprobe`` stored IVF cells nearest the query by cosine —
+    ranked DRIVER-side over the ≤ n_cells codebook sidecar (pyarrow
+    read, zero jobs) with the house sequential float64 fold, so the
+    ranking is deterministic and identical to the oracle's list_reduce
+    fold over the same stored centroids. Zero-norm centroids (or a
+    zero query) never rank."""
+    from .similarity import read_ann_codebook
+
+    q = np.asarray(query, dtype=np.float32).astype(np.float64)
+
+    def fold(a, b):
+        acc = a[0] * b[0]
+        for i in range(1, a.shape[0]):
+            acc = acc + a[i] * b[i]
+        return acc
+
+    qn = fold(q, q)
+    ranked = []
+    for r in read_ann_codebook(index_dir):
+        c = np.asarray(r["centroid"], dtype=np.float64)
+        denom = np.sqrt(qn * fold(c, c))
+        if denom > 0:
+            ranked.append((-(fold(q, c) / denom), r["cell"]))
+    ranked.sort()
+    return [cell for _, cell in ranked[:nprobe]]
+
+
+def pq_ivf_topk_from_index(
+    spark: SparkSession,
+    index_dir: str,
+    emb: DataFrame,
+    query: list[float],
+    topk: int = 5,
+    shortlist: int = 64,
+    nprobe: int = 2,
+    books: PQResult | None = None,
+) -> DataFrame:
+    """The full IVFADC read path (FAISS `IndexIVFPQ`): probe the
+    ``nprobe`` stored IVF cells nearest the query (driver-side over
+    the codebook sidecar — zero jobs), restrict the ADC scan to the
+    probed cells' members via the stored inverted file (a broadcast
+    semi-join on the slim ``rk == 1`` assignment rows), then the
+    shortlist + exact re-rank of `pq_adc_topk`. At 100 TB this is the
+    point of the composition: the ADC scan touches ~nprobe/n_cells of
+    the codes and the re-rank a bounded shortlist — no stage ever
+    reads the full vector payload."""
+    if books is None:
+        books = read_pq_books(index_dir)
+    else:
+        _check_pq_layer(index_dir)
+    cells = _probe_cells(index_dir, query, nprobe)
+    members = (
+        spark.read.parquet(f"{index_dir}/ivf_assignment")
+        .filter((F.col("rk") == 1) & F.col("cell").isin(cells))
+        .select("vec_id")
+    )
+    codes = spark.read.parquet(f"{index_dir}/pq_codes").join(
+        members, "vec_id", "leftsemi"
+    )
+    return pq_adc_topk(
+        spark, emb, codes, query, books, topk=topk, shortlist=shortlist
+    )
+
+
 # -- DuckDB oracle ------------------------------------------------------
 
 
@@ -507,14 +572,22 @@ def _dot_sql(a: str, b: str) -> str:
 
 
 def pq_oracle_sqls(
-    pq: PQResult, query: list[float], topk: int = 5, shortlist: int = 64
+    pq: PQResult,
+    query: list[float],
+    topk: int = 5,
+    shortlist: int = 64,
+    nprobe: int | None = None,
 ) -> dict[str, str]:
     """Full-derivation DuckDB SQL over the ``embeddings`` view for the
     ENCODE → ADC → shortlist → exact-re-rank chain, given a trained
     codebook (training itself is pinned ≡ m sliced runs of the
     oracle-pinned `clustering.kmeans_embeddings`; the centroids enter
     here as exact int literals). Returns {"codes": ..., "scores": ...,
-    "topk": ...} with column names matching the Spark surfaces."""
+    "topk": ...} with column names matching the Spark surfaces.
+    With ``nprobe`` set, also {"ivf_topk": ...} — the IVFADC chain,
+    which additionally expects ``centroids`` and ``ivf_assignment``
+    views over the stored index's parquet (probe-cell ranking and the
+    inverted-file restriction run fully in SQL)."""
     q = _quantize(np.asarray(query, dtype=np.float32)[None, :])[0]
     cent_rows = []
     for s, (_, C) in enumerate(pq.books):
@@ -617,4 +690,49 @@ def pq_oracle_sqls(
     SELECT vec_id, cosine FROM exact WHERE NOT isnan(cosine)
     ORDER BY cosine DESC, vec_id LIMIT {topk}"""
     )
-    return {"codes": codes_sql, "scores": scores_sql, "topk": topk_sql}
+    out = {"codes": codes_sql, "scores": scores_sql, "topk": topk_sql}
+    if nprobe is not None:
+        # The IVFADC chain: probe-cell ranking over the stored
+        # `centroids` view (the same sequential float64 fold the
+        # driver runs), inverted-file restriction over the stored
+        # `ivf_assignment` view, then the ADC shortlist + exact
+        # re-rank over the restricted candidate set.
+        out["ivf_topk"] = (
+            base
+            + adc
+            + f""",
+    qv(q) AS (SELECT ([{qlist}]::VARCHAR[])::DOUBLE[]::FLOAT[]),
+    cellrank AS (
+      SELECT cell,
+             CASE WHEN sqrt({_dot_sql("q", "q")} *
+                       {_dot_sql("c.centroid", "c.centroid")}) > 0 THEN
+               {_dot_sql("q", "c.centroid")} /
+               sqrt({_dot_sql("q", "q")} *
+                    {_dot_sql("c.centroid", "c.centroid")})
+             END AS ccos
+      FROM centroids c, qv
+    ),
+    probe AS (
+      SELECT cell FROM cellrank WHERE ccos IS NOT NULL
+      ORDER BY ccos DESC, cell LIMIT {nprobe}
+    ),
+    members AS (
+      SELECT vec_id FROM ivf_assignment
+      WHERE rk = 1 AND cell IN (SELECT cell FROM probe)
+    ),
+    cand AS (
+      SELECT vec_id FROM scored JOIN members USING (vec_id)
+      WHERE adc_cos IS NOT NULL
+      ORDER BY adc_cos DESC, vec_id LIMIT {shortlist}
+    ),
+    exact AS (
+      SELECT e.vec_id,
+             {_dot_sql("q", "e.embedding")} /
+             sqrt({_dot_sql("q", "q")} *
+                  {_dot_sql("e.embedding", "e.embedding")}) AS cosine
+      FROM embeddings e JOIN cand USING (vec_id), qv
+    )
+    SELECT vec_id, cosine FROM exact WHERE NOT isnan(cosine)
+    ORDER BY cosine DESC, vec_id LIMIT {topk}"""
+        )
+    return out

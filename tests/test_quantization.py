@@ -327,3 +327,42 @@ def test_embedding_writer_pq_guard(spark, sf_dir, tmp_path):
     w = EmbeddingWriter(spark, str(tmp_path / "s"), str(tmp_path / "i"))
     with pytest.raises(ValueError, match="pq_layer"):
         w.pq_topk([0.0] * 64)
+
+
+def test_pq_ivf_topk_matches_duckdb_and_degenerates(spark, sf_dir, tmp_path):
+    """The composed IVFADC read path (probe cells → inverted-file
+    restriction → ADC shortlist → exact re-rank) is pinned against the
+    all-SQL DuckDB chain over the same stored index; probing EVERY
+    cell degenerates to the unrestricted from-index form."""
+    from kinesis_iterator_spark.queries.quantization import (
+        pq_ivf_topk_from_index,
+        pq_topk_from_index,
+        write_pq_layer,
+    )
+    from kinesis_iterator_spark.queries.similarity import write_ann_index
+
+    idx = str(tmp_path / "ann")
+    emb = _emb(spark, sf_dir)
+    write_ann_index(spark, sf_dir, idx)
+    pq = write_pq_layer(spark, idx, emb, m=M, ks=KS, iters=1)
+    q = _query_vec(spark, sf_dir)
+    got = _rows(
+        pq_ivf_topk_from_index(spark, idx, emb, q, topk=5, nprobe=2)
+    )
+    con = _con(sf_dir)
+    con.execute(
+        f"CREATE VIEW centroids AS SELECT * FROM '{idx}/centroids/*.parquet'"
+    )
+    con.execute(
+        "CREATE VIEW ivf_assignment AS "
+        f"SELECT * FROM '{idx}/ivf_assignment/*.parquet'"
+    )
+    sqls = pq_oracle_sqls(pq, q, topk=5, nprobe=2)
+    want = sorted(tuple(r) for r in con.execute(sqls["ivf_topk"]).fetchall())
+    assert got == want and len(got) == 5
+    n_cells = con.execute("SELECT COUNT(*) FROM centroids").fetchall()[0][0]
+    a = _rows(
+        pq_ivf_topk_from_index(spark, idx, emb, q, topk=5, nprobe=n_cells)
+    )
+    b = _rows(pq_topk_from_index(spark, idx, emb, q, topk=5))
+    assert a == b
