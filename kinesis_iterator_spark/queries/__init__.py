@@ -97,6 +97,7 @@ _MODULES = (
     "dedup",
     "graph",
     "similarity",
+    "quantization",
     "text",
     "multimodal",
     "stream_parity",

@@ -149,24 +149,6 @@ def fn_date_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "fn_math_suite",
-    oracle="""
-    SELECT l_orderkey, l_linenumber,
-           ROUND(l_extendedprice / 7, 2) AS rounded,
-           FLOOR(l_quantity) AS qty_floor,
-           CEIL(l_discount * 100) AS disc_pct_ceil,
-           ABS(l_quantity - 25.0) AS dist_from_25,
-           SQRT(l_extendedprice) AS price_sqrt,
-           ROUND(LN(l_extendedprice + 1), 6) AS price_ln,
-           POW(l_quantity, 2) AS qty_sq,
-           CAST(l_quantity AS BIGINT) % 7 AS qty_mod7,
-           CAST(SIGN(l_quantity - 25.0) AS DOUBLE) AS sign_off,
-           GREATEST(l_quantity, l_discount * 100) AS g,
-           LEAST(l_quantity, l_discount * 100) AS l
-    FROM lineitem
-    """,
-)
 def fn_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.select(
@@ -188,35 +170,6 @@ def fn_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "fn_array_suite",
-    oracle="""
-    WITH base AS (
-      SELECT doc_id,
-             string_split(text, ' ') AS words,
-             list_sort(list_distinct(string_split(text, ' '))) AS dw
-      FROM documents
-    ),
-    mapped AS (
-      SELECT *,
-             map(list_slice(dw, 1, 3),
-                 list_transform(list_slice(dw, 1, 3), w -> LENGTH(w))) AS m
-      FROM base
-    )
-    SELECT doc_id,
-           len(words) AS n_words,
-           len(list_distinct(words)) AS n_unique_words,
-           list_contains(words, 'spark') AS has_spark,
-           words[1] AS first_word,
-           array_to_string(list_slice(words, 1, 3), '-') AS first3,
-           dw[1] AS min_word,
-           CAST(cardinality(m) AS BIGINT) AS map_size,
-           CAST(m[dw[1]][1] AS BIGINT) AS first_key_len,
-           CAST(list_reduce(list_prepend(0::BIGINT, map_values(m)),
-                            (a, b) -> a + b) AS BIGINT) AS map_values_sum
-    FROM mapped
-    """,
-)
 def fn_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array functions (split/size/distinct/contains/slice/sort) and MAP
     functions (map_from_arrays/element_at/map_keys/map_values/size),
@@ -242,6 +195,136 @@ def fn_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.map_values(m), F.lit(0).cast("long"), lambda a, b: a + b
         ).alias("map_values_sum"),
     )
+
+
+@query(
+    "fn_scalar_suite",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             string_split(text, ' ') AS words,
+             list_sort(list_distinct(string_split(text, ' '))) AS dw
+      FROM documents
+    ),
+    mapped AS (
+      SELECT *,
+             map(list_slice(dw, 1, 3),
+                 list_transform(list_slice(dw, 1, 3), w -> LENGTH(w))) AS m
+      FROM base
+    )
+    SELECT 'math' AS part,
+           l_orderkey AS k1, CAST(l_linenumber AS BIGINT) AS k2,
+           ROUND(l_extendedprice / 7, 2) AS rounded,
+           FLOOR(l_quantity) AS qty_floor,
+           CEIL(l_discount * 100) AS disc_pct_ceil,
+           ABS(l_quantity - 25.0) AS dist_from_25,
+           SQRT(l_extendedprice) AS price_sqrt,
+           ROUND(LN(l_extendedprice + 1), 6) AS price_ln,
+           POW(l_quantity, 2) AS qty_sq,
+           CAST(l_quantity AS BIGINT) % 7 AS qty_mod7,
+           CAST(SIGN(l_quantity - 25.0) AS DOUBLE) AS sign_off,
+           GREATEST(l_quantity, l_discount * 100) AS g,
+           LEAST(l_quantity, l_discount * 100) AS l,
+           CAST(NULL AS BIGINT) AS n_words,
+           CAST(NULL AS BIGINT) AS n_unique_words,
+           CAST(NULL AS BIGINT) AS has_spark,
+           CAST(NULL AS VARCHAR) AS first_word,
+           CAST(NULL AS VARCHAR) AS first3,
+           CAST(NULL AS VARCHAR) AS min_word,
+           CAST(NULL AS BIGINT) AS map_size,
+           CAST(NULL AS BIGINT) AS first_key_len,
+           CAST(NULL AS BIGINT) AS map_values_sum
+    FROM lineitem
+    UNION ALL
+    SELECT 'array',
+           doc_id, CAST(NULL AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE),
+           len(words),
+           len(list_distinct(words)),
+           CAST(list_contains(words, 'spark') AS BIGINT),
+           words[1],
+           array_to_string(list_slice(words, 1, 3), '-'),
+           dw[1],
+           CAST(cardinality(m) AS BIGINT),
+           CAST(m[dw[1]][1] AS BIGINT),
+           CAST(list_reduce(list_prepend(0::BIGINT, map_values(m)),
+                            (a, b) -> a + b) AS BIGINT)
+    FROM mapped
+    """,
+)
+def fn_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both scalar-function sweeps in one registry entry (merged in
+    round 10 to free a slot for `pq_adc_topk` under the driver's
+    50-query gate; every function of both originals kept): the
+    lineitem math sweep (`fn_math_suite`) and the documents array/map
+    sweep (`fn_array_suite`), union-tagged by ``part`` over a
+    NULL-padded common schema — the `analytic_suite` discipline. Both
+    leg builders remain the public library surface; each leg's grain
+    and plan are unchanged (two independent map-side projections, no
+    extra exchange). Nullable bigints land as float64 under BOTH
+    engines' pandas canonicalization; ``has_spark`` transports as
+    BIGINT 0/1 (a nullable boolean's pandas dtype is the one
+    asymmetric class, and the `array_contains` coverage is unchanged
+    by the cast)."""
+    nd = F.lit(None).cast("double")
+    nl = F.lit(None).cast("long")
+    ns = F.lit(None).cast("string")
+    math = fn_math_suite(spark, sf_dir).select(
+        F.lit("math").alias("part"),
+        F.col("l_orderkey").alias("k1"),
+        F.col("l_linenumber").cast("long").alias("k2"),
+        "rounded",
+        "qty_floor",
+        "disc_pct_ceil",
+        "dist_from_25",
+        "price_sqrt",
+        "price_ln",
+        "qty_sq",
+        "qty_mod7",
+        "sign_off",
+        "g",
+        "l",
+        nl.alias("n_words"),
+        nl.alias("n_unique_words"),
+        nl.alias("has_spark"),
+        ns.alias("first_word"),
+        ns.alias("first3"),
+        ns.alias("min_word"),
+        nl.alias("map_size"),
+        nl.alias("first_key_len"),
+        nl.alias("map_values_sum"),
+    )
+    arr = fn_array_suite(spark, sf_dir).select(
+        F.lit("array").alias("part"),
+        F.col("doc_id").alias("k1"),
+        nl.alias("k2"),
+        nd.alias("rounded"),
+        nd.alias("qty_floor"),
+        nd.alias("disc_pct_ceil"),
+        nd.alias("dist_from_25"),
+        nd.alias("price_sqrt"),
+        nd.alias("price_ln"),
+        nd.alias("qty_sq"),
+        nl.alias("qty_mod7"),
+        nd.alias("sign_off"),
+        nd.alias("g"),
+        nd.alias("l"),
+        "n_words",
+        "n_unique_words",
+        F.col("has_spark").cast("long").alias("has_spark"),
+        "first_word",
+        "first3",
+        "min_word",
+        "map_size",
+        "first_key_len",
+        "map_values_sum",
+    )
+    return math.unionByName(arr)
 
 
 # explode (UNNEST/lateral-view) + re-aggregate coverage lives in

@@ -49,7 +49,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .clustering import FIX, _dists_int, _quantize, _round_div
-from . import managed_persist
+from . import managed_persist, query
+from ..tables import load_table
 
 # Fixture-scale defaults: 8 subspaces of 8 dims, 16 centroids each —
 # an 8-byte code per vector (slots fit 8 bits each by construction).
@@ -736,3 +737,167 @@ def pq_oracle_sqls(
     ORDER BY cosine DESC, vec_id LIMIT {topk}"""
         )
     return out
+
+
+# -- driver-gate registry entry -----------------------------------------
+
+# Registry geometry: small enough that the fully-derived training oracle
+# stays tractable at the driver's sf0.01 gate, identical to the test
+# suite's pins.
+_REG_M, _REG_KS, _REG_ITERS = 8, 16, 2
+_REG_TOPK, _REG_SHORTLIST, _REG_QID = 10, 64, 7
+
+
+def _pq_registry_oracle(
+    m: int, ks: int, iters: int, topk: int, shortlist: int, qid: int
+) -> str:
+    """The ENTIRE PQ chain as one self-contained DuckDB query over the
+    ``embeddings`` view: per-subspace fixed-point k-means training
+    (the `clustering._kmeans_ctes` iteration, instantiated per
+    subspace over sliced components), slot numbering, encode, packed
+    code, per-query ADC tables derived IN SQL from the trained books
+    and the query row (vec_id = ``qid``), shortlist, exact
+    sequential-fold re-rank. No data-dependent literal enters the
+    string — the oracle is scale-factor-agnostic, as the driver's gate
+    requires."""
+    dsub = 64 // m
+    ctes = [
+        "dims AS (SELECT UNNEST(range(64)) AS dim)",
+        "xfix AS (SELECT vec_id, dim, CAST(FLOOR(CAST(embedding[dim + 1]"
+        " AS DOUBLE) * 1000000) AS BIGINT) AS x FROM embeddings, dims)",
+        "init AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1"
+        " AS cl FROM (SELECT vec_id FROM embeddings ORDER BY vec_id"
+        f" LIMIT {ks}))",
+        f"subx AS (SELECT vec_id, dim // {dsub} AS sub,"
+        f" dim % {dsub} AS sdim, x FROM xfix)",
+    ]
+    for s in range(m):
+        ctes.append(
+            f"c0_{s} AS (SELECT i.cl, v.sdim, v.x AS c FROM init i"
+            f" JOIN subx v USING (vec_id) WHERE v.sub = {s})"
+        )
+        for i in range(1, iters + 1):
+            ctes.append(
+                f"a{i}_{s} AS (SELECT vec_id, cl FROM ("
+                f"SELECT v.vec_id, c.cl, ROW_NUMBER() OVER ("
+                f"PARTITION BY v.vec_id"
+                f" ORDER BY SUM((v.x - c.c) * (v.x - c.c)), c.cl) AS rk"
+                f" FROM subx v JOIN c{i - 1}_{s} c ON c.sdim = v.sdim"
+                f" WHERE v.sub = {s}"
+                f" GROUP BY v.vec_id, c.cl) WHERE rk = 1)"
+            )
+            ctes.append(
+                f"c{i}_{s} AS (SELECT a.cl, v.sdim,"
+                f" CASE WHEN SUM(v.x) >= 0"
+                f" THEN (2 * SUM(v.x) + COUNT(*)) // (2 * COUNT(*))"
+                f" ELSE -((2 * -SUM(v.x) + COUNT(*)) // (2 * COUNT(*)))"
+                f" END AS c"
+                f" FROM a{i}_{s} a JOIN subx v USING (vec_id)"
+                f" WHERE v.sub = {s} GROUP BY a.cl, v.sdim)"
+            )
+        ctes.append(
+            f"slots_{s} AS (SELECT cl, ROW_NUMBER() OVER (ORDER BY cl) - 1"
+            f" AS slot FROM (SELECT DISTINCT cl FROM c{iters}_{s}))"
+        )
+        ctes.append(
+            f"bk_{s} AS (SELECT {s} AS sub, sl.slot, c.sdim,"
+            f" CAST(c.c AS BIGINT) AS c"
+            f" FROM c{iters}_{s} c JOIN slots_{s} sl USING (cl))"
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM bk_{s}" for s in range(m))
+    ctes.append(f"pqcent AS ({union})")
+    ctes.append(
+        "sdist AS (SELECT v.vec_id, p.sub, p.slot,"
+        " SUM((v.x - p.c) * (v.x - p.c)) AS d2"
+        " FROM subx v JOIN pqcent p ON p.sub = v.sub AND p.sdim = v.sdim"
+        " GROUP BY v.vec_id, p.sub, p.slot)"
+    )
+    ctes.append(
+        "slot_of AS (SELECT vec_id, sub, slot FROM ("
+        "SELECT vec_id, sub, slot, ROW_NUMBER() OVER ("
+        "PARTITION BY vec_id, sub ORDER BY d2, slot) AS rk FROM sdist)"
+        " WHERE rk = 1)"
+    )
+    ctes.append(
+        "code AS (SELECT vec_id,"
+        " CAST(SUM(slot << (8 * sub)) AS BIGINT) AS pq_code"
+        " FROM slot_of GROUP BY vec_id)"
+    )
+    ctes.append(f"qfix AS (SELECT dim, x FROM xfix WHERE vec_id = {qid})")
+    ctes.append("qn AS (SELECT SUM(x * x) AS qn2 FROM qfix)")
+    ctes.append(
+        "tt AS (SELECT p.sub, p.slot, SUM(q.x * p.c) AS t,"
+        " SUM(p.c * p.c) AS n2 FROM pqcent p"
+        f" JOIN qfix q ON q.dim = p.sub * {dsub} + p.sdim"
+        " GROUP BY p.sub, p.slot)"
+    )
+    ctes.append(
+        "unpack AS (SELECT vec_id, s.sub,"
+        " CAST((pq_code >> (8 * s.sub)) & 255 AS BIGINT) AS slot"
+        f" FROM code, (SELECT UNNEST(range({m})) AS sub) s)"
+    )
+    ctes.append(
+        "sc AS (SELECT vec_id, CAST(SUM(t) AS BIGINT) AS adc_dot,"
+        " CAST(SUM(n2) AS BIGINT) AS adc_norm2"
+        " FROM unpack JOIN tt USING (sub, slot) GROUP BY vec_id)"
+    )
+    ctes.append(
+        "scored AS (SELECT vec_id, CASE WHEN adc_norm2 > 0 AND q.qn2 > 0"
+        " THEN CAST(adc_dot AS DOUBLE) / sqrt(CAST(q.qn2 AS DOUBLE)"
+        " * CAST(adc_norm2 AS DOUBLE)) END AS adc_cos FROM sc, qn q)"
+    )
+    ctes.append(
+        "cand AS (SELECT vec_id FROM scored WHERE adc_cos IS NOT NULL"
+        f" ORDER BY adc_cos DESC, vec_id LIMIT {shortlist})"
+    )
+    ctes.append(
+        f"qrow AS (SELECT embedding AS q FROM embeddings"
+        f" WHERE vec_id = {qid})"
+    )
+    ctes.append(
+        "exact AS (SELECT e.vec_id, "
+        + _dot_sql("q", "e.embedding")
+        + " / sqrt("
+        + _dot_sql("q", "q")
+        + " * "
+        + _dot_sql("e.embedding", "e.embedding")
+        + ") AS cosine FROM embeddings e JOIN cand USING (vec_id), qrow)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT vec_id, cosine FROM exact WHERE NOT isnan(cosine)"
+        + f" ORDER BY cosine DESC, vec_id LIMIT {topk}"
+    )
+
+
+@query(
+    "pq_adc_topk",
+    oracle=_pq_registry_oracle(
+        _REG_M, _REG_KS, _REG_ITERS, _REG_TOPK, _REG_SHORTLIST, _REG_QID
+    ),
+)
+def pq_adc_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ/ADC chain under the driver's gate: train the per-subspace
+    codebooks (fixed-point — deterministic), encode the corpus to
+    packed codes, ADC-shortlist for the query vector (the corpus row
+    ``vec_id = 7``), exact re-rank. Every stage up to the shortlist is
+    exact integer arithmetic and the re-rank is the sequential-fold
+    cosine, so the result is bit-comparable to the oracle's full SQL
+    derivation of the same chain — not merely close."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pq = pq_train(spark, emb, m=_REG_M, ks=_REG_KS, iters=_REG_ITERS)
+    q = list(
+        emb.filter(F.col("vec_id") == _REG_QID)
+        .select("embedding")
+        .collect()[0]["embedding"]
+    )
+    return pq_adc_topk(
+        spark,
+        emb,
+        pq_codes(emb, pq),
+        q,
+        pq,
+        topk=_REG_TOPK,
+        shortlist=_REG_SHORTLIST,
+    )
