@@ -203,18 +203,37 @@ def write_index(
     return meta
 
 
-def _recover_compaction(index_dir: str) -> None:
-    """Complete or roll back a :func:`compact_index` swap that a crash
+def _swap_staged(index_dir: str, *names: str) -> None:
+    """Commit fully-written ``{name}.compact`` stage dirs over the live
+    dirs, one at a time, each with two renames (a reader never sees a
+    half-written directory); the displaced data is removed last. Names
+    swap in argument order — a caller whose correctness needs a commit
+    ORDER across relations (compact_index: tombstones before bands)
+    encodes it in the argument order; callers whose relations are each
+    independently content-equivalent (the derived-layer compactors) need
+    no order at all."""
+    import shutil
+
+    for name in names:
+        old = f"{index_dir}/{name}.old"
+        cur = f"{index_dir}/{name}"
+        if os.path.isdir(cur):
+            os.rename(cur, old)
+        os.rename(f"{index_dir}/{name}.compact", cur)
+        shutil.rmtree(old, ignore_errors=True)
+
+
+def _recover_staged(index_dir: str, names: tuple[str, ...]) -> None:
+    """Complete or roll back a :func:`_swap_staged` that a crash
     interrupted. Per directory: a missing live dir with a staged
     ``.compact`` sibling rolls FORWARD (the stage is complete by
     construction — it was written before any rename); a missing live dir
     with only an ``.old`` sibling rolls BACK. Leftover siblings next to
     an intact live dir are discarded — compaction is idempotent, an
-    uncommitted stage is simply re-run. Called from `_check_meta`, so
-    every reader/extender self-heals before touching the index."""
+    uncommitted stage is simply re-run."""
     import shutil
 
-    for name in ("dropped", "bands"):
+    for name in names:
         cur = f"{index_dir}/{name}"
         old = f"{index_dir}/{name}.old"
         staged = f"{index_dir}/{name}.compact"
@@ -225,6 +244,17 @@ def _recover_compaction(index_dir: str) -> None:
                 os.rename(old, cur)
         shutil.rmtree(old, ignore_errors=True)
         shutil.rmtree(staged, ignore_errors=True)
+
+
+def _recover_compaction(index_dir: str) -> None:
+    """Self-heal every staged swap under a TEXT dedup index dir: the
+    band/tombstone pair plus the derived digest layers the CorpusWriter
+    stores alongside them (`CorpusWriter.compact` rewrites those too —
+    absent names are no-ops). Called from `_check_meta`, so every
+    reader/extender heals before touching the index."""
+    _recover_staged(
+        index_dir, ("dropped", "bands", "paragraphs", "exact_substr")
+    )
 
 
 def _check_meta(index_dir: str) -> dict:
@@ -459,8 +489,6 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
     Rewrites are staged to sibling directories and swapped in with two
     renames, so a reader never sees a half-written index; the old data
     is removed last."""
-    import shutil
-
     meta = _check_meta(index_dir)
     bands = spark.read.parquet(f"{index_dir}/bands")
     dropped = _read_dropped(spark, index_dir)
@@ -489,13 +517,7 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
     # renamed in) is healed by `_recover_compaction` on the next index
     # touch: the stage was fully written before any rename, so the
     # missing live dir rolls forward.
-    for name in ("dropped", "bands"):
-        old = f"{index_dir}/{name}.old"
-        cur = f"{index_dir}/{name}"
-        if os.path.isdir(cur):
-            os.rename(cur, old)
-        os.rename(f"{index_dir}/{name}.compact", cur)
-        shutil.rmtree(old, ignore_errors=True)
+    _swap_staged(index_dir, "dropped", "bands")
     meta["base_band_rows"] = _dir_rows(f"{index_dir}/bands")
     with open(f"{index_dir}/meta.json", "w") as fh:
         json.dump(meta, fh)

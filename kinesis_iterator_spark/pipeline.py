@@ -1131,6 +1131,11 @@ class CorpusWriter:
         one of them; reconcile() builds the layer from the corpus."""
         import os
 
+        from . import incremental
+
+        # Self-heal an interrupted compact() swap — the paragraph
+        # pre-stage can read the layer before anything calls _check_meta.
+        incremental._recover_staged(self.index_dir, ("paragraphs",))
         if not os.path.isdir(self._paras_dir()):
             raise ValueError(
                 f"index at {self.index_dir} has no paragraph layer but "
@@ -1162,6 +1167,9 @@ class CorpusWriter:
         the cross-batch check)."""
         import os
 
+        from . import incremental
+
+        incremental._recover_staged(self.index_dir, ("exact_substr",))
         if not os.path.isdir(self._substr_dir()):
             raise ValueError(
                 f"index at {self.index_dir} has no exact-substr layer "
@@ -1214,12 +1222,39 @@ class CorpusWriter:
 
     def compact(self) -> dict:
         """Re-apply the mega-bucket cap across all appends without
-        re-reading corpus text — `incremental.compact_index`. Cheaper
-        than :meth:`reconcile`; run it when `admit` starts warning about
-        band-row drift."""
+        re-reading corpus text — `incremental.compact_index` — and
+        collapse every enabled derived layer's per-admit append
+        segments (paragraph / exact-substr digests rewritten distinct,
+        the BM25 postings layer via `compact_bm25_index`): a
+        long-running ingestion loop otherwise grows one small parquet
+        segment per layer per admit without bound. All rewrites are
+        content-equivalent (the digest layers are consumed as SETS) and
+        ride the staged-swap crash discipline (`_recover_compaction` /
+        `_check_bm25_meta` self-heal an interrupted commit). Cheaper
+        than :meth:`reconcile`; run it when `admit` starts warning
+        about band-row drift."""
+        import os
+
         from . import incremental
 
-        return incremental.compact_index(self.spark, self.index_dir)
+        meta = incremental.compact_index(self.spark, self.index_dir)
+        par = self.spark.sparkContext.defaultParallelism
+        for name, enabled in (
+            ("paragraphs", self.config.dedup_paragraphs),
+            ("exact_substr", self.config.dedup_exact_substr),
+        ):
+            if enabled and os.path.isdir(f"{self.index_dir}/{name}"):
+                self.spark.read.parquet(f"{self.index_dir}/{name}").select(
+                    "h"
+                ).distinct().repartition(par).write.mode("overwrite").parquet(
+                    f"{self.index_dir}/{name}.compact"
+                )
+                incremental._swap_staged(self.index_dir, name)
+        if self.bm25_index:
+            from .queries.retrieval import compact_bm25_index
+
+            compact_bm25_index(self.spark, self._bm25_dir())
+        return meta
 
     def release(self) -> None:
         """Free the pinned benchmark-shingle checkpoint. Call when the
@@ -1753,6 +1788,26 @@ class EmbeddingWriter:
         )
         if self.pq_layer:
             self._rebuild_pq()
+        return meta
+
+    def compact(self) -> dict:
+        """Collapse the ANN index's per-admit append segments
+        (`similarity.compact_ann_index`: signatures/inverted file
+        rewritten key-clustered, bucket occupancy summed to one segment)
+        and, with ``pq_layer``, the PQ code appends
+        (`quantization.compact_pq_codes`). Content-equivalent layout
+        maintenance — codebooks, books, and drift accounting are
+        untouched (codebook refresh is :meth:`reconcile`'s job); run it
+        on the file-count cadence of the ingestion loop, the
+        `CorpusWriter.compact` analogue."""
+        from .queries.similarity import compact_ann_index
+
+        meta = compact_ann_index(self.spark, self.index_dir)
+        if self.pq_layer:
+            from .queries.quantization import compact_pq_codes, pq_layer_exists
+
+            if pq_layer_exists(self.index_dir):
+                compact_pq_codes(self.spark, self.index_dir)
         return meta
 
 

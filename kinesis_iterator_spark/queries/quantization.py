@@ -363,6 +363,9 @@ def pq_layer_interrupted(index_dir: str) -> bool:
 
 
 def _check_pq_layer(index_dir: str) -> None:
+    from ..incremental import _recover_staged
+
+    _recover_staged(index_dir, ("pq_codes",))
     if not pq_layer_exists(index_dir):
         raise ValueError(
             f"ANN index at {index_dir} has no PQ layer — build it with "
@@ -470,6 +473,24 @@ def extend_pq_layer(
         f"{index_dir}/pq_codes"
     )
     os.remove(_pq_marker(index_dir))
+
+
+def compact_pq_codes(spark: SparkSession, index_dir: str) -> None:
+    """Coalesce the per-admit code appends into vec_id-ranged files —
+    codes are 8 B/vec, so a year of small admits is pure file-count
+    overhead on the ADC scan. Content identical (same rows); books are
+    untouched (the train-once contract). Staged-swap crash discipline:
+    the stage is fully written, then committed with `_swap_staged`'s
+    rename pair; `_check_pq_layer` self-heals an interrupted swap."""
+    from ..incremental import _swap_staged
+
+    _check_pq_layer(index_dir)
+    spark.read.parquet(f"{index_dir}/pq_codes").repartitionByRange(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    ).sortWithinPartitions("vec_id").write.mode("overwrite").parquet(
+        f"{index_dir}/pq_codes.compact"
+    )
+    _swap_staged(index_dir, "pq_codes")
 
 
 def pq_topk_from_index(

@@ -273,6 +273,13 @@ GROUP BY doc_id
 
 BM25_INDEX_FORMAT = 1
 
+# The three stored relations, in the order the compactor swaps them.
+# Each is independently content-equivalent before/after compaction, so
+# a crash that commits any prefix leaves a fully consistent index —
+# unlike compact_index's tombstones-before-bands, no order is load-
+# bearing here.
+_BM25_RELATIONS = ("df", "doclen", "postings")
+
 
 def _bm25_marker(index_dir: str) -> str:
     return f"{index_dir}/extend.inprogress"
@@ -299,6 +306,9 @@ def _write_bm25_meta(index_dir: str, meta: dict) -> None:
 def _check_bm25_meta(index_dir: str) -> dict:
     import json
 
+    from ..incremental import _recover_staged
+
+    _recover_staged(index_dir, _BM25_RELATIONS)
     if bm25_rebuild_interrupted(index_dir):
         raise ValueError(
             f"BM25 index at {index_dir} has an unfinished write "
@@ -486,3 +496,51 @@ def bm25_topk_from_index(
         raise ValueError("topk must be >= 1")
     s = bm25_scores_from_index(spark, index_dir, query_terms, k1=k1, b=b)
     return s.orderBy(F.desc("bm25_fix"), "doc_id").limit(topk)
+
+
+def compact_bm25_index(spark: SparkSession, index_dir: str) -> dict:
+    """Collapse the per-admit append segments without touching corpus
+    text — the maintenance op for a long-running ingestion loop, where
+    every `extend_bm25_index` leaves one more ``df/`` segment and a few
+    more small ``postings/``/``doclen/`` files (unbounded file-count
+    growth: a year of hourly admits is ~10^4 segments, and at 100 TB the
+    object-store LIST + footer reads start to dominate small queries).
+
+    Content-equivalent rewrites, each pinned bit-equal at query level:
+
+    - ``df/``     — per-segment rows summed to ONE row per term (readers
+      SUM over segments, so sum-of-segments ≡ the compacted row);
+    - ``postings/`` — range-partitioned and sorted by term, so a query's
+      ``term IN (...)`` scan prunes files and row groups by parquet
+      min/max stats instead of reading every segment (at scale this is
+      the difference between touching ~|query| files and touching all);
+    - ``doclen/`` — coalesced to the session parallelism.
+
+    Totals are invariant (meta untouched). Crash contract: all three
+    stages are fully written (concurrently — independent outputs of the
+    stored relations), then swapped live via `_swap_staged`'s rename
+    pairs; `_check_bm25_meta` self-heals an interrupted swap, and since
+    every relation is independently equivalent, any mix of swapped and
+    unswapped relations serves correct queries."""
+    from ..incremental import _concurrently, _swap_staged
+
+    meta = _check_bm25_meta(index_dir)
+    par = spark.sparkContext.defaultParallelism
+    _concurrently(
+        lambda: spark.read.parquet(f"{index_dir}/df")
+        .groupBy("term")
+        .agg(F.sum("df").cast("long").alias("df"))
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/df.compact"),
+        lambda: spark.read.parquet(f"{index_dir}/doclen")
+        .repartition(par)
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/doclen.compact"),
+        lambda: spark.read.parquet(f"{index_dir}/postings")
+        .repartitionByRange(par, "term", "doc_id")
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/postings.compact"),
+    )
+    _swap_staged(index_dir, *_BM25_RELATIONS)
+    return meta

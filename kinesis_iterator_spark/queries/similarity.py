@@ -1254,6 +1254,69 @@ def extend_ann_index(
 ANN_DRIFT_FACTOR = 1.0
 
 
+def compact_ann_index(spark: SparkSession, index_dir: str) -> dict:
+    """Collapse the per-admit append segments of a stored ANN index —
+    the maintenance op for a long-running `EmbeddingWriter` loop, where
+    every `extend_ann_index` appends small files to `lsh_signatures/`
+    and `ivf_assignment/` and one more segment to `bucket_sizes/`
+    (unbounded file-count growth; at scale the object-store LIST +
+    footer reads start to dominate the slim index scans). Codebook and
+    meta are untouched — this is a layout rewrite, NOT a retrain (drift
+    accounting survives; rebuild via `write_ann_index` for that).
+
+    Content-equivalent rewrites, pinned at query level:
+
+    - ``bucket_sizes/`` — segments summed to ONE row per (table,
+      bucket); readers SUM over segments, so this is exact. A PRE-layer
+      index (built before the occupancy layer existed) gains the layer
+      here, derived from the stored signatures — the upgrade path that
+      retires the per-query window fallback.
+    - ``lsh_signatures/`` — rewritten range-clustered by (table_id,
+      bucket) under the same table_id hive partitioning, so probe joins
+      touch bucket-ranged files (parquet min/max pruning) instead of
+      every append's files.
+    - ``ivf_assignment/`` — rewritten range-clustered by (cell, rk):
+      cell-probe scans prune to the probed cells' files.
+
+    Crash contract: stages fully written first (concurrently), then
+    swapped via `_swap_staged`; `_read_ann_meta` self-heals an
+    interrupted swap, and each relation is independently equivalent so
+    any committed prefix serves correct queries."""
+    import os
+
+    from ..incremental import _concurrently, _swap_staged
+
+    meta = _read_ann_meta(index_dir)
+    _check_ann_compat(index_dir, meta)
+    par = spark.sparkContext.defaultParallelism
+    if os.path.isdir(f"{index_dir}/bucket_sizes"):
+        sizes = spark.read.parquet(f"{index_dir}/bucket_sizes").groupBy(
+            "table_id", "bucket"
+        ).agg(F.sum("bsz").cast("long").alias("bsz"))
+    else:
+        sizes = spark.read.parquet(f"{index_dir}/lsh_signatures").groupBy(
+            "table_id", "bucket"
+        ).agg(F.count("*").cast("long").alias("bsz"))
+    _concurrently(
+        lambda: sizes.write.mode("overwrite").parquet(
+            f"{index_dir}/bucket_sizes.compact"
+        ),
+        lambda: spark.read.parquet(f"{index_dir}/lsh_signatures")
+        .repartitionByRange(par, "table_id", "bucket")
+        .sortWithinPartitions("table_id", "bucket")
+        .write.mode("overwrite")
+        .partitionBy("table_id")
+        .parquet(f"{index_dir}/lsh_signatures.compact"),
+        lambda: spark.read.parquet(f"{index_dir}/ivf_assignment")
+        .repartitionByRange(par, "cell", "rk")
+        .sortWithinPartitions("cell", "rk", "vec_id")
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/ivf_assignment.compact"),
+    )
+    _swap_staged(index_dir, *_ANN_RELATIONS)
+    return meta
+
+
 def ann_index_drift(index_dir: str) -> float:
     """Codebook staleness of a stored ANN index: vectors appended since
     the build (`extend_ann_index`'s running count) over the build-time
@@ -1266,9 +1329,22 @@ def ann_index_drift(index_dir: str) -> float:
     return int(meta.get("n_extended", 0)) / max(int(meta["n"]), 1)
 
 
+# The stored ANN relations `compact_ann_index` rewrites, in swap order.
+# Each rewrite is independently content-equivalent (signatures/inverted
+# file keep their exact rows, bucket_sizes sums its segments and readers
+# SUM segments anyway), so a crash committing any prefix of the swaps
+# leaves a fully consistent index.
+_ANN_RELATIONS = ("bucket_sizes", "ivf_assignment", "lsh_signatures")
+
+
 def _read_ann_meta(index_dir: str) -> dict:
     import json
 
+    from ..incremental import _recover_staged
+
+    # Self-heal an interrupted compaction swap before any reader touches
+    # the relation dirs — every stored-index path reads meta first.
+    _recover_staged(index_dir, _ANN_RELATIONS)
     with open(f"{index_dir}/meta.json") as fh:
         return json.load(fh)
 
@@ -1371,4 +1447,73 @@ def similarity_ivf_topk_from_index(
         spark.sparkContext.defaultParallelism,
         sf_dir,
         meta["n"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Recall evaluation — the quality gauge for every approximate path
+# ---------------------------------------------------------------------------
+
+
+def ann_recall(exact: DataFrame, approx: DataFrame, k: int = TOP_K) -> DataFrame:
+    """Per-query recall@k of an approximate top-k frame against the
+    exact one — the FAISS-bench quality gauge this surface's scale paths
+    (LSH, IVF, PQ/ADC) are tuned by. Both inputs are (query_id,
+    neighbor_id, ...) frames (the `_PAIR_SCHEMA` family; a ``rnk``
+    column, when present, is cut at ``k`` so a deeper frame can be
+    evaluated at shallower k). Returns one row per query that HAS exact
+    neighbors: (query_id, n_exact, n_hit, recall) with
+    recall = n_hit / n_exact — the denominator is the exact path's
+    neighbor count (≤ k; at the corpus boundary a query has fewer than
+    k true neighbors and should not be penalized for it).
+
+    Shape: two slim (id, id) aggregates + one equi-join — no vectors
+    move, so evaluating a 10^9-vector index costs the top-k frames
+    themselves plus pennies. Exact integers until the final ratio."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    def cut(df: DataFrame) -> DataFrame:
+        if "rnk" in df.columns:
+            df = df.filter(F.col("rnk") <= k)
+        return df.select("query_id", "neighbor_id")
+
+    ex, ap = cut(exact), cut(approx)
+    hits = (
+        ex.join(ap, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_hit"))
+    )
+    return (
+        ex.groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_exact"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            (
+                F.coalesce("n_hit", F.lit(0)).cast("double")
+                / F.col("n_exact").cast("double")
+            ).alias("recall"),
+        )
+    )
+
+
+def ann_recall_summary(
+    exact: DataFrame, approx: DataFrame, k: int = TOP_K
+) -> DataFrame:
+    """One-row corpus summary of :func:`ann_recall`: (n_queries, n_exact,
+    n_hit, micro_recall, macro_recall). Micro = Σhit/Σexact (neighbor-
+    weighted); macro = mean of per-query recalls (query-weighted) — the
+    pair every ANN benchmark reports. Scalar columns only."""
+    per = ann_recall(exact, approx, k)
+    return per.agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.sum("n_exact").cast("long").alias("n_exact"),
+        F.sum("n_hit").cast("long").alias("n_hit"),
+        (
+            F.sum("n_hit").cast("double") / F.sum("n_exact").cast("double")
+        ).alias("micro_recall"),
+        F.avg("recall").alias("macro_recall"),
     )

@@ -1,0 +1,279 @@
+"""Derived-layer compaction: every writer-maintained append-only layer
+(BM25 postings/doclen/df, ANN signatures/inverted-file/bucket occupancy,
+PQ codes, paragraph + exact-substr digests) grows one parquet segment
+per admit — unbounded file-count growth in a long-running ingestion
+loop. The compactors collapse them under `incremental._swap_staged`'s
+staged-swap crash discipline, and the rewrite MUST be invisible at
+query level: every pin here is exact result equality before/after
+compaction, plus forward-roll / stage-discard healing of a crash at
+each point inside the swap."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from kinesis_iterator_spark.queries.retrieval import (
+    bm25_scores,
+    bm25_scores_from_index,
+    compact_bm25_index,
+    extend_bm25_index,
+    write_bm25_index,
+)
+from kinesis_iterator_spark.queries.similarity import (
+    compact_ann_index,
+    extend_ann_index,
+    similarity_ivf_topk_from_index,
+    similarity_lsh_topk_from_index,
+    stored_bucket_sizes,
+    write_ann_index,
+)
+from kinesis_iterator_spark.tables import load_table
+
+TERMS = ["scan", "column", "window", "order", "sort"]
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def doc(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = d.persist()
+    d.count()
+    yield d
+    d.unpersist()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings").persist()
+    e.count()
+    yield e
+    e.unpersist()
+
+
+def _extended_bm25(spark, doc, root: str) -> str:
+    idx = f"{root}/bm25"
+    write_bm25_index(spark, doc.filter(F.col("doc_id") % 2 == 0), idx)
+    extend_bm25_index(spark, doc.filter(F.col("doc_id") % 2 == 1), idx)
+    return idx
+
+
+# -- BM25 ---------------------------------------------------------------
+
+
+def test_bm25_compaction_is_query_invisible(spark, doc, tmp_path):
+    idx = _extended_bm25(spark, doc, str(tmp_path))
+    before = _rows(bm25_scores_from_index(spark, idx, TERMS))
+    df_rows_before = spark.read.parquet(f"{idx}/df").count()
+    meta = compact_bm25_index(spark, idx)
+    after = _rows(bm25_scores_from_index(spark, idx, TERMS))
+    assert before and after == before
+    # The per-segment df rows collapsed to ONE row per term.
+    dfr = spark.read.parquet(f"{idx}/df")
+    assert dfr.count() == dfr.select("term").distinct().count()
+    assert dfr.count() < df_rows_before
+    # Totals are invariant — the meta was not rewritten.
+    assert meta["n_docs"] == doc.count()
+
+
+def test_bm25_extend_after_compaction_keeps_scan_equality(
+    spark, doc, tmp_path
+):
+    idx = f"{tmp_path}/bm25"
+    thirds = [doc.filter(F.col("doc_id") % 3 == r) for r in range(3)]
+    write_bm25_index(spark, thirds[0], idx)
+    extend_bm25_index(spark, thirds[1], idx)
+    compact_bm25_index(spark, idx)
+    extend_bm25_index(spark, thirds[2], idx)
+    want = _rows(bm25_scores(doc, TERMS))
+    assert _rows(bm25_scores_from_index(spark, idx, TERMS)) == want
+
+
+def test_bm25_interrupted_swap_rolls_forward(spark, doc, tmp_path):
+    """Crash between 'live renamed away' and 'stage renamed in': the
+    reader self-heals by rolling the fully-written stage forward."""
+    idx = _extended_bm25(spark, doc, str(tmp_path))
+    want = _rows(bm25_scores_from_index(spark, idx, TERMS))
+    os.rename(f"{idx}/df", f"{idx}/df.compact")
+    assert _rows(bm25_scores_from_index(spark, idx, TERMS)) == want
+    assert os.path.isdir(f"{idx}/df")
+    assert not os.path.isdir(f"{idx}/df.compact")
+
+
+def test_bm25_uncommitted_stage_is_discarded(spark, doc, tmp_path):
+    """Crash BEFORE any swap: live dirs intact, stage leftovers are
+    garbage — healing discards them and queries serve the live data."""
+    idx = _extended_bm25(spark, doc, str(tmp_path))
+    want = _rows(bm25_scores_from_index(spark, idx, TERMS))
+    os.makedirs(f"{idx}/postings.compact")
+    with open(f"{idx}/postings.compact/garbage", "w") as fh:
+        fh.write("not parquet")
+    assert _rows(bm25_scores_from_index(spark, idx, TERMS)) == want
+    assert not os.path.isdir(f"{idx}/postings.compact")
+
+
+# -- ANN index ----------------------------------------------------------
+
+
+def _extended_ann(spark, sf_dir, emb, root: str) -> str:
+    idx = f"{root}/ann"
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    odd = emb.filter(F.col("vec_id") % 2 == 1)
+    write_ann_index(spark, sf_dir, idx, emb=even, n=even.count())
+    extend_ann_index(spark, odd, idx)
+    return idx
+
+
+def test_ann_compaction_is_query_invisible(spark, sf_dir, emb, tmp_path):
+    idx = _extended_ann(spark, sf_dir, emb, str(tmp_path))
+    lsh_before = _rows(similarity_lsh_topk_from_index(spark, sf_dir, idx))
+    ivf_before = _rows(similarity_ivf_topk_from_index(spark, sf_dir, idx))
+    sizes_before = _rows(stored_bucket_sizes(spark, idx))
+    seg_rows_before = spark.read.parquet(f"{idx}/bucket_sizes").count()
+    compact_ann_index(spark, idx)
+    assert _rows(similarity_lsh_topk_from_index(spark, sf_dir, idx)) == lsh_before
+    assert _rows(similarity_ivf_topk_from_index(spark, sf_dir, idx)) == ivf_before
+    assert _rows(stored_bucket_sizes(spark, idx)) == sizes_before
+    # Occupancy segments summed to one row per (table, bucket).
+    assert (
+        spark.read.parquet(f"{idx}/bucket_sizes").count()
+        == len(sizes_before)
+        < seg_rows_before
+    )
+
+
+def test_ann_pre_layer_index_gains_occupancy_layer(
+    spark, sf_dir, emb, tmp_path
+):
+    """Compacting an index built before the bucket_sizes layer existed
+    CREATES the layer (derived from stored signatures) — the upgrade
+    path that retires the per-query window fallback."""
+    idx = _extended_ann(spark, sf_dir, emb, str(tmp_path))
+    want = _rows(similarity_lsh_topk_from_index(spark, sf_dir, idx))
+    recount = _rows(
+        spark.read.parquet(f"{idx}/lsh_signatures")
+        .groupBy("table_id", "bucket")
+        .agg(F.count("*").cast("long").alias("bsz"))
+    )
+    shutil.rmtree(f"{idx}/bucket_sizes")
+    assert stored_bucket_sizes(spark, idx) is None
+    compact_ann_index(spark, idx)
+    assert _rows(stored_bucket_sizes(spark, idx)) == recount
+    assert _rows(similarity_lsh_topk_from_index(spark, sf_dir, idx)) == want
+
+
+def test_ann_interrupted_swap_rolls_forward(spark, sf_dir, emb, tmp_path):
+    idx = _extended_ann(spark, sf_dir, emb, str(tmp_path))
+    want = _rows(similarity_ivf_topk_from_index(spark, sf_dir, idx))
+    os.rename(f"{idx}/ivf_assignment", f"{idx}/ivf_assignment.compact")
+    assert _rows(similarity_ivf_topk_from_index(spark, sf_dir, idx)) == want
+    assert os.path.isdir(f"{idx}/ivf_assignment")
+
+
+# -- PQ codes -----------------------------------------------------------
+
+
+def test_pq_codes_compaction_is_query_invisible(spark, sf_dir, emb, tmp_path):
+    from kinesis_iterator_spark.queries.quantization import (
+        compact_pq_codes,
+        pq_topk_from_index,
+        write_pq_layer,
+        extend_pq_layer,
+    )
+
+    idx = str(tmp_path / "ann")
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    odd = emb.filter(F.col("vec_id") % 2 == 1)
+    write_pq_layer(spark, idx, even, m=8, ks=16, iters=1)
+    extend_pq_layer(spark, idx, odd)
+    q = [
+        float(v)
+        for v in emb.orderBy("vec_id").first()["embedding"]
+    ]
+    before = _rows(pq_topk_from_index(spark, idx, emb, q, topk=10))
+    rows_before = spark.read.parquet(f"{idx}/pq_codes").count()
+    compact_pq_codes(spark, idx)
+    assert _rows(pq_topk_from_index(spark, idx, emb, q, topk=10)) == before
+    assert spark.read.parquet(f"{idx}/pq_codes").count() == rows_before
+
+
+# -- writer composition --------------------------------------------------
+
+
+def test_corpus_writer_compact_preserves_admission_semantics(
+    spark, sf_dir, tmp_path
+):
+    """A writer that compacts mid-sequence admits EXACTLY what a control
+    writer admits (same verdict stats, same final corpus, same BM25
+    answers) — compaction is layout maintenance, never a semantic
+    change."""
+    from kinesis_iterator_spark.pipeline import CorpusWriter, CurationConfig
+
+    doc = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    b1 = doc.filter(F.col("doc_id") % 2 == 0)
+    b2 = doc.filter(F.col("doc_id") % 2 == 1)
+    cfg = CurationConfig(dedup_paragraphs=True, dedup_exact_substr=True)
+    writers = {}
+    for name in ("compacted", "control"):
+        w = CorpusWriter(
+            spark,
+            f"{tmp_path}/{name}/corpus",
+            f"{tmp_path}/{name}/index",
+            cfg,
+            bm25_index=True,
+        )
+        w.admit(b1)
+        if name == "compacted":
+            w.compact()
+            # Digest layers collapsed to distinct h rows, one rewrite.
+            paras = spark.read.parquet(f"{tmp_path}/{name}/index/paragraphs")
+            assert paras.count() == paras.distinct().count()
+        stats2 = w.admit(b2)
+        writers[name] = (w, stats2)
+    w_c, s_c = writers["compacted"]
+    w_r, s_r = writers["control"]
+    assert s_c == s_r
+    assert _rows(w_c.corpus().select("doc_id", "text")) == _rows(
+        w_r.corpus().select("doc_id", "text")
+    )
+    assert _rows(w_c.bm25_topk(TERMS, topk=10)) == _rows(
+        w_r.bm25_topk(TERMS, topk=10)
+    )
+
+
+def test_embedding_writer_compact_preserves_admission(
+    spark, sf_dir, emb, tmp_path
+):
+    from kinesis_iterator_spark.pipeline import EmbeddingWriter
+
+    b1 = emb.filter(F.col("vec_id") % 2 == 0)
+    b2 = emb.filter(F.col("vec_id") % 2 == 1)
+    writers = {}
+    for name in ("compacted", "control"):
+        w = EmbeddingWriter(
+            spark,
+            f"{tmp_path}/{name}/store",
+            f"{tmp_path}/{name}/ann",
+            pq_layer=True,
+            pq_ks=16,
+            pq_iters=1,
+        )
+        w.admit(b1)
+        if name == "compacted":
+            w.compact()
+        stats2 = w.admit(b2)
+        writers[name] = (w, stats2)
+    w_c, s_c = writers["compacted"]
+    w_r, s_r = writers["control"]
+    assert s_c == s_r
+    assert _rows(w_c.store().select("vec_id")) == _rows(
+        w_r.store().select("vec_id")
+    )
