@@ -1319,6 +1319,7 @@ class EmbeddingWriter:
         pq_m: int | None = None,
         pq_ks: int | None = None,
         pq_iters: int = 2,
+        pq_residual: bool = False,
     ) -> None:
         """``auto_reconcile``: rebuild the index (fresh codebook) at the
         end of any :meth:`admit` that leaves codebook staleness past
@@ -1347,7 +1348,15 @@ class EmbeddingWriter:
         BM25-layer discipline — the layer is derived, the store is the
         source of truth). Off by default: the layer costs one
         batch-bounded encode+append per admit. ``pq_m`` / ``pq_ks``
-        default to the module's fixture-scale geometry."""
+        default to the module's fixture-scale geometry.
+
+        ``pq_residual``: store the RESIDUAL layer instead (FAISS
+        `IndexIVFPQ`'s actual encoding — books trained on x − c(cell),
+        `quantization.write_ivfpq_layer` layout, queried via
+        :meth:`pq_topk` with ``nprobe``): same cadence, same self-heal,
+        strictly better reconstruction at the same code budget. The
+        cells come from the stored inverted file, which is why the
+        layer extends only AFTER `extend_ann_index` in the admit."""
         from .queries.dedup import COSINE_TAU
         from .queries.quantization import PQ_KS, PQ_M
 
@@ -1363,6 +1372,7 @@ class EmbeddingWriter:
         self.pq_m = PQ_M if pq_m is None else pq_m
         self.pq_ks = PQ_KS if pq_ks is None else pq_ks
         self.pq_iters = pq_iters
+        self.pq_residual = pq_residual
         # Frozen-books cache, keyed like the IVF codebook cache below.
         self._pq_books = None
         self._pq_key: tuple | None = None
@@ -1668,10 +1678,13 @@ class EmbeddingWriter:
 
     def _rebuild_pq(self):
         """(Re)train + (re)encode the stored PQ layer from the store —
-        the build path (bootstrap/reconcile) and the self-heal path."""
-        from .queries.quantization import write_pq_layer
+        the build path (bootstrap/reconcile) and the self-heal path.
+        With ``pq_residual`` the layer is the residual (IVFPQ) one,
+        trained against the just-(re)built inverted file."""
+        from .queries.quantization import write_ivfpq_layer, write_pq_layer
 
-        self._pq_books = write_pq_layer(
+        writer = write_ivfpq_layer if self.pq_residual else write_pq_layer
+        self._pq_books = writer(
             self.spark,
             self.index_dir,
             self.store(),
@@ -1682,11 +1695,12 @@ class EmbeddingWriter:
         self._pq_key = self._pq_meta_key()
 
     def _cached_pq_books(self):
-        from .queries.quantization import read_pq_books
+        from .queries.quantization import read_ivfpq_books, read_pq_books
 
         key = self._pq_meta_key()
         if self._pq_books is None or self._pq_key != key:
-            self._pq_books = read_pq_books(self.index_dir)
+            reader = read_ivfpq_books if self.pq_residual else read_pq_books
+            self._pq_books = reader(self.index_dir)
             self._pq_key = key
         return self._pq_books
 
@@ -1698,34 +1712,61 @@ class EmbeddingWriter:
         source of truth, the layer is derived). The rebuild path
         already covers this batch: the store append committed before
         any index-side write."""
-        from .queries.quantization import (
-            extend_pq_layer,
-            pq_layer_exists,
-            pq_layer_interrupted,
-        )
+        from .queries import quantization as qz
 
-        if not pq_layer_exists(self.index_dir) or pq_layer_interrupted(
-            self.index_dir
-        ):
+        if self.pq_residual:
+            exists, interrupted, extend = (
+                qz.ivfpq_layer_exists,
+                qz.ivfpq_layer_interrupted,
+                qz.extend_ivfpq_layer,
+            )
+        else:
+            exists, interrupted, extend = (
+                qz.pq_layer_exists,
+                qz.pq_layer_interrupted,
+                qz.extend_pq_layer,
+            )
+        if not exists(self.index_dir) or interrupted(self.index_dir):
             self._rebuild_pq()
             return
-        extend_pq_layer(
+        extend(
             self.spark, self.index_dir, novel, books=self._cached_pq_books()
         )
 
     def pq_topk(
-        self, query: list[float], topk: int = 5, shortlist: int = 64
+        self,
+        query: list[float],
+        topk: int = 5,
+        shortlist: int = 64,
+        nprobe: int = 2,
     ) -> DataFrame:
         """ADC-shortlisted exact top-k over the admitted store from the
         stored PQ layer (requires ``pq_layer=True``) — codes from the
-        8 B/vec parquet scan, books from the writer's frozen cache,
-        shortlist payloads gathered from the store."""
-        from .queries.quantization import pq_topk_from_index
+        slim parquet scan, books from the writer's frozen cache,
+        shortlist payloads gathered from the store. With
+        ``pq_residual`` this is the full residual IVFADC read path and
+        ``nprobe`` bounds the probed cells (ignored otherwise — the
+        raw-vector layer scans all codes by design)."""
+        from .queries.quantization import (
+            ivfpq_topk_from_index,
+            pq_topk_from_index,
+        )
 
         if not self.pq_layer:
             raise ValueError(
                 "this EmbeddingWriter was constructed without "
                 "pq_layer=True"
+            )
+        if self.pq_residual:
+            return ivfpq_topk_from_index(
+                self.spark,
+                self.index_dir,
+                self.store(),
+                query,
+                topk=topk,
+                shortlist=shortlist,
+                nprobe=nprobe,
+                books=self._cached_pq_books(),
             )
         return pq_topk_from_index(
             self.spark,
@@ -1804,10 +1845,12 @@ class EmbeddingWriter:
 
         meta = compact_ann_index(self.spark, self.index_dir)
         if self.pq_layer:
-            from .queries.quantization import compact_pq_codes, pq_layer_exists
+            from .queries import quantization as qz
 
-            if pq_layer_exists(self.index_dir):
-                compact_pq_codes(self.spark, self.index_dir)
+            if self.pq_residual and qz.ivfpq_layer_exists(self.index_dir):
+                qz.compact_ivfpq_codes(self.spark, self.index_dir)
+            elif not self.pq_residual and qz.pq_layer_exists(self.index_dir):
+                qz.compact_pq_codes(self.spark, self.index_dir)
         return meta
 
 

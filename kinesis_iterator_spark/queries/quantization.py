@@ -69,12 +69,44 @@ class PQResult(NamedTuple):
     books: list[tuple[list[int], np.ndarray]]
 
 
+def _cell_fix(crows) -> tuple[np.ndarray, np.ndarray]:
+    """The coarse codebook as DRIVER-side int64 fixed-point rows:
+    (cells ascending, (n_cells, d) int64). c_fix = rint(c · FIX) is
+    computed ONCE here in numpy and injected as literals into both the
+    Spark kernels and the DuckDB oracles, so no cross-engine rounding
+    question ever arises — the integers ARE the shared parameter (for a
+    trained codebook they recover the trainer's exact int64 centroids:
+    the stored doubles are one correctly-rounded k/10⁶ division away)."""
+    rows = sorted(crows, key=lambda r: r["cell"])
+    cells = np.array([int(r["cell"]) for r in rows], dtype=np.int64)
+    CF = np.rint(
+        np.array([r["centroid"] for r in rows], dtype=np.float64) * FIX
+    ).astype(np.int64)
+    return cells, CF
+
+
+def _residualize(pdf, X: np.ndarray, cells: np.ndarray, CF: np.ndarray):
+    """Subtract each row's assigned coarse centroid (exact int64) —
+    the residual the IVFPQ books quantize. Unknown cells fail loudly:
+    a silent zero-residual would encode the raw vector against residual
+    books and mis-rank every query that probes its cell."""
+    idx = np.searchsorted(cells, pdf["cell"].to_numpy(np.int64))
+    bad = (idx >= len(cells)) | (cells[np.clip(idx, 0, len(cells) - 1)] != pdf["cell"].to_numpy(np.int64))
+    if bad.any():
+        raise ValueError(
+            f"rows assigned to cells absent from the coarse codebook: "
+            f"{sorted(set(pdf['cell'].to_numpy()[bad].tolist()))[:5]}"
+        )
+    return X - CF[idx]
+
+
 def pq_train(
     spark: SparkSession,
     emb: DataFrame,
     m: int = PQ_M,
     ks: int = PQ_KS,
     iters: int = 2,
+    _cellctx: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> PQResult:
     """Train per-subspace codebooks over an (vec_id, embedding) frame —
     bit-identical to `clustering.kmeans_embeddings(k=ks, iters=iters,
@@ -82,21 +114,30 @@ def pq_train(
     (pinned), but every iteration advances ALL subspaces in one job.
 
     Init mirrors min_id: the ks smallest-vec_id vectors, sliced —
-    the same rows for every subspace, collected once."""
+    the same rows for every subspace, collected once.
+
+    ``_cellctx`` (internal — use :func:`ivfpq_train`): a `_cell_fix`
+    codebook; the input then carries a ``cell`` column and training
+    runs over the exact int64 RESIDUALS x_fix − c_fix(cell)."""
     if ks < 1 or ks > (1 << _SLOT_BITS):
         raise ValueError(f"ks must be in [1, {1 << _SLOT_BITS}], got {ks}")
     if m < 1:
         raise ValueError(f"m must be >= 1, got {m}")
+    cols = ["vec_id", "embedding"] + (["cell"] if _cellctx else [])
     n_part = spark.sparkContext.defaultParallelism
-    src = managed_persist(
-        emb.select("vec_id", "embedding").repartition(n_part)
-    )
-    init_rows = (
-        emb.select("vec_id", "embedding").orderBy("vec_id").limit(ks).collect()
-    )
+    src = managed_persist(emb.select(*cols).repartition(n_part))
+    init_rows = emb.select(*cols).orderBy("vec_id").limit(ks).collect()
     E0 = _quantize(
         np.array([r["embedding"] for r in init_rows], dtype=np.float32)
     )
+    if _cellctx is not None:
+        import pandas as pd
+
+        E0 = _residualize(
+            pd.DataFrame({"cell": [r["cell"] for r in init_rows]}),
+            E0,
+            *_cellctx,
+        )
     d = E0.shape[1]
     if d % m:
         raise ValueError(f"dim {d} is not divisible by m={m}")
@@ -108,7 +149,7 @@ def pq_train(
 
     for _ in range(iters):
         parts = src.mapInPandas(
-            _pq_partial_sums_fn(books, dsub),
+            _pq_partial_sums_fn(books, dsub, _cellctx),
             "sub long, cl long, dim long, s long, cnt long",
         )
         rows = (
@@ -132,10 +173,11 @@ def pq_train(
     return PQResult(m, dsub, books)
 
 
-def _pq_partial_sums_fn(books, dsub: int):
+def _pq_partial_sums_fn(books, dsub: int, cellctx=None):
     """Per-partition per-(subspace, cluster) integer component sums —
     m fused copies of `clustering._partial_sums_fn` over the sliced
-    sub-vectors, one output row set per subspace."""
+    sub-vectors, one output row set per subspace. With ``cellctx`` the
+    sums run over the exact int64 residuals (the IVFPQ trainer)."""
 
     def partial_sums(batches):
         import numpy as np
@@ -147,6 +189,8 @@ def _pq_partial_sums_fn(books, dsub: int):
             X = _quantize(
                 np.stack(pdf["embedding"].to_numpy()).astype(np.float32)
             )
+            if cellctx is not None:
+                X = _residualize(pdf, X, *cellctx)
             out = {"sub": [], "cl": [], "dim": [], "s": [], "cnt": []}
             for s, (cls, C) in enumerate(books):
                 Xs = X[:, s * dsub : (s + 1) * dsub]
@@ -171,12 +215,19 @@ def _pq_partial_sums_fn(books, dsub: int):
     return partial_sums
 
 
-def pq_codes(emb: DataFrame, pq: PQResult) -> DataFrame:
+def pq_codes(
+    emb: DataFrame,
+    pq: PQResult,
+    _cellctx: tuple[np.ndarray, np.ndarray] | None = None,
+) -> DataFrame:
     """Encode vectors against a trained codebook: (vec_id, pq_code)
     with the m per-subspace SLOT indexes (position in the subspace's
     ascending id list — the ADC tables index by slot) packed 8 bits
     each into one int64, subspace 0 in the low byte. One Arrow pass,
-    16-byte output rows."""
+    16-byte output rows.
+
+    ``_cellctx`` (internal — use :func:`ivfpq_codes`): residual
+    encoding; output is (vec_id, cell, pq_code)."""
     m, dsub, books = pq.m, pq.dsub, pq.books
     for s, (cls, _) in enumerate(books):
         if len(cls) > (1 << _SLOT_BITS):
@@ -195,15 +246,23 @@ def pq_codes(emb: DataFrame, pq: PQResult) -> DataFrame:
             X = _quantize(
                 np.stack(pdf["embedding"].to_numpy()).astype(np.float32)
             )
+            if _cellctx is not None:
+                X = _residualize(pdf, X, *_cellctx)
             code = np.zeros(len(pdf), dtype=np.int64)
             for s in range(m):
                 Xs = X[:, s * dsub : (s + 1) * dsub]
                 slot = np.argmin(_dists_int(Xs, books[s][1]), axis=1)
                 code |= slot.astype(np.int64) << (_SLOT_BITS * s)
-            yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"].to_numpy(np.int64), "pq_code": code}
-            )
+            out = {"vec_id": pdf["vec_id"].to_numpy(np.int64)}
+            if _cellctx is not None:
+                out["cell"] = pdf["cell"].to_numpy(np.int64)
+            out["pq_code"] = code
+            yield pd.DataFrame(out)
 
+    if _cellctx is not None:
+        return emb.select("vec_id", "cell", "embedding").mapInPandas(
+            encode, "vec_id long, cell long, pq_code long"
+        )
     return emb.select("vec_id", "embedding").mapInPandas(
         encode, "vec_id long, pq_code long"
     )
@@ -289,13 +348,28 @@ def pq_adc_topk(
     vec_id). With ``shortlist`` ≥ corpus size this equals brute-force
     exact top-k (pinned); smaller shortlists trade recall for the
     payload-gather bound — the published PQ contract."""
-    from .similarity import _fold_dot_rows
-
     if topk > shortlist:
         raise ValueError(f"topk {topk} > shortlist {shortlist}")
+    return _shortlist_rerank(
+        emb, pq_adc_scores(codes, query, pq), query, topk, shortlist
+    )
+
+
+def _shortlist_rerank(
+    emb: DataFrame,
+    adc_scored: DataFrame,
+    query: list[float],
+    topk: int,
+    shortlist: int,
+) -> DataFrame:
+    """The shared PQ tail: take the ``shortlist`` best ADC rows, gather
+    ONLY their vector payloads (one id equi-join), re-rank by EXACT
+    cosine (the similarity module's sequential left fold ≡ DuckDB
+    list_reduce) and return the ``topk`` best by (cosine DESC, vec_id)."""
+    from .similarity import _fold_dot_rows
+
     cand = (
-        pq_adc_scores(codes, query, pq)
-        .filter(F.col("adc_cos").isNotNull())
+        adc_scored.filter(F.col("adc_cos").isNotNull())
         .orderBy(F.col("adc_cos").desc(), "vec_id")
         .limit(shortlist)
         .select("vec_id")
@@ -425,10 +499,14 @@ def read_pq_books(index_dir: str) -> PQResult:
     """The stored codebooks as a :class:`PQResult`, read DRIVER-side
     via pyarrow (int64 parquet — bit-exact, zero Spark jobs; the books
     are m·ks rows — always driver-sized)."""
+    _check_pq_layer(index_dir)
+    return _read_books_dir(f"{index_dir}/pq_codebooks")
+
+
+def _read_books_dir(books_dir: str) -> PQResult:
     import pyarrow.parquet as pq_
 
-    _check_pq_layer(index_dir)
-    tbl = pq_.read_table(f"{index_dir}/pq_codebooks")
+    tbl = pq_.read_table(books_dir)
     by_sub: dict[int, list] = {}
     for s, slot, cent in zip(
         tbl.column("sub").to_pylist(),
@@ -475,6 +553,174 @@ def extend_pq_layer(
     os.remove(_pq_marker(index_dir))
 
 
+# -- stored residual (IVFPQ) layer ---------------------------------------
+#
+# The residual twin of the PQ layer, same discipline: marker-bracketed
+# writes, frozen books between rebuilds, driver-side pyarrow book reads,
+# staged-swap compaction. Lives beside it under the ANN index dir
+# (``ivfpq_codebooks/`` + ``ivfpq_codes/``) — residuals NEED the index
+# (the stored inverted file is the cell source of truth), so the layout
+# is anchored there by construction.
+
+
+def _ivfpq_marker(index_dir: str) -> str:
+    return f"{index_dir}/ivfpq.inprogress"
+
+
+def ivfpq_layer_exists(index_dir: str) -> bool:
+    import os
+
+    return os.path.isdir(f"{index_dir}/ivfpq_codebooks")
+
+
+def ivfpq_layer_interrupted(index_dir: str) -> bool:
+    import os
+
+    return os.path.exists(_ivfpq_marker(index_dir))
+
+
+def _check_ivfpq_layer(index_dir: str) -> None:
+    from ..incremental import _recover_staged
+
+    _recover_staged(index_dir, ("ivfpq_codes",))
+    if not ivfpq_layer_exists(index_dir):
+        raise ValueError(
+            f"ANN index at {index_dir} has no residual-PQ layer — build "
+            "it with write_ivfpq_layer (or "
+            "EmbeddingWriter(pq_layer=True, pq_residual=True).reconcile())."
+        )
+    if ivfpq_layer_interrupted(index_dir):
+        raise ValueError(
+            f"residual-PQ layer at {index_dir} has an unfinished write "
+            "(ivfpq.inprogress marker present): codes and codebooks may "
+            "mix trainings. Rebuild via write_ivfpq_layer / reconcile."
+        )
+
+
+def _with_cells(spark: SparkSession, index_dir: str, emb: DataFrame) -> DataFrame:
+    """(vec_id, embedding, cell): the vectors joined with the stored
+    inverted file's rk == 1 rows — the ONLY legitimate cell source for
+    residuals (recomputing assignment could disagree with the file and
+    silently reconstruct against the wrong centroid)."""
+    assign = (
+        spark.read.parquet(f"{index_dir}/ivf_assignment")
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "cell")
+    )
+    return emb.select("vec_id", "embedding").join(assign, "vec_id")
+
+
+def write_ivfpq_layer(
+    spark: SparkSession,
+    index_dir: str,
+    emb: DataFrame,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    iters: int = 2,
+) -> PQResult:
+    """(Re)build the stored residual-PQ layer for the vectors in
+    ``emb`` against the index's FROZEN coarse codebook and inverted
+    file: ``ivfpq_codebooks/`` (residual books) + ``ivfpq_codes/``
+    (vec_id, cell, pq_code). Marker-bracketed overwrite."""
+    import os
+
+    from . import release_persists
+    from .similarity import read_ann_codebook
+
+    crows = read_ann_codebook(index_dir)
+    ec = _with_cells(spark, index_dir, emb)
+    os.makedirs(index_dir, exist_ok=True)
+    with open(_ivfpq_marker(index_dir), "w") as fh:
+        fh.write("")
+    try:
+        pq = ivfpq_train(spark, ec, crows, m=m, ks=ks, iters=iters)
+        rows = [
+            (s, int(slot), [int(v) for v in pq.books[s][1][j]])
+            for s in range(pq.m)
+            for j, slot in enumerate(pq.books[s][0])
+        ]
+        spark.createDataFrame(
+            rows, "sub long, slot long, centroid array<long>"
+        ).write.mode("overwrite").parquet(f"{index_dir}/ivfpq_codebooks")
+        ivfpq_codes(ec, crows, pq).write.mode("overwrite").parquet(
+            f"{index_dir}/ivfpq_codes"
+        )
+    finally:
+        release_persists()
+    os.remove(_ivfpq_marker(index_dir))
+    return pq
+
+
+def read_ivfpq_books(index_dir: str) -> PQResult:
+    """The stored residual books as a :class:`PQResult` — the
+    `read_pq_books` pyarrow read over the residual sidecar."""
+    _check_ivfpq_layer(index_dir)
+    return _read_books_dir(f"{index_dir}/ivfpq_codebooks")
+
+
+def extend_ivfpq_layer(
+    spark: SparkSession,
+    index_dir: str,
+    new_emb: DataFrame,
+    books: PQResult | None = None,
+) -> None:
+    """Append NEW vectors' residual codes against the FROZEN stored
+    books. Ordering contract: runs AFTER `extend_ann_index` has
+    appended the batch's inverted-file rows (the cell join below reads
+    them); the writer sequences it so."""
+    import os
+
+    from .similarity import read_ann_codebook
+
+    if books is None:
+        books = read_ivfpq_books(index_dir)
+    else:
+        _check_ivfpq_layer(index_dir)
+    crows = read_ann_codebook(index_dir)
+    ec = _with_cells(spark, index_dir, new_emb)
+    with open(_ivfpq_marker(index_dir), "w") as fh:
+        fh.write("")
+    ivfpq_codes(ec, crows, books).write.mode("append").parquet(
+        f"{index_dir}/ivfpq_codes"
+    )
+    os.remove(_ivfpq_marker(index_dir))
+
+
+def ivfpq_topk_from_index(
+    spark: SparkSession,
+    index_dir: str,
+    emb: DataFrame,
+    query: list[float],
+    topk: int = 5,
+    shortlist: int = 64,
+    nprobe: int = 2,
+    books: PQResult | None = None,
+) -> DataFrame:
+    """`ivfpq_topk` served from the stored layer — the full residual
+    IVFADC read path: driver-side probe over the centroid sidecar,
+    cell-pruned scan of ``ivfpq_codes/``, residual ADC, shortlist,
+    exact re-rank against the ``emb`` store."""
+    from .similarity import read_ann_codebook
+
+    if books is None:
+        books = read_ivfpq_books(index_dir)
+    else:
+        _check_ivfpq_layer(index_dir)
+    crows = read_ann_codebook(index_dir)
+    codes = spark.read.parquet(f"{index_dir}/ivfpq_codes")
+    return ivfpq_topk(
+        spark,
+        emb,
+        codes,
+        query,
+        books,
+        crows,
+        topk=topk,
+        shortlist=shortlist,
+        nprobe=nprobe,
+    )
+
+
 def compact_pq_codes(spark: SparkSession, index_dir: str) -> None:
     """Coalesce the per-admit code appends into vec_id-ranged files —
     codes are 8 B/vec, so a year of small admits is pure file-count
@@ -491,6 +737,22 @@ def compact_pq_codes(spark: SparkSession, index_dir: str) -> None:
         f"{index_dir}/pq_codes.compact"
     )
     _swap_staged(index_dir, "pq_codes")
+
+
+def compact_ivfpq_codes(spark: SparkSession, index_dir: str) -> None:
+    """`compact_pq_codes` for the residual layer — clustered by
+    (cell, vec_id), so a probe's cell-pruned scan skips other cells'
+    FILES by parquet min/max stats (the layout the per-cell ADC scans
+    are designed for)."""
+    from ..incremental import _swap_staged
+
+    _check_ivfpq_layer(index_dir)
+    spark.read.parquet(f"{index_dir}/ivfpq_codes").repartitionByRange(
+        spark.sparkContext.defaultParallelism, "cell", "vec_id"
+    ).sortWithinPartitions("cell", "vec_id").write.mode("overwrite").parquet(
+        f"{index_dir}/ivfpq_codes.compact"
+    )
+    _swap_staged(index_dir, "ivfpq_codes")
 
 
 def pq_topk_from_index(
@@ -517,15 +779,12 @@ def pq_topk_from_index(
     )
 
 
-def _probe_cells(index_dir: str, query: list[float], nprobe: int) -> list[int]:
-    """The ``nprobe`` stored IVF cells nearest the query by cosine —
-    ranked DRIVER-side over the ≤ n_cells codebook sidecar (pyarrow
-    read, zero jobs) with the house sequential float64 fold, so the
-    ranking is deterministic and identical to the oracle's list_reduce
-    fold over the same stored centroids. Zero-norm centroids (or a
-    zero query) never rank."""
-    from .similarity import read_ann_codebook
-
+def _rank_cells(crows: list, query: list[float], nprobe: int) -> list[int]:
+    """The ``nprobe`` coarse cells nearest the query by cosine — ranked
+    DRIVER-side over ≤ n_cells codebook rows with the house sequential
+    float64 fold, so the ranking is deterministic and identical to the
+    oracle's list_reduce fold over the same stored centroids. Zero-norm
+    centroids (or a zero query) never rank."""
     q = np.asarray(query, dtype=np.float32).astype(np.float64)
 
     def fold(a, b):
@@ -536,13 +795,21 @@ def _probe_cells(index_dir: str, query: list[float], nprobe: int) -> list[int]:
 
     qn = fold(q, q)
     ranked = []
-    for r in read_ann_codebook(index_dir):
+    for r in crows:
         c = np.asarray(r["centroid"], dtype=np.float64)
         denom = np.sqrt(qn * fold(c, c))
         if denom > 0:
             ranked.append((-(fold(q, c) / denom), r["cell"]))
     ranked.sort()
     return [cell for _, cell in ranked[:nprobe]]
+
+
+def _probe_cells(index_dir: str, query: list[float], nprobe: int) -> list[int]:
+    """`_rank_cells` over the stored ``centroids/`` sidecar (pyarrow
+    read, zero jobs)."""
+    from .similarity import read_ann_codebook
+
+    return _rank_cells(read_ann_codebook(index_dir), query, nprobe)
 
 
 def pq_ivf_topk_from_index(
@@ -580,6 +847,167 @@ def pq_ivf_topk_from_index(
     return pq_adc_topk(
         spark, emb, codes, query, books, topk=topk, shortlist=shortlist
     )
+
+
+# -- residual PQ (the true IVFPQ encoding) -------------------------------
+#
+# FAISS `IndexIVFPQ` does not quantize raw vectors: it quantizes the
+# RESIDUAL x − c(cell(x)) from the coarse IVF centroid, which carries
+# far less variance per subspace than x itself — the same code budget
+# reconstructs x̂ = c + r̂ much closer to x, so ADC ranks better at the
+# same m/ks. Everything stays in the house exact-integer discipline:
+# c_fix = rint(c·FIX) is computed once driver-side (`_cell_fix`) and
+# injected into kernels AND oracles as literals, residuals are exact
+# int64 subtractions, and the per-query reconstruction algebra
+#
+#   q·x̂  = q·c + Σ_s q_s·r̂_s
+#   |x̂|² = |c|² + Σ_s (2·c_s·r̂_s + |r̂_s|²)
+#
+# splits into per-cell int64 constants (q·c, |c|²) plus lookup tables —
+# the cell-independent T[s][slot] = q_s·r̂_s and the per-cell
+# N2[c][s][slot] = 2·c_s·r̂_s + |r̂_s|², all ≲ 10¹⁵ < 2⁵³ (exact in
+# int64 and in the double conversions the cosine makes). The consistency
+# contract: the ``cell`` column MUST be the stored inverted file's
+# rk == 1 assignment (train, encode, and query all join it), so the
+# residual's centroid is always the one the IVF probe finds.
+
+
+def ivfpq_train(
+    spark: SparkSession,
+    emb_cells: DataFrame,
+    crows: list,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    iters: int = 2,
+) -> PQResult:
+    """Train per-subspace books over RESIDUALS: ``emb_cells`` is
+    (vec_id, embedding, cell) — the store joined with the inverted
+    file's rk == 1 rows — and ``crows`` the coarse codebook
+    (`similarity.read_ann_codebook` rows). Same one-job-per-iteration
+    shape as `pq_train`; init is the ks smallest-vec_id RESIDUALS."""
+    return pq_train(
+        spark, emb_cells, m=m, ks=ks, iters=iters, _cellctx=_cell_fix(crows)
+    )
+
+
+def ivfpq_codes(emb_cells: DataFrame, crows: list, pq: PQResult) -> DataFrame:
+    """Residual-encode (vec_id, embedding, cell) rows against trained
+    residual books: (vec_id, cell, pq_code) — the code scan needs the
+    cell to pick the reconstruction constants, so it rides the row."""
+    return pq_codes(emb_cells, pq, _cellctx=_cell_fix(crows))
+
+
+def ivfpq_adc_tables(
+    query: list[float], pq: PQResult, crows: list
+) -> tuple[list, dict, dict, dict, int]:
+    """The per-query residual-ADC parameters, exact int64: the
+    cell-independent dot tables ``T[s][slot] = q_s·r̂_s``, per-cell
+    norm tables ``N2[cell][s][slot] = 2·c_s·r̂_s + |r̂_s|²``, per-cell
+    constants ``qc[cell] = q·c_fix`` and ``cn2[cell] = |c_fix|²``, and
+    |q_fix|²."""
+    q = _quantize(np.asarray(query, dtype=np.float32)[None, :])[0]
+    if q.shape[0] != pq.m * pq.dsub:
+        raise ValueError(
+            f"query dim {q.shape[0]} != trained dim {pq.m * pq.dsub}"
+        )
+    cells, CF = _cell_fix(crows)
+    T = []
+    R2 = []
+    for s, (_, C) in enumerate(pq.books):
+        qs = q[s * pq.dsub : (s + 1) * pq.dsub]
+        T.append([int(v) for v in (C * qs).sum(axis=1)])
+        R2.append([int(v) for v in (C * C).sum(axis=1)])
+    qc, cn2, N2 = {}, {}, {}
+    for j, cell in enumerate(cells):
+        cf = CF[j]
+        qc[int(cell)] = int((q * cf).sum())
+        cn2[int(cell)] = int((cf * cf).sum())
+        n2_c = []
+        for s, (_, C) in enumerate(pq.books):
+            cs = cf[s * pq.dsub : (s + 1) * pq.dsub]
+            cr = (C * cs).sum(axis=1)
+            n2_c.append(
+                [int(2 * cr[t] + R2[s][t]) for t in range(C.shape[0])]
+            )
+        N2[int(cell)] = n2_c
+    return T, N2, qc, cn2, int((q * q).sum())
+
+
+def ivfpq_adc_scores(
+    codes: DataFrame,
+    query: list[float],
+    pq: PQResult,
+    crows: list,
+    cells: list[int] | None = None,
+) -> DataFrame:
+    """Residual ADC from the stored (vec_id, cell, pq_code) rows only —
+    same zero-join 16 B/vec scan as `pq_adc_scores`. The per-cell
+    reconstruction constants/tables make this ONE cell-pruned scan PER
+    cell in ``cells`` (default: every codebook cell), unioned: a single
+    Project carrying every cell's m·ks norm tables in one CASE measured
+    past Janino's method limit at nprobe ≥ ~8 (whole-stage codegen fell
+    back to interpreted — the giant-unrolled-expression landmine), while
+    each per-cell branch is exactly the raw-PQ expression size, which
+    compiles. The branches' disjoint cell filters read disjoint code
+    rows (after the clustering compaction, disjoint FILES), so total
+    scan volume is unchanged and the union stays one job."""
+    from functools import reduce
+
+    T, N2, qc, cn2, qn2 = ivfpq_adc_tables(query, pq, crows)
+    use = sorted(qc) if cells is None else sorted(set(int(c) for c in cells))
+    unknown = [c for c in use if c not in qc]
+    if unknown:
+        raise ValueError(f"cells absent from the coarse codebook: {unknown}")
+    dot_t = _adc_expr(T, "pq_code")
+
+    def cell_scan(c: int) -> DataFrame:
+        return codes.filter(F.col("cell") == c).select(
+            "vec_id",
+            "cell",
+            F.expr(
+                f"CAST(({qc[c]}L + ({dot_t})) AS BIGINT)"
+            ).alias("adc_dot"),
+            F.expr(
+                f"CAST(({cn2[c]}L + ({_adc_expr(N2[c], 'pq_code')})) "
+                "AS BIGINT)"
+            ).alias("adc_norm2"),
+        )
+
+    scanned = reduce(DataFrame.unionByName, (cell_scan(c) for c in use))
+    return scanned.withColumn(
+        "adc_cos",
+        F.expr(
+            "CASE WHEN adc_norm2 > 0 AND CAST("
+            f"{qn2} AS BIGINT) > 0 THEN CAST(adc_dot AS DOUBLE) / "
+            f"sqrt(CAST({qn2} AS DOUBLE) * CAST(adc_norm2 AS DOUBLE)) "
+            "END"
+        ),
+    )
+
+
+def ivfpq_topk(
+    spark: SparkSession,
+    emb: DataFrame,
+    codes: DataFrame,
+    query: list[float],
+    pq: PQResult,
+    crows: list,
+    topk: int = 5,
+    shortlist: int = 64,
+    nprobe: int = 2,
+) -> DataFrame:
+    """The residual IVFADC query: probe the ``nprobe`` nearest coarse
+    cells (driver-side fold over ≤ n_cells rows), scan ONLY the probed
+    cells' codes (the cell column prunes — after `compact_pq_codes`-
+    style clustering, at the file level too), residual-ADC shortlist,
+    exact re-rank. (vec_id, cosine) rows, ``topk`` best."""
+    if topk > shortlist:
+        raise ValueError(f"topk {topk} > shortlist {shortlist}")
+    cells = _rank_cells(crows, query, nprobe)
+    scored = ivfpq_adc_scores(
+        codes.filter(F.col("cell").isin(cells)), query, pq, crows, cells=cells
+    )
+    return _shortlist_rerank(emb, scored, query, topk, shortlist)
 
 
 # -- DuckDB oracle ------------------------------------------------------
@@ -758,6 +1186,242 @@ def pq_oracle_sqls(
     ORDER BY cosine DESC, vec_id LIMIT {topk}"""
         )
     return out
+
+
+def ivfpq_oracle_sqls(
+    pq: PQResult,
+    crows: list,
+    query: list[float],
+    topk: int = 5,
+    shortlist: int = 64,
+    nprobe: int = 2,
+) -> dict[str, str]:
+    """Full-derivation DuckDB SQL for the RESIDUAL chain, given trained
+    residual books (training pinned separately via
+    :func:`ivfpq_train_oracle_sql`). Expects the ``embeddings`` view
+    plus an ``ivf_assignment`` view over the stored inverted file (the
+    cell source of truth). The coarse codebook enters twice, exactly as
+    on the Spark side: as the `_cell_fix` int64 literals (residual
+    subtraction + reconstruction constants) and as the stored doubles
+    (probe ranking — VARCHAR-mediated so strtod recovers the exact
+    floats). Returns {"codes", "scores", "topk"}; "topk" derives probe
+    ranking, inverted-file restriction, residual ADC, shortlist, and
+    the exact fold re-rank all in SQL."""
+    d = pq.m * pq.dsub
+    dsub, m = pq.dsub, pq.m
+    cells, CF = _cell_fix(crows)
+    cfix_rows = ", ".join(
+        f"({int(c)}, [{','.join(str(int(v)) for v in CF[j])}]::BIGINT[])"
+        for j, c in enumerate(cells)
+    )
+    cent_rows = []
+    for s, (_, C) in enumerate(pq.books):
+        for slot in range(C.shape[0]):
+            vals = ",".join(str(int(v)) for v in C[slot])
+            cent_rows.append(f"({s}, {slot}, [{vals}]::BIGINT[])")
+    T, N2, qc, cn2, qn2 = ivfpq_adc_tables(query, pq, crows)
+    base = f"""
+    WITH cfix(cell, cf) AS (VALUES {cfix_rows}),
+    cent(sub, slot, c) AS (VALUES {", ".join(cent_rows)}),
+    assign AS (SELECT vec_id, cell FROM ivf_assignment WHERE rk = 1),
+    efix AS (
+      SELECT vec_id,
+             [CAST(FLOOR(CAST(x AS DOUBLE) * {FIX}) AS BIGINT)
+              FOR x IN embedding] AS v0
+      FROM embeddings
+    ),
+    res AS (
+      SELECT e.vec_id, a.cell,
+             [e.v0[i] - f.cf[i] FOR i IN range(1, {d + 1})] AS v
+      FROM efix e JOIN assign a USING (vec_id) JOIN cfix f USING (cell)
+    ),
+    sub AS (
+      SELECT vec_id, s.sub,
+             v[s.sub * {dsub} + 1 : (s.sub + 1) * {dsub}] AS vs
+      FROM res, (SELECT unnest(range({m})) AS sub) s
+    ),
+    dist AS (
+      SELECT vec_id, sub.sub, slot,
+             list_sum([ (vs[i] - c[i]) * (vs[i] - c[i])
+                        FOR i IN range(1, {dsub + 1}) ]) AS d2
+      FROM sub JOIN cent ON sub.sub = cent.sub
+    ),
+    slot_of AS (
+      SELECT vec_id, sub, slot FROM (
+        SELECT vec_id, sub, slot,
+               row_number() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY d2, slot) AS rn
+        FROM dist
+      ) WHERE rn = 1
+    ),
+    code AS (
+      SELECT s.vec_id, r.cell,
+             CAST(SUM(slot << ({_SLOT_BITS} * sub)) AS BIGINT) AS pq_code
+      FROM slot_of s JOIN res r USING (vec_id)
+      GROUP BY s.vec_id, r.cell
+    )"""
+    codes_sql = base + "\n    SELECT vec_id, cell, pq_code FROM code"
+    t_rows = ", ".join(
+        f"({s}, {slot}, {T[s][slot]})"
+        for s in range(m)
+        for slot in range(len(T[s]))
+    )
+    n_rows = ", ".join(
+        f"({int(c)}, {s}, {slot}, {N2[int(c)][s][slot]})"
+        for c in cells
+        for s in range(m)
+        for slot in range(len(N2[int(c)][s]))
+    )
+    const_rows = ", ".join(
+        f"({int(c)}, {qc[int(c)]}, {cn2[int(c)]})" for c in cells
+    )
+    adc = f""",
+    adc_t(sub, slot, t) AS (VALUES {t_rows}),
+    adc_n(cell, sub, slot, n2) AS (VALUES {n_rows}),
+    cconst(cell, qc, cn2) AS (VALUES {const_rows}),
+    unpack AS (
+      SELECT vec_id, cell,
+             CAST((pq_code >> ({_SLOT_BITS} * s.sub)) & 255 AS BIGINT)
+               AS slot, s.sub
+      FROM code, (SELECT unnest(range({m})) AS sub) s
+    ),
+    scores AS (
+      SELECT u.vec_id, u.cell,
+             CAST(cc.qc + SUM(t.t) AS BIGINT) AS adc_dot,
+             CAST(cc.cn2 + SUM(n.n2) AS BIGINT) AS adc_norm2
+      FROM unpack u
+      JOIN adc_t t USING (sub, slot)
+      JOIN adc_n n ON n.cell = u.cell AND n.sub = u.sub AND n.slot = u.slot
+      JOIN cconst cc ON cc.cell = u.cell
+      GROUP BY u.vec_id, u.cell, cc.qc, cc.cn2
+    ),
+    scored AS (
+      SELECT vec_id, cell, adc_dot, adc_norm2,
+             CASE WHEN adc_norm2 > 0 AND {qn2} > 0 THEN
+               CAST(adc_dot AS DOUBLE) /
+               sqrt(CAST({qn2} AS DOUBLE) * CAST(adc_norm2 AS DOUBLE))
+             END AS adc_cos
+      FROM scores
+    )"""
+    scores_sql = (
+        base + adc
+        + "\n    SELECT vec_id, cell, adc_dot, adc_norm2, adc_cos FROM scored"
+    )
+    qlist = ",".join(
+        f"'{float(x)!r}'" for x in np.asarray(query, np.float32)
+    )
+    centl_rows = ", ".join(
+        "({}, ([{}]::VARCHAR[])::DOUBLE[])".format(
+            int(r["cell"]),
+            ",".join(f"'{float(v)!r}'" for v in r["centroid"]),
+        )
+        for r in sorted(crows, key=lambda r: r["cell"])
+    )
+    topk_sql = (
+        base
+        + adc
+        + f""",
+    qv(q) AS (SELECT ([{qlist}]::VARCHAR[])::DOUBLE[]::FLOAT[]),
+    centl(cell, centroid) AS (VALUES {centl_rows}),
+    cellrank AS (
+      SELECT cell,
+             CASE WHEN sqrt({_dot_sql("q", "q")} *
+                       {_dot_sql("c.centroid", "c.centroid")}) > 0 THEN
+               {_dot_sql("q", "c.centroid")} /
+               sqrt({_dot_sql("q", "q")} *
+                    {_dot_sql("c.centroid", "c.centroid")})
+             END AS ccos
+      FROM centl c, qv
+    ),
+    probe AS (
+      SELECT cell FROM cellrank WHERE ccos IS NOT NULL
+      ORDER BY ccos DESC, cell LIMIT {nprobe}
+    ),
+    cand AS (
+      SELECT vec_id FROM scored
+      WHERE cell IN (SELECT cell FROM probe) AND adc_cos IS NOT NULL
+      ORDER BY adc_cos DESC, vec_id LIMIT {shortlist}
+    ),
+    exact AS (
+      SELECT e.vec_id,
+             {_dot_sql("q", "e.embedding")} /
+             sqrt({_dot_sql("q", "q")} *
+                  {_dot_sql("e.embedding", "e.embedding")}) AS cosine
+      FROM embeddings e JOIN cand USING (vec_id), qv
+    )
+    SELECT vec_id, cosine FROM exact WHERE NOT isnan(cosine)
+    ORDER BY cosine DESC, vec_id LIMIT {topk}"""
+    )
+    return {"codes": codes_sql, "scores": scores_sql, "topk": topk_sql}
+
+
+def ivfpq_train_oracle_sql(
+    m: int, ks: int, iters: int, crows: list
+) -> str:
+    """The residual TRAINER as one DuckDB query over ``embeddings`` +
+    ``ivf_assignment`` views: per-subspace fixed-point k-means
+    (`_pq_registry_oracle`'s iteration CTEs) with the component frame
+    residualized against the `_cell_fix` literals — returns
+    (sub, cl, sdim, c), the final books keyed by kmeans cluster id.
+    Compared bit-for-bit against `ivfpq_train`'s PQResult in tests."""
+    d = len(crows[0]["centroid"])
+    dsub = d // m
+    cells, CF = _cell_fix(crows)
+    cfix_rows = ", ".join(
+        f"({int(c)}, {dim}, {int(CF[j][dim])})"
+        for j, c in enumerate(cells)
+        for dim in range(d)
+    )
+    ctes = [
+        f"dims AS (SELECT UNNEST(range({d})) AS dim)",
+        f"cfix(cell, dim, c) AS (VALUES {cfix_rows})",
+        "assign AS (SELECT vec_id, cell FROM ivf_assignment WHERE rk = 1)",
+        "xfix AS (SELECT e.vec_id, d.dim,"
+        " CAST(FLOOR(CAST(e.embedding[d.dim + 1] AS DOUBLE) * 1000000)"
+        " AS BIGINT) - f.c AS x"
+        " FROM embeddings e, dims d"
+        " JOIN assign a ON a.vec_id = e.vec_id"
+        " JOIN cfix f ON f.cell = a.cell AND f.dim = d.dim)",
+        "init AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1"
+        " AS cl FROM (SELECT vec_id FROM embeddings ORDER BY vec_id"
+        f" LIMIT {ks}))",
+        f"subx AS (SELECT vec_id, dim // {dsub} AS sub,"
+        f" dim % {dsub} AS sdim, x FROM xfix)",
+    ]
+    finals = []
+    for s in range(m):
+        ctes.append(
+            f"c0_{s} AS (SELECT i.cl, v.sdim, v.x AS c FROM init i"
+            f" JOIN subx v USING (vec_id) WHERE v.sub = {s})"
+        )
+        for i in range(1, iters + 1):
+            ctes.append(
+                f"a{i}_{s} AS (SELECT vec_id, cl FROM ("
+                f"SELECT v.vec_id, c.cl, ROW_NUMBER() OVER ("
+                f"PARTITION BY v.vec_id"
+                f" ORDER BY SUM((v.x - c.c) * (v.x - c.c)), c.cl) AS rk"
+                f" FROM subx v JOIN c{i - 1}_{s} c ON c.sdim = v.sdim"
+                f" WHERE v.sub = {s}"
+                f" GROUP BY v.vec_id, c.cl) WHERE rk = 1)"
+            )
+            ctes.append(
+                f"c{i}_{s} AS (SELECT a.cl, v.sdim,"
+                f" CASE WHEN SUM(v.x) >= 0"
+                f" THEN (2 * SUM(v.x) + COUNT(*)) // (2 * COUNT(*))"
+                f" ELSE -((2 * -SUM(v.x) + COUNT(*)) // (2 * COUNT(*)))"
+                f" END AS c"
+                f" FROM a{i}_{s} a JOIN subx v USING (vec_id)"
+                f" WHERE v.sub = {s} GROUP BY a.cl, v.sdim)"
+            )
+        finals.append(
+            f"SELECT {s} AS sub, cl, sdim, CAST(c AS BIGINT) AS c"
+            f" FROM c{iters}_{s}"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        + "\nUNION ALL\n".join(finals)
+        + "\nORDER BY sub, cl, sdim"
+    )
 
 
 # -- driver-gate registry entry -----------------------------------------
