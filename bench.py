@@ -426,6 +426,46 @@ def main() -> None:
 
     library.append(("pq_adc_topk", timed_pq))
 
+    # -- round-10 surface: residual IVFADC (the true IndexIVFPQ read
+    # path). ANN index + residual-layer build are setup; the timed
+    # query is driver-side cell probe → cell-pruned residual-ADC scan
+    # of the stored codes → shortlist → exact re-rank. Books pre-read
+    # (the steady-state writer caches them — a driver pyarrow read).
+    # Pinned bit-identical to DuckDB in tests/test_ivfpq.py.
+    from kinesis_iterator_spark.queries.quantization import (
+        ivfpq_topk_from_index,
+        read_ivfpq_books,
+        write_ivfpq_layer,
+    )
+    from kinesis_iterator_spark.queries.similarity import write_ann_index
+
+    ivfpq_idx = tempfile.mkdtemp(prefix="bench_ivfpq_idx_") + "/ann"
+    write_ann_index(spark, sf_dir, ivfpq_idx)
+    write_ivfpq_layer(spark, ivfpq_idx, pq_emb, iters=2)
+    release_persists()
+    ivfpq_books = read_ivfpq_books(ivfpq_idx)
+
+    def ivfpq_query() -> None:
+        ivfpq_topk_from_index(
+            spark,
+            ivfpq_idx,
+            pq_emb,
+            pq_q,
+            topk=10,
+            shortlist=64,
+            nprobe=2,
+            books=ivfpq_books,
+        ).collect()
+
+    ivfpq_query()  # warm
+
+    def timed_ivfpq() -> float:
+        t0 = time.perf_counter()
+        ivfpq_query()
+        return time.perf_counter() - t0
+
+    library.append(("ivfpq_topk", timed_ivfpq))
+
     # -- round-7 surface: incremental corpus admission. Bootstrap a
     # corpus + dedup index from the even-doc_id half ONCE (untimed),
     # then time CorpusWriter.admit of the odd half against a fresh COPY
