@@ -544,3 +544,192 @@ def compact_bm25_index(spark: SparkSession, index_dir: str) -> dict:
     )
     _swap_staged(index_dir, *_BM25_RELATIONS)
     return meta
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval — lexical BM25 ⊕ semantic cosine, fused by RRF
+# ---------------------------------------------------------------------------
+
+# Reciprocal-rank fusion (Cormack, Clarke, Buettcher, SIGIR 2009):
+# score(d) = Σ_r 1/(k0 + rank_r(d)) over the rankers that retrieved d,
+# k0 = 60 the published constant. The reciprocal rides the house
+# fixed-point discipline — RRF_FIX // (k0 + rank) is an exact integer,
+# so the fused ordering is order-independent and bit-identical across
+# engines (the double `rrf` column is a VIEW of the integer, never the
+# sort key).
+RRF_K0 = 60
+RRF_FIX = 1_000_000_000
+
+
+def _cosine_expr(query: list[float]) -> tuple[str, float]:
+    """Exact-cosine SQL expression of a stored `embedding` column
+    against a query literal — the LEFT-ASSOCIATIVE `+` chain form of
+    the house sequential fold (bit-identical to DuckDB's list_reduce
+    over the same float32-rounded literals; see CLAUDE.md vector-dot
+    convention). Returns (expr, |q|² as the same fold)."""
+    import numpy as np
+
+    q = [float(np.float32(v)) for v in query]
+    dot = " + ".join(
+        f"CAST('{v!r}' AS DOUBLE) * "
+        f"CAST(element_at(embedding, {i + 1}) AS DOUBLE)"
+        for i, v in enumerate(q)
+    )
+    xn = " + ".join(
+        f"CAST(element_at(embedding, {i + 1}) AS DOUBLE) * "
+        f"CAST(element_at(embedding, {i + 1}) AS DOUBLE)"
+        for i in range(len(q))
+    )
+    qn = q[0] * q[0]
+    for v in q[1:]:
+        qn = qn + v * v
+    expr = (
+        f"CASE WHEN ({xn}) > 0 AND CAST('{qn!r}' AS DOUBLE) > 0 THEN "
+        f"({dot}) / sqrt(CAST('{qn!r}' AS DOUBLE) * ({xn})) END"
+    )
+    return expr, qn
+
+
+def hybrid_topk(
+    spark: SparkSession,
+    doc: DataFrame,
+    emb: DataFrame,
+    query_terms: list[str],
+    query_vec: list[float],
+    topk: int = 10,
+    candidates: int = 100,
+    k0: int = RRF_K0,
+    k1: tuple[int, int] = (6, 5),
+    b: tuple[int, int] = (3, 4),
+) -> DataFrame:
+    """Hybrid corpus mining: the BM25 lexical ranking and the exact-
+    cosine semantic ranking (documents and their embeddings share ids:
+    doc_id ≡ vec_id — the SemDeDup convention), each cut to
+    ``candidates``, fused by reciprocal-rank fusion. Returns
+    (doc_id, lex_rnk, sem_rnk, rrf_fix, rrf) — ranks NULL where a
+    ranker did not retrieve the document — ``topk`` best by
+    (rrf_fix DESC, doc_id).
+
+    100 TB posture: each ranker reduces to its own top-``candidates``
+    via orderBy+limit (TakeOrdered — no global sort materializes), the
+    rank window then runs on ≤ candidates rows, and the fusion join is
+    candidates-sized. The semantic side is a single scan with the
+    64-term fold in one codegen expression; at scale swap it for the
+    ANN/IVFADC shortlist — fusion is rank-based, so any ranker that
+    emits (doc_id, rank) drops in."""
+    from pyspark.sql.window import Window
+
+    if topk < 1 or candidates < topk:
+        raise ValueError("need candidates >= topk >= 1")
+    if k0 < 1:
+        raise ValueError("k0 must be >= 1")
+    lex = (
+        bm25_scores(doc, query_terms, k1=k1, b=b)
+        .orderBy(F.desc("bm25_fix"), "doc_id")
+        .limit(candidates)
+        .withColumn(
+            "lex_rnk",
+            F.row_number().over(
+                Window.orderBy(F.desc("bm25_fix"), "doc_id")
+            ),
+        )
+        .select("doc_id", "lex_rnk")
+    )
+    cos_expr, _ = _cosine_expr(query_vec)
+    sem = (
+        emb.select(
+            F.col("vec_id").alias("doc_id"),
+            F.expr(cos_expr).alias("cosine"),
+        )
+        .filter(F.col("cosine").isNotNull() & ~F.isnan("cosine"))
+        .orderBy(F.desc("cosine"), "doc_id")
+        .limit(candidates)
+        .withColumn(
+            "sem_rnk",
+            F.row_number().over(Window.orderBy(F.desc("cosine"), "doc_id")),
+        )
+        .select("doc_id", "sem_rnk")
+    )
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        F.col("lex_rnk").cast("long").alias("lex_rnk"),
+        F.col("sem_rnk").cast("long").alias("sem_rnk"),
+        (
+            F.coalesce(
+                F.expr(f"{RRF_FIX}L div ({k0}L + lex_rnk)"), F.lit(0)
+            )
+            + F.coalesce(
+                F.expr(f"{RRF_FIX}L div ({k0}L + sem_rnk)"), F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("rrf_fix"),
+    )
+    fused = fused.withColumn(
+        "rrf", F.col("rrf_fix").cast("double") / F.lit(float(RRF_FIX))
+    )
+    return fused.orderBy(F.desc("rrf_fix"), "doc_id").limit(topk)
+
+
+def hybrid_oracle_sql(
+    query_terms: list[str],
+    query_vec: list[float],
+    topk: int = 10,
+    candidates: int = 100,
+    k0: int = RRF_K0,
+    k1: tuple[int, int] = (6, 5),
+    b: tuple[int, int] = (3, 4),
+) -> str:
+    """DuckDB derivation of :func:`hybrid_topk` over the ``documents``
+    and ``embeddings`` views: the full BM25 chain as a nested CTE, the
+    list_reduce cosine fold over VARCHAR-mediated float32 literals, the
+    same candidate cuts, ranks, and exact-integer RRF."""
+    import numpy as np
+
+    from .similarity import _DOT_SQL
+
+    def dot(a, b_):
+        return _DOT_SQL.format(a=a, b=b_)
+
+    inner = bm25_oracle_sql(query_terms, k1=k1, b=b)
+    qlist = ",".join(
+        f"'{float(x)!r}'" for x in np.asarray(query_vec, np.float32)
+    )
+    return f"""
+WITH lex_all AS ({inner}),
+lex AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY bm25_fix DESC, doc_id) AS lex_rnk
+  FROM (SELECT * FROM lex_all ORDER BY bm25_fix DESC, doc_id
+        LIMIT {candidates})
+),
+qv(q) AS (SELECT ([{qlist}]::VARCHAR[])::DOUBLE[]::FLOAT[]),
+sem_all AS (
+  SELECT vec_id AS doc_id,
+         CASE WHEN {dot("e.embedding", "e.embedding")} > 0
+               AND {dot("q", "q")} > 0 THEN
+           {dot("q", "e.embedding")} /
+           sqrt({dot("q", "q")} * {dot("e.embedding", "e.embedding")})
+         END AS cosine
+  FROM embeddings e, qv
+),
+sem AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY cosine DESC, doc_id) AS sem_rnk
+  FROM (SELECT * FROM sem_all
+        WHERE cosine IS NOT NULL AND NOT isnan(cosine)
+        ORDER BY cosine DESC, doc_id LIMIT {candidates})
+),
+fused AS (
+  SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+         CAST(l.lex_rnk AS BIGINT) AS lex_rnk,
+         CAST(s.sem_rnk AS BIGINT) AS sem_rnk,
+         CAST(COALESCE({RRF_FIX} // ({k0} + l.lex_rnk), 0)
+            + COALESCE({RRF_FIX} // ({k0} + s.sem_rnk), 0) AS BIGINT)
+           AS rrf_fix
+  FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+)
+SELECT doc_id, lex_rnk, sem_rnk, rrf_fix,
+       CAST(rrf_fix AS DOUBLE) / CAST({RRF_FIX} AS DOUBLE) AS rrf
+FROM fused
+ORDER BY rrf_fix DESC, doc_id LIMIT {topk}"""

@@ -1,0 +1,123 @@
+"""Hybrid retrieval (`retrieval.hybrid_topk`): BM25 lexical ranking ⊕
+exact-cosine semantic ranking fused by reciprocal-rank fusion (Cormack
+et al. 2009), exact-integer RRF scores — pinned bit-identical to the
+full DuckDB derivation at sf0.001 AND sf0.01, plus fusion-semantics and
+guard properties."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from kinesis_iterator_spark.queries.retrieval import (
+    RRF_FIX,
+    RRF_K0,
+    bm25_scores,
+    hybrid_oracle_sql,
+    hybrid_topk,
+)
+from kinesis_iterator_spark.tables import load_table
+
+SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+TERMS = ["scan", "column", "window", "order", "sort"]
+
+
+def _con(sf_dir: str):
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def _inputs(spark, sf_dir):
+    doc = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [float(v) for v in emb.orderBy("vec_id").first()["embedding"]]
+    return doc, emb, qv
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_hybrid_matches_oracle(spark, sf_dir):
+    doc, emb, qv = _inputs(spark, sf_dir)
+    got = [
+        tuple(r)
+        for r in hybrid_topk(
+            spark, doc, emb, TERMS, qv, topk=10, candidates=50
+        ).collect()
+    ]
+    want = (
+        _con(sf_dir)
+        .execute(hybrid_oracle_sql(TERMS, qv, topk=10, candidates=50))
+        .fetchall()
+    )
+    assert got == want and len(got) == 10
+
+
+def test_rrf_scores_are_exact_and_ordered(spark, sf_dir):
+    doc, emb, qv = _inputs(spark, sf_dir)
+    rows = hybrid_topk(
+        spark, doc, emb, TERMS, qv, topk=10, candidates=50
+    ).collect()
+    for r in rows:
+        want = 0
+        if r["lex_rnk"] is not None:
+            want += RRF_FIX // (RRF_K0 + r["lex_rnk"])
+        if r["sem_rnk"] is not None:
+            want += RRF_FIX // (RRF_K0 + r["sem_rnk"])
+        assert r["rrf_fix"] == want
+        assert r["rrf"] == r["rrf_fix"] / RRF_FIX
+    fixes = [r["rrf_fix"] for r in rows]
+    assert fixes == sorted(fixes, reverse=True)
+
+
+def test_both_rankers_contribute(spark, sf_dir):
+    """The fused list must contain documents retrieved by only one
+    ranker AND documents retrieved by both (on the fixture both
+    happen) — and a doc in both lists always outscores a doc holding
+    the same single-list ranks."""
+    doc, emb, qv = _inputs(spark, sf_dir)
+    rows = hybrid_topk(
+        spark, doc, emb, TERMS, qv, topk=50, candidates=50
+    ).collect()
+    both = [r for r in rows if r["lex_rnk"] and r["sem_rnk"]]
+    lex_only = [r for r in rows if r["lex_rnk"] and r["sem_rnk"] is None]
+    sem_only = [r for r in rows if r["sem_rnk"] and r["lex_rnk"] is None]
+    assert both and (lex_only or sem_only)
+    for r in both:
+        solo = RRF_FIX // (RRF_K0 + r["lex_rnk"])
+        assert r["rrf_fix"] > solo
+
+
+def test_semantic_rank_one_is_the_query_vector(spark, sf_dir):
+    """The query IS vec_id 0's embedding — cosine 1 with itself, so its
+    semantic rank must be 1."""
+    doc, emb, qv = _inputs(spark, sf_dir)
+    rows = hybrid_topk(
+        spark, doc, emb, TERMS, qv, topk=50, candidates=50
+    ).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    assert 0 in by_id and by_id[0]["sem_rnk"] == 1
+
+
+def test_candidate_cut_bounds_lex_list(spark, sf_dir):
+    """candidates cuts each ranker BEFORE fusion: no rank may exceed
+    it, and shrinking it can only shrink the retrieved id set."""
+    doc, emb, qv = _inputs(spark, sf_dir)
+    assert bm25_scores(doc, TERMS).count() > 5  # the cut actually bites
+    rows = hybrid_topk(
+        spark, doc, emb, TERMS, qv, topk=5, candidates=5
+    ).collect()
+    for r in rows:
+        assert (r["lex_rnk"] or 0) <= 5 and (r["sem_rnk"] or 0) <= 5
+    assert len(rows) <= 5
+
+
+def test_guards(spark, sf_dir):
+    doc, emb, qv = _inputs(spark, sf_dir)
+    with pytest.raises(ValueError, match="candidates"):
+        hybrid_topk(spark, doc, emb, TERMS, qv, topk=10, candidates=5)
+    with pytest.raises(ValueError, match="k0"):
+        hybrid_topk(spark, doc, emb, TERMS, qv, k0=0)
