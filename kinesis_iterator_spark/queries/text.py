@@ -811,6 +811,173 @@ def dsir_select_oracle(
     )
 
 
+# -- Corpus drift monitor ------------------------------------------------
+#
+# The ingestion-loop guardrail DSIR's machinery makes nearly free: an
+# admitted batch whose hashed-unigram distribution has drifted from the
+# reference corpus signals upstream contamination, a scraper change, or
+# domain shift — the operational trigger for re-weighting (DSIR), gate
+# re-tuning, or codebook reconciliation. Two divergences over the same
+# add-1-smoothed hashed-unigram histograms DSIR fits:
+#
+#   KL(new ‖ ref) = Σ_b q_b · ln(q_b / p_b)      (asymmetric, surprise)
+#   TV(new, ref)  = ½ Σ_b |q_b − p_b|            (symmetric, bounded [0,1])
+#
+# Fixed-point discipline (the DSIR idiom exactly): per-bucket log ratios
+# round to integers at DSIR_FIX the moment they leave log space, every
+# reduction is exact integer/decimal arithmetic (order-independent ⇒
+# cross-engine bit-identical), the TV numerators are exact integer
+# cross-products, and the two double columns are VIEWS of the integers.
+# Identical inputs give kl_fix = tv_fix = 0 EXACTLY (λ and k round to 0
+# bucket-wise), so a zero really means "no drift", not "small float".
+
+
+def corpus_drift(
+    spark: SparkSession,
+    ref_doc: DataFrame,
+    new_doc: DataFrame,
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """One row: (n_buckets, ref_tokens, new_tokens, kl_fix, kl, tv_fix,
+    tv) — the drift of ``new_doc`` (text) against ``ref_doc`` (text).
+
+    100 TB posture: each corpus reduces map-side to a ≤ n_buckets
+    histogram (hash-aggregate partials — never one shuffle row per
+    token), the bucket domain is an exact `spark.range(n_buckets)` (so
+    buckets absent from BOTH corpora still carry their smoothed mass —
+    the closed-form tail other implementations drop), totals ride a
+    1-row broadcast, and the output is a 1-row aggregate. Intermediates
+    are DECIMAL(38,0): at the design point (nc+1)·(R+B) ≈ 10²⁶ —
+    int64 would overflow silently."""
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    B = n_buckets
+    rh = _word_buckets(ref_doc.select("text"), B).groupBy("b").agg(
+        F.count("*").cast("long").alias("rc")
+    )
+    nh = _word_buckets(new_doc.select("text"), B).groupBy("b").agg(
+        F.count("*").cast("long").alias("nc")
+    )
+    hist = (
+        spark.range(B)
+        .select(F.col("id").alias("b"))
+        .join(rh, "b", "left")
+        .join(nh, "b", "left")
+        .select(
+            "b",
+            F.coalesce("rc", F.lit(0)).cast("long").alias("rc"),
+            F.coalesce("nc", F.lit(0)).cast("long").alias("nc"),
+        )
+    )
+    tot = hist.agg(
+        F.sum("rc").cast("long").alias("rt"),
+        F.sum("nc").cast("long").alias("nt"),
+    )
+    per = hist.join(F.broadcast(tot)).select(
+        "rc",
+        "nc",
+        "rt",
+        "nt",
+        F.round(
+            (F.log(F.col("nc") + 1) - F.log(F.col("rc") + 1)) * DSIR_FIX
+        )
+        .cast("long")
+        .alias("lam_fix"),
+        F.round(
+            (F.log(F.col("rt") + B) - F.log(F.col("nt") + B)) * DSIR_FIX
+        )
+        .cast("long")
+        .alias("k_fix"),
+    )
+    agg = per.agg(
+        F.max("rt").alias("rt"),
+        F.max("nt").alias("nt"),
+        F.sum(
+            (F.col("nc") + 1).cast("decimal(19,0)")
+            * (F.col("lam_fix") + F.col("k_fix")).cast("decimal(19,0)")
+        ).alias("kl_sum"),
+        F.sum(
+            F.abs(
+                (F.col("nc") + 1).cast("decimal(19,0)")
+                * (F.col("rt") + B).cast("decimal(19,0)")
+                - (F.col("rc") + 1).cast("decimal(19,0)")
+                * (F.col("nt") + B).cast("decimal(19,0)")
+            )
+        ).alias("tv_sum"),
+    )
+    return agg.select(
+        F.lit(B).cast("long").alias("n_buckets"),
+        F.col("rt").alias("ref_tokens"),
+        F.col("nt").alias("new_tokens"),
+        F.expr(f"CAST(kl_sum div (nt + {B}) AS BIGINT)").alias("kl_fix"),
+        F.expr(
+            f"CAST(CAST(kl_sum div (nt + {B}) AS BIGINT) "
+            f"/ CAST({DSIR_FIX} AS DOUBLE) AS DOUBLE)"
+        ).alias("kl"),
+        F.expr(
+            f"CAST((tv_sum * {DSIR_FIX}) div "
+            f"(2 * CAST(nt + {B} AS DECIMAL(19,0)) "
+            f"* CAST(rt + {B} AS DECIMAL(19,0))) AS BIGINT)"
+        ).alias("tv_fix"),
+        F.expr(
+            f"CAST(CAST((tv_sum * {DSIR_FIX}) div "
+            f"(2 * CAST(nt + {B} AS DECIMAL(19,0)) "
+            f"* CAST(rt + {B} AS DECIMAL(19,0))) AS BIGINT) "
+            f"/ CAST({DSIR_FIX} AS DOUBLE) AS DOUBLE)"
+        ).alias("tv"),
+    )
+
+
+def corpus_drift_oracle(
+    ref_sql: str, new_sql: str, n_buckets: int = DSIR_BUCKETS
+) -> str:
+    """DuckDB derivation of :func:`corpus_drift`; ``ref_sql`` /
+    ``new_sql`` must each yield a ``text`` column."""
+    from .dedup import _H60_SQL
+
+    h = _H60_SQL.format(x="w")
+    B = n_buckets
+    return f"""
+    WITH refc AS ({ref_sql}),
+    newc AS ({new_sql}),
+    rw AS (SELECT {h} % {B} AS b
+           FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM refc)),
+    nw AS (SELECT {h} % {B} AS b
+           FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM newc)),
+    rh AS (SELECT b, COUNT(*) AS rc FROM rw GROUP BY b),
+    nh AS (SELECT b, COUNT(*) AS nc FROM nw GROUP BY b),
+    dom AS (SELECT UNNEST(range({B})) AS b),
+    hist AS (SELECT dom.b, COALESCE(rc, 0) AS rc, COALESCE(nc, 0) AS nc
+             FROM dom LEFT JOIN rh ON rh.b = dom.b
+                      LEFT JOIN nh ON nh.b = dom.b),
+    tot AS (SELECT CAST(SUM(rc) AS BIGINT) AS rt,
+                   CAST(SUM(nc) AS BIGINT) AS nt FROM hist),
+    per AS (SELECT rc, nc, rt, nt,
+              CAST(ROUND((ln(nc + 1) - ln(rc + 1)) * {DSIR_FIX}) AS BIGINT)
+                AS lam_fix,
+              CAST(ROUND((ln(rt + {B}) - ln(nt + {B})) * {DSIR_FIX})
+                AS BIGINT) AS k_fix
+            FROM hist, tot),
+    agg AS (SELECT MAX(rt) AS rt, MAX(nt) AS nt,
+              SUM(CAST(nc + 1 AS HUGEINT) * (lam_fix + k_fix)) AS kl_sum,
+              SUM(ABS(CAST(nc + 1 AS HUGEINT) * (rt + {B})
+                    - CAST(rc + 1 AS HUGEINT) * (nt + {B}))) AS tv_sum
+            FROM per)
+    SELECT CAST({B} AS BIGINT) AS n_buckets,
+           rt AS ref_tokens, nt AS new_tokens,
+           CAST(kl_sum // (nt + {B}) AS BIGINT) AS kl_fix,
+           CAST(CAST(kl_sum // (nt + {B}) AS BIGINT)
+                / CAST({DSIR_FIX} AS DOUBLE) AS DOUBLE) AS kl,
+           CAST((tv_sum * {DSIR_FIX}) //
+                (2 * CAST(nt + {B} AS HUGEINT) * CAST(rt + {B} AS HUGEINT))
+                AS BIGINT) AS tv_fix,
+           CAST(CAST((tv_sum * {DSIR_FIX}) //
+                (2 * CAST(nt + {B} AS HUGEINT) * CAST(rt + {B} AS HUGEINT))
+                AS BIGINT) / CAST({DSIR_FIX} AS DOUBLE) AS DOUBLE) AS tv
+    FROM agg
+    """
+
+
 # -- Model-based quality classifier -------------------------------------
 #
 # The CCNet / FineWeb-style "model filter" stage: score every document
