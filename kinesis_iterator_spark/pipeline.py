@@ -2179,3 +2179,79 @@ def cluster_balanced_mixture(
     )
     weights = {f"cluster_{c}": w for c, w in cluster_weights.items()}
     return build_mixture(domains, weights, token_budget, seed)
+
+
+def leakage_safe_split(
+    doc: DataFrame,
+    val_permille: int = 100,
+    seed: int = 0,
+    tau: float = 0.6,
+    edges: DataFrame | None = None,
+) -> DataFrame:
+    """Deterministic train/validation split with NO near-duplicate
+    leakage: documents are clustered by near-dup connectivity first and
+    the split is assigned per CLUSTER, so a document can never sit in
+    the training set while its near-duplicate sits in validation — the
+    eval-contamination bug a doc-level random split ships silently
+    (the Lee et al. 2022 finding: duplicated text straddling the split
+    inflates eval numbers).
+
+    Returns one row per input document: (doc_id, cluster, split) with
+    ``cluster`` = the min doc_id of its near-dup component (documents
+    with no near-dup are their own cluster) and ``split`` ∈
+    {'train', 'val'}; ``val_permille`` of cluster hash-space lands in
+    'val'. The assignment is a pure function of (cluster, seed) — the
+    exact integer predicate (h60(cluster:split:seed) mod 2²⁰)·1000 <
+    val_permille·2²⁰, the `write_shards` rule: reproducible on 8 cores
+    or 1000 executors, and documents added to an existing cluster later
+    inherit its side (a graph edge can MERGE two clusters across
+    re-runs, which re-keys the min label — re-split per corpus
+    snapshot, as with any clustering-derived artifact).
+
+    ``edges``: optional precomputed near-dup edges (doc_a, doc_b) — the
+    MinHash-LSH verified pairs at scale; defaults to the exact blocked
+    `dedup.ngram_jaccard_edges` at ``tau`` (the SQL-expressible form
+    the oracle mirrors).
+
+    100 TB posture: the edge generator is the blocked equi-join (never
+    all-pairs), CC is the O(log n) star-round kernel with the bounded
+    driver fast path, and the split predicate is map-side — the only
+    corpus-wide work beyond the dedup pass a pipeline already runs."""
+    from .queries.dedup import _h60, ngram_jaccard_edges
+    from .queries.graph import connected_components
+
+    if not 0 <= val_permille <= 1000:
+        raise ValueError("val_permille must be in [0, 1000]")
+    if edges is None:
+        edges = ngram_jaccard_edges(
+            doc.select("doc_id", "lang", "text"), tau=tau
+        )
+    comp = connected_components(edges, src="doc_a", dst="doc_b")
+    mod = 1 << 20
+    return (
+        doc.select("doc_id")
+        .join(comp, F.col("doc_id") == F.col("node"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").cast("long").alias("cluster"),
+        )
+        .withColumn(
+            "split",
+            F.when(
+                (
+                    F.pmod(
+                        _h60(
+                            F.concat(
+                                F.col("cluster").cast("string"),
+                                F.lit(f":split:{seed}"),
+                            )
+                        ),
+                        F.lit(mod),
+                    )
+                    * 1000
+                )
+                < F.lit(val_permille * mod),
+                F.lit("val"),
+            ).otherwise(F.lit("train")),
+        )
+    )

@@ -124,3 +124,53 @@ def pipeline_curate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"), cfg, persist_labels=False
     )
     return cur.stats_frame()
+
+
+def leakage_safe_split_oracle(
+    doc_sql: str,
+    val_permille: int = 100,
+    seed: int = 0,
+    tau: float = 0.6,
+) -> str:
+    """DuckDB derivation of `pipeline.leakage_safe_split` (default edge
+    source): blocked exact-Jaccard edges, recursive min-label closure,
+    per-cluster hash split. ``doc_sql`` must yield (doc_id, lang,
+    text)."""
+    from .dedup import _H60_SQL
+
+    mod = 1 << 20
+    h = _H60_SQL.format(
+        x=f"CAST(cluster AS VARCHAR) || ':split:{seed}'"
+    )
+    return f"""
+WITH RECURSIVE docs AS ({doc_sql}),
+sets AS (
+  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_words,
+         list_distinct(string_split(text, ' ')) AS wset
+  FROM docs
+),
+edges AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM sets a JOIN sets b
+    ON a.lang = b.lang AND (a.n_words // 10) = (b.n_words // 10)
+   AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.wset, b.wset))) >= {tau}
+),
+sym AS (SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges),
+walk(node, reach) AS (
+  SELECT u AS node, u AS reach FROM sym
+  UNION
+  SELECT s.u AS node, w.reach FROM sym s JOIN walk w ON w.node = s.v
+),
+comp AS (SELECT node, MIN(reach) AS component FROM walk GROUP BY node),
+clustered AS (
+  SELECT d.doc_id,
+         CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS cluster
+  FROM docs d LEFT JOIN comp c ON d.doc_id = c.node
+)
+SELECT doc_id, cluster,
+       CASE WHEN ({h} % {mod}) * 1000 < {val_permille} * {mod}
+            THEN 'val' ELSE 'train' END AS split
+FROM clustered
+"""
