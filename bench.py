@@ -63,6 +63,19 @@ def main() -> None:
     load_all()
     spark = get_spark("bench")
 
+    # Headline names resolve through the registry, with library-surface
+    # overrides where a registry entry was merged into a suite:
+    # `dedup_simhash` → `dedup_hash_suite` (late r10) — the timed query
+    # stays the r9-comparable single leg, because the suite's other leg
+    # (blocked exact-Jaccard) is the oracle-expressible demonstration
+    # form whose exact pairwise set-intersection costs ~7.5 s at sf0.1
+    # by design (MinHash-LSH is the scale path and has its own entry);
+    # both legs stay value-checked at the driver's gate.
+    from kinesis_iterator_spark.queries.dedup import dedup_simhash
+
+    _BUILDERS = dict(QUERIES)
+    _BUILDERS["dedup_simhash"] = dedup_simhash
+
     # Warm pass (untimed): JVM JIT, codegen compile, parquet footer caches,
     # Python/Arrow worker boot — every headline query runs once so the
     # timed pass measures steady-state execution, not first-run compile
@@ -72,7 +85,7 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).write.format("noop").mode("overwrite").save()
     for name in HEADLINE:
-        QUERIES[name](spark, sf_dir).write.format("noop").mode(
+        _BUILDERS[name](spark, sf_dir).write.format("noop").mode(
             "overwrite"
         ).save()
         release_persists()
@@ -106,7 +119,7 @@ def main() -> None:
     for _ in range(3):
         for name in HEADLINE:
             t0 = time.perf_counter()
-            df = QUERIES[name](spark, sf_dir)
+            df = _BUILDERS[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             timings[name] = min(timings[name], time.perf_counter() - t0)
             # Release builder persists between passes so each timed pass

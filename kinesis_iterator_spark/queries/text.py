@@ -978,6 +978,33 @@ def corpus_drift_oracle(
     """
 
 
+_DRIFT_BUCKETS = 256
+
+
+@query(
+    "corpus_drift_stats",
+    oracle=corpus_drift_oracle(
+        "SELECT text FROM documents WHERE doc_id % 2 = 0",
+        "SELECT text FROM documents WHERE doc_id % 2 = 1",
+        n_buckets=_DRIFT_BUCKETS,
+    ),
+)
+def corpus_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`corpus_drift` under the driver's gate: the even-doc_id half of
+    the fixture corpus as the reference, the odd half as the arriving
+    batch — one row of exact fixed-point KL + total-variation drift.
+    No data-dependent literals (scale-factor-agnostic, as the gate
+    requires); the general two-frame form and its properties are
+    pinned in tests/test_corpus_drift.py."""
+    doc = load_table(spark, sf_dir, "documents")
+    return corpus_drift(
+        spark,
+        doc.filter(F.col("doc_id") % 2 == 0),
+        doc.filter(F.col("doc_id") % 2 == 1),
+        n_buckets=_DRIFT_BUCKETS,
+    )
+
+
 # -- Model-based quality classifier -------------------------------------
 #
 # The CCNet / FineWeb-style "model filter" stage: score every document

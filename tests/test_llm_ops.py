@@ -65,7 +65,9 @@ def test_shingles_shape(spark):
 
 
 def test_simhash_close_for_similar_docs(spark, sf_dir):
-    out = QUERIES["dedup_simhash"](spark, sf_dir)
+    from kinesis_iterator_spark.queries.dedup import dedup_simhash
+
+    out = dedup_simhash(spark, sf_dir)
     assert out.count() == spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     # 48-bit range
     mx = out.agg(F.max("simhash")).collect()[0][0]

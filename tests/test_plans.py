@@ -88,7 +88,7 @@ def test_similarity_lsh_join_is_co_partitioned_equi_join(spark, sf_dir):
 
 
 def test_no_python_row_udfs_in_relational_core(spark, sf_dir):
-    for name in ("q1_pricing_summary", "events_windows", "dedup_simhash",
+    for name in ("q1_pricing_summary", "events_windows", "dedup_hash_suite",
                  "text_quality_scores", "fn_string_suite"):
         plan = plan_of(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan, f"{name} fell off codegen into Python"
@@ -107,7 +107,7 @@ def test_windowed_aggs_have_partial_aggregation(spark, sf_dir):
 def test_blocked_jaccard_is_equi_join(spark, sf_dir):
     # The (lang, length-decile) blocking must surface as an equi-join —
     # a cartesian pairing here would be the O(n²) failure mode at scale.
-    plan = plan_of(spark, sf_dir, "dedup_ngram_jaccard")
+    plan = plan_of(spark, sf_dir, "dedup_hash_suite")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
