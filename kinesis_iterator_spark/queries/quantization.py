@@ -1556,20 +1556,212 @@ def _pq_registry_oracle(
     )
 
 
-@query(
-    "pq_adc_topk",
-    oracle=_pq_registry_oracle(
-        _REG_M, _REG_KS, _REG_ITERS, _REG_TOPK, _REG_SHORTLIST, _REG_QID
-    ),
-)
-def pq_adc_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The PQ/ADC chain under the driver's gate: train the per-subspace
-    codebooks (fixed-point — deterministic), encode the corpus to
-    packed codes, ADC-shortlist for the query vector (the corpus row
-    ``vec_id = 7``), exact re-rank. Every stage up to the shortlist is
-    exact integer arithmetic and the re-rank is the sequential-fold
-    cosine, so the result is bit-comparable to the oracle's full SQL
-    derivation of the same chain — not merely close."""
+# Residual-leg geometry: a second, smaller chain (coarse k-means → true
+# IndexIVFPQ residual books) so the merged entry's DuckDB derivation of
+# BOTH chains stays tractable at the driver's sf0.01 gate.
+_REG_KC, _REG_CIT = 4, 2
+_REG_M2, _REG_KS2, _REG_IT2 = 4, 8, 2
+_REG_NPROBE, _REG_SHORT2, _REG_QID2 = 2, 48, 11
+
+
+def _ivfpq_registry_oracle(
+    kc: int,
+    citers: int,
+    m: int,
+    ks: int,
+    iters: int,
+    topk: int,
+    shortlist: int,
+    nprobe: int,
+    qid: int,
+) -> str:
+    """The ENTIRE residual-IVFPQ chain as ONE literal-free DuckDB query
+    over the ``embeddings`` view — unlike :func:`ivfpq_oracle_sqls`
+    (which takes a trained coarse codebook as literals), every stage is
+    derived IN SQL, as the driver's scale-factor-agnostic gate requires:
+    coarse fixed-point k-means (`clustering._kmeans_ctes` — the same
+    chain `kmeans_embeddings` is pinned against), final assignment =
+    inverted file, residual subtraction against the INTEGER centroids
+    (`codebook_rows` → `_cell_fix` round-trips to exactly these ints —
+    pinned in tests/test_ivfpq.py), per-subspace residual k-means, slot
+    numbering, packed codes, the per-query residual-ADC algebra
+    (cell-independent dot tables + per-cell norm tables/constants,
+    exact int64), coarse probe ranking over the float centroids
+    c/10⁶ (ONE correctly-rounded division — the exact doubles
+    `codebook_rows` hands `_rank_cells`), shortlist, exact fold
+    re-rank."""
+    from .clustering import _kmeans_ctes
+
+    dsub = 64 // m
+    ctes = _kmeans_ctes(kc, citers, 64)
+    fa, fc = f"a{citers + 1}", f"cent{citers}"
+    ctes.append(f"cfa AS MATERIALIZED (SELECT vec_id, cl AS cell FROM {fa})")
+    ctes.append(f"cfix AS MATERIALIZED (SELECT cl AS cell, dim, c FROM {fc})")
+    ctes.append(
+        "rfix AS (SELECT x.vec_id, x.dim, x.x - f.c AS x"
+        " FROM xfix x JOIN cfa a USING (vec_id)"
+        " JOIN cfix f ON f.cell = a.cell AND f.dim = x.dim)"
+    )
+    ctes.append(
+        "rinit AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1"
+        " AS cl FROM (SELECT vec_id FROM embeddings ORDER BY vec_id"
+        f" LIMIT {ks}))"
+    )
+    ctes.append(
+        f"rsub AS MATERIALIZED (SELECT vec_id, dim // {dsub} AS sub,"
+        f" dim % {dsub} AS sdim, x FROM rfix)"
+    )
+    for s in range(m):
+        ctes.append(
+            f"rc0_{s} AS (SELECT i.cl, v.sdim, v.x AS c FROM rinit i"
+            f" JOIN rsub v USING (vec_id) WHERE v.sub = {s})"
+        )
+        for i in range(1, iters + 1):
+            ctes.append(
+                f"ra{i}_{s} AS (SELECT vec_id, cl FROM ("
+                f"SELECT v.vec_id, c.cl, ROW_NUMBER() OVER ("
+                f"PARTITION BY v.vec_id"
+                f" ORDER BY SUM((v.x - c.c) * (v.x - c.c)), c.cl) AS rk"
+                f" FROM rsub v JOIN rc{i - 1}_{s} c ON c.sdim = v.sdim"
+                f" WHERE v.sub = {s}"
+                f" GROUP BY v.vec_id, c.cl) WHERE rk = 1)"
+            )
+            ctes.append(
+                f"rc{i}_{s} AS (SELECT a.cl, v.sdim,"
+                f" CASE WHEN SUM(v.x) >= 0"
+                f" THEN (2 * SUM(v.x) + COUNT(*)) // (2 * COUNT(*))"
+                f" ELSE -((2 * -SUM(v.x) + COUNT(*)) // (2 * COUNT(*)))"
+                f" END AS c"
+                f" FROM ra{i}_{s} a JOIN rsub v USING (vec_id)"
+                f" WHERE v.sub = {s} GROUP BY a.cl, v.sdim)"
+            )
+        ctes.append(
+            f"rslots_{s} AS (SELECT cl, ROW_NUMBER() OVER (ORDER BY cl) - 1"
+            f" AS slot FROM (SELECT DISTINCT cl FROM rc{iters}_{s}))"
+        )
+        ctes.append(
+            f"rbk_{s} AS (SELECT {s} AS sub, sl.slot, c.sdim,"
+            f" CAST(c.c AS BIGINT) AS c"
+            f" FROM rc{iters}_{s} c JOIN rslots_{s} sl USING (cl))"
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM rbk_{s}" for s in range(m))
+    ctes.append(f"rcent AS MATERIALIZED ({union})")
+    ctes.append(
+        "rdist AS (SELECT v.vec_id, p.sub, p.slot,"
+        " SUM((v.x - p.c) * (v.x - p.c)) AS d2"
+        " FROM rsub v JOIN rcent p ON p.sub = v.sub AND p.sdim = v.sdim"
+        " GROUP BY v.vec_id, p.sub, p.slot)"
+    )
+    ctes.append(
+        "rslot_of AS (SELECT vec_id, sub, slot FROM ("
+        "SELECT vec_id, sub, slot, ROW_NUMBER() OVER ("
+        "PARTITION BY vec_id, sub ORDER BY d2, slot) AS rk FROM rdist)"
+        " WHERE rk = 1)"
+    )
+    ctes.append(
+        "rcode AS (SELECT s.vec_id, a.cell,"
+        f" CAST(SUM(slot << ({_SLOT_BITS} * sub)) AS BIGINT) AS pq_code"
+        " FROM rslot_of s JOIN cfa a USING (vec_id)"
+        " GROUP BY s.vec_id, a.cell)"
+    )
+    ctes.append(f"qfix AS (SELECT dim, x FROM xfix WHERE vec_id = {qid})")
+    ctes.append("qn AS (SELECT SUM(x * x) AS qn2 FROM qfix)")
+    ctes.append(
+        "tt AS (SELECT p.sub, p.slot, SUM(q.x * p.c) AS t FROM rcent p"
+        f" JOIN qfix q ON q.dim = p.sub * {dsub} + p.sdim"
+        " GROUP BY p.sub, p.slot)"
+    )
+    ctes.append(
+        "ntab AS (SELECT f.cell, p.sub, p.slot,"
+        " SUM(2 * f.c * p.c + p.c * p.c) AS n2"
+        f" FROM rcent p JOIN cfix f ON f.dim = p.sub * {dsub} + p.sdim"
+        " GROUP BY f.cell, p.sub, p.slot)"
+    )
+    ctes.append(
+        "cconst AS (SELECT f.cell, SUM(q.x * f.c) AS qc,"
+        " SUM(f.c * f.c) AS cn2 FROM cfix f JOIN qfix q USING (dim)"
+        " GROUP BY f.cell)"
+    )
+    ctes.append(
+        "unpack AS (SELECT vec_id, cell,"
+        f" CAST((pq_code >> ({_SLOT_BITS} * s.sub)) & 255 AS BIGINT)"
+        f" AS slot, s.sub FROM rcode,"
+        f" (SELECT UNNEST(range({m})) AS sub) s)"
+    )
+    ctes.append(
+        "sc AS (SELECT u.vec_id, u.cell,"
+        " CAST(cc.qc + SUM(t.t) AS BIGINT) AS adc_dot,"
+        " CAST(cc.cn2 + SUM(n.n2) AS BIGINT) AS adc_norm2"
+        " FROM unpack u JOIN tt t USING (sub, slot)"
+        " JOIN ntab n ON n.cell = u.cell AND n.sub = u.sub"
+        " AND n.slot = u.slot"
+        " JOIN cconst cc ON cc.cell = u.cell"
+        " GROUP BY u.vec_id, u.cell, cc.qc, cc.cn2)"
+    )
+    ctes.append(
+        "scored AS (SELECT vec_id, cell, CASE WHEN adc_norm2 > 0"
+        " AND q.qn2 > 0 THEN CAST(adc_dot AS DOUBLE)"
+        " / sqrt(CAST(q.qn2 AS DOUBLE) * CAST(adc_norm2 AS DOUBLE))"
+        " END AS adc_cos FROM sc, qn q)"
+    )
+    ctes.append(
+        "centd AS (SELECT cl AS cell,"
+        " list(CAST(c AS DOUBLE) / 1000000 ORDER BY dim) AS centroid"
+        f" FROM {fc} GROUP BY cl)"
+    )
+    ctes.append(
+        f"qrow AS (SELECT embedding AS q FROM embeddings"
+        f" WHERE vec_id = {qid})"
+    )
+    ctes.append(
+        "cellrank AS (SELECT cell, CASE WHEN sqrt("
+        + _dot_sql("q", "q")
+        + " * "
+        + _dot_sql("c.centroid", "c.centroid")
+        + ") > 0 THEN "
+        + _dot_sql("q", "c.centroid")
+        + " / sqrt("
+        + _dot_sql("q", "q")
+        + " * "
+        + _dot_sql("c.centroid", "c.centroid")
+        + ") END AS ccos FROM centd c, qrow)"
+    )
+    ctes.append(
+        "probe AS (SELECT cell FROM cellrank WHERE ccos IS NOT NULL"
+        f" ORDER BY ccos DESC, cell LIMIT {nprobe})"
+    )
+    ctes.append(
+        "cand AS (SELECT vec_id FROM scored"
+        " WHERE cell IN (SELECT cell FROM probe)"
+        " AND adc_cos IS NOT NULL"
+        f" ORDER BY adc_cos DESC, vec_id LIMIT {shortlist})"
+    )
+    ctes.append(
+        "exact AS (SELECT e.vec_id, "
+        + _dot_sql("q", "e.embedding")
+        + " / sqrt("
+        + _dot_sql("q", "q")
+        + " * "
+        + _dot_sql("e.embedding", "e.embedding")
+        + ") AS cosine FROM embeddings e JOIN cand USING (vec_id), qrow)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT vec_id, cosine FROM exact WHERE NOT isnan(cosine)"
+        + f" ORDER BY cosine DESC, vec_id LIMIT {topk}"
+    )
+
+
+def _adc_registry_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw-PQ/ADC chain (the r10 ``pq_adc_topk`` entry, leg-intact):
+    train the per-subspace codebooks (fixed-point — deterministic),
+    encode the corpus to packed codes, ADC-shortlist for the query
+    vector (the corpus row ``vec_id = 7``), exact re-rank. Every stage
+    up to the shortlist is exact integer arithmetic and the re-rank is
+    the sequential-fold cosine, so the result is bit-comparable to the
+    oracle's full SQL derivation of the same chain — not merely
+    close."""
     emb = load_table(spark, sf_dir, "embeddings")
     pq = pq_train(spark, emb, m=_REG_M, ks=_REG_KS, iters=_REG_ITERS)
     q = list(
@@ -1586,3 +1778,82 @@ def pq_adc_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         topk=_REG_TOPK,
         shortlist=_REG_SHORTLIST,
     )
+
+
+def _ivfpq_registry_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The residual-IVFPQ chain (the true FAISS `IndexIVFPQ`, the
+    headline 100 TB ANN design) composed end-to-end from trained parts:
+    coarse fixed-point k-means (`kmeans_embeddings` — oracle-pinned) →
+    `codebook_rows` → residual books (`ivfpq_train`) → residual codes →
+    probe + cell-pruned residual-ADC + shortlist + exact re-rank
+    (`ivfpq_topk`). Deterministic throughout, bit-comparable to the
+    literal-free `_ivfpq_registry_oracle` derivation."""
+    from .clustering import codebook_rows, kmeans_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    res = kmeans_embeddings(spark, emb, k=_REG_KC, iters=_REG_CIT)
+    crows = codebook_rows(res)
+    ec = emb.join(
+        res.assignment.withColumnRenamed("cluster", "cell"), "vec_id"
+    )
+    pq = ivfpq_train(
+        spark, ec, crows, m=_REG_M2, ks=_REG_KS2, iters=_REG_IT2
+    )
+    q = list(
+        emb.filter(F.col("vec_id") == _REG_QID2)
+        .select("embedding")
+        .collect()[0]["embedding"]
+    )
+    return ivfpq_topk(
+        spark,
+        emb,
+        ivfpq_codes(ec, crows, pq),
+        q,
+        pq,
+        crows,
+        topk=_REG_TOPK,
+        shortlist=_REG_SHORT2,
+        nprobe=_REG_NPROBE,
+    )
+
+
+@query(
+    "pq_suite",
+    oracle=(
+        "SELECT 'adc' AS part, vec_id, cosine FROM (\n"
+        + _pq_registry_oracle(
+            _REG_M, _REG_KS, _REG_ITERS, _REG_TOPK, _REG_SHORTLIST, _REG_QID
+        )
+        + "\n)\nUNION ALL\nSELECT 'ivfpq' AS part, vec_id, cosine FROM (\n"
+        + _ivfpq_registry_oracle(
+            _REG_KC,
+            _REG_CIT,
+            _REG_M2,
+            _REG_KS2,
+            _REG_IT2,
+            _REG_TOPK,
+            _REG_SHORT2,
+            _REG_NPROBE,
+            _REG_QID2,
+        )
+        + "\n)"
+    ),
+)
+def pq_suite_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both PQ read paths under the driver's gate in one entry (merged
+    per VERDICT r10 #3 to bring the RESIDUAL path — the true
+    `IndexIVFPQ`, previously pytest-only — under the 50-entry gate):
+    part='adc' is the r10 ``pq_adc_topk`` leg unchanged; part='ivfpq'
+    is the full coarse-train → residual-train → encode → probe → ADC →
+    re-rank chain. Union-tagged by ``part`` over the shared
+    (vec_id, cosine) schema — the `analytic_suite` discipline. Each
+    leg's oracle derives its ENTIRE chain (training included) in SQL
+    with no data-dependent literal, so the entry stays
+    scale-factor-agnostic."""
+    adc = _adc_registry_leg(spark, sf_dir).select(
+        F.lit("adc").alias("part"), "vec_id", "cosine"
+    )
+    ivf = _ivfpq_registry_leg(spark, sf_dir).select(
+        F.lit("ivfpq").alias("part"), "vec_id", "cosine"
+    )
+    return adc.unionByName(ivf)

@@ -316,3 +316,65 @@ def test_embedding_writer_residual_layer(spark, tmp_path):
     # compact() covers the residual codes.
     w.compact()
     assert _rows(w.pq_topk(q, topk=5, shortlist=64, nprobe=2)) == got
+
+
+def test_cell_fix_roundtrips_trained_codebook(spark):
+    """`codebook_rows` (int64/10⁶ correctly-rounded doubles) →
+    `_cell_fix` (rint·10⁶) recovers the trainer's exact int64
+    centroids — the identity the literal-free registry oracle leans
+    on (its cfix CTE uses the k-means ints directly)."""
+    from kinesis_iterator_spark.queries.clustering import (
+        codebook_rows,
+        kmeans_embeddings,
+    )
+
+    emb = _emb(spark, SF_DIRS[0])
+    res = kmeans_embeddings(spark, emb, k=4, iters=2)
+    cells, CF = _cell_fix(codebook_rows(res))
+    assert list(cells) == sorted(int(c) for c in res.clusters)
+    order = np.argsort(np.asarray(res.clusters))
+    assert np.array_equal(CF, np.asarray(res.centroids)[order])
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_registry_ivfpq_leg_matches_literal_free_oracle(spark, sf_dir):
+    """The gate entry's residual leg vs the fully-derived (no
+    data-dependent literal) DuckDB chain — training, inverted file,
+    residual books, codes, probe, ADC, exact re-rank all in SQL."""
+    from kinesis_iterator_spark.queries.quantization import (
+        _REG_CIT,
+        _REG_IT2,
+        _REG_KC,
+        _REG_KS2,
+        _REG_M2,
+        _REG_NPROBE,
+        _REG_QID2,
+        _REG_SHORT2,
+        _REG_TOPK,
+        _ivfpq_registry_leg,
+        _ivfpq_registry_oracle,
+    )
+
+    got = _rows(_ivfpq_registry_leg(spark, sf_dir))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS "
+        f"SELECT * FROM '{sf_dir}/embeddings.parquet'"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            _ivfpq_registry_oracle(
+                _REG_KC,
+                _REG_CIT,
+                _REG_M2,
+                _REG_KS2,
+                _REG_IT2,
+                _REG_TOPK,
+                _REG_SHORT2,
+                _REG_NPROBE,
+                _REG_QID2,
+            )
+        ).fetchall()
+    )
+    assert got == want and len(got) == _REG_TOPK
