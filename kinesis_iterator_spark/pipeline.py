@@ -653,6 +653,8 @@ class CorpusWriter:
         decontam_max_frac: float = 0.0,
         auto_compact: bool = False,
         bm25_index: bool = False,
+        drift_monitor: bool = False,
+        drift_buckets: int = 256,
     ) -> None:
         """``auto_compact``: run `incremental.compact_index` at the end
         of any :meth:`admit` that leaves band-row growth past
@@ -678,7 +680,21 @@ class CorpusWriter:
         ``{index_dir}/bm25`` — bootstrapped with the corpus, extended
         with every admitted batch (the band/paragraph-layer
         discipline), queried via :meth:`bm25_topk`. Off by default:
-        the layer costs a few batch-bounded jobs per admit."""
+        the layer costs a few batch-bounded jobs per admit.
+
+        ``drift_monitor`` (VERDICT r10 #4): maintain a stored
+        reference-histogram layer (``{index_dir}/drift_ref`` —
+        ≤ ``drift_buckets`` hashed-unigram rows per segment, one
+        segment per admit, the `df/`/`bucket_sizes/` per-segment
+        discipline; sum-of-segments ≡ a recount of the corpus, pinned)
+        and report each batch's KL/TV drift against the pre-admit
+        corpus in the admit stats (``drift_kl_fix``/``drift_tv_fix``,
+        `queries.text.corpus_drift`'s exact fixed-point integers; ÷
+        DSIR_FIX for the floats). Per-admit cost is one batch-sized
+        histogram pass + a ≤ buckets·segments layer read — the
+        reference corpus is never re-scanned (the guardrail VERDICT
+        r10 #2 flagged as an op you had to remember to run). Off by
+        default: +2 jobs per admit."""
         self.spark = spark
         self.corpus_dir = corpus_dir
         self.index_dir = index_dir
@@ -687,6 +703,8 @@ class CorpusWriter:
         self.decontam_max_frac = decontam_max_frac
         self.auto_compact = auto_compact
         self.bm25_index = bm25_index
+        self.drift_monitor = drift_monitor
+        self.drift_buckets = drift_buckets
         self._bench_shingles: DataFrame | None = None
 
     def _bootstrapped(self) -> bool:
@@ -965,6 +983,27 @@ class CorpusWriter:
                     sverd.filter(F.col("verdict") == "novel").select("doc_id"),
                     "doc_id",
                 ).localCheckpoint(eager=True)
+                if self.drift_monitor:
+                    # Measure BEFORE any state changes: the stored layer
+                    # is the pre-admit corpus (and the heal path's
+                    # corpus read is too — the append below hasn't
+                    # run). The batch side is the SURVIVORS (the
+                    # arriving distribution post-gates, pre-dedup): a
+                    # drift alarm should fire on what arrived, not be
+                    # masked because most of it was deduped away.
+                    from .queries.text import (
+                        corpus_drift_from_hists,
+                        corpus_hist,
+                    )
+
+                    drow = corpus_drift_from_hists(
+                        self.spark,
+                        self._drift_hist_or_heal(),
+                        corpus_hist(survivors, self.drift_buckets),
+                        self.drift_buckets,
+                    ).collect()[0]
+                    stats["drift_kl_fix"] = int(drow["kl_fix"])
+                    stats["drift_tv_fix"] = int(drow["tv_fix"])
                 # The verdict-count aggregate is read-only on the
                 # checkpointed frame — overlap it with the corpus
                 # append (which must still commit before any index
@@ -1024,6 +1063,16 @@ class CorpusWriter:
                     # self-heals a missing/interrupted layer by
                     # rebuilding from the corpus (the reconcile path).
                     self._extend_bm25(novel)
+                if self.drift_monitor:
+                    # The layer extends with the ADMITTED (novel) docs —
+                    # sum-of-segments stays ≡ a recount of the corpus
+                    # (pinned). Same derived-layer crash contract as
+                    # bm25: a crash before this line leaves the layer
+                    # stale (healed by reconcile, like every derived
+                    # layer); a crash MID-append leaves the marker and
+                    # the next reader rebuilds instead of
+                    # double-counting.
+                    self._extend_drift(novel)
                 if self.auto_compact:
                     drift = incremental.index_drift(self.index_dir)
                     if (
@@ -1062,6 +1111,11 @@ class CorpusWriter:
                         self.corpus().select("doc_id", "text"),
                         self._bm25_dir(),
                     )
+                if self.drift_monitor:
+                    # Bootstrap segment 0 = the whole just-written
+                    # corpus; no drift stats (there is no pre-admit
+                    # reference to measure against).
+                    self._write_drift_hist(self.corpus(), "overwrite")
             return stats
         finally:
             if batch_bands is not None and batch_bands is not cur.bands:
@@ -1186,6 +1240,51 @@ class CorpusWriter:
             doc.select("doc_id", "text"), w=self.config.exact_substr_w
         ).write.mode(mode).parquet(self._substr_dir())
 
+    def _drift_dir(self) -> str:
+        return f"{self.index_dir}/drift_ref"
+
+    def _drift_marker(self) -> str:
+        return f"{self.index_dir}/drift_ref.inprogress"
+
+    def _write_drift_hist(self, doc: DataFrame, mode: str) -> None:
+        from .queries.text import corpus_hist
+
+        corpus_hist(doc.select("text"), self.drift_buckets).write.mode(
+            mode
+        ).parquet(self._drift_dir())
+
+    def _drift_hist_or_heal(self) -> DataFrame:
+        """The stored reference histogram (per-segment (b, c) rows; the
+        reader sums segments). Self-heals like `_extend_bm25`: an
+        interrupted compact swap forward-rolls, and a missing /
+        uncommitted / marker-bracketed layer (corpus admitted before
+        ``drift_monitor=True``, or a crash inside the derived-layer
+        append window) is rebuilt from the corpus — which at every
+        call site equals exactly the text the layer must describe."""
+        import os
+
+        from . import incremental
+
+        incremental._recover_staged(self.index_dir, ("drift_ref",))
+        if os.path.exists(self._drift_marker()) or not _parquet_dir_committed(
+            self._drift_dir()
+        ):
+            self._write_drift_hist(self.corpus(), "overwrite")
+            if os.path.exists(self._drift_marker()):
+                os.remove(self._drift_marker())
+        return self.spark.read.parquet(self._drift_dir())
+
+    def _extend_drift(self, novel: DataFrame) -> None:
+        """Append the admitted batch's histogram segment, bracketed by
+        a marker: a crash mid-append leaves the marker, and the next
+        reader rebuilds the whole layer from the (already-committed)
+        corpus instead of double-counting a half-written segment."""
+        import os
+
+        open(self._drift_marker(), "w").close()
+        self._write_drift_hist(novel, "append")
+        os.remove(self._drift_marker())
+
     def reconcile(self) -> dict:
         """Rebuild the dedup index from the corpus as currently written —
         the recovery path for a crash inside :meth:`admit`'s
@@ -1218,6 +1317,13 @@ class CorpusWriter:
                 self.corpus().select("doc_id", "text"),
                 self._bm25_dir(),
             )
+        if self.drift_monitor:
+            # Also the staleness-heal and late-enablement path.
+            import os
+
+            self._write_drift_hist(self.corpus(), "overwrite")
+            if os.path.exists(self._drift_marker()):
+                os.remove(self._drift_marker())
         return meta
 
     def compact(self) -> dict:
@@ -1254,6 +1360,16 @@ class CorpusWriter:
             from .queries.retrieval import compact_bm25_index
 
             compact_bm25_index(self.spark, self._bm25_dir())
+        if self.drift_monitor and os.path.isdir(self._drift_dir()):
+            # Collapse per-admit segments to ≤ drift_buckets rows —
+            # counts are additive, so the summed rewrite is
+            # content-equivalent under the reader's own SUM (pinned).
+            self.spark.read.parquet(self._drift_dir()).groupBy("b").agg(
+                F.sum("c").cast("long").alias("c")
+            ).coalesce(1).write.mode("overwrite").parquet(
+                f"{self._drift_dir()}.compact"
+            )
+            incremental._swap_staged(self.index_dir, "drift_ref")
         return meta
 
     def release(self) -> None:

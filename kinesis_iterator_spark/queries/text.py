@@ -832,6 +832,19 @@ def dsir_select_oracle(
 # bucket-wise), so a zero really means "no drift", not "small float".
 
 
+def corpus_hist(doc: DataFrame, n_buckets: int = DSIR_BUCKETS) -> DataFrame:
+    """The hashed-unigram histogram drift compares: (b, c) rows,
+    c = word occurrences whose h60 lands in bucket b. Map-side
+    hash-aggregate — ≤ n_buckets output rows regardless of corpus size;
+    this is the frame a stored drift-reference layer persists
+    per-segment (counts are additive, so sum-of-segments ≡ recount)."""
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    return _word_buckets(doc.select("text"), n_buckets).groupBy("b").agg(
+        F.count("*").cast("long").alias("c")
+    )
+
+
 def corpus_drift(
     spark: SparkSession,
     ref_doc: DataFrame,
@@ -849,15 +862,34 @@ def corpus_drift(
     1-row broadcast, and the output is a 1-row aggregate. Intermediates
     are DECIMAL(38,0): at the design point (nc+1)·(R+B) ≈ 10²⁶ —
     int64 would overflow silently."""
+    return corpus_drift_from_hists(
+        spark,
+        corpus_hist(ref_doc, n_buckets),
+        corpus_hist(new_doc, n_buckets),
+        n_buckets,
+    )
+
+
+def corpus_drift_from_hists(
+    spark: SparkSession,
+    ref_hist: DataFrame,
+    new_hist: DataFrame,
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """:func:`corpus_drift` from precomputed (b, c) histograms — the
+    ingestion-loop form (VERDICT r10 #4): the reference side reads a
+    STORED ≤ n_buckets·segments layer (`CorpusWriter(drift_monitor=
+    True)` maintains one per admitted batch, the `df/`/`bucket_sizes/`
+    per-segment discipline) instead of re-scanning the reference corpus
+    per call. Per-segment rows are summed per bucket here, so passing a
+    multi-segment layer IS the recount (counts are additive — pinned).
+    Same exact fixed-point arithmetic as :func:`corpus_drift`; the two
+    are bit-identical given hists of the same text."""
     if n_buckets < 1:
         raise ValueError("n_buckets must be >= 1")
     B = n_buckets
-    rh = _word_buckets(ref_doc.select("text"), B).groupBy("b").agg(
-        F.count("*").cast("long").alias("rc")
-    )
-    nh = _word_buckets(new_doc.select("text"), B).groupBy("b").agg(
-        F.count("*").cast("long").alias("nc")
-    )
+    rh = ref_hist.groupBy("b").agg(F.sum("c").cast("long").alias("rc"))
+    nh = new_hist.groupBy("b").agg(F.sum("c").cast("long").alias("nc"))
     hist = (
         spark.range(B)
         .select(F.col("id").alias("b"))
