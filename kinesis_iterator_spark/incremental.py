@@ -671,3 +671,92 @@ def embedding_dedup_against_index(
             "cosine",
         )
     )
+
+
+# -- single-writer lease (VERDICT r10 #6) --------------------------------
+#
+# Every crash contract in this module (markers, staged swaps, the
+# append-then-extend ordering) assumes ONE writer process per index
+# directory: two concurrent admits would interleave marker writes
+# undetected and corrupt the layers silently. The lease makes the
+# assumption explicit and LOUD: a writer takes the lease for the
+# duration of each mutating call; a second writer refuses instead of
+# interleaving; a crashed holder's lease goes stale after
+# ``LEASE_TTL_S`` and the next writer takes over (crash contracts make
+# takeover safe — the layers self-heal on the next read). The file
+# primitive is os.O_CREAT|O_EXCL (atomic on the local/posix filesystems
+# this sandbox has); a 1000-executor deployment swaps this for its
+# coordination service exactly like the Kinesis client swap point
+# (SURVEY §4.2) — the call sites and semantics stay.
+
+LEASE_TTL_S = 900.0
+
+
+class LeaseHeld(RuntimeError):
+    """Another live writer holds the index's lease."""
+
+
+def _lease_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "writer.lease")
+
+
+def acquire_lease(
+    index_dir: str, writer_id: str, ttl_s: float = LEASE_TTL_S
+) -> None:
+    """Take (or refresh) the index's writer lease.
+
+    - free → created atomically (O_CREAT|O_EXCL);
+    - held by ``writer_id`` → refreshed (mtime heartbeat);
+    - held by another writer, fresher than ``ttl_s`` → raises
+      :class:`LeaseHeld` (the loud refusal);
+    - held by another writer, older than ``ttl_s`` → stale takeover
+      (temp file + os.replace, the staged-swap idiom)."""
+    import time
+
+    os.makedirs(index_dir, exist_ok=True)
+    path = _lease_path(index_dir)
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        with os.fdopen(fd, "w") as f:
+            f.write(json.dumps({"writer_id": writer_id, "pid": os.getpid()}))
+        return
+    except FileExistsError:
+        pass
+    try:
+        with open(path) as f:
+            holder = json.load(f)
+        age = time.time() - os.path.getmtime(path)
+    except (OSError, ValueError):
+        # Unreadable/half-written lease (a crash mid-create): treat as
+        # stale and take over below.
+        holder, age = {}, float("inf")
+    if holder.get("writer_id") == writer_id:
+        os.utime(path)  # heartbeat
+        return
+    if age <= ttl_s:
+        raise LeaseHeld(
+            f"index at {index_dir} is being written by "
+            f"{holder.get('writer_id', '<unreadable>')} "
+            f"(pid {holder.get('pid', '?')}, lease age {age:.0f}s <= "
+            f"ttl {ttl_s:.0f}s) — concurrent writers would interleave "
+            "crash markers; wait, or raise ttl_s only if that writer "
+            "is known dead"
+        )
+    tmp = path + ".takeover"
+    with open(tmp, "w") as f:
+        f.write(json.dumps({"writer_id": writer_id, "pid": os.getpid()}))
+    os.replace(tmp, path)
+
+
+def release_lease(index_dir: str, writer_id: str) -> None:
+    """Drop the lease if (and only if) ``writer_id`` holds it. Missing
+    or foreign leases are left alone — release is idempotent and a
+    stale takeover by another writer must not be un-done."""
+    path = _lease_path(index_dir)
+    try:
+        with open(path) as f:
+            if json.load(f).get("writer_id") != writer_id:
+                return
+        os.remove(path)
+    except (OSError, ValueError):
+        pass

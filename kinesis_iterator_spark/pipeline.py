@@ -706,6 +706,12 @@ class CorpusWriter:
         self.drift_monitor = drift_monitor
         self.drift_buckets = drift_buckets
         self._bench_shingles: DataFrame | None = None
+        import os as _os
+        import uuid as _uuid
+
+        self._writer_id = "cw-{}-{}".format(
+            _os.getpid(), _uuid.uuid4().hex[:12]
+        )
 
     def _bootstrapped(self) -> bool:
         return _readable_meta(self.index_dir)
@@ -758,6 +764,23 @@ class CorpusWriter:
         )
 
     def admit(self, batch_doc: DataFrame) -> dict[str, int]:
+        """Public entry: :meth:`_admit_locked` under the index's
+        single-writer lease (`incremental.acquire_lease` — VERDICT r10
+        #6). A second concurrent writer fails loudly with
+        `incremental.LeaseHeld` instead of interleaving crash markers;
+        a crashed holder's lease is taken over after
+        `incremental.LEASE_TTL_S`."""
+        from . import incremental
+
+        incremental.acquire_lease(
+            self.index_dir, self._writer_id, incremental.LEASE_TTL_S
+        )
+        try:
+            return self._admit_locked(batch_doc)
+        finally:
+            incremental.release_lease(self.index_dir, self._writer_id)
+
+    def _admit_locked(self, batch_doc: DataFrame) -> dict[str, int]:
         """Run one batch through gates + in-batch dedup + (optional)
         benchmark decontamination + vs-corpus dedup; append the accepted
         documents. Returns the stage counts (`n_input`/`n_gate`/`n_kept`
@@ -789,7 +812,7 @@ class CorpusWriter:
         # rebuild the index from the corpus (reconcile) and proceed down
         # the normal append path.
         if not self._bootstrapped() and self._corpus_exists():
-            self.reconcile()
+            self._reconcile_locked()
 
         cfg = self.config
         if cfg.scrub_pii or cfg.dedup_paragraphs or cfg.dedup_exact_substr:
@@ -1286,6 +1309,19 @@ class CorpusWriter:
         os.remove(self._drift_marker())
 
     def reconcile(self) -> dict:
+        """Public entry: :meth:`_reconcile_locked` under the
+        single-writer lease (the :meth:`admit` contract)."""
+        from . import incremental
+
+        incremental.acquire_lease(
+            self.index_dir, self._writer_id, incremental.LEASE_TTL_S
+        )
+        try:
+            return self._reconcile_locked()
+        finally:
+            incremental.release_lease(self.index_dir, self._writer_id)
+
+    def _reconcile_locked(self) -> dict:
         """Rebuild the dedup index from the corpus as currently written —
         the recovery path for a crash inside :meth:`admit`'s
         append-then-extend window (and for a crash during bootstrap
@@ -1327,6 +1363,19 @@ class CorpusWriter:
         return meta
 
     def compact(self) -> dict:
+        """Public entry: :meth:`_compact_locked` under the
+        single-writer lease (the :meth:`admit` contract)."""
+        from . import incremental
+
+        incremental.acquire_lease(
+            self.index_dir, self._writer_id, incremental.LEASE_TTL_S
+        )
+        try:
+            return self._compact_locked()
+        finally:
+            incremental.release_lease(self.index_dir, self._writer_id)
+
+    def _compact_locked(self) -> dict:
         """Re-apply the mega-bucket cap across all appends without
         re-reading corpus text — `incremental.compact_index` — and
         collapse every enabled derived layer's per-admit append
@@ -1502,6 +1551,12 @@ class EmbeddingWriter:
         # cached copy still exact.
         self._crows: list | None = None
         self._crows_key: tuple | None = None
+        import os as _os
+        import uuid as _uuid
+
+        self._writer_id = "ew-{}-{}".format(
+            _os.getpid(), _uuid.uuid4().hex[:12]
+        )
 
     def _build_codebook(self):
         """The codebook for an index BUILD: a freshly trained k-means‖
@@ -1584,6 +1639,21 @@ class EmbeddingWriter:
         )
 
     def admit(self, batch_emb: DataFrame) -> dict[str, int]:
+        """Public entry: :meth:`_admit_locked` under the index's
+        single-writer lease — `CorpusWriter.admit`'s contract: a
+        second concurrent writer raises `incremental.LeaseHeld`; a
+        crashed holder is taken over after `incremental.LEASE_TTL_S`."""
+        from . import incremental
+
+        incremental.acquire_lease(
+            self.index_dir, self._writer_id, incremental.LEASE_TTL_S
+        )
+        try:
+            return self._admit_locked(batch_emb)
+        finally:
+            incremental.release_lease(self.index_dir, self._writer_id)
+
+    def _admit_locked(self, batch_emb: DataFrame) -> dict[str, int]:
         """Run one (vec_id, label, embedding) batch through in-batch
         near-dup pruning + vs-store classification; append the novel
         vectors to the store and their index rows to the ANN index.
@@ -1600,7 +1670,7 @@ class EmbeddingWriter:
         )
 
         if not self._bootstrapped() and self._store_exists():
-            self.reconcile()
+            self._reconcile_locked()
         par = self.spark.sparkContext.defaultParallelism
         if not self._bootstrapped():
             # Bootstrap: in-batch dedup with batch-derived geometry,
@@ -1725,10 +1795,19 @@ class EmbeddingWriter:
             by_verdict: dict[str, int] = {}
 
             def _counts():
+                # ONE grouped action for BOTH count families (VERDICT
+                # r10 #2): the reject count and the verdict counts read
+                # the same two checkpoints — a tagged union collapses
+                # the two jobs the previous round overlapped into one.
+                tagged = surv_verdicts.select(
+                    F.col("verdict").alias("k")
+                ).unionByName(
+                    rejects.select(F.lit("in_batch_reject").alias("k"))
+                )
                 by_verdict.update(
                     {
-                        r["verdict"]: r["n"]
-                        for r in surv_verdicts.groupBy("verdict")
+                        r["k"]: r["n"]
+                        for r in tagged.groupBy("k")
                         .agg(F.count("*").alias("n"))
                         .collect()
                     }
@@ -1736,12 +1815,12 @@ class EmbeddingWriter:
 
             incremental._concurrently(
                 _counts,
-                lambda: stats.__setitem__(
-                    "rejected_in_batch", rejects.count()
-                ),
                 lambda: novel.write.mode("append").parquet(
                     self.store_dir
                 ),
+            )
+            stats["rejected_in_batch"] = by_verdict.get(
+                "in_batch_reject", 0
             )
             stats["rejected_near"] = by_verdict.get("near_dup", 0)
             stats["n_admitted"] = by_verdict.get("novel", 0)
@@ -1903,7 +1982,7 @@ class EmbeddingWriter:
         if drift <= ANN_DRIFT_FACTOR:
             return
         if self.auto_reconcile:
-            self.reconcile()
+            self._reconcile_locked()
             return
         import warnings
 
@@ -1918,6 +1997,19 @@ class EmbeddingWriter:
         )
 
     def reconcile(self) -> dict:
+        """Public entry: :meth:`_reconcile_locked` under the
+        single-writer lease (the :meth:`admit` contract)."""
+        from . import incremental
+
+        incremental.acquire_lease(
+            self.index_dir, self._writer_id, incremental.LEASE_TTL_S
+        )
+        try:
+            return self._reconcile_locked()
+        finally:
+            incremental.release_lease(self.index_dir, self._writer_id)
+
+    def _reconcile_locked(self) -> dict:
         """Rebuild the ANN index from the store as currently written —
         the recovery path for a crash inside :meth:`admit`'s
         append-then-extend window (and for a crash during bootstrap,
@@ -1948,6 +2040,19 @@ class EmbeddingWriter:
         return meta
 
     def compact(self) -> dict:
+        """Public entry: :meth:`_compact_locked` under the
+        single-writer lease (the :meth:`admit` contract)."""
+        from . import incremental
+
+        incremental.acquire_lease(
+            self.index_dir, self._writer_id, incremental.LEASE_TTL_S
+        )
+        try:
+            return self._compact_locked()
+        finally:
+            incremental.release_lease(self.index_dir, self._writer_id)
+
+    def _compact_locked(self) -> dict:
         """Collapse the ANN index's per-admit append segments
         (`similarity.compact_ann_index`: signatures/inverted file
         rewritten key-clustered, bucket occupancy summed to one segment)

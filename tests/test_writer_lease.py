@@ -1,0 +1,133 @@
+"""Single-writer lease (VERDICT r10 #6): every crash contract in the
+writer family assumes one writer per index dir — the lease makes a
+second concurrent writer fail LOUDLY (`incremental.LeaseHeld`) instead
+of interleaving crash markers, with stale-lease takeover for crashed
+holders. Pins: refusal while held, same-writer reentry/heartbeat,
+takeover after TTL, release-on-exit (success AND failure), idempotent
+release, unreadable-lease takeover, and the refusal surfacing through
+`CorpusWriter.admit` / `EmbeddingWriter.admit`."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from kinesis_iterator_spark import incremental
+from kinesis_iterator_spark.incremental import (
+    LeaseHeld,
+    _lease_path,
+    acquire_lease,
+    release_lease,
+)
+from kinesis_iterator_spark.pipeline import CorpusWriter, CurationConfig
+from kinesis_iterator_spark.tables import load_table
+
+
+def test_acquire_free_then_refuse_then_release(tmp_path):
+    d = str(tmp_path / "idx")
+    acquire_lease(d, "w1")
+    assert os.path.exists(_lease_path(d))
+    with pytest.raises(LeaseHeld, match="w1"):
+        acquire_lease(d, "w2")
+    # same writer re-enters (heartbeat refresh)
+    acquire_lease(d, "w1")
+    release_lease(d, "w1")
+    assert not os.path.exists(_lease_path(d))
+    acquire_lease(d, "w2")
+    release_lease(d, "w2")
+
+
+def test_stale_takeover_and_foreign_release_noop(tmp_path):
+    d = str(tmp_path / "idx")
+    acquire_lease(d, "w1")
+    # foreign release is a no-op
+    release_lease(d, "w2")
+    assert os.path.exists(_lease_path(d))
+    # backdate past TTL -> takeover succeeds and re-stamps the holder
+    old = time.time() - incremental.LEASE_TTL_S - 10
+    os.utime(_lease_path(d), (old, old))
+    acquire_lease(d, "w2")
+    with open(_lease_path(d)) as f:
+        assert json.load(f)["writer_id"] == "w2"
+    # the previous holder can no longer release it
+    release_lease(d, "w1")
+    assert os.path.exists(_lease_path(d))
+    release_lease(d, "w2")
+
+
+def test_unreadable_lease_is_taken_over(tmp_path):
+    d = str(tmp_path / "idx")
+    os.makedirs(d)
+    with open(_lease_path(d), "w") as f:
+        f.write("{half-written")
+    acquire_lease(d, "w1")
+    with open(_lease_path(d)) as f:
+        assert json.load(f)["writer_id"] == "w1"
+    release_lease(d, "w1")
+
+
+def test_corpus_writer_admit_refuses_under_foreign_lease(
+    spark, sf_dir, tmp_path
+):
+    doc = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    b1 = doc.filter(F.col("doc_id") % 10 == 0)
+    w = CorpusWriter(
+        spark, str(tmp_path / "corpus"), str(tmp_path / "index"),
+        CurationConfig(),
+    )
+    acquire_lease(w.index_dir, "intruder")
+    with pytest.raises(LeaseHeld):
+        w.admit(b1)
+    # nothing was written under the refusal
+    assert not os.path.isdir(w.corpus_dir)
+    release_lease(w.index_dir, "intruder")
+    s = w.admit(b1)
+    assert s["n_admitted"] > 0
+    # the lease is released between calls (a second WRITER may take
+    # over serially; only CONCURRENT admits are the corruption class)
+    assert not os.path.exists(_lease_path(w.index_dir))
+    acquire_lease(w.index_dir, "intruder")
+    with pytest.raises(LeaseHeld):
+        w.compact()
+    with pytest.raises(LeaseHeld):
+        w.reconcile()
+    release_lease(w.index_dir, "intruder")
+
+
+def test_embedding_writer_admit_refuses_under_foreign_lease(
+    spark, sf_dir, tmp_path
+):
+    from kinesis_iterator_spark.pipeline import EmbeddingWriter
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = EmbeddingWriter(
+        spark, str(tmp_path / "store"), str(tmp_path / "ann")
+    )
+    acquire_lease(w.index_dir, "intruder")
+    with pytest.raises(LeaseHeld):
+        w.admit(emb.filter(F.col("vec_id") % 10 == 0))
+    release_lease(w.index_dir, "intruder")
+    s = w.admit(emb.filter(F.col("vec_id") % 10 == 0))
+    assert s["n_admitted"] > 0
+    assert not os.path.exists(_lease_path(w.index_dir))
+
+
+def test_admit_failure_still_releases(spark, sf_dir, tmp_path):
+    """A raising admit must not leak the lease (the finally contract) —
+    otherwise one bad batch wedges the writer until TTL."""
+    w = CorpusWriter(
+        spark, str(tmp_path / "corpus"), str(tmp_path / "index"),
+        CurationConfig(),
+    )
+    bad = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    )  # no text column -> curation fails
+    with pytest.raises(Exception):
+        w.admit(bad)
+    assert not os.path.exists(_lease_path(w.index_dir))
