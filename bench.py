@@ -479,6 +479,32 @@ def main() -> None:
 
     library.append(("ivfpq_topk", timed_ivfpq))
 
+    # -- round-11 surface: deterministic BPE. Training (one job per
+    # merge round over the checkpointed word-frequency table) is the
+    # build path — setup, outside the timer, like the PQ/BM25/ANN
+    # templates; the timed query is the production ENCODE pass:
+    # bpe_token_counts' single Arrow kernel over the corpus text plus
+    # the slim count join, driven to a noop write.
+    from kinesis_iterator_spark.bpe import bpe_token_counts, bpe_train
+
+    bpe_doc = _lt(spark, sf_dir, "documents").select("doc_id", "text")
+    bpe_merges = bpe_train(spark, bpe_doc, n_merges=32)
+    release_persists()
+
+    def bpe_count() -> None:
+        bpe_token_counts(bpe_doc, bpe_merges).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    bpe_count()  # warm
+
+    def timed_bpe() -> float:
+        t0 = time.perf_counter()
+        bpe_count()
+        return time.perf_counter() - t0
+
+    library.append(("bpe_encode_counts", timed_bpe))
+
     # -- round-7 surface: incremental corpus admission. Bootstrap a
     # corpus + dedup index from the even-doc_id half ONCE (untimed),
     # then time CorpusWriter.admit of the odd half against a fresh COPY

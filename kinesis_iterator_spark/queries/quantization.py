@@ -460,12 +460,23 @@ def write_pq_layer(
     m: int = PQ_M,
     ks: int = PQ_KS,
     iters: int = 2,
+    opq: bool = False,
 ) -> PQResult:
     """(Re)build the stored PQ layer for the vectors in ``emb``:
     ``{index_dir}/pq_codebooks/`` — (sub, slot, centroid array<long>),
     the exact int64 fixed-point books; ``{index_dir}/pq_codes/`` —
     (vec_id, pq_code). Marker-bracketed overwrite; one training pass
-    per iteration + one encode pass."""
+    per iteration + one encode pass.
+
+    ``opq=True`` trains through :func:`opq_train` (identity vs the
+    variance-balanced permutation, exact-integer argmin) and persists
+    the winning permutation as a ``pq_perm/`` sidecar (pos, dim — tiny,
+    driver-read like the books); codes are then encodings of the
+    PERMUTED vectors and every read path applies the stored perm
+    (`read_pq_perm`). An identity winner writes NO sidecar — the layout
+    stays byte-compatible with the raw-PQ form. (The residual layer
+    does not compose with OPQ here: a pre-rotation changes the coarse
+    cell geometry the stored inverted file anchors.)"""
     import os
 
     from . import release_persists
@@ -474,7 +485,24 @@ def write_pq_layer(
     with open(_pq_marker(index_dir), "w") as fh:
         fh.write("")
     try:
-        pq = pq_train(spark, emb, m=m, ks=ks, iters=iters)
+        if opq:
+            perm, pq, _ = opq_train(spark, emb, m=m, ks=ks, iters=iters)
+            enc_emb = permute_embedding(emb, perm)
+            if perm != list(range(len(perm))):
+                spark.createDataFrame(
+                    list(enumerate(perm)), "pos long, dim long"
+                ).write.mode("overwrite").parquet(f"{index_dir}/pq_perm")
+            elif os.path.isdir(f"{index_dir}/pq_perm"):
+                import shutil
+
+                shutil.rmtree(f"{index_dir}/pq_perm")
+        else:
+            pq = pq_train(spark, emb, m=m, ks=ks, iters=iters)
+            enc_emb = emb
+            if os.path.isdir(f"{index_dir}/pq_perm"):
+                import shutil
+
+                shutil.rmtree(f"{index_dir}/pq_perm")
         rows = [
             (s, int(slot), [int(v) for v in pq.books[s][1][j]])
             for s in range(pq.m)
@@ -483,7 +511,7 @@ def write_pq_layer(
         spark.createDataFrame(
             rows, "sub long, slot long, centroid array<long>"
         ).write.mode("overwrite").parquet(f"{index_dir}/pq_codebooks")
-        pq_codes(emb, pq).write.mode("overwrite").parquet(
+        pq_codes(enc_emb, pq).write.mode("overwrite").parquet(
             f"{index_dir}/pq_codes"
         )
     finally:
@@ -501,6 +529,23 @@ def read_pq_books(index_dir: str) -> PQResult:
     are m·ks rows — always driver-sized)."""
     _check_pq_layer(index_dir)
     return _read_books_dir(f"{index_dir}/pq_codebooks")
+
+
+def read_pq_perm(index_dir: str) -> list[int] | None:
+    """The stored OPQ permutation (``pq_perm/`` sidecar; pos → dim),
+    driver-side pyarrow read — or None for a raw-PQ layout (identity).
+    d rows — always driver-sized."""
+    import os
+
+    import pyarrow.parquet as pq_
+
+    if not os.path.isdir(f"{index_dir}/pq_perm"):
+        return None
+    tbl = pq_.read_table(f"{index_dir}/pq_perm")
+    pairs = sorted(
+        zip(tbl.column("pos").to_pylist(), tbl.column("dim").to_pylist())
+    )
+    return [int(d) for _, d in pairs]
 
 
 def _read_books_dir(books_dir: str) -> PQResult:
@@ -545,6 +590,11 @@ def extend_pq_layer(
         books = read_pq_books(index_dir)
     else:
         _check_pq_layer(index_dir)
+    perm = read_pq_perm(index_dir)
+    if perm is not None:
+        # An OPQ layer: new codes must live in the SAME rotated space
+        # as the stored ones (the perm is frozen with the books).
+        new_emb = permute_embedding(new_emb, perm)
     with open(_pq_marker(index_dir), "w") as fh:
         fh.write("")
     pq_codes(new_emb, books).write.mode("append").parquet(
@@ -774,6 +824,13 @@ def pq_topk_from_index(
     else:
         _check_pq_layer(index_dir)
     codes = spark.read.parquet(f"{index_dir}/pq_codes")
+    perm = read_pq_perm(index_dir)
+    if perm is not None:
+        # OPQ layer: serve in the rotated space (codes were encoded
+        # there; a permutation preserves the exact-cosine ranking up to
+        # IEEE fold order, tie-broken by vec_id either way).
+        emb = permute_embedding(emb, perm)
+        query = [query[i] for i in perm]
     return pq_adc_topk(
         spark, emb, codes, query, books, topk=topk, shortlist=shortlist
     )

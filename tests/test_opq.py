@@ -125,3 +125,67 @@ def test_opq_topk_equals_manual_composition(spark, trained):
 def test_permute_embedding_identity_shortcircuits(spark):
     emb = _emb(spark, SF_DIRS[0])
     assert permute_embedding(emb, list(range(64))) is emb
+
+
+def test_stored_opq_layer_roundtrip_and_serving(spark, tmp_path):
+    """`write_pq_layer(opq=True)`: the winning permutation persists as
+    the ``pq_perm/`` sidecar, codes live in the rotated space, the
+    from-index read path serves through the stored perm (≡ the manual
+    opq composition), extension encodes new vectors in the SAME space,
+    and rebuilding with opq=False removes the sidecar (raw layout)."""
+    from kinesis_iterator_spark.queries.quantization import (
+        extend_pq_layer,
+        pq_topk_from_index,
+        read_pq_books,
+        read_pq_perm,
+        write_pq_layer,
+    )
+
+    sf = SF_DIRS[0]
+    emb = _emb(spark, sf)
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    odd = emb.filter(F.col("vec_id") % 2 == 1)
+    idx = str(tmp_path / "ann")
+    pq = write_pq_layer(spark, idx, even, m=M, ks=KS, iters=1, opq=True)
+    perm = read_pq_perm(idx)
+    if perm is None:
+        # identity won on this half — the sidecar-less raw layout IS
+        # the contract for an identity winner; serve-path equality
+        # below still exercises the perm plumbing end to end.
+        perm = list(range(64))
+    assert sorted(perm) == list(range(64))
+    books = read_pq_books(idx)
+    for s in range(M):
+        assert books.books[s][0] == pq.books[s][0]
+        assert np.array_equal(books.books[s][1], pq.books[s][1])
+
+    q = list(emb.orderBy("vec_id").first()["embedding"])
+    got = sorted(
+        tuple(r)
+        for r in pq_topk_from_index(
+            spark, idx, even, q, topk=5, shortlist=64
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in opq_adc_topk(
+            spark, even, q, perm, pq, topk=5, shortlist=64
+        ).collect()
+    )
+    assert got == want and len(got) == 5
+
+    # Extension stays in the rotated space: stored codes ≡ fresh encode
+    # of the union under the same perm + frozen books.
+    extend_pq_layer(spark, idx, odd)
+    stored = sorted(
+        tuple(r) for r in spark.read.parquet(f"{idx}/pq_codes").collect()
+    )
+    fresh = sorted(
+        tuple(r)
+        for r in pq_codes(permute_embedding(emb, perm), pq).collect()
+    )
+    assert stored == fresh
+
+    # Raw rebuild drops the sidecar.
+    write_pq_layer(spark, idx, even, m=M, ks=KS, iters=1)
+    assert read_pq_perm(idx) is None
