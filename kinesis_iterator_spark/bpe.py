@@ -263,3 +263,75 @@ def bpe_token_counts(
     return doc.join(
         counts.withColumnRenamed("n", out_col), "doc_id"
     )
+
+
+def bpe_vocab(merges: list[tuple[str, str]]) -> dict[str, int]:
+    """The deterministic piece → token-id table induced by ``merges``:
+    ids 0..255 are the single-byte/char base alphabet domain the
+    trainer saw is NOT enumerable without the corpus, so the vocab is
+    defined over what BPE can EMIT — the end-of-word sentinel, every
+    merged piece (in merge-rank order, the GPT-2 convention), with
+    unmerged single characters resolved at encode time via a stable
+    fallback (see `bpe_encode_ids`). Pure function of the merge list,
+    so two runs over the same corpus produce identical id spaces."""
+    vocab: dict[str, int] = {EOW: 0}
+    for a, b in merges:
+        piece = a + b
+        if piece not in vocab:
+            vocab[piece] = len(vocab)
+    return vocab
+
+
+def bpe_encode_ids(
+    doc: DataFrame, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """(doc_id, pos, token_id): `bpe_encode_rows` with pieces mapped to
+    integer ids — merged pieces and EOW through `bpe_vocab`, residual
+    single characters (never merged by training) to
+    ``len(vocab) + codepoint`` (deterministic, collision-free, no
+    corpus-wide character census needed — the 100 TB-friendly
+    open-alphabet convention; a serving stack that wants a dense
+    alphabet remaps the tail once, driver-side)."""
+    vocab = bpe_vocab(merges)
+    base = len(vocab)
+    ranks = _ranks(merges)
+
+    def encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        cache: dict = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, poss, toks = [], [], []
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                p = 0
+                for w in t.split(" "):
+                    if not w:
+                        continue
+                    segs = cache.get(w)
+                    if segs is None:
+                        segs = [
+                            vocab[s]
+                            if s in vocab
+                            else base + ord(s)
+                            for s in _segment(w, ranks)
+                        ]
+                        cache[w] = segs
+                    for tid in segs:
+                        ids.append(int(d))
+                        poss.append(p)
+                        toks.append(tid)
+                        p += 1
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.array(ids, dtype=np.int64),
+                    "pos": np.array(poss, dtype=np.int64),
+                    "token_id": np.array(toks, dtype=np.int64),
+                }
+            )
+
+    return doc.select("doc_id", "text").mapInPandas(
+        encode, "doc_id long, pos long, token_id long"
+    )

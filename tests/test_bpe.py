@@ -152,3 +152,36 @@ def test_pack_and_mixture_green_under_bpe_counts(spark, trained):
         counted, weights, 10_000, seed=3, tokens_col="bpe_tokens"
     )
     assert mixed.count() > 0
+
+
+def test_encode_ids_bijective_with_pieces(spark, trained):
+    """Id encoding is a per-piece bijection of the piece encoding:
+    merged pieces/EOW through the vocab table, residual single chars
+    through the open-alphabet offset — same (doc_id, pos) grain, and
+    every id maps back to exactly one piece."""
+    from kinesis_iterator_spark.bpe import (
+        bpe_encode_ids,
+        bpe_encode_rows,
+        bpe_vocab,
+    )
+
+    doc = _doc(spark, SF_DIRS[0])
+    vocab = bpe_vocab(trained)
+    base = len(vocab)
+    pieces = {
+        (r["doc_id"], r["pos"]): r["piece"]
+        for r in bpe_encode_rows(doc, trained).collect()
+    }
+    ids = {
+        (r["doc_id"], r["pos"]): r["token_id"]
+        for r in bpe_encode_ids(doc, trained).collect()
+    }
+    assert set(pieces) == set(ids)
+    back: dict[int, str] = {}
+    for k, piece in pieces.items():
+        tid = ids[k]
+        want = vocab[piece] if piece in vocab else base + ord(piece)
+        assert tid == want
+        assert back.setdefault(tid, piece) == piece  # injective
+    # vocab ids are dense 0..len-1 and rank-ordered by merge
+    assert sorted(vocab.values()) == list(range(len(vocab)))
