@@ -1485,6 +1485,7 @@ class EmbeddingWriter:
         pq_ks: int | None = None,
         pq_iters: int = 2,
         pq_residual: bool = False,
+        pq_opq: bool = False,
     ) -> None:
         """``auto_reconcile``: rebuild the index (fresh codebook) at the
         end of any :meth:`admit` that leaves codebook staleness past
@@ -1515,6 +1516,12 @@ class EmbeddingWriter:
         batch-bounded encode+append per admit. ``pq_m`` / ``pq_ks``
         default to the module's fixture-scale geometry.
 
+        ``pq_opq``: train the (non-residual) PQ layer through
+        `quantization.opq_train` at every build — the stored ``pq_perm``
+        sidecar then rides every extend/query transparently (the admit
+        loop is unchanged: encoding applies the frozen perm inside
+        `extend_pq_layer`). Mutually exclusive with ``pq_residual``.
+
         ``pq_residual``: store the RESIDUAL layer instead (FAISS
         `IndexIVFPQ`'s actual encoding — books trained on x − c(cell),
         `quantization.write_ivfpq_layer` layout, queried via
@@ -1538,6 +1545,14 @@ class EmbeddingWriter:
         self.pq_ks = PQ_KS if pq_ks is None else pq_ks
         self.pq_iters = pq_iters
         self.pq_residual = pq_residual
+        if pq_opq and pq_residual:
+            raise ValueError(
+                "pq_opq does not compose with pq_residual: a "
+                "pre-rotation changes the coarse cell geometry the "
+                "stored inverted file anchors (document of record: "
+                "quantization.write_pq_layer docstring)"
+            )
+        self.pq_opq = pq_opq
         # Frozen-books cache, keyed like the IVF codebook cache below.
         self._pq_books = None
         self._pq_key: tuple | None = None
@@ -1881,6 +1896,7 @@ class EmbeddingWriter:
         from .queries.quantization import write_ivfpq_layer, write_pq_layer
 
         writer = write_ivfpq_layer if self.pq_residual else write_pq_layer
+        kw = {} if self.pq_residual else {"opq": self.pq_opq}
         self._pq_books = writer(
             self.spark,
             self.index_dir,
@@ -1888,6 +1904,7 @@ class EmbeddingWriter:
             m=self.pq_m,
             ks=self.pq_ks,
             iters=self.pq_iters,
+            **kw,
         )
         self._pq_key = self._pq_meta_key()
 

@@ -189,3 +189,63 @@ def test_stored_opq_layer_roundtrip_and_serving(spark, tmp_path):
     # Raw rebuild drops the sidecar.
     write_pq_layer(spark, idx, even, m=M, ks=KS, iters=1)
     assert read_pq_perm(idx) is None
+
+
+def test_embedding_writer_pq_opq_composition(spark, tmp_path):
+    """`EmbeddingWriter(pq_layer=True, pq_opq=True)`: builds train
+    through opq_train, the frozen perm rides every extend (stored
+    codes ≡ fresh encode of the permuted store under the frozen
+    books), pq_topk serves through the stored perm, and the
+    residual+opq combination refuses loudly."""
+    from kinesis_iterator_spark.pipeline import EmbeddingWriter
+    from kinesis_iterator_spark.queries.quantization import (
+        read_pq_books,
+        read_pq_perm,
+    )
+
+    with pytest.raises(ValueError, match="pq_opq"):
+        EmbeddingWriter(
+            spark, str(tmp_path / "s0"), str(tmp_path / "a0"),
+            pq_layer=True, pq_opq=True, pq_residual=True,
+        )
+
+    emb = _emb(spark, SF_DIRS[0])
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    odd = emb.filter(F.col("vec_id") % 2 == 1)
+    w = EmbeddingWriter(
+        spark, str(tmp_path / "store"), str(tmp_path / "ann"),
+        pq_layer=True, pq_opq=True, pq_ks=KS, pq_iters=1,
+    )
+    w.admit(even)
+    w.admit(odd)
+    books = read_pq_books(w.index_dir)
+    perm = read_pq_perm(w.index_dir) or list(range(64))
+    stored = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{w.index_dir}/pq_codes").collect()
+    )
+    fresh = sorted(
+        tuple(r)
+        for r in pq_codes(
+            permute_embedding(w.store(), perm).select(
+                "vec_id", "embedding"
+            ),
+            books,
+        ).collect()
+    )
+    assert stored == fresh
+    q = list(emb.orderBy("vec_id").first()["embedding"])
+    got = sorted(
+        tuple(r)
+        for r in w.pq_topk(q, topk=5, shortlist=64).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in opq_adc_topk(
+            spark, w.store().select("vec_id", "embedding"), q, perm,
+            books,
+            codes=spark.read.parquet(f"{w.index_dir}/pq_codes"),
+            topk=5, shortlist=64,
+        ).collect()
+    )
+    assert got == want and len(got) == 5

@@ -131,3 +131,40 @@ def test_admit_failure_still_releases(spark, sf_dir, tmp_path):
     with pytest.raises(Exception):
         w.admit(bad)
     assert not os.path.exists(_lease_path(w.index_dir))
+
+
+def test_concurrent_admit_refused_while_first_in_flight(
+    spark, tmp_path, monkeypatch
+):
+    """The real corruption class, deterministically: while writer A is
+    INSIDE its (lease-held) admit body, writer B's admit raises — and
+    proceeds once A exits. The body is stubbed with an event pair so
+    the in-flight window is exact, not a sleep race; the wrapper under
+    test is the production acquire/…/release path."""
+    import threading
+
+    from kinesis_iterator_spark.pipeline import CorpusWriter as CW
+
+    w1 = CW(spark, str(tmp_path / "c"), str(tmp_path / "i"))
+    w2 = CW(spark, str(tmp_path / "c"), str(tmp_path / "i"))
+    entered, release = threading.Event(), threading.Event()
+
+    def fake_locked(self, batch):
+        entered.set()
+        assert release.wait(10)
+        return {"stub": 1}
+
+    monkeypatch.setattr(CW, "_admit_locked", fake_locked)
+    box = {}
+    t = threading.Thread(
+        target=lambda: box.__setitem__("r", w1.admit(None)), daemon=True
+    )
+    t.start()
+    assert entered.wait(10)
+    with pytest.raises(LeaseHeld):
+        w2.admit(None)
+    release.set()
+    t.join(10)
+    assert box["r"] == {"stub": 1}
+    # lease released on A's exit -> B proceeds
+    assert w2.admit(None) == {"stub": 1}
