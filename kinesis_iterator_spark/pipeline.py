@@ -1486,6 +1486,7 @@ class EmbeddingWriter:
         pq_iters: int = 2,
         pq_residual: bool = False,
         pq_opq: bool = False,
+        drift_monitor: bool = False,
     ) -> None:
         """``auto_reconcile``: rebuild the index (fresh codebook) at the
         end of any :meth:`admit` that leaves codebook staleness past
@@ -1522,6 +1523,18 @@ class EmbeddingWriter:
         loop is unchanged: encoding applies the frozen perm inside
         `extend_pq_layer`). Mutually exclusive with ``pq_residual``.
 
+        ``drift_monitor``: the text writer's guardrail, vector-side —
+        maintain a stored IVF-cell occupancy layer
+        (``{index_dir}/cell_hist``, per-admit (b, c) segments over the
+        frozen codebook's dense cell domain; sum-of-segments ≡ a
+        recount of the inverted file, pinned) and report each batch's
+        exact fixed-point KL/TV drift of its cell histogram vs the
+        pre-admit corpus in the admit stats
+        (``drift_kl_fix``/``drift_tv_fix``). An embedding-distribution
+        shift shows up as coarse-quantizer occupancy shift — the same
+        signal FAISS operators watch for codebook staleness, here as
+        two exact scalars per admit. Off by default: +2 jobs per admit.
+
         ``pq_residual``: store the RESIDUAL layer instead (FAISS
         `IndexIVFPQ`'s actual encoding — books trained on x − c(cell),
         `quantization.write_ivfpq_layer` layout, queried via
@@ -1553,6 +1566,7 @@ class EmbeddingWriter:
                 "quantization.write_pq_layer docstring)"
             )
         self.pq_opq = pq_opq
+        self.drift_monitor = drift_monitor
         # Frozen-books cache, keyed like the IVF codebook cache below.
         self._pq_books = None
         self._pq_key: tuple | None = None
@@ -1728,6 +1742,13 @@ class EmbeddingWriter:
             )
             if self.pq_layer:
                 self._rebuild_pq()
+            if self.drift_monitor:
+                # Bootstrap segment 0 = the just-built inverted file's
+                # occupancy; no drift stats (no pre-admit reference).
+                self._ensure_crows(_read_ann_meta(self.index_dir))
+                self._write_cell_hist(
+                    self._stored_cell_source(), "overwrite"
+                )
             return stats
 
         meta = _read_ann_meta(self.index_dir)
@@ -1830,6 +1851,23 @@ class EmbeddingWriter:
 
             # (A/B'd vs the r10 two-concurrent-actions shape on
             # interleaved minima: fused 5.05 s vs unfused 5.52 s — kept.)
+            if self.drift_monitor:
+                # Measure BEFORE any state change (stored layer and the
+                # heal path's inverted-file read are both the pre-admit
+                # corpus). The batch side is the FULL arriving batch —
+                # a drift alarm should fire on what arrived, not be
+                # masked by how much of it was rejected.
+                from .queries.text import corpus_drift_from_hists
+
+                self._ensure_crows(meta)
+                drow = corpus_drift_from_hists(
+                    self.spark,
+                    self._cell_hist_or_heal(),
+                    self._cell_hist_of(batch_emb),
+                    len(self._crows),
+                ).collect()[0]
+                stats["drift_kl_fix"] = int(drow["kl_fix"])
+                stats["drift_tv_fix"] = int(drow["tv_fix"])
             incremental._concurrently(
                 _counts,
                 lambda: novel.write.mode("append").parquet(
@@ -1849,15 +1887,10 @@ class EmbeddingWriter:
                 + stats["rejected_near"]
                 + stats["n_admitted"]
             )
-            crows_key = (meta["n"], meta["b"])
-            if self._crows is None or self._crows_key != crows_key:
-                # Driver-side pyarrow sidecar read — a COLD writer pays
-                # a file read here, not a Spark collect job per admit
-                # (the values are bit-identical; parquet float64).
-                from .queries.similarity import read_ann_codebook
-
-                self._crows = read_ann_codebook(self.index_dir)
-                self._crows_key = crows_key
+            # Driver-side pyarrow sidecar read — a COLD writer pays
+            # a file read here, not a Spark collect job per admit
+            # (the values are bit-identical; parquet float64).
+            self._ensure_crows(meta)
             extend_ann_index(
                 self.spark,
                 novel,
@@ -1874,6 +1907,10 @@ class EmbeddingWriter:
                 # store (which already holds this batch — the append
                 # above committed first).
                 self._extend_pq(novel)
+            if self.drift_monitor:
+                # Derived-layer window, marker-bracketed: same crash
+                # contract as the text writer's drift_ref.
+                self._extend_cell_hist(novel)
             self._check_drift()
             return stats
         finally:
@@ -1881,6 +1918,86 @@ class EmbeddingWriter:
             for ck in (rejects, verdicts):
                 if ck is not None:
                     release_local_checkpoint(ck)
+
+    def _cell_hist_dir(self) -> str:
+        return f"{self.index_dir}/cell_hist"
+
+    def _cell_hist_marker(self) -> str:
+        return f"{self.index_dir}/cell_hist.inprogress"
+
+    def _cell_map(self) -> DataFrame:
+        """(cell, b): the frozen codebook's cells mapped to the dense
+        [0, n_cells) bucket domain `corpus_drift_from_hists` ranges
+        over — tiny (≤ n_cells rows), broadcast by AQE."""
+        cells = sorted(int(r["cell"]) for r in self._crows)
+        return self.spark.createDataFrame(
+            [(c, i) for i, c in enumerate(cells)], "cell long, b long"
+        )
+
+    def _cell_hist_of(self, emb: DataFrame) -> DataFrame:
+        """(b, c): the IVF-cell histogram of ``emb``'s vectors under
+        the FROZEN stored codebook — the vector-side analogue of the
+        text writer's hashed-unigram histogram (the embedding
+        distribution collapsed to its coarse-quantizer occupancy)."""
+        from .queries.similarity import _ivf_ranked_assignment
+
+        ranked = _ivf_ranked_assignment(
+            self.spark, emb.select("vec_id", "embedding"), crows=self._crows
+        )
+        return (
+            ranked.filter(F.col("rk") == 1)
+            .join(self._cell_map(), "cell")
+            .groupBy("b")
+            .agg(F.count("*").cast("long").alias("c"))
+        )
+
+    def _stored_cell_source(self) -> DataFrame:
+        """The inverted file's rk == 1 rows mapped to the dense domain —
+        the recount source the layer must always sum to (pinned)."""
+        return (
+            self.spark.read.parquet(f"{self.index_dir}/ivf_assignment")
+            .filter(F.col("rk") == 1)
+            .join(self._cell_map(), "cell")
+            .groupBy("b")
+            .agg(F.count("*").cast("long").alias("c"))
+        )
+
+    def _write_cell_hist(self, hist: DataFrame, mode: str) -> None:
+        hist.write.mode(mode).parquet(self._cell_hist_dir())
+
+    def _cell_hist_or_heal(self) -> DataFrame:
+        """Stored per-segment (b, c) layer; heals exactly like the text
+        writer's drift_ref — interrupted compact swaps forward-roll, a
+        missing/uncommitted/marker-bracketed layer rebuilds from the
+        stored inverted file (which at every call site is the pre-admit
+        corpus — the extend runs later)."""
+        import os
+
+        from . import incremental
+
+        incremental._recover_staged(self.index_dir, ("cell_hist",))
+        if os.path.exists(
+            self._cell_hist_marker()
+        ) or not _parquet_dir_committed(self._cell_hist_dir()):
+            self._write_cell_hist(self._stored_cell_source(), "overwrite")
+            if os.path.exists(self._cell_hist_marker()):
+                os.remove(self._cell_hist_marker())
+        return self.spark.read.parquet(self._cell_hist_dir())
+
+    def _extend_cell_hist(self, novel: DataFrame) -> None:
+        import os
+
+        open(self._cell_hist_marker(), "w").close()
+        self._write_cell_hist(self._cell_hist_of(novel), "append")
+        os.remove(self._cell_hist_marker())
+
+    def _ensure_crows(self, meta: dict) -> None:
+        crows_key = (meta["n"], meta["b"])
+        if self._crows is None or self._crows_key != crows_key:
+            from .queries.similarity import read_ann_codebook
+
+            self._crows = read_ann_codebook(self.index_dir)
+            self._crows_key = crows_key
 
     def _pq_meta_key(self) -> tuple:
         from .queries.similarity import _read_ann_meta
@@ -2056,6 +2173,17 @@ class EmbeddingWriter:
         )
         if self.pq_layer:
             self._rebuild_pq()
+        if self.drift_monitor:
+            # A rebuild retrains the codebook — the cell DOMAIN itself
+            # changes, so the layer rebuilds wholesale from the fresh
+            # inverted file (also the staleness-heal / late-enablement
+            # path).
+            import os
+
+            self._ensure_crows(meta)
+            self._write_cell_hist(self._stored_cell_source(), "overwrite")
+            if os.path.exists(self._cell_hist_marker()):
+                os.remove(self._cell_hist_marker())
         return meta
 
     def compact(self) -> dict:
@@ -2091,6 +2219,19 @@ class EmbeddingWriter:
                 qz.compact_ivfpq_codes(self.spark, self.index_dir)
             elif not self.pq_residual and qz.pq_layer_exists(self.index_dir):
                 qz.compact_pq_codes(self.spark, self.index_dir)
+        import os
+
+        if self.drift_monitor and os.path.isdir(self._cell_hist_dir()):
+            from . import incremental
+
+            self.spark.read.parquet(self._cell_hist_dir()).groupBy(
+                "b"
+            ).agg(F.sum("c").cast("long").alias("c")).coalesce(
+                1
+            ).write.mode("overwrite").parquet(
+                f"{self._cell_hist_dir()}.compact"
+            )
+            incremental._swap_staged(self.index_dir, "cell_hist")
         return meta
 
 

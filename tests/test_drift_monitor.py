@@ -180,3 +180,110 @@ def test_late_enablement_heals_from_corpus(spark, batches, tmp_path_factory):
     )
     want = sorted(tuple(r) for r in corpus_hist(w1.corpus(), B).collect())
     assert stored == want
+
+
+# -- embedding-side twin: IVF-cell occupancy drift -----------------------
+
+
+@pytest.fixture(scope="module")
+def erun(spark, tmp_path_factory):
+    """(writer, s1, ref_hist_rows, batch2, s2) — two embedding admits
+    with the monitor on; the pre-admit-2 reference histogram snapshot
+    feeds the equality pin."""
+    from kinesis_iterator_spark.pipeline import EmbeddingWriter
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    b1 = emb.filter(F.col("vec_id") % 2 == 0)
+    b2 = emb.filter(F.col("vec_id") % 2 == 1).persist()
+    b2.count()
+    root = str(tmp_path_factory.mktemp("edrift"))
+    w = EmbeddingWriter(
+        spark, f"{root}/store", f"{root}/ann", drift_monitor=True
+    )
+    s1 = w.admit(b1)
+    ref = sorted(
+        tuple(r)
+        for r in w._cell_hist_or_heal()
+        .groupBy("b")
+        .agg(F.sum("c").cast("long").alias("c"))
+        .collect()
+    )
+    s2 = w.admit(b2)
+    return w, s1, ref, b2, s2
+
+
+def test_embedding_bootstrap_layer_no_stats(erun):
+    w, s1, _, _, _ = erun
+    assert "drift_kl_fix" not in s1
+    assert os.path.isdir(w._cell_hist_dir())
+
+
+def test_embedding_admit_drift_equals_library(spark, erun):
+    from kinesis_iterator_spark.queries.text import corpus_drift_from_hists
+
+    w, _, ref, b2, s2 = erun
+    assert "drift_kl_fix" in s2 and "drift_tv_fix" in s2
+    ref_df = spark.createDataFrame(list(ref), "b long, c long")
+    want = corpus_drift_from_hists(
+        spark, ref_df, w._cell_hist_of(b2), len(w._crows)
+    ).collect()[0]
+    assert s2["drift_kl_fix"] == int(want["kl_fix"])
+    assert s2["drift_tv_fix"] == int(want["tv_fix"])
+
+
+def test_embedding_layer_sum_equals_inverted_file(spark, erun):
+    w, _, _, _, _ = erun
+    stored = sorted(
+        tuple(r)
+        for r in spark.read.parquet(w._cell_hist_dir())
+        .groupBy("b")
+        .agg(F.sum("c").cast("long").alias("c"))
+        .collect()
+    )
+    want = sorted(tuple(r) for r in w._stored_cell_source().collect())
+    assert stored == want
+
+
+def test_embedding_resubmitted_store_measures_zero(spark, erun):
+    """A batch that IS the store (fresh ids) occupies exactly the same
+    cells — kl_fix = tv_fix = 0 EXACTLY, and everything near-dup
+    rejects."""
+    w, _, _, _, _ = erun
+    resubmit = w.store().select(
+        (F.col("vec_id") + 9_000_000).alias("vec_id"), "label", "embedding"
+    )
+    s = w.admit(resubmit)
+    assert s["n_admitted"] == 0
+    assert s["drift_kl_fix"] == 0 and s["drift_tv_fix"] == 0
+
+
+def test_embedding_compact_and_marker_heal(spark, erun):
+    w, _, _, _, _ = erun
+    before = sorted(
+        tuple(r)
+        for r in spark.read.parquet(w._cell_hist_dir())
+        .groupBy("b")
+        .agg(F.sum("c").cast("long").alias("c"))
+        .collect()
+    )
+    w.compact()
+    after_df = spark.read.parquet(w._cell_hist_dir())
+    after = sorted(
+        tuple(r)
+        for r in after_df.groupBy("b")
+        .agg(F.sum("c").cast("long").alias("c"))
+        .collect()
+    )
+    assert before == after
+    assert after_df.count() == after_df.select("b").distinct().count()
+    # marker crash -> heal rebuilds ≡ the inverted-file recount
+    open(w._cell_hist_marker(), "w").close()
+    hist = w._cell_hist_or_heal()
+    assert not os.path.exists(w._cell_hist_marker())
+    healed = sorted(
+        tuple(r)
+        for r in hist.groupBy("b")
+        .agg(F.sum("c").cast("long").alias("c"))
+        .collect()
+    )
+    assert healed == after
