@@ -590,6 +590,31 @@ def _cosine_expr(query: list[float]) -> tuple[str, float]:
     return expr, qn
 
 
+def _lex_ranked(
+    doc: DataFrame,
+    query_terms: list[str],
+    candidates: int,
+    k1: tuple[int, int],
+    b: tuple[int, int],
+) -> DataFrame:
+    """The BM25 side's (doc_id, lex_rnk) candidate ranking —
+    shared by the exact and ANN hybrid forms."""
+    from pyspark.sql.window import Window
+
+    return (
+        bm25_scores(doc, query_terms, k1=k1, b=b)
+        .orderBy(F.desc("bm25_fix"), "doc_id")
+        .limit(candidates)
+        .withColumn(
+            "lex_rnk",
+            F.row_number().over(
+                Window.orderBy(F.desc("bm25_fix"), "doc_id")
+            ),
+        )
+        .select("doc_id", "lex_rnk")
+    )
+
+
 def hybrid_topk(
     spark: SparkSession,
     doc: DataFrame,
@@ -623,18 +648,7 @@ def hybrid_topk(
         raise ValueError("need candidates >= topk >= 1")
     if k0 < 1:
         raise ValueError("k0 must be >= 1")
-    lex = (
-        bm25_scores(doc, query_terms, k1=k1, b=b)
-        .orderBy(F.desc("bm25_fix"), "doc_id")
-        .limit(candidates)
-        .withColumn(
-            "lex_rnk",
-            F.row_number().over(
-                Window.orderBy(F.desc("bm25_fix"), "doc_id")
-            ),
-        )
-        .select("doc_id", "lex_rnk")
-    )
+    lex = _lex_ranked(doc, query_terms, candidates, k1, b)
     cos_expr, _ = _cosine_expr(query_vec)
     sem = (
         emb.select(
@@ -650,6 +664,20 @@ def hybrid_topk(
         )
         .select("doc_id", "sem_rnk")
     )
+    return rrf_fuse(lex, sem, topk=topk, k0=k0)
+
+
+def rrf_fuse(
+    lex: DataFrame, sem: DataFrame, topk: int = 10, k0: int = RRF_K0
+) -> DataFrame:
+    """The fusion tail as a first-class op: ``lex`` is any
+    (doc_id, lex_rnk) ranking, ``sem`` any (doc_id, sem_rnk)
+    ranking — exact-integer reciprocal-rank fusion, (doc_id,
+    lex_rnk, sem_rnk, rrf_fix, rrf) ``topk`` best by
+    (rrf_fix DESC, doc_id). Factored out (round 11) so the
+    docstring's promise is structural: any ranker that emits
+    (doc_id, rank) drops in — `hybrid_topk_ann` composes the
+    residual-IVFADC shortlist here."""
     fused = lex.join(sem, "doc_id", "full_outer").select(
         "doc_id",
         F.col("lex_rnk").cast("long").alias("lex_rnk"),
@@ -669,6 +697,63 @@ def hybrid_topk(
         "rrf", F.col("rrf_fix").cast("double") / F.lit(float(RRF_FIX))
     )
     return fused.orderBy(F.desc("rrf_fix"), "doc_id").limit(topk)
+
+
+def hybrid_topk_ann(
+    spark: SparkSession,
+    index_dir: str,
+    doc: DataFrame,
+    emb: DataFrame,
+    query_terms: list[str],
+    query_vec: list[float],
+    topk: int = 10,
+    candidates: int = 100,
+    k0: int = RRF_K0,
+    k1: tuple[int, int] = (6, 5),
+    b: tuple[int, int] = (3, 4),
+    nprobe: int = 2,
+    shortlist: int | None = None,
+    books=None,
+) -> DataFrame:
+    """:func:`hybrid_topk` with the semantic side served by the
+    residual-IVFADC read path
+    (`quantization.ivfpq_topk_from_index`) instead of the exact
+    corpus-wide cosine scan — the 100 TB serving form the exact
+    ranker's docstring promises. The lexical side and the fusion
+    are byte-identical (`_lex_ranked` / `rrf_fuse`); with full
+    probe coverage and a corpus-wide shortlist the composition
+    EQUALS the exact `hybrid_topk` (pinned — full-probe IVFADC is
+    pinned equal to brute force), and tighter (nprobe, shortlist)
+    trade recall for the 8 B/vec scan exactly as RECALL.md
+    measures."""
+    from pyspark.sql.window import Window
+
+    from .quantization import ivfpq_topk_from_index
+
+    if topk < 1 or candidates < topk:
+        raise ValueError("need candidates >= topk >= 1")
+    lex = _lex_ranked(doc, query_terms, candidates, k1, b)
+    sem = (
+        ivfpq_topk_from_index(
+            spark,
+            index_dir,
+            emb,
+            query_vec,
+            topk=candidates,
+            shortlist=max(candidates, shortlist or candidates),
+            nprobe=nprobe,
+            books=books,
+        )
+        .select(F.col("vec_id").alias("doc_id"), "cosine")
+        .withColumn(
+            "sem_rnk",
+            F.row_number().over(
+                Window.orderBy(F.desc("cosine"), "doc_id")
+            ),
+        )
+        .select("doc_id", "sem_rnk")
+    )
+    return rrf_fuse(lex, sem, topk=topk, k0=k0)
 
 
 def hybrid_oracle_sql(

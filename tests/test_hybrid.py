@@ -121,3 +121,67 @@ def test_guards(spark, sf_dir):
         hybrid_topk(spark, doc, emb, TERMS, qv, topk=10, candidates=5)
     with pytest.raises(ValueError, match="k0"):
         hybrid_topk(spark, doc, emb, TERMS, qv, k0=0)
+
+
+def test_hybrid_ann_full_coverage_equals_exact(spark, sf_dir, tmp_path):
+    """`hybrid_topk_ann` (semantic side = residual IVFADC from the
+    stored index) with FULL probe coverage and a corpus-wide shortlist
+    is bit-equal to the exact `hybrid_topk` — full-probe IVFADC is
+    pinned equal to brute force, the lexical side and fusion are the
+    same code (`_lex_ranked`/`rrf_fuse`). Tighter nprobe still returns
+    a full fused top-k (rank-based fusion tolerates any ranker)."""
+    from kinesis_iterator_spark.queries.quantization import (
+        write_ivfpq_layer,
+    )
+    from kinesis_iterator_spark.queries.retrieval import (
+        hybrid_topk,
+        hybrid_topk_ann,
+    )
+    from kinesis_iterator_spark.queries.similarity import (
+        read_ann_codebook,
+        write_ann_index,
+    )
+    from kinesis_iterator_spark.tables import load_table
+
+    doc = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    idx = str(tmp_path / "ann")
+    write_ann_index(spark, sf_dir, idx)
+    write_ivfpq_layer(spark, idx, emb, iters=1)
+    n_cells = len(read_ann_codebook(idx))
+    terms = ["the", "data", "model"]
+    qvec = [float(v) for v in emb.orderBy("vec_id").first()["embedding"]]
+
+    want = sorted(
+        tuple(r)
+        for r in hybrid_topk(
+            spark, doc, emb, terms, qvec, topk=10, candidates=20
+        ).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in hybrid_topk_ann(
+            spark,
+            idx,
+            doc,
+            emb,
+            terms,
+            qvec,
+            topk=10,
+            candidates=20,
+            nprobe=n_cells,
+            shortlist=n,
+        ).collect()
+    )
+    assert got == want and len(got) == 10
+
+    tight = hybrid_topk_ann(
+        spark, idx, doc, emb, terms, qvec, topk=10, candidates=20,
+        nprobe=2, shortlist=64,
+    ).collect()
+    assert len(tight) == 10
+    # every fused row still carries at least one rank
+    assert all(
+        r["lex_rnk"] is not None or r["sem_rnk"] is not None for r in tight
+    )
