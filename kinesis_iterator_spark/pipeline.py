@@ -50,6 +50,60 @@ from .queries.text import quality_signal_columns
 from .tables import load_table
 
 
+class DriftExceeded(RuntimeError):
+    """``drift_refuse=True`` and an arriving batch's exact KL/TV drift
+    exceeded the configured ``drift_warn`` thresholds — the batch was
+    REJECTED before any state change (the measurement runs pre-append
+    by construction, so the refusal needs no rollback). ``.stats``
+    carries the admit stats up to the refusal, ``drift_exceeded`` = 1
+    included."""
+
+    def __init__(self, msg: str, stats: dict):
+        super().__init__(msg)
+        self.stats = stats
+
+
+def _apply_drift_policy(
+    stats: dict,
+    drift_warn: tuple[int, int] | None,
+    drift_refuse: bool,
+    who: str,
+) -> bool:
+    """The drift GUARDRAIL (VERDICT r11 #3): compare the just-measured
+    ``drift_kl_fix`` / ``drift_tv_fix`` against the ``drift_warn``
+    thresholds (same fixed-point units). Exceedance sets
+    ``stats["drift_exceeded"] = 1`` and either warns loudly
+    (`warnings.warn` — the reference's monitor-that-acts analogue,
+    A13) or, under ``drift_refuse``, raises :class:`DriftExceeded`
+    before any state change. Returns the exceedance flag so callers
+    can hang further policy (the embedding writer's retrain trigger)
+    on it."""
+    if drift_warn is None:
+        return False
+    kl_t, tv_t = drift_warn
+    exceeded = (
+        stats["drift_kl_fix"] > int(kl_t) or stats["drift_tv_fix"] > int(tv_t)
+    )
+    stats["drift_exceeded"] = 1 if exceeded else 0
+    if exceeded:
+        msg = (
+            f"{who}: arriving batch drifts from the stored corpus "
+            f"beyond threshold (kl_fix {stats['drift_kl_fix']} vs "
+            f"{int(kl_t)}, tv_fix {stats['drift_tv_fix']} vs {int(tv_t)}"
+            " — DSIR_FIX units)"
+        )
+        if drift_refuse:
+            raise DriftExceeded(
+                msg + "; batch refused before any state change "
+                "(drift_refuse=True)",
+                stats,
+            )
+        import warnings
+
+        warnings.warn(msg, stacklevel=4)
+    return exceeded
+
+
 def _readable_meta(index_dir: str) -> bool:
     """meta.json exists AND parses. Existence alone misclassifies a
     torn meta write as bootstrapped: every admit then dies reading it
@@ -655,6 +709,8 @@ class CorpusWriter:
         bm25_index: bool = False,
         drift_monitor: bool = False,
         drift_buckets: int = 256,
+        drift_warn: tuple[int, int] | None = None,
+        drift_refuse: bool = False,
     ) -> None:
         """``auto_compact``: run `incremental.compact_index` at the end
         of any :meth:`admit` that leaves band-row growth past
@@ -705,6 +761,17 @@ class CorpusWriter:
         self.bm25_index = bm25_index
         self.drift_monitor = drift_monitor
         self.drift_buckets = drift_buckets
+        if drift_warn is not None and not drift_monitor:
+            raise ValueError(
+                "drift_warn requires drift_monitor=True (there is no "
+                "measurement to threshold otherwise)"
+            )
+        if drift_refuse and drift_warn is None:
+            raise ValueError(
+                "drift_refuse requires drift_warn thresholds"
+            )
+        self.drift_warn = drift_warn
+        self.drift_refuse = drift_refuse
         self._bench_shingles: DataFrame | None = None
         import os as _os
         import uuid as _uuid
@@ -712,9 +779,17 @@ class CorpusWriter:
         self._writer_id = "cw-{}-{}".format(
             _os.getpid(), _uuid.uuid4().hex[:12]
         )
+        self._lease_gen = 0  # set by every public mutating entry
 
     def _bootstrapped(self) -> bool:
         return _readable_meta(self.index_dir)
+
+    def _fence(self) -> tuple[str, str, int]:
+        """(lease_dir, writer_id, gen) — the fencing token stamped into
+        staged-swap commits and verified before irreversible appends
+        (`incremental.verify_lease`): a writer resumed after a TTL
+        takeover fails loudly instead of interleaving (VERDICT r11 #5)."""
+        return (self.index_dir, self._writer_id, self._lease_gen)
 
     def _corpus_exists(self) -> bool:
         return _parquet_dir_committed(self.corpus_dir)
@@ -772,7 +847,7 @@ class CorpusWriter:
         `incremental.LEASE_TTL_S`."""
         from . import incremental
 
-        incremental.acquire_lease(
+        self._lease_gen = incremental.acquire_lease(
             self.index_dir, self._writer_id, incremental.LEASE_TTL_S
         )
         try:
@@ -1027,6 +1102,12 @@ class CorpusWriter:
                     ).collect()[0]
                     stats["drift_kl_fix"] = int(drow["kl_fix"])
                     stats["drift_tv_fix"] = int(drow["tv_fix"])
+                    # Threshold policy BEFORE any state change: a
+                    # refusal here rolls back nothing (VERDICT r11 #3).
+                    _apply_drift_policy(
+                        stats, self.drift_warn, self.drift_refuse,
+                        "CorpusWriter.admit",
+                    )
                 # The verdict-count aggregate is read-only on the
                 # checkpointed frame — overlap it with the corpus
                 # append (which must still commit before any index
@@ -1044,6 +1125,12 @@ class CorpusWriter:
                         }
                     )
 
+                # Fencing check at the point of no return: everything
+                # above is read-only / driver state; the corpus append
+                # is the first irreversible write. A writer fenced out
+                # by a TTL takeover dies HERE, loudly, with zero state
+                # touched (VERDICT r11 #5).
+                incremental.verify_lease(*self._fence())
                 incremental._concurrently(
                     _counts,
                     lambda: novel.write.mode("append").parquet(
@@ -1110,6 +1197,7 @@ class CorpusWriter:
                 stats["n_admitted"] = (
                     stats["n_kept"] - stats["rejected_contaminated"]
                 )
+                incremental.verify_lease(*self._fence())
                 survivors.write.mode("overwrite").parquet(self.corpus_dir)
                 # Paragraph layer before the index build, same ordering
                 # invariant as the append path: the layer is never
@@ -1269,12 +1357,40 @@ class CorpusWriter:
     def _drift_marker(self) -> str:
         return f"{self.index_dir}/drift_ref.inprogress"
 
+    def _drift_buckets_path(self) -> str:
+        return f"{self.index_dir}/drift_ref.buckets.json"
+
+    def _stored_drift_buckets(self) -> int | None:
+        import json
+
+        try:
+            with open(self._drift_buckets_path()) as fh:
+                return int(json.load(fh)["buckets"])
+        except (OSError, ValueError, KeyError, TypeError):
+            return None
+
     def _write_drift_hist(self, doc: DataFrame, mode: str) -> None:
+        """Write a layer segment; a REBUILD (mode=overwrite) also pins
+        the bucket count in a sidecar (ADVICE r11: without the pin, a
+        writer constructed with a different ``drift_buckets`` over an
+        existing layer silently mixes hash domains — stored segments
+        mod old B, batch histogram mod new B — and reports wrong KL/TV
+        with no error). Appends inherit the pinned domain: every
+        append in admit is preceded by `_drift_hist_or_heal`, which
+        rebuilds on mismatch first."""
+        import json
+        import os
+
         from .queries.text import corpus_hist
 
         corpus_hist(doc.select("text"), self.drift_buckets).write.mode(
             mode
         ).parquet(self._drift_dir())
+        if mode == "overwrite":
+            tmp = self._drift_buckets_path() + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump({"buckets": self.drift_buckets}, fh)
+            os.replace(tmp, self._drift_buckets_path())
 
     def _drift_hist_or_heal(self) -> DataFrame:
         """The stored reference histogram (per-segment (b, c) rows; the
@@ -1289,8 +1405,14 @@ class CorpusWriter:
         from . import incremental
 
         incremental._recover_staged(self.index_dir, ("drift_ref",))
-        if os.path.exists(self._drift_marker()) or not _parquet_dir_committed(
-            self._drift_dir()
+        if (
+            os.path.exists(self._drift_marker())
+            or not _parquet_dir_committed(self._drift_dir())
+            # Bucket-domain mismatch (or a legacy un-pinned layer):
+            # rebuild from the corpus under THIS writer's B — the
+            # existing heal path; mixing domains would silently corrupt
+            # every KL/TV after it (ADVICE r11).
+            or self._stored_drift_buckets() != self.drift_buckets
         ):
             self._write_drift_hist(self.corpus(), "overwrite")
             if os.path.exists(self._drift_marker()):
@@ -1313,7 +1435,7 @@ class CorpusWriter:
         single-writer lease (the :meth:`admit` contract)."""
         from . import incremental
 
-        incremental.acquire_lease(
+        self._lease_gen = incremental.acquire_lease(
             self.index_dir, self._writer_id, incremental.LEASE_TTL_S
         )
         try:
@@ -1367,7 +1489,7 @@ class CorpusWriter:
         single-writer lease (the :meth:`admit` contract)."""
         from . import incremental
 
-        incremental.acquire_lease(
+        self._lease_gen = incremental.acquire_lease(
             self.index_dir, self._writer_id, incremental.LEASE_TTL_S
         )
         try:
@@ -1392,7 +1514,9 @@ class CorpusWriter:
 
         from . import incremental
 
-        meta = incremental.compact_index(self.spark, self.index_dir)
+        meta = incremental.compact_index(
+            self.spark, self.index_dir, fence=self._fence()
+        )
         par = self.spark.sparkContext.defaultParallelism
         for name, enabled in (
             ("paragraphs", self.config.dedup_paragraphs),
@@ -1404,11 +1528,15 @@ class CorpusWriter:
                 ).distinct().repartition(par).write.mode("overwrite").parquet(
                     f"{self.index_dir}/{name}.compact"
                 )
-                incremental._swap_staged(self.index_dir, name)
+                incremental._swap_staged(
+                    self.index_dir, name, fence=self._fence()
+                )
         if self.bm25_index:
             from .queries.retrieval import compact_bm25_index
 
-            compact_bm25_index(self.spark, self._bm25_dir())
+            compact_bm25_index(
+                self.spark, self._bm25_dir(), fence=self._fence()
+            )
         if self.drift_monitor and os.path.isdir(self._drift_dir()):
             # Collapse per-admit segments to ≤ drift_buckets rows —
             # counts are additive, so the summed rewrite is
@@ -1418,7 +1546,9 @@ class CorpusWriter:
             ).coalesce(1).write.mode("overwrite").parquet(
                 f"{self._drift_dir()}.compact"
             )
-            incremental._swap_staged(self.index_dir, "drift_ref")
+            incremental._swap_staged(
+                self.index_dir, "drift_ref", fence=self._fence()
+            )
         return meta
 
     def release(self) -> None:
@@ -1487,6 +1617,9 @@ class EmbeddingWriter:
         pq_residual: bool = False,
         pq_opq: bool = False,
         drift_monitor: bool = False,
+        drift_warn: tuple[int, int] | None = None,
+        drift_refuse: bool = False,
+        drift_reconcile: bool = False,
     ) -> None:
         """``auto_reconcile``: rebuild the index (fresh codebook) at the
         end of any :meth:`admit` that leaves codebook staleness past
@@ -1567,6 +1700,25 @@ class EmbeddingWriter:
             )
         self.pq_opq = pq_opq
         self.drift_monitor = drift_monitor
+        if drift_warn is not None and not drift_monitor:
+            raise ValueError(
+                "drift_warn requires drift_monitor=True (there is no "
+                "measurement to threshold otherwise)"
+            )
+        if (drift_refuse or drift_reconcile) and drift_warn is None:
+            raise ValueError(
+                "drift_refuse/drift_reconcile require drift_warn "
+                "thresholds"
+            )
+        if drift_refuse and drift_reconcile:
+            raise ValueError(
+                "drift_refuse and drift_reconcile are exclusive: a "
+                "refused batch is never admitted, so there is nothing "
+                "to retrain over"
+            )
+        self.drift_warn = drift_warn
+        self.drift_refuse = drift_refuse
+        self.drift_reconcile = drift_reconcile
         # Frozen-books cache, keyed like the IVF codebook cache below.
         self._pq_books = None
         self._pq_key: tuple | None = None
@@ -1586,6 +1738,7 @@ class EmbeddingWriter:
         self._writer_id = "ew-{}-{}".format(
             _os.getpid(), _uuid.uuid4().hex[:12]
         )
+        self._lease_gen = 0  # set by every public mutating entry
 
     def _build_codebook(self):
         """The codebook for an index BUILD: a freshly trained k-means‖
@@ -1628,6 +1781,11 @@ class EmbeddingWriter:
 
     def _store_exists(self) -> bool:
         return _parquet_dir_committed(self.store_dir)
+
+    def _fence(self) -> tuple[str, str, int]:
+        """`CorpusWriter._fence`'s twin — the ANN writer's fencing
+        token (VERDICT r11 #5)."""
+        return (self.index_dir, self._writer_id, self._lease_gen)
 
     def store(self) -> DataFrame:
         """The admitted vectors so far (vec_id, label, embedding)."""
@@ -1674,7 +1832,7 @@ class EmbeddingWriter:
         crashed holder is taken over after `incremental.LEASE_TTL_S`."""
         from . import incremental
 
-        incremental.acquire_lease(
+        self._lease_gen = incremental.acquire_lease(
             self.index_dir, self._writer_id, incremental.LEASE_TTL_S
         )
         try:
@@ -1851,6 +2009,7 @@ class EmbeddingWriter:
 
             # (A/B'd vs the r10 two-concurrent-actions shape on
             # interleaved minima: fused 5.05 s vs unfused 5.52 s — kept.)
+            drift_hit = False
             if self.drift_monitor:
                 # Measure BEFORE any state change (stored layer and the
                 # heal path's inverted-file read are both the pre-admit
@@ -1868,6 +2027,16 @@ class EmbeddingWriter:
                 ).collect()[0]
                 stats["drift_kl_fix"] = int(drow["kl_fix"])
                 stats["drift_tv_fix"] = int(drow["tv_fix"])
+                # Threshold policy BEFORE any state change — a refusal
+                # rolls back nothing (VERDICT r11 #3).
+                drift_hit = _apply_drift_policy(
+                    stats, self.drift_warn, self.drift_refuse,
+                    "EmbeddingWriter.admit",
+                )
+            # Fencing check at the point of no return (the
+            # CorpusWriter rule): the store append is the first
+            # irreversible write of this admit.
+            incremental.verify_lease(*self._fence())
             incremental._concurrently(
                 _counts,
                 lambda: novel.write.mode("append").parquet(
@@ -1911,6 +2080,16 @@ class EmbeddingWriter:
                 # Derived-layer window, marker-bracketed: same crash
                 # contract as the text writer's drift_ref.
                 self._extend_cell_hist(novel)
+            if drift_hit and self.drift_reconcile:
+                # The retrain trigger (VERDICT r11 #8 stretch): the
+                # batch IS admitted (all layers extended above — the
+                # data is novel, just differently distributed), then
+                # the codebook retrains over the grown store so cell
+                # occupancy re-balances — the reference's
+                # monitor-that-acts (A13), retold for distribution
+                # shift. Runs the UNLOCKED body: we hold the lease.
+                self._reconcile_locked()
+                stats["drift_reconciled"] = 1
             self._check_drift()
             return stats
         finally:
@@ -2068,8 +2247,8 @@ class EmbeddingWriter:
         self,
         query: list[float],
         topk: int = 5,
-        shortlist: int = 64,
-        nprobe: int = 2,
+        shortlist: int | None = None,
+        nprobe: int | None = None,
     ) -> DataFrame:
         """ADC-shortlisted exact top-k over the admitted store from the
         stored PQ layer (requires ``pq_layer=True``) — codes from the
@@ -2077,7 +2256,10 @@ class EmbeddingWriter:
         shortlist payloads gathered from the store. With
         ``pq_residual`` this is the full residual IVFADC read path and
         ``nprobe`` bounds the probed cells (ignored otherwise — the
-        raw-vector layer scans all codes by design)."""
+        raw-vector layer scans all codes by design). Omitted knobs
+        scale with the stored corpus (the RECALL.md rule, VERDICT
+        r11 #2): as admits grow the store, recall holds instead of
+        decaying."""
         from .queries.quantization import (
             ivfpq_topk_from_index,
             pq_topk_from_index,
@@ -2137,7 +2319,7 @@ class EmbeddingWriter:
         single-writer lease (the :meth:`admit` contract)."""
         from . import incremental
 
-        incremental.acquire_lease(
+        self._lease_gen = incremental.acquire_lease(
             self.index_dir, self._writer_id, incremental.LEASE_TTL_S
         )
         try:
@@ -2191,7 +2373,7 @@ class EmbeddingWriter:
         single-writer lease (the :meth:`admit` contract)."""
         from . import incremental
 
-        incremental.acquire_lease(
+        self._lease_gen = incremental.acquire_lease(
             self.index_dir, self._writer_id, incremental.LEASE_TTL_S
         )
         try:
@@ -2211,14 +2393,20 @@ class EmbeddingWriter:
         `CorpusWriter.compact` analogue."""
         from .queries.similarity import compact_ann_index
 
-        meta = compact_ann_index(self.spark, self.index_dir)
+        meta = compact_ann_index(
+            self.spark, self.index_dir, fence=self._fence()
+        )
         if self.pq_layer:
             from .queries import quantization as qz
 
             if self.pq_residual and qz.ivfpq_layer_exists(self.index_dir):
-                qz.compact_ivfpq_codes(self.spark, self.index_dir)
+                qz.compact_ivfpq_codes(
+                    self.spark, self.index_dir, fence=self._fence()
+                )
             elif not self.pq_residual and qz.pq_layer_exists(self.index_dir):
-                qz.compact_pq_codes(self.spark, self.index_dir)
+                qz.compact_pq_codes(
+                    self.spark, self.index_dir, fence=self._fence()
+                )
         import os
 
         if self.drift_monitor and os.path.isdir(self._cell_hist_dir()):
@@ -2231,7 +2419,9 @@ class EmbeddingWriter:
             ).write.mode("overwrite").parquet(
                 f"{self._cell_hist_dir()}.compact"
             )
-            incremental._swap_staged(self.index_dir, "cell_hist")
+            incremental._swap_staged(
+                self.index_dir, "cell_hist", fence=self._fence()
+            )
         return meta
 
 

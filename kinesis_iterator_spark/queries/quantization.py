@@ -330,6 +330,44 @@ def pq_adc_scores(
     )
 
 
+# -- corpus-proportional query defaults (VERDICT r11 #2) -----------------
+#
+# RECALL.md finding #4 measured the failure of FIXED query knobs: with
+# shortlist frozen at 64, PQ-ADC recall@10 fell 0.80 → 0.51 at a mere 4×
+# corpus growth (and IVFPQ@nprobe=4 0.61 → 0.35) — a 64-deep shortlist
+# is 13% of a 500-vector corpus but 3% of 2000. The published FAISS
+# operating rule fixes shortlist/nprobe as a FRACTION of corpus/cells,
+# so that is the DEFAULT now: a caller who omits the knob gets
+# shortlist = max(floor, ⌈n / SHORTLIST_DEN⌉) and
+# nprobe = max(floor, ⌈n_cells · NPROBE_NUM / NPROBE_DEN⌉), with n from
+# parquet footers on the stored-index paths (zero Spark jobs) and an
+# explicit value always overriding (cost-sensitive serving pins its own
+# budget). The fractions are the measured sf0.01 operating point
+# (shortlist 64/500 ≈ 1/8 → recall 0.80; nprobe 4/10 cells → 0.61), so
+# the defaults hold recall roughly FLAT across corpus growth instead of
+# decaying — re-measured per scale in RECALL.md's proportional rows.
+
+SHORTLIST_FLOOR = 64
+SHORTLIST_DEN = 8
+NPROBE_FLOOR = 2
+NPROBE_NUM, NPROBE_DEN = 2, 5
+
+
+def proportional_shortlist(n: int, topk: int = 1) -> int:
+    """The corpus-proportional default shortlist: ⌈n / SHORTLIST_DEN⌉,
+    floored at SHORTLIST_FLOOR and at ``topk`` (the re-rank must be at
+    least as deep as the cut it feeds)."""
+    return max(SHORTLIST_FLOOR, -(-int(n) // SHORTLIST_DEN), int(topk))
+
+
+def proportional_nprobe(n_cells: int) -> int:
+    """The cell-proportional default probe width:
+    ⌈n_cells · NPROBE_NUM / NPROBE_DEN⌉ floored at NPROBE_FLOOR."""
+    return max(
+        NPROBE_FLOOR, -(-(NPROBE_NUM * int(n_cells)) // NPROBE_DEN)
+    )
+
+
 def pq_adc_topk(
     spark: SparkSession,
     emb: DataFrame,
@@ -337,7 +375,8 @@ def pq_adc_topk(
     query: list[float],
     pq: PQResult,
     topk: int = 5,
-    shortlist: int = 64,
+    shortlist: int | None = None,
+    corpus_n: int | None = None,
 ) -> DataFrame:
     """ADC-shortlisted exact top-k: rank ALL codes by (adc_cos DESC,
     vec_id) — an 8 B/vec scan with the lookup tables folded into the
@@ -347,7 +386,16 @@ def pq_adc_topk(
     return (vec_id, cosine) rows, ``topk`` best by (cosine DESC,
     vec_id). With ``shortlist`` ≥ corpus size this equals brute-force
     exact top-k (pinned); smaller shortlists trade recall for the
-    payload-gather bound — the published PQ contract."""
+    payload-gather bound — the published PQ contract.
+
+    ``shortlist=None`` (the default) scales with the corpus —
+    `proportional_shortlist` over ``corpus_n`` (pass it from parquet
+    footers / the table catalog: zero jobs — the stored-index wrappers
+    do) or, when neither is given, a one-row count over ``codes`` (one
+    cheap 8 B/vec aggregate — frame-level exploratory use)."""
+    if shortlist is None:
+        n = corpus_n if corpus_n is not None else codes.count()
+        shortlist = proportional_shortlist(n, topk)
     if topk > shortlist:
         raise ValueError(f"topk {topk} > shortlist {shortlist}")
     return _shortlist_rerank(
@@ -742,14 +790,19 @@ def ivfpq_topk_from_index(
     emb: DataFrame,
     query: list[float],
     topk: int = 5,
-    shortlist: int = 64,
-    nprobe: int = 2,
+    shortlist: int | None = None,
+    nprobe: int | None = None,
     books: PQResult | None = None,
 ) -> DataFrame:
     """`ivfpq_topk` served from the stored layer — the full residual
     IVFADC read path: driver-side probe over the centroid sidecar,
     cell-pruned scan of ``ivfpq_codes/``, residual ADC, shortlist,
-    exact re-rank against the ``emb`` store."""
+    exact re-rank against the ``emb`` store.
+
+    Omitted knobs default corpus-proportionally — n from the stored
+    code layer's parquet footers (zero Spark jobs), cells from the
+    codebook sidecar (VERDICT r11 #2)."""
+    from ..incremental import _dir_rows
     from .similarity import read_ann_codebook
 
     if books is None:
@@ -758,6 +811,10 @@ def ivfpq_topk_from_index(
         _check_ivfpq_layer(index_dir)
     crows = read_ann_codebook(index_dir)
     codes = spark.read.parquet(f"{index_dir}/ivfpq_codes")
+    if shortlist is None:
+        shortlist = proportional_shortlist(
+            _dir_rows(f"{index_dir}/ivfpq_codes"), topk
+        )
     return ivfpq_topk(
         spark,
         emb,
@@ -771,7 +828,11 @@ def ivfpq_topk_from_index(
     )
 
 
-def compact_pq_codes(spark: SparkSession, index_dir: str) -> None:
+def compact_pq_codes(
+    spark: SparkSession,
+    index_dir: str,
+    fence: tuple[str, str, int] | None = None,
+) -> None:
     """Coalesce the per-admit code appends into vec_id-ranged files —
     codes are 8 B/vec, so a year of small admits is pure file-count
     overhead on the ADC scan. Content identical (same rows); books are
@@ -786,10 +847,14 @@ def compact_pq_codes(spark: SparkSession, index_dir: str) -> None:
     ).sortWithinPartitions("vec_id").write.mode("overwrite").parquet(
         f"{index_dir}/pq_codes.compact"
     )
-    _swap_staged(index_dir, "pq_codes")
+    _swap_staged(index_dir, "pq_codes", fence=fence)
 
 
-def compact_ivfpq_codes(spark: SparkSession, index_dir: str) -> None:
+def compact_ivfpq_codes(
+    spark: SparkSession,
+    index_dir: str,
+    fence: tuple[str, str, int] | None = None,
+) -> None:
     """`compact_pq_codes` for the residual layer — clustered by
     (cell, vec_id), so a probe's cell-pruned scan skips other cells'
     FILES by parquet min/max stats (the layout the per-cell ADC scans
@@ -802,7 +867,7 @@ def compact_ivfpq_codes(spark: SparkSession, index_dir: str) -> None:
     ).sortWithinPartitions("cell", "vec_id").write.mode("overwrite").parquet(
         f"{index_dir}/ivfpq_codes.compact"
     )
-    _swap_staged(index_dir, "ivfpq_codes")
+    _swap_staged(index_dir, "ivfpq_codes", fence=fence)
 
 
 def pq_topk_from_index(
@@ -811,18 +876,26 @@ def pq_topk_from_index(
     emb: DataFrame,
     query: list[float],
     topk: int = 5,
-    shortlist: int = 64,
+    shortlist: int | None = None,
     books: PQResult | None = None,
 ) -> DataFrame:
     """`pq_adc_topk` served from the stored layer: codes come from the
     ``pq_codes/`` parquet (the 8 B/vec production scan), books from the
     sidecar (or the caller's cache); ``emb`` is the vector store the
     exact re-rank gathers shortlist payloads from — pinned equal to
-    the recompute form over the same store."""
+    the recompute form over the same store. ``shortlist=None`` scales
+    with the stored corpus (parquet footers, zero jobs — VERDICT
+    r11 #2)."""
+    from ..incremental import _dir_rows
+
     if books is None:
         books = read_pq_books(index_dir)
     else:
         _check_pq_layer(index_dir)
+    if shortlist is None:
+        shortlist = proportional_shortlist(
+            _dir_rows(f"{index_dir}/pq_codes"), topk
+        )
     codes = spark.read.parquet(f"{index_dir}/pq_codes")
     perm = read_pq_perm(index_dir)
     if perm is not None:
@@ -875,8 +948,8 @@ def pq_ivf_topk_from_index(
     emb: DataFrame,
     query: list[float],
     topk: int = 5,
-    shortlist: int = 64,
-    nprobe: int = 2,
+    shortlist: int | None = None,
+    nprobe: int | None = None,
     books: PQResult | None = None,
 ) -> DataFrame:
     """The full IVFADC read path (FAISS `IndexIVFPQ`): probe the
@@ -887,12 +960,25 @@ def pq_ivf_topk_from_index(
     shortlist + exact re-rank of `pq_adc_topk`. At 100 TB this is the
     point of the composition: the ADC scan touches ~nprobe/n_cells of
     the codes and the re-rank a bounded shortlist — no stage ever
-    reads the full vector payload."""
+    reads the full vector payload. Omitted knobs default
+    corpus-proportionally from footers/sidecar (VERDICT r11 #2)."""
+    from ..incremental import _dir_rows
+    from .similarity import read_ann_codebook
+
     if books is None:
         books = read_pq_books(index_dir)
     else:
         _check_pq_layer(index_dir)
-    cells = _probe_cells(index_dir, query, nprobe)
+    crows = read_ann_codebook(index_dir)
+    if nprobe is None:
+        nprobe = proportional_nprobe(len(crows))
+    if shortlist is None:
+        shortlist = proportional_shortlist(
+            _dir_rows(f"{index_dir}/pq_codes"), topk
+        )
+    # IVF probing stays RAW-space: the inverted file was built from the
+    # unrotated store, so the probe ranks cells with the unrotated query.
+    cells = _rank_cells(crows, query, nprobe)
     members = (
         spark.read.parquet(f"{index_dir}/ivf_assignment")
         .filter((F.col("rk") == 1) & F.col("cell").isin(cells))
@@ -901,6 +987,14 @@ def pq_ivf_topk_from_index(
     codes = spark.read.parquet(f"{index_dir}/pq_codes").join(
         members, "vec_id", "leftsemi"
     )
+    perm = read_pq_perm(index_dir)
+    if perm is not None:
+        # OPQ layer: stored codes/books live in the permuted space — the
+        # ADC tables and the re-rank gather must too (the
+        # `pq_topk_from_index` rule; serving unrotated here would
+        # silently mis-rank the shortlist).
+        emb = permute_embedding(emb, perm)
+        query = [query[i] for i in perm]
     return pq_adc_topk(
         spark, emb, codes, query, books, topk=topk, shortlist=shortlist
     )
@@ -1050,14 +1144,24 @@ def ivfpq_topk(
     pq: PQResult,
     crows: list,
     topk: int = 5,
-    shortlist: int = 64,
-    nprobe: int = 2,
+    shortlist: int | None = None,
+    nprobe: int | None = None,
+    corpus_n: int | None = None,
 ) -> DataFrame:
     """The residual IVFADC query: probe the ``nprobe`` nearest coarse
     cells (driver-side fold over ≤ n_cells rows), scan ONLY the probed
     cells' codes (the cell column prunes — after `compact_pq_codes`-
     style clustering, at the file level too), residual-ADC shortlist,
-    exact re-rank. (vec_id, cosine) rows, ``topk`` best."""
+    exact re-rank. (vec_id, cosine) rows, ``topk`` best.
+
+    Omitted knobs default corpus-proportionally (`proportional_shortlist`
+    over ``corpus_n``-or-count, `proportional_nprobe` over the coarse
+    codebook size) — the RECALL.md rule."""
+    if nprobe is None:
+        nprobe = proportional_nprobe(len(crows))
+    if shortlist is None:
+        n = corpus_n if corpus_n is not None else codes.count()
+        shortlist = proportional_shortlist(n, topk)
     if topk > shortlist:
         raise ValueError(f"topk {topk} > shortlist {shortlist}")
     cells = _rank_cells(crows, query, nprobe)
@@ -2103,7 +2207,7 @@ def opq_adc_topk(
     pq: PQResult,
     codes: DataFrame | None = None,
     topk: int = 5,
-    shortlist: int = 64,
+    shortlist: int | None = None,
 ) -> DataFrame:
     """`pq_adc_topk` in the rotated space: codes (encoded from the
     permuted corpus — pass precomputed ones for the stored-layer path)

@@ -498,7 +498,11 @@ def bm25_topk_from_index(
     return s.orderBy(F.desc("bm25_fix"), "doc_id").limit(topk)
 
 
-def compact_bm25_index(spark: SparkSession, index_dir: str) -> dict:
+def compact_bm25_index(
+    spark: SparkSession,
+    index_dir: str,
+    fence: tuple[str, str, int] | None = None,
+) -> dict:
     """Collapse the per-admit append segments without touching corpus
     text — the maintenance op for a long-running ingestion loop, where
     every `extend_bm25_index` leaves one more ``df/`` segment and a few
@@ -542,7 +546,7 @@ def compact_bm25_index(spark: SparkSession, index_dir: str) -> dict:
         .write.mode("overwrite")
         .parquet(f"{index_dir}/postings.compact"),
     )
-    _swap_staged(index_dir, *_BM25_RELATIONS)
+    _swap_staged(index_dir, *_BM25_RELATIONS, fence=fence)
     return meta
 
 
@@ -603,6 +607,37 @@ def _lex_ranked(
 
     return (
         bm25_scores(doc, query_terms, k1=k1, b=b)
+        .orderBy(F.desc("bm25_fix"), "doc_id")
+        .limit(candidates)
+        .withColumn(
+            "lex_rnk",
+            F.row_number().over(
+                Window.orderBy(F.desc("bm25_fix"), "doc_id")
+            ),
+        )
+        .select("doc_id", "lex_rnk")
+    )
+
+
+def _lex_ranked_from_index(
+    spark: SparkSession,
+    bm25_dir: str,
+    query_terms: list[str],
+    candidates: int,
+    k1: tuple[int, int],
+    b: tuple[int, int],
+) -> DataFrame:
+    """`_lex_ranked` served from the STORED inverted index
+    (`bm25_scores_from_index`) — bit-equal to the corpus-scan form over
+    the same corpus (shared `_finish_scores` tail + the pinned
+    scan≡index equality), with zero corpus-text work per query: tf
+    rows come from a term-pushdown ``postings/`` scan, never from
+    re-tokenizing ``documents``. The 100 TB lexical leg (VERDICT
+    r11 #1)."""
+    from pyspark.sql.window import Window
+
+    return (
+        bm25_scores_from_index(spark, bm25_dir, query_terms, k1=k1, b=b)
         .orderBy(F.desc("bm25_fix"), "doc_id")
         .limit(candidates)
         .withColumn(
@@ -702,7 +737,7 @@ def rrf_fuse(
 def hybrid_topk_ann(
     spark: SparkSession,
     index_dir: str,
-    doc: DataFrame,
+    doc: DataFrame | None,
     emb: DataFrame,
     query_terms: list[str],
     query_vec: list[float],
@@ -711,28 +746,46 @@ def hybrid_topk_ann(
     k0: int = RRF_K0,
     k1: tuple[int, int] = (6, 5),
     b: tuple[int, int] = (3, 4),
-    nprobe: int = 2,
+    nprobe: int | None = None,
     shortlist: int | None = None,
     books=None,
+    bm25_dir: str | None = None,
 ) -> DataFrame:
-    """:func:`hybrid_topk` with the semantic side served by the
-    residual-IVFADC read path
+    """:func:`hybrid_topk` with BOTH legs served from stored indexes —
+    the 100 TB serving form the exact ranker's docstring promises.
+
+    Semantic leg: the residual-IVFADC read path
     (`quantization.ivfpq_topk_from_index`) instead of the exact
-    corpus-wide cosine scan — the 100 TB serving form the exact
-    ranker's docstring promises. The lexical side and the fusion
-    are byte-identical (`_lex_ranked` / `rrf_fuse`); with full
-    probe coverage and a corpus-wide shortlist the composition
+    corpus-wide cosine scan. Lexical leg: when ``bm25_dir`` names a
+    stored BM25 layer (`CorpusWriter(bm25_index=True)`'s
+    ``{index_dir}/bm25``), the term-pushdown postings scan
+    (`_lex_ranked_from_index` — zero corpus-text work per query,
+    pinned bit-equal to the scan form; VERDICT r11 #1); without it,
+    the ``doc``-frame scan (`_lex_ranked` — indexless exploratory
+    use). The fusion is byte-identical (`rrf_fuse`) either way; with
+    full probe coverage and a corpus-wide shortlist the composition
     EQUALS the exact `hybrid_topk` (pinned — full-probe IVFADC is
     pinned equal to brute force), and tighter (nprobe, shortlist)
     trade recall for the 8 B/vec scan exactly as RECALL.md
-    measures."""
+    measures. Omitted (nprobe, shortlist) default
+    corpus-proportionally (VERDICT r11 #2)."""
     from pyspark.sql.window import Window
 
     from .quantization import ivfpq_topk_from_index
 
     if topk < 1 or candidates < topk:
         raise ValueError("need candidates >= topk >= 1")
-    lex = _lex_ranked(doc, query_terms, candidates, k1, b)
+    if bm25_dir is not None:
+        lex = _lex_ranked_from_index(
+            spark, bm25_dir, query_terms, candidates, k1, b
+        )
+    elif doc is not None:
+        lex = _lex_ranked(doc, query_terms, candidates, k1, b)
+    else:
+        raise ValueError(
+            "pass bm25_dir (the stored-index serving form) or doc "
+            "(the corpus-scan form) for the lexical leg"
+        )
     sem = (
         ivfpq_topk_from_index(
             spark,
@@ -740,7 +793,12 @@ def hybrid_topk_ann(
             emb,
             query_vec,
             topk=candidates,
-            shortlist=max(candidates, shortlist or candidates),
+            # None flows through to the corpus-proportional default
+            # (clamped >= candidates by the topk floor); an explicit
+            # value keeps the candidates floor it always had.
+            shortlist=(
+                None if shortlist is None else max(candidates, shortlist)
+            ),
             nprobe=nprobe,
             books=books,
         )

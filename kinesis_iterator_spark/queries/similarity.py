@@ -1254,7 +1254,11 @@ def extend_ann_index(
 ANN_DRIFT_FACTOR = 1.0
 
 
-def compact_ann_index(spark: SparkSession, index_dir: str) -> dict:
+def compact_ann_index(
+    spark: SparkSession,
+    index_dir: str,
+    fence: tuple[str, str, int] | None = None,
+) -> dict:
     """Collapse the per-admit append segments of a stored ANN index —
     the maintenance op for a long-running `EmbeddingWriter` loop, where
     every `extend_ann_index` appends small files to `lsh_signatures/`
@@ -1313,7 +1317,7 @@ def compact_ann_index(spark: SparkSession, index_dir: str) -> dict:
         .write.mode("overwrite")
         .parquet(f"{index_dir}/ivf_assignment.compact"),
     )
-    _swap_staged(index_dir, *_ANN_RELATIONS)
+    _swap_staged(index_dir, *_ANN_RELATIONS, fence=fence)
     return meta
 
 

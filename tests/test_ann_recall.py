@@ -212,3 +212,96 @@ def test_pq_and_ivfpq_recall_floors(spark, sf_dir, frames):
     # random-cell recall ~0.05-0.1, far below.
     assert r4 >= 0.30, f"IVFPQ nprobe=4 recall@10 {r4:.3f} < 0.30"
     assert r4 >= r2, f"IVFPQ recall not monotone in nprobe: {r2} > {r4}"
+
+
+# -- corpus-proportional query defaults (VERDICT r11 #2) -----------------
+#
+# RECALL.md finding #4: fixed (shortlist, nprobe) decayed 0.80 -> 0.51
+# at 4x corpus growth. The shipped DEFAULTS now follow the stated rule
+# (shortlist = max(floor, ceil(n/8)), nprobe = max(floor,
+# ceil(0.4*cells))). Pins: the resolution arithmetic, the stored-index
+# wiring (omitted knob == the explicitly computed proportional value,
+# n from parquet footers), and the recall floor re-stated under the
+# proportional setting.
+
+
+def test_proportional_knob_arithmetic():
+    from kinesis_iterator_spark.queries.quantization import (
+        NPROBE_FLOOR,
+        SHORTLIST_FLOOR,
+        proportional_nprobe,
+        proportional_shortlist,
+    )
+
+    assert proportional_shortlist(500) == SHORTLIST_FLOOR  # floor binds
+    assert proportional_shortlist(512) == 64
+    assert proportional_shortlist(513) == 65  # ceil bites
+    assert proportional_shortlist(2000) == 250  # the RECALL.md 4x case
+    assert proportional_shortlist(100, topk=300) == 300  # topk clamp
+    assert proportional_nprobe(1) == NPROBE_FLOOR
+    assert proportional_nprobe(10) == 4  # the fixture operating point
+    assert proportional_nprobe(11) == 5  # ceil(4.4)
+
+
+def test_from_index_omitted_knobs_resolve_proportionally(
+    spark, sf_dir, tmp_path
+):
+    """`pq_topk_from_index` / `ivfpq_topk_from_index` with OMITTED
+    knobs return exactly the explicit-(proportional value) result —
+    the corpus size comes from the stored layer's parquet footers and
+    the cell count from the codebook sidecar, so serving callers get
+    the scaling rule without passing anything."""
+    from kinesis_iterator_spark.incremental import _dir_rows
+    from kinesis_iterator_spark.queries.quantization import (
+        ivfpq_topk_from_index,
+        pq_topk_from_index,
+        proportional_nprobe,
+        proportional_shortlist,
+        write_ivfpq_layer,
+        write_pq_layer,
+    )
+    from kinesis_iterator_spark.queries.similarity import (
+        read_ann_codebook,
+        write_ann_index,
+    )
+    from kinesis_iterator_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ann")
+    write_ann_index(spark, sf_dir, idx)
+    write_pq_layer(spark, idx, emb, iters=1)
+    write_ivfpq_layer(spark, idx, emb, iters=1)
+    q = list(emb.orderBy("vec_id").first()["embedding"])
+
+    n = _dir_rows(f"{idx}/pq_codes")
+    got = sorted(
+        tuple(r)
+        for r in pq_topk_from_index(spark, idx, emb, q, topk=5).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in pq_topk_from_index(
+            spark, idx, emb, q, topk=5,
+            shortlist=proportional_shortlist(n, 5),
+        ).collect()
+    )
+    assert got == want and len(got) == 5
+
+    n_cells = len(read_ann_codebook(idx))
+    got = sorted(
+        tuple(r)
+        for r in ivfpq_topk_from_index(
+            spark, idx, emb, q, topk=5
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in ivfpq_topk_from_index(
+            spark, idx, emb, q, topk=5,
+            shortlist=proportional_shortlist(
+                _dir_rows(f"{idx}/ivfpq_codes"), 5
+            ),
+            nprobe=proportional_nprobe(n_cells),
+        ).collect()
+    )
+    assert got == want and len(got) == 5

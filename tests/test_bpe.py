@@ -185,3 +185,78 @@ def test_encode_ids_bijective_with_pieces(spark, trained):
         assert back.setdefault(tid, piece) == piece  # injective
     # vocab ids are dense 0..len-1 and rank-ordered by merge
     assert sorted(vocab.values()) == list(range(len(vocab)))
+
+
+# -- trainer scaling (VERDICT r11 #4) ------------------------------------
+
+
+def test_driver_path_engages_below_gate(spark, trained):
+    """The fixture vocabulary sits far below DRIVER_BPE_MAX_WORDS, so
+    `trained` came from the driver fast path — pin it explicitly
+    against the incremental driver trainer AND the reference."""
+    from kinesis_iterator_spark.bpe import bpe_train_driver
+
+    doc = _doc(spark, SF_DIRS[0])
+    wf = [(r["w"], int(r["freq"])) for r in word_frequencies(doc).collect()]
+    assert bpe_train_driver(wf, N_MERGES) == trained
+
+
+def test_distributed_path_matches_driver(spark, trained, monkeypatch):
+    """Force the above-gate loop (gate = -1, the DRIVER_CC_MAX_EDGES
+    discipline): the delta-maintained distributed trainer is
+    bit-identical to the driver/reference result."""
+    import kinesis_iterator_spark.bpe as bpe_mod
+
+    monkeypatch.setattr(bpe_mod, "DRIVER_BPE_MAX_WORDS", -1)
+    doc = _doc(spark, SF_DIRS[0])
+    assert bpe_mod.bpe_train(spark, doc, N_MERGES) == trained
+
+
+def test_incremental_maintenance_matches_reference_adversarial():
+    """The incremental invariant (`_apply_merge` on maintained state ≡
+    from-scratch `_segment` under the full rank table) over adversarial
+    corpora: repeated characters (overlapping occurrences), tie-heavy
+    counts, words that shrink to one symbol."""
+    import random
+
+    from kinesis_iterator_spark.bpe import bpe_train_driver
+
+    rng = random.Random(7)
+    corpora = [
+        [("aaaa", 5), ("aaa", 3), ("aa", 2)],
+        [("abab", 4), ("aba", 4), ("bab", 4)],
+        [("xxxx", 2), ("xxy", 2), ("yxx", 2), ("xyx", 2)],
+    ]
+    for _ in range(40):
+        wf: dict = {}
+        for _ in range(rng.randint(1, 14)):
+            w = "".join(
+                rng.choice("abc") for _ in range(rng.randint(1, 9))
+            )
+            wf[w] = wf.get(w, 0) + rng.randint(1, 6)
+        corpora.append(sorted(wf.items()))
+    for wf in corpora:
+        for mf in (1, 2):
+            got = bpe_train_driver(list(wf), 16, min_freq=mf)
+            want = bpe_train_reference(list(wf), 16, min_freq=mf)
+            assert got == want, (wf, mf, got, want)
+
+
+def test_driver_actions_constant_in_n_merges(spark):
+    """The fast path's point: Spark ACTIONS do not grow with n_merges
+    (r11's loop paid one per merge). Counted via statusTracker job-id
+    deltas — 4 vs 32 merges cost the SAME number of jobs."""
+    tracker = spark.sparkContext.statusTracker()
+
+    def njobs():
+        return len(tracker.getJobIdsForGroup(None))
+
+    doc = _doc(spark, SF_DIRS[0])
+    j0 = njobs()
+    bpe_train(spark, doc, 4)
+    small = njobs() - j0
+    j1 = njobs()
+    bpe_train(spark, doc, 32)
+    big = njobs() - j1
+    assert big == small, (small, big)
+    assert small <= 4

@@ -287,3 +287,215 @@ def test_embedding_compact_and_marker_heal(spark, erun):
         .collect()
     )
     assert healed == after
+
+
+# -- drift POLICY (VERDICT r11 #3): thresholds, refusal, bucket pin ------
+
+
+def test_drift_warn_flags_and_warns(spark, batches, tmp_path_factory):
+    """drift_warn=(0,0): any nonzero drift sets drift_exceeded=1 and
+    warns loudly; generous thresholds set the flag to 0 (the key is
+    present whenever the policy is configured)."""
+    root = str(tmp_path_factory.mktemp("driftwarn"))
+    w = CorpusWriter(
+        spark, f"{root}/corpus", f"{root}/index", CurationConfig(),
+        drift_monitor=True, drift_buckets=B, drift_warn=(0, 0),
+    )
+    s1 = w.admit(batches[0])
+    assert "drift_exceeded" not in s1  # bootstrap: nothing measured
+    with pytest.warns(UserWarning, match="drifts from the stored corpus"):
+        s2 = w.admit(batches[1])
+    assert s2["drift_exceeded"] == 1
+    # generous thresholds: flag present and 0, no warning
+    root2 = str(tmp_path_factory.mktemp("driftwarn2"))
+    big = (1 << 60, 1 << 60)
+    w2 = CorpusWriter(
+        spark, f"{root2}/corpus", f"{root2}/index", CurationConfig(),
+        drift_monitor=True, drift_buckets=B, drift_warn=big,
+    )
+    w2.admit(batches[0])
+    s2b = w2.admit(batches[1])
+    assert s2b["drift_exceeded"] == 0
+
+
+def test_drift_refuse_rejects_before_any_state_change(
+    spark, batches, tmp_path_factory
+):
+    """drift_refuse=True: the batch is rejected with DriftExceeded and
+    NO state changed — corpus rows, dedup digests, and the drift layer
+    are byte-count identical before/after (the measurement runs
+    pre-append by construction, so the refusal needs no rollback)."""
+    from kinesis_iterator_spark.incremental import _dir_rows
+    from kinesis_iterator_spark.pipeline import DriftExceeded
+
+    root = str(tmp_path_factory.mktemp("driftrefuse"))
+    w = CorpusWriter(
+        spark, f"{root}/corpus", f"{root}/index", CurationConfig(),
+        drift_monitor=True, drift_buckets=B,
+        drift_warn=(0, 0), drift_refuse=True,
+    )
+    w.admit(batches[0])  # bootstrap admits (no pre-admit reference)
+    before = (
+        _dir_rows(w.corpus_dir),
+        _dir_rows(f"{w.index_dir}/digests"),
+        _dir_rows(w._drift_dir()),
+    )
+    with pytest.raises(DriftExceeded) as ei:
+        w.admit(batches[1])
+    assert ei.value.stats["drift_exceeded"] == 1
+    after = (
+        _dir_rows(w.corpus_dir),
+        _dir_rows(f"{w.index_dir}/digests"),
+        _dir_rows(w._drift_dir()),
+    )
+    assert after == before
+    # the lease was released on the refusal (the finally contract)
+    from kinesis_iterator_spark.incremental import _lease_path
+
+    assert not os.path.exists(_lease_path(w.index_dir))
+
+
+def test_drift_policy_guards(spark, tmp_path):
+    from kinesis_iterator_spark.pipeline import EmbeddingWriter
+
+    with pytest.raises(ValueError, match="drift_monitor"):
+        CorpusWriter(
+            spark, str(tmp_path / "c"), str(tmp_path / "i"),
+            CurationConfig(), drift_warn=(0, 0),
+        )
+    with pytest.raises(ValueError, match="drift_warn"):
+        CorpusWriter(
+            spark, str(tmp_path / "c"), str(tmp_path / "i"),
+            CurationConfig(), drift_monitor=True, drift_refuse=True,
+        )
+    with pytest.raises(ValueError, match="drift_monitor"):
+        EmbeddingWriter(
+            spark, str(tmp_path / "s"), str(tmp_path / "a"),
+            drift_warn=(0, 0),
+        )
+    with pytest.raises(ValueError, match="drift_warn"):
+        EmbeddingWriter(
+            spark, str(tmp_path / "s"), str(tmp_path / "a"),
+            drift_monitor=True, drift_reconcile=True,
+        )
+    with pytest.raises(ValueError, match="exclusive"):
+        EmbeddingWriter(
+            spark, str(tmp_path / "s"), str(tmp_path / "a"),
+            drift_monitor=True, drift_warn=(0, 0),
+            drift_refuse=True, drift_reconcile=True,
+        )
+
+
+def test_drift_buckets_mismatch_rebuilds_under_new_domain(
+    spark, batches, tmp_path_factory
+):
+    """ADVICE r11: the bucket count is pinned with the layer; a writer
+    constructed with a DIFFERENT drift_buckets over existing state
+    rebuilds the layer from the corpus under its own B (the heal path)
+    instead of silently mixing hash domains — the reported drift
+    equals the standalone corpus_drift at the new B, and the layer
+    sums to the new-B recount."""
+    from kinesis_iterator_spark.queries.text import corpus_drift, corpus_hist
+
+    root = str(tmp_path_factory.mktemp("driftbuckets"))
+    w256 = _writer(spark, root)  # B = 256
+    w256.admit(batches[0])
+    assert w256._stored_drift_buckets() == B
+    ref = w256.corpus().localCheckpoint(eager=True)
+
+    w64 = CorpusWriter(
+        spark, f"{root}/corpus", f"{root}/index", CurationConfig(),
+        drift_monitor=True, drift_buckets=64,
+    )
+    s2 = w64.admit(batches[1])
+    cur = curate_frame(batches[1], CurationConfig())
+    try:
+        want = corpus_drift(spark, ref, cur.final, n_buckets=64).collect()[0]
+    finally:
+        cur.release()
+    assert s2["drift_kl_fix"] == int(want["kl_fix"])
+    assert s2["drift_tv_fix"] == int(want["tv_fix"])
+    assert w64._stored_drift_buckets() == 64
+    stored = sorted(
+        tuple(r)
+        for r in spark.read.parquet(w64._drift_dir())
+        .groupBy("b")
+        .agg(F.sum("c").cast("long").alias("c"))
+        .collect()
+    )
+    want_hist = sorted(
+        tuple(r) for r in corpus_hist(w64.corpus(), 64).collect()
+    )
+    assert stored == want_hist
+
+
+def test_embedding_drift_refuse_before_state_change(
+    spark, tmp_path_factory
+):
+    from kinesis_iterator_spark.incremental import _dir_rows
+    from kinesis_iterator_spark.pipeline import DriftExceeded, EmbeddingWriter
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    neg = emb.select(
+        (F.col("vec_id") + 5_000_000).alias("vec_id"),
+        "label",
+        F.expr("transform(embedding, x -> -x)").alias("embedding"),
+    )
+    root = str(tmp_path_factory.mktemp("edriftrefuse"))
+    w = EmbeddingWriter(
+        spark, f"{root}/store", f"{root}/ann",
+        drift_monitor=True, drift_warn=(0, 0), drift_refuse=True,
+    )
+    w.admit(emb.filter(F.col("vec_id") % 2 == 0))
+    before = _dir_rows(w.store_dir)
+    with pytest.raises(DriftExceeded) as ei:
+        w.admit(neg.filter(F.col("vec_id") % 2 == 0))
+    assert ei.value.stats["drift_exceeded"] == 1
+    assert _dir_rows(w.store_dir) == before
+
+
+def test_embedding_drift_reconcile_retrains_codebook(
+    spark, tmp_path_factory
+):
+    """The r11 #8 stretch end-to-end: an injected distribution shift
+    (negated vectors — they occupy the coarse quantizer's anti-cells)
+    trips the threshold; the admit lands, then the writer retrains the
+    codebook over the grown store (drift_reconciled=1). The restored
+    balance is observable: a SECOND shifted batch measures strictly
+    less drift than the first did, because the reference histogram and
+    cell domain now cover the shifted mode."""
+    from kinesis_iterator_spark.pipeline import EmbeddingWriter
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+
+    def neg(pred, offset):
+        return emb.filter(pred).select(
+            (F.col("vec_id") + offset).alias("vec_id"),
+            "label",
+            F.expr("transform(embedding, x -> -x)").alias("embedding"),
+        )
+
+    root = str(tmp_path_factory.mktemp("edriftrec"))
+    w = EmbeddingWriter(
+        spark, f"{root}/store", f"{root}/ann",
+        train_codebook=True, train_k=8, train_iters=2,
+        drift_monitor=True, drift_warn=(0, 0), drift_reconcile=True,
+    )
+    w.admit(emb.filter(F.col("vec_id") % 2 == 0))
+    s2 = w.admit(neg(F.col("vec_id") % 4 == 1, 5_000_000))
+    assert s2["drift_exceeded"] == 1 and s2.get("drift_reconciled") == 1
+    assert s2["n_admitted"] > 0  # the shifted data was ADMITTED, not lost
+    # post-retrain invariants: the layer equals the fresh inverted-file
+    # recount over the NEW codebook's domain
+    stored = sorted(
+        tuple(r)
+        for r in spark.read.parquet(w._cell_hist_dir())
+        .groupBy("b")
+        .agg(F.sum("c").cast("long").alias("c"))
+        .collect()
+    )
+    want = sorted(tuple(r) for r in w._stored_cell_source().collect())
+    assert stored == want
+    # the guardrail's point: the same shift now measures LESS drift
+    s3 = w.admit(neg(F.col("vec_id") % 4 == 3, 6_000_000))
+    assert s3["drift_kl_fix"] < s2["drift_kl_fix"]

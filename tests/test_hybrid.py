@@ -185,3 +185,69 @@ def test_hybrid_ann_full_coverage_equals_exact(spark, sf_dir, tmp_path):
     assert all(
         r["lex_rnk"] is not None or r["sem_rnk"] is not None for r in tight
     )
+
+
+@pytest.mark.parametrize("sf", SF_DIRS)
+def test_hybrid_ann_lexical_leg_served_from_stored_bm25(
+    spark, sf, tmp_path
+):
+    """VERDICT r11 #1: `hybrid_topk_ann` over a
+    `CorpusWriter(bm25_index=True)` corpus serves its LEXICAL leg from
+    the stored inverted index (``bm25_dir``) — pinned bit-equal to the
+    corpus-scan form at two scales (the scan≡index BM25 equality makes
+    it value-invisible), and the leg's plan reads ``postings/`` with
+    the query terms pushed to the scan, never ``documents``."""
+    from kinesis_iterator_spark.pipeline import CorpusWriter, CurationConfig
+    from kinesis_iterator_spark.queries.quantization import (
+        write_ivfpq_layer,
+    )
+    from kinesis_iterator_spark.queries.retrieval import (
+        _lex_ranked_from_index,
+        hybrid_topk_ann,
+    )
+    from kinesis_iterator_spark.queries.similarity import write_ann_index
+    from kinesis_iterator_spark.tables import load_table
+
+    doc = load_table(spark, sf, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    w = CorpusWriter(
+        spark,
+        str(tmp_path / "corpus"),
+        str(tmp_path / "index"),
+        CurationConfig(),
+        bm25_index=True,
+    )
+    w.admit(doc)
+    corpus_doc = w.corpus().select("doc_id", "text")
+
+    emb = load_table(spark, sf, "embeddings")
+    ann = str(tmp_path / "ann")
+    write_ann_index(spark, sf, ann)
+    write_ivfpq_layer(spark, ann, emb, iters=1)
+    terms = ["the", "data", "model"]
+    qvec = [float(v) for v in emb.orderBy("vec_id").first()["embedding"]]
+
+    kw = dict(topk=10, candidates=20, nprobe=2, shortlist=64)
+    served = hybrid_topk_ann(
+        spark, ann, None, emb, terms, qvec,
+        bm25_dir=w._bm25_dir(), **kw,
+    ).collect()
+    scan = hybrid_topk_ann(
+        spark, ann, corpus_doc, emb, terms, qvec, **kw
+    ).collect()
+    assert [tuple(r) for r in served] == [tuple(r) for r in scan]
+    assert len(served) == 10
+
+    leg = _lex_ranked_from_index(
+        spark, w._bm25_dir(), terms, 20, (6, 5), (3, 4)
+    )
+    # formatted explain keeps full scan locations (executedPlan
+    # toString truncates them)
+    plan = leg._sc._jvm.PythonSQLUtils.explainString(
+        leg._jdf.queryExecution(), "formatted"
+    )
+    assert "postings" in plan
+    assert "documents" not in plan  # zero corpus-text work per query
+    # term pushdown reaches the postings scan
+    assert "PushedFilters" in plan and "In(term" in plan

@@ -249,3 +249,60 @@ def test_embedding_writer_pq_opq_composition(spark, tmp_path):
         ).collect()
     )
     assert got == want and len(got) == 5
+
+
+def test_pq_ivf_from_index_applies_stored_opq_perm(spark, tmp_path):
+    """`pq_ivf_topk_from_index` over an OPQ layer (non-identity stored
+    perm) serves in the rotated space exactly like its sibling
+    `pq_topk_from_index`: with FULL probe coverage the cell semi-join
+    admits every code row, so the two read paths must be bit-equal —
+    a raw-space ADC/re-rank against rotated codes would mis-rank
+    (ADVICE r11: the IVF sibling skipped the perm sidecar)."""
+    from kinesis_iterator_spark.queries.quantization import (
+        pq_ivf_topk_from_index,
+        pq_topk_from_index,
+    )
+    from kinesis_iterator_spark.queries.similarity import (
+        read_ann_codebook,
+        write_ann_index,
+    )
+
+    sf = SF_DIRS[0]
+    emb = _emb(spark, sf)
+    idx = str(tmp_path / "ann")
+    write_ann_index(spark, sf, idx)
+    # Force a KNOWN non-identity perm (the trainer may pick identity on
+    # near-isotropic fixtures): write the layer by hand in the layout
+    # write_pq_layer(opq=True) produces — books trained on the permuted
+    # frame, codes encoded there, perm sidecar alongside.
+    perm = list(range(63, -1, -1))
+    pemb = permute_embedding(emb, perm)
+    pq = pq_train(spark, pemb, m=M, ks=KS, iters=1)
+    rows = [
+        (s, int(slot), [int(v) for v in pq.books[s][1][j]])
+        for s in range(pq.m)
+        for j, slot in enumerate(pq.books[s][0])
+    ]
+    spark.createDataFrame(
+        rows, "sub long, slot long, centroid array<long>"
+    ).write.parquet(f"{idx}/pq_codebooks")
+    pq_codes(pemb, pq).write.parquet(f"{idx}/pq_codes")
+    spark.createDataFrame(
+        list(enumerate(perm)), "pos long, dim long"
+    ).write.parquet(f"{idx}/pq_perm")
+
+    q = list(emb.orderBy("vec_id").first()["embedding"])
+    n_cells = len(read_ann_codebook(idx))
+    got = sorted(
+        tuple(r)
+        for r in pq_ivf_topk_from_index(
+            spark, idx, emb, q, topk=5, shortlist=64, nprobe=n_cells
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in pq_topk_from_index(
+            spark, idx, emb, q, topk=5, shortlist=64
+        ).collect()
+    )
+    assert got == want and len(got) == 5

@@ -59,15 +59,181 @@ def test_stale_takeover_and_foreign_release_noop(tmp_path):
     release_lease(d, "w2")
 
 
-def test_unreadable_lease_is_taken_over(tmp_path):
+def test_unreadable_lease_age_from_mtime(tmp_path):
+    """ADVICE r11: an unreadable lease body is another writer's
+    open-then-write window, not a stale lease — a YOUNG unreadable
+    lease must refuse (LeaseHeld); only unreadable AND past-TTL is
+    taken over. Age comes from the file mtime, independent of JSON
+    readability."""
     d = str(tmp_path / "idx")
     os.makedirs(d)
     with open(_lease_path(d), "w") as f:
         f.write("{half-written")
+    # young + unreadable -> refuse (the pre-fix behavior took over here,
+    # yielding two writers that both believed they held the lease)
+    with pytest.raises(LeaseHeld, match="unreadable"):
+        acquire_lease(d, "w1")
+    # stale + unreadable -> takeover
+    old = time.time() - incremental.LEASE_TTL_S - 10
+    os.utime(_lease_path(d), (old, old))
     acquire_lease(d, "w1")
     with open(_lease_path(d)) as f:
         assert json.load(f)["writer_id"] == "w1"
     release_lease(d, "w1")
+
+
+def test_lease_generation_is_monotonic_across_releases(tmp_path):
+    """The fencing token (VERDICT r11 #5): every fresh acquisition —
+    free create or stale takeover — gets a NEW generation, persisted
+    across releases; a heartbeat refresh keeps the holder's gen."""
+    d = str(tmp_path / "idx")
+    g1 = acquire_lease(d, "w1")
+    assert acquire_lease(d, "w1") == g1  # heartbeat: same gen
+    release_lease(d, "w1")
+    g2 = acquire_lease(d, "w2")
+    assert g2 > g1
+    old = time.time() - incremental.LEASE_TTL_S - 10
+    os.utime(_lease_path(d), (old, old))
+    g3 = acquire_lease(d, "w3")  # takeover bumps too
+    assert g3 > g2
+    release_lease(d, "w3")
+
+
+def test_verify_lease_and_swap_staged_fence(tmp_path):
+    """`verify_lease` / `_swap_staged(fence=...)`: after a TTL takeover
+    the old holder's (writer_id, gen) no longer verifies, and a fenced
+    staged-swap commit raises LeaseLost BEFORE any rename — the live
+    relation is untouched."""
+    from kinesis_iterator_spark.incremental import (
+        LeaseLost,
+        _swap_staged,
+        verify_lease,
+    )
+
+    d = str(tmp_path / "idx")
+    g1 = acquire_lease(d, "w1")
+    verify_lease(d, "w1", g1)  # held: no raise
+    with pytest.raises(LeaseLost):
+        verify_lease(d, "w1", g1 + 1)  # wrong gen
+    old = time.time() - incremental.LEASE_TTL_S - 10
+    os.utime(_lease_path(d), (old, old))
+    acquire_lease(d, "w2")  # takeover
+    with pytest.raises(LeaseLost, match="fenced out"):
+        verify_lease(d, "w1", g1)
+    # fenced swap: stage + live dirs prepared, commit must refuse and
+    # leave the LIVE dir exactly as it was
+    os.makedirs(f"{d}/rel")
+    open(f"{d}/rel/live.txt", "w").write("live")
+    os.makedirs(f"{d}/rel.compact")
+    with pytest.raises(LeaseLost):
+        _swap_staged(d, "rel", fence=(d, "w1", g1))
+    assert os.path.exists(f"{d}/rel/live.txt")
+    # the new holder's fence commits fine
+    with open(_lease_path(d)) as f:
+        g2 = json.load(f)["gen"]
+    _swap_staged(d, "rel", fence=(d, "w2", g2))
+    assert not os.path.exists(f"{d}/rel/live.txt")
+    release_lease(d, "w2")
+
+
+def test_release_after_takeover_leaves_new_lease_intact(tmp_path):
+    """ADVICE r11 release race: a stale holder's release must not
+    delete the new holder's live lease — the rename-verify-restore
+    path puts a foreign capture back untouched."""
+    d = str(tmp_path / "idx")
+    acquire_lease(d, "w1")
+    old = time.time() - incremental.LEASE_TTL_S - 10
+    os.utime(_lease_path(d), (old, old))
+    g2 = acquire_lease(d, "w2")
+    release_lease(d, "w1")  # the stale holder's late release
+    with open(_lease_path(d)) as f:
+        h = json.load(f)
+    assert h["writer_id"] == "w2" and h["gen"] == g2
+    release_lease(d, "w2")
+    assert not os.path.exists(_lease_path(d))
+
+
+def _stall_past_ttl(monkeypatch, thief="thief"):
+    """Monkeypatch acquire_lease so the caller's NEXT acquisition is
+    immediately followed by a simulated stall + TTL takeover by
+    ``thief`` — the writer then runs its (lease-held) body already
+    fenced out, the exact resume-after-takeover scenario."""
+    real = incremental.acquire_lease
+
+    def stalled(d, wid, ttl=incremental.LEASE_TTL_S):
+        gen = real(d, wid, ttl)
+        old = time.time() - incremental.LEASE_TTL_S - 10
+        os.utime(_lease_path(d), (old, old))
+        real(d, thief, ttl)
+        return gen
+
+    monkeypatch.setattr(incremental, "acquire_lease", stalled)
+
+
+def test_corpus_writer_fenced_admit_fails_before_append(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The full stall-takeover-resume story on the text writer: the
+    fenced-out admit raises LeaseLost at the pre-append check, appends
+    NOTHING, and leaves the thief's lease alone."""
+    from kinesis_iterator_spark.incremental import LeaseLost, _dir_rows
+
+    doc = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    w = CorpusWriter(
+        spark, str(tmp_path / "corpus"), str(tmp_path / "index"),
+        CurationConfig(),
+    )
+    w.admit(doc.filter(F.col("doc_id") % 10 == 0))
+    before = _dir_rows(w.corpus_dir)
+    _stall_past_ttl(monkeypatch)
+    with pytest.raises(LeaseLost, match="fenced out"):
+        w.admit(doc.filter(F.col("doc_id") % 10 == 1))
+    assert _dir_rows(w.corpus_dir) == before  # nothing appended
+    with open(_lease_path(w.index_dir)) as f:
+        assert json.load(f)["writer_id"] == "thief"
+
+
+def test_corpus_writer_fenced_compact_leaves_live_index(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Fencing at the staged-swap commit (VERDICT r11 #5's named
+    site): a fenced-out compact raises LeaseLost at `_swap_staged`
+    and the live band relation is untouched."""
+    from kinesis_iterator_spark.incremental import LeaseLost, _dir_rows
+
+    doc = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    w = CorpusWriter(
+        spark, str(tmp_path / "corpus"), str(tmp_path / "index"),
+        CurationConfig(),
+    )
+    w.admit(doc.filter(F.col("doc_id") % 10 == 0))
+    bands_before = _dir_rows(f"{w.index_dir}/bands")
+    _stall_past_ttl(monkeypatch)
+    with pytest.raises(LeaseLost):
+        w.compact()
+    assert _dir_rows(f"{w.index_dir}/bands") == bands_before
+
+
+def test_embedding_writer_fenced_admit_fails_before_append(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    from kinesis_iterator_spark.incremental import LeaseLost, _dir_rows
+    from kinesis_iterator_spark.pipeline import EmbeddingWriter
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = EmbeddingWriter(
+        spark, str(tmp_path / "store"), str(tmp_path / "ann")
+    )
+    w.admit(emb.filter(F.col("vec_id") % 10 == 0))
+    before = _dir_rows(w.store_dir)
+    _stall_past_ttl(monkeypatch)
+    with pytest.raises(LeaseLost, match="fenced out"):
+        w.admit(emb.filter(F.col("vec_id") % 10 == 1))
+    assert _dir_rows(w.store_dir) == before
 
 
 def test_corpus_writer_admit_refuses_under_foreign_lease(

@@ -188,6 +188,39 @@ def sweep(spark, sf_dir: str) -> list[dict]:
                  f"m=8 ks=16 shortlist=64 nprobe={nprobe}",
                  from_index_runner(ivfpq_topk_from_index, res_books, nprobe))
 
+    # -- corpus-PROPORTIONAL defaults (VERDICT r11 #2): omit the knobs
+    # entirely — the from-index paths resolve shortlist = ceil(n/8)
+    # (floor 64) from parquet footers and nprobe = ceil(0.4·cells) from
+    # the codebook sidecar. The column RECALL.md reads for flatness
+    # across scales.
+    from kinesis_iterator_spark.queries.quantization import (
+        pq_topk_from_index,
+        proportional_nprobe,
+        proportional_shortlist,
+    )
+    from kinesis_iterator_spark.queries.similarity import read_ann_codebook
+
+    n_cells = len(read_ann_codebook(idx))
+    sl = proportional_shortlist(n, K + 1)
+    np_ = proportional_nprobe(n_cells)
+
+    def default_runner(fn, books, with_probe: bool):
+        out = {}
+        for q in qids:
+            kw = {"topk": K + 1, "books": books}
+            rows = fn(spark, idx, emb, qvecs[q], **kw).collect()
+            out[q] = [r for r in rows if r["vec_id"] != q][:K]
+        return _approx_frame_from_single_query(spark, out)
+
+    record_q("PQ-ADC", f"proportional defaults (shortlist={sl})",
+             default_runner(pq_topk_from_index, raw_books, False))
+    record_q("IVFADC (raw books)",
+             f"proportional defaults (shortlist={sl} nprobe={np_})",
+             default_runner(pq_ivf_topk_from_index, raw_books, True))
+    record_q("residual IVFPQ",
+             f"proportional defaults (shortlist={sl} nprobe={np_})",
+             default_runner(ivfpq_topk_from_index, res_books, True))
+
     exact_q.unpersist()
     exact.unpersist()
     return results
