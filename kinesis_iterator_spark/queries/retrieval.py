@@ -816,17 +816,22 @@ def hybrid_topk_ann(
 
 def hybrid_oracle_sql(
     query_terms: list[str],
-    query_vec: list[float],
+    query_vec: list[float] | None = None,
     topk: int = 10,
     candidates: int = 100,
     k0: int = RRF_K0,
     k1: tuple[int, int] = (6, 5),
     b: tuple[int, int] = (3, 4),
+    query_vec_sql: str | None = None,
 ) -> str:
     """DuckDB derivation of :func:`hybrid_topk` over the ``documents``
     and ``embeddings`` views: the full BM25 chain as a nested CTE, the
-    list_reduce cosine fold over VARCHAR-mediated float32 literals, the
-    same candidate cuts, ranks, and exact-integer RRF."""
+    list_reduce cosine fold, the same candidate cuts, ranks, and
+    exact-integer RRF. The query vector enters either as
+    VARCHAR-mediated float32 literals (``query_vec``) or as a SQL
+    derivation (``query_vec_sql``, e.g. ``SELECT embedding FROM
+    embeddings WHERE vec_id = 0``) — the literal-free form the
+    scale-factor-agnostic registry oracle needs."""
     import numpy as np
 
     from .similarity import _DOT_SQL
@@ -834,10 +839,16 @@ def hybrid_oracle_sql(
     def dot(a, b_):
         return _DOT_SQL.format(a=a, b=b_)
 
+    if (query_vec is None) == (query_vec_sql is None):
+        raise ValueError("pass exactly one of query_vec / query_vec_sql")
+    if query_vec_sql is None:
+        qlist = ",".join(
+            f"'{float(x)!r}'" for x in np.asarray(query_vec, np.float32)
+        )
+        qv_cte = f"SELECT ([{qlist}]::VARCHAR[])::DOUBLE[]::FLOAT[]"
+    else:
+        qv_cte = query_vec_sql
     inner = bm25_oracle_sql(query_terms, k1=k1, b=b)
-    qlist = ",".join(
-        f"'{float(x)!r}'" for x in np.asarray(query_vec, np.float32)
-    )
     return f"""
 WITH lex_all AS ({inner}),
 lex AS (
@@ -846,7 +857,7 @@ lex AS (
   FROM (SELECT * FROM lex_all ORDER BY bm25_fix DESC, doc_id
         LIMIT {candidates})
 ),
-qv(q) AS (SELECT ([{qlist}]::VARCHAR[])::DOUBLE[]::FLOAT[]),
+qv(q) AS ({qv_cte}),
 sem_all AS (
   SELECT vec_id AS doc_id,
          CASE WHEN {dot("e.embedding", "e.embedding")} > 0

@@ -209,25 +209,11 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 # text_quality_scores above (same table, same per-doc grain).
 
 
-@query(
-    "text_tf_per_source",
-    oracle="""
-    WITH toks AS (
-      SELECT source, UNNEST(string_split(text, ' ')) AS word FROM documents
-    ),
-    counts AS (
-      SELECT source, word, COUNT(*) AS tf FROM toks GROUP BY source, word
-    )
-    SELECT source, word, tf, rnk FROM (
-      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source
-                       ORDER BY tf DESC, word) AS BIGINT) AS rnk
-      FROM counts
-    ) WHERE rnk <= 5
-    """,
-)
 def text_tf_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Term frequency + top-5 terms per source: explode → two-phase count
-    (partial agg before the shuffle) → windowed top-k."""
+    (partial agg before the shuffle) → windowed top-k. Registry coverage
+    via `text_frequency_suite` (merged round 12 to free a slot for
+    `hybrid_retrieval_topk` under the 50-entry cap)."""
     doc = load_table(spark, sf_dir, "documents")
     counts = (
         doc.select("source", F.explode(F.split("text", " ")).alias("word"))
@@ -243,25 +229,10 @@ def text_tf_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "text_ngrams",
-    oracle="""
-    WITH grams AS (
-      SELECT UNNEST(list_transform(
-               range(1, greatest(len(string_split(text, ' ')) - 1, 0) + 1),
-               i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
-             )) AS bigram
-      FROM documents
-    )
-    SELECT bigram, COUNT(*) AS n
-    FROM grams
-    GROUP BY bigram
-    HAVING COUNT(*) >= 5
-    """,
-)
 def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram extraction + frequency — built with sequence/transform (no
-    UDF, no pyspark.ml featurizer needed)."""
+    UDF, no pyspark.ml featurizer needed). Registry coverage via
+    `text_frequency_suite`."""
     doc = load_table(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
     n = F.size(words)
@@ -280,6 +251,61 @@ def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") >= 5)
     )
+
+
+@query(
+    "text_frequency_suite",
+    oracle="""
+    WITH toks AS (
+      SELECT source, UNNEST(string_split(text, ' ')) AS word FROM documents
+    ),
+    counts AS (
+      SELECT source, word, COUNT(*) AS tf FROM toks GROUP BY source, word
+    ),
+    grams AS (
+      SELECT UNNEST(list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - 1, 0) + 1),
+               i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+             )) AS bigram
+      FROM documents
+    )
+    SELECT 'tf' AS part, source, word AS term,
+           CAST(tf AS BIGINT) AS n, rnk
+    FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source
+                       ORDER BY tf DESC, word) AS BIGINT) AS rnk
+      FROM counts
+    ) WHERE rnk <= 5
+    UNION ALL
+    SELECT 'bigram' AS part, CAST(NULL AS VARCHAR) AS source, bigram AS term,
+           CAST(COUNT(*) AS BIGINT) AS n, CAST(NULL AS BIGINT) AS rnk
+    FROM grams
+    GROUP BY bigram
+    HAVING COUNT(*) >= 5
+    """,
+)
+def text_frequency_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both term-frequency shapes under one gate entry (merged round 12
+    — the `analytic_suite`/`pq_suite` tagged-union discipline, freeing
+    a registry slot for hybrid retrieval): part='tf' is
+    `text_tf_per_source` leg-intact (per-source windowed top-5 terms),
+    part='bigram' is `text_ngrams` (corpus bigram counts ≥ 5),
+    NULL-padded onto the shared (part, source, term, n, rnk) schema."""
+    tf = text_tf_per_source(spark, sf_dir).select(
+        F.lit("tf").alias("part"),
+        "source",
+        F.col("word").alias("term"),
+        F.col("tf").cast("long").alias("n"),
+        "rnk",
+    )
+    bg = text_ngrams(spark, sf_dir).select(
+        F.lit("bigram").alias("part"),
+        F.lit(None).cast("string").alias("source"),
+        F.col("bigram").alias("term"),
+        F.col("n").cast("long").alias("n"),
+        F.lit(None).cast("long").alias("rnk"),
+    )
+    return tf.unionByName(bg)
 
 
 @query(
