@@ -44,6 +44,7 @@ HEADLINE = [
     "text_decontaminate",
     "fn_string_suite",
     "stream_record_model",
+    "hybrid_retrieval_topk",
 ]
 
 
@@ -71,10 +72,16 @@ def main() -> None:
     # form whose exact pairwise set-intersection costs ~7.5 s at sf0.1
     # by design (MinHash-LSH is the scale path and has its own entry);
     # both legs stay value-checked at the driver's gate.
+    # `text_tf_per_source` → `text_frequency_suite` (round 12, freed the
+    # slot for `hybrid_retrieval_topk`) — timed as the r11-comparable
+    # single leg via the library fn; both legs stay value-checked at the
+    # driver's gate through the merged suite.
     from kinesis_iterator_spark.queries.dedup import dedup_simhash
+    from kinesis_iterator_spark.queries.text import text_tf_per_source
 
     _BUILDERS = dict(QUERIES)
     _BUILDERS["dedup_simhash"] = dedup_simhash
+    _BUILDERS["text_tf_per_source"] = text_tf_per_source
 
     # Warm pass (untimed): JVM JIT, codegen compile, parquet footer caches,
     # Python/Arrow worker boot — every headline query runs once so the

@@ -98,6 +98,7 @@ _MODULES = (
     "graph",
     "similarity",
     "quantization",
+    "retrieval",
     "text",
     "multimodal",
     "stream_parity",

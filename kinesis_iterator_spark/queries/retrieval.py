@@ -52,6 +52,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..tables import load_table
+from . import query
 
 BM25_FIX = 1_000_000
 
@@ -887,3 +888,42 @@ SELECT doc_id, lex_rnk, sem_rnk, rrf_fix,
        CAST(rrf_fix AS DOUBLE) / CAST({RRF_FIX} AS DOUBLE) AS rrf
 FROM fused
 ORDER BY rrf_fix DESC, doc_id LIMIT {topk}"""
+
+
+# --- registry entry (VERDICT r11 #6) -----------------------------------
+# Fixed query shape so the oracle is scale-factor-agnostic: five literal
+# terms, and the query vector IS vec_id 0's stored embedding (read from
+# the table in BOTH engines — no float literals cross the engine gap, so
+# there is nothing to mis-round; the Spark side re-emits the float32
+# values as exact-repr double literals inside `_cosine_expr`, which
+# round-trips bit-exactly).
+_REGISTRY_TERMS = ["scan", "column", "window", "order", "sort"]
+_REGISTRY_QV_SQL = "SELECT embedding FROM embeddings WHERE vec_id = 0"
+
+
+@query(
+    "hybrid_retrieval_topk",
+    oracle=hybrid_oracle_sql(
+        _REGISTRY_TERMS,
+        query_vec_sql=_REGISTRY_QV_SQL,
+        topk=10,
+        candidates=50,
+    ),
+)
+def hybrid_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval under the driver's value gate (VERDICT r11 #6):
+    BM25 lexical ranking ⊕ exact-cosine semantic ranking, reciprocal-
+    rank-fused with exact-integer scores (`hybrid_topk`), query vector
+    = vec_id 0's embedding. The full DuckDB derivation
+    (`hybrid_oracle_sql`, literal-free `query_vec_sql` form) replays
+    the BM25 chain, the list_reduce cosine fold, both candidate cuts,
+    and the RRF arithmetic."""
+    doc = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    return hybrid_topk(
+        spark, doc, emb, _REGISTRY_TERMS, qv, topk=10, candidates=50
+    )
