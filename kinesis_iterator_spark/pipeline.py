@@ -1608,7 +1608,7 @@ class EmbeddingWriter:
         tau: float | None = None,
         auto_reconcile: bool = False,
         train_codebook: bool = False,
-        train_k: int = 8,
+        train_k: int | None = None,
         train_iters: int = 4,
         pq_layer: bool = False,
         pq_m: int | None = None,
@@ -1636,7 +1636,13 @@ class EmbeddingWriter:
         place of the default label-mean centroids. Training cost sits
         on the build path only; admits keep assigning against the
         FROZEN stored codebook either way (the train-once contract),
-        so the hot loop is unchanged.
+        so the hot loop is unchanged. ``train_k=None`` (the default)
+        sizes the codebook corpus-proportionally at EVERY build —
+        `clustering.proportional_train_k` (⌈√n⌉, the FAISS coarse-
+        quantizer rule) with n from store parquet footers, zero jobs —
+        so a reconcile over a grown store trains MORE cells and the
+        cell-proportional nprobe default widens with it; an explicit
+        ``train_k`` pins the geometry.
 
         ``pq_layer``: maintain a stored product-quantization layer
         (`quantization.write_pq_layer` layout) under the index —
@@ -1747,14 +1753,24 @@ class EmbeddingWriter:
         else None (label-mean default)."""
         if not self.train_codebook:
             return None
+        from . import incremental
         from .queries import release_persists
-        from .queries.clustering import kmeans_embeddings
+        from .queries.clustering import (
+            kmeans_embeddings,
+            proportional_train_k,
+        )
 
+        k = self.train_k
+        if k is None:
+            # Corpus-proportional cells (⌈√n⌉): n from store footers —
+            # driver-side metadata, zero Spark jobs, and re-resolved at
+            # EVERY build so reconcile grows the geometry with the store.
+            k = proportional_train_k(incremental._dir_rows(self.store_dir))
         try:
             return kmeans_embeddings(
                 self.spark,
                 self.store(),
-                k=self.train_k,
+                k=k,
                 iters=self.train_iters,
                 init="kmeans_par",
             )

@@ -356,6 +356,30 @@ def _assign_fn(cls_np: np.ndarray, C: np.ndarray):
     return assign
 
 
+# The published FAISS sizing rule for the coarse quantizer: the cell
+# count grows with the corpus (k ≈ √n keeps cell population ≈ √n and,
+# under the cell-proportional nprobe default, the probed FRACTION of
+# the corpus constant while cells get finer — recall rises instead of
+# plateauing at a frozen geometry; RECALL.md round-11 finding #5 showed
+# the IVF family cell-coverage-bound at the fixed 10-cell fixture).
+TRAIN_K_FLOOR = 8
+
+
+def proportional_train_k(n: int) -> int:
+    """Corpus-proportional coarse-codebook size: ⌈√n⌉ floored at
+    TRAIN_K_FLOOR, capped at n (k-means can't fill more cells than
+    vectors). `EmbeddingWriter(train_k=None)` resolves this at every
+    index BUILD (bootstrap + reconcile) from store parquet footers —
+    zero Spark jobs — so a growing corpus grows its cell count at each
+    retrain and the probe width scales with it."""
+    n = int(n)
+    if n < 1:
+        raise ValueError("need a non-empty corpus to size a codebook")
+    import math
+
+    return max(1, min(n, max(TRAIN_K_FLOOR, math.isqrt(n - 1) + 1)))
+
+
 def codebook_rows(res: KMeansResult) -> list[dict]:
     """A trained :class:`KMeansResult` as ANN-codebook rows — the
     ``{"cell", "centroid"}`` shape `similarity._ivf_ranked_assignment`,

@@ -168,13 +168,43 @@ def _hint_subtrees(analyzed: str):
         yield line, sub
 
 
+def _literal_in_bounded_aggregate(sub: list[str]) -> bool:
+    """True if some Aggregate in the subtree groups ONLY on attributes
+    that a literal IN filter below it restricts to a fixed value list —
+    its output cardinality is then ≤ |IN list| regardless of corpus
+    size (the `bm25_scores` per-query-term df relation: groupBy(term)
+    under `term IN ('scan','column',...)`)."""
+    import re
+
+    # attribute ids constrained by a literal IN list (no #refs inside
+    # the parens — a correlated IN would not bound cardinality)
+    bounded_ids = set()
+    for s in sub:
+        for m in re.finditer(r"#(\d+)L? IN \(([^)]*)\)", s):
+            if "#" not in m.group(2):
+                bounded_ids.add(m.group(1))
+    if not bounded_ids:
+        return False
+    for s in sub:
+        body = s.lstrip(" :+-")
+        m = re.match(r"Aggregate \[([^\]]*)\], \[", body)
+        if not m:
+            continue
+        keys = re.findall(r"#(\d+)", m.group(1))
+        if keys and all(k in bounded_ids for k in keys):
+            return True
+    return False
+
+
 def test_no_forced_broadcast_on_sf_growing_relations(spark, sf_dir):
     """An explicit broadcast hint is NEVER demoted by AQE, so a hint on an
     SF-growing relation (customer/supplier/orders/lineitem/part/events/
     documents/embeddings) is an OOM class at 100 TB. Only fixed-cardinality
     sides may be hint-forced: nation (25 rows), region (5), literal local
-    relations (bands), and global 1-row aggregates (which print as
-    `Aggregate [exprs]` — no grouping list)."""
+    relations (bands), global 1-row aggregates (which print as
+    `Aggregate [exprs]` — no grouping list), and grouped aggregates whose
+    every grouping key is pinned to a literal IN list (≤ |list| rows at
+    any scale — the BM25 per-query-term df relation)."""
     for name in sorted(QUERIES):
         df = QUERIES[name](spark, sf_dir)
         analyzed = df._jdf.queryExecution().analyzed().toString()
@@ -184,6 +214,9 @@ def test_no_forced_broadcast_on_sf_growing_relations(spark, sf_dir):
                 s.lstrip(" :+-").startswith("Aggregate [") and "], [" not in s
                 for s in sub
             ):
+                continue
+            # Exempt: grouping keys pinned by a literal IN filter.
+            if _literal_in_bounded_aggregate(sub):
                 continue
             for s in sub:
                 if "Relation" in s and "parquet" in s:

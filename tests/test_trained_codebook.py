@@ -177,3 +177,84 @@ def test_embedding_writer_trains_codebook_at_build(spark, sf_dir, tmp_path):
     assert [(r["cell"], r["centroid"]) for r in got2] == [
         (r["cell"], r["centroid"]) for r in want2
     ]
+
+
+def test_proportional_train_k_rule():
+    """⌈√n⌉ floored at TRAIN_K_FLOOR, capped at n — the FAISS coarse-
+    quantizer sizing rule `EmbeddingWriter(train_k=None)` resolves at
+    every build."""
+    from kinesis_iterator_spark.queries.clustering import (
+        TRAIN_K_FLOOR,
+        proportional_train_k,
+    )
+
+    assert TRAIN_K_FLOOR == 8
+    assert proportional_train_k(1) == 1  # capped at n
+    assert proportional_train_k(5) == 5  # floor 8 capped at n=5
+    assert proportional_train_k(64) == 8
+    assert proportional_train_k(65) == 9  # ceil(sqrt(65)) = 9
+    assert proportional_train_k(250) == 16
+    assert proportional_train_k(500) == 23
+    assert proportional_train_k(2000) == 45
+    assert proportional_train_k(10**12) == 10**6  # the 100 TB point
+    with pytest.raises(ValueError, match="non-empty"):
+        proportional_train_k(0)
+
+
+def test_writer_default_train_k_grows_cells_on_reconcile(
+    spark, sf_dir, tmp_path
+):
+    """EmbeddingWriter(train_codebook=True) with train_k omitted: the
+    bootstrap build trains ⌈√n_store⌉ cells, and a reconcile over the
+    GROWN store trains MORE cells — the geometry scales with the
+    corpus, so the cell-proportional nprobe default widens with it
+    (closing RECALL.md's 'cell-coverage-bound at a frozen 10-cell
+    fixture' finding at the writer level)."""
+    from kinesis_iterator_spark.pipeline import EmbeddingWriter
+    from kinesis_iterator_spark.queries.clustering import (
+        proportional_train_k,
+    )
+    from kinesis_iterator_spark.queries.quantization import (
+        proportional_nprobe,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    b1 = emb.filter(F.col("vec_id") % 2 == 0)
+    b2 = emb.filter(F.col("vec_id") % 2 == 1)
+    w = EmbeddingWriter(
+        spark,
+        str(tmp_path / "store"),
+        str(tmp_path / "idx"),
+        train_codebook=True,
+        train_iters=2,
+    )
+    s1 = w.admit(b1)
+    release_persists()
+    n1 = w.store().count()
+    assert s1["n_admitted"] == n1
+    stored1 = read_ann_codebook(str(tmp_path / "idx"))
+    # == a fresh train at the proportional size (k-means may retire
+    # empty cells, so the pin is the trained RESULT, not the raw rule)
+    want1 = codebook_rows(
+        kmeans_embeddings(
+            spark, w.store(), k=proportional_train_k(n1), iters=2,
+            init="kmeans_par",
+        )
+    )
+    release_persists()
+    assert [(r["cell"], r["centroid"]) for r in stored1] == [
+        (r["cell"], r["centroid"]) for r in want1
+    ]
+    cells1 = len(stored1)
+    w.admit(b2)
+    release_persists()
+    # frozen between builds: the admit extended, it did not retrain
+    assert len(read_ann_codebook(str(tmp_path / "idx"))) == cells1
+    w.reconcile()
+    release_persists()
+    n2 = w.store().count()
+    cells2 = len(read_ann_codebook(str(tmp_path / "idx")))
+    assert proportional_train_k(n2) > proportional_train_k(n1)
+    assert cells2 > cells1
+    # and the probe-width default widens with the geometry
+    assert proportional_nprobe(cells2) > proportional_nprobe(cells1)

@@ -221,6 +221,51 @@ def sweep(spark, sf_dir: str) -> list[dict]:
              f"proportional defaults (shortlist={sl} nprobe={np_})",
              default_runner(ivfpq_topk_from_index, res_books, True))
 
+    # -- corpus-PROPORTIONAL CELLS (round 12): the same stored-index
+    # read paths over an index whose coarse codebook was TRAINED at
+    # ⌈√n⌉ cells (`proportional_train_k` — the EmbeddingWriter
+    # train_k=None default) instead of the 10 frozen label-mean cells.
+    # With the cell-proportional nprobe riding on top, the probed
+    # corpus FRACTION stays ~constant while cells get finer — the
+    # finding-#5 ceiling (cell-coverage-bound at a frozen geometry)
+    # lifts with the corpus.
+    from kinesis_iterator_spark.queries.clustering import (
+        codebook_rows,
+        kmeans_embeddings,
+        proportional_train_k,
+    )
+
+    kp = proportional_train_k(n)
+    idx2 = tempfile.mkdtemp(prefix="recall_idx_prop_") + "/ann"
+    cb = kmeans_embeddings(spark, emb, k=kp, iters=2, init="kmeans_par")
+    release_persists()
+    write_ann_index(spark, sf_dir, idx2, codebook=codebook_rows(cb))
+    write_pq_layer(spark, idx2, emb, iters=2)
+    write_ivfpq_layer(spark, idx2, emb, iters=2)
+    release_persists()
+    raw2 = read_pq_books(idx2)
+    res2 = read_ivfpq_books(idx2)
+    n_cells2 = len(read_ann_codebook(idx2))
+    np2 = proportional_nprobe(n_cells2)
+
+    def default_runner2(fn, books):
+        out = {}
+        for q in qids:
+            rows = fn(
+                spark, idx2, emb, qvecs[q], topk=K + 1, books=books
+            ).collect()
+            out[q] = [r for r in rows if r["vec_id"] != q][:K]
+        return _approx_frame_from_single_query(spark, out)
+
+    record_q("IVFADC (raw books)",
+             f"proportional cells (k={kp}->cells={n_cells2} "
+             f"shortlist={sl} nprobe={np2})",
+             default_runner2(pq_ivf_topk_from_index, raw2))
+    record_q("residual IVFPQ",
+             f"proportional cells (k={kp}->cells={n_cells2} "
+             f"shortlist={sl} nprobe={np2})",
+             default_runner2(ivfpq_topk_from_index, res2))
+
     exact_q.unpersist()
     exact.unpersist()
     return results
