@@ -251,3 +251,131 @@ def test_hybrid_ann_lexical_leg_served_from_stored_bm25(
     assert "documents" not in plan  # zero corpus-text work per query
     # term pushdown reaches the postings scan
     assert "PushedFilters" in plan and "In(term" in plan
+
+
+def test_stream_fed_two_writer_hybrid_serving(spark, tmp_path):
+    """The ingestion→serving loop end-to-end (the 100 TB story in one
+    test): ONE stream feeds BOTH writer families — every trigger batch
+    lands its text in a `CorpusWriter(bm25_index=True)` and its
+    payload-derived vector in an `EmbeddingWriter(train_codebook,
+    pq_residual)` — then a hybrid query is served ENTIRELY from the
+    stored layers (term-pushdown BM25 postings + residual-IVFADC
+    index; the `doc`-frame argument is None) and, at full probe
+    coverage, is bit-equal to the exact `hybrid_topk` over the
+    admitted corpus/store frames. ids share the stream's
+    sequenceNumber, so doc_id ≡ vec_id — the SemDeDup convention the
+    fusion expects."""
+    from kinesis_iterator_spark.pipeline import (
+        CorpusWriter,
+        CurationConfig,
+        EmbeddingWriter,
+    )
+    from kinesis_iterator_spark.queries.retrieval import (
+        hybrid_topk,
+        hybrid_topk_ann,
+    )
+    from kinesis_iterator_spark.queries.similarity import read_ann_codebook
+    from kinesis_iterator_spark.streaming import (
+        Iterator,
+        JsonFileSaver,
+        SimulatedShardedSource,
+    )
+
+    def records_to_docs(df):
+        return df.select(
+            F.col("sequenceNumber").cast("long").alias("doc_id"),
+            F.lit("en").alias("lang"),
+            F.col("streamName").alias("source"),
+            F.decode("data", "UTF-8").alias("text"),
+        )
+
+    dims = ",".join(
+        "cast((cast(conv(substring(md5(concat(pk, ':', payload, '"
+        f"{j}')), 1, 15), 16, 10) as bigint) % 1000) / 1000.0 - 0.5 "
+        "as float)"
+        for j in range(16)
+    )
+
+    def records_to_vectors(df):
+        return df.select(
+            F.col("sequenceNumber").cast("long").alias("vec_id"),
+            F.pmod(F.col("sequenceNumber").cast("long"), F.lit(97))
+            .cast("int")
+            .alias("label"),
+            F.col("partitionKey").alias("pk"),
+            F.decode("data", "UTF-8").alias("payload"),
+        ).select(
+            "vec_id", "label", F.expr(f"array({dims})").alias("embedding")
+        )
+
+    root = str(tmp_path)
+    w_text = CorpusWriter(
+        spark,
+        f"{root}/corpus",
+        f"{root}/index",
+        CurationConfig(min_words=1),
+        bm25_index=True,
+    )
+    w_vec = EmbeddingWriter(
+        spark,
+        f"{root}/store",
+        f"{root}/ann",
+        tau=0.9,
+        train_codebook=True,
+        train_k=8,
+        train_iters=2,
+        pq_layer=True,
+        pq_residual=True,
+        pq_m=4,
+        pq_ks=16,
+    )
+
+    def handle(df, _e):
+        w_text.admit(records_to_docs(df))
+        w_vec.admit(records_to_vectors(df))
+
+    (
+        Iterator(
+            SimulatedShardedSource(
+                spark, "/root/testdata/sf0.001", n_shards=4
+            )
+        )
+        .set_saver(JsonFileSaver(f"{root}/ck.json"))
+        .set_fetch_limit(120)
+        .foreach_batch(handle)
+        .run_until_drained()
+    )
+
+    corpus_doc = w_text.corpus().select("doc_id", "text")
+    emb_store = w_vec.store()
+    n = emb_store.count()
+    n_cells = len(read_ann_codebook(w_vec.index_dir))
+    assert n > 0 and n_cells > 1
+    # query: terms from the admitted corpus, vector = smallest stored id
+    first = corpus_doc.orderBy("doc_id").first()
+    terms = sorted(set(first["text"].split(" ")))[:3]
+    qrow = emb_store.orderBy("vec_id").first()
+    qvec = [float(v) for v in qrow["embedding"]]
+
+    kw = dict(topk=10, candidates=20)
+    want = hybrid_topk(
+        spark, corpus_doc, emb_store, terms, qvec, **kw
+    ).collect()
+    served = hybrid_topk_ann(
+        spark,
+        w_vec.index_dir,
+        None,  # no corpus frame: both legs ride stored layers
+        emb_store,
+        terms,
+        qvec,
+        nprobe=n_cells,
+        shortlist=n,
+        bm25_dir=w_text._bm25_dir(),
+        **kw,
+    ).collect()
+    assert [tuple(r) for r in served] == [tuple(r) for r in want]
+    assert len(served) == 10
+    # the query's own vector serves at semantic rank 1 (cosine 1)
+    by_id = {r["doc_id"]: r for r in served}
+    assert qrow["vec_id"] in by_id
+    assert by_id[qrow["vec_id"]]["sem_rnk"] == 1
