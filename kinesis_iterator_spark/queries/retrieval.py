@@ -918,12 +918,18 @@ def hybrid_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`hybrid_oracle_sql`, literal-free `query_vec_sql` form) replays
     the BM25 chain, the list_reduce cosine fold, both candidate cuts,
     and the RRF arithmetic."""
+    import pyarrow.parquet as pa_pq
+
     doc = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     emb = load_table(spark, sf_dir, "embeddings")
-    qv = [
-        float(v)
-        for v in emb.filter(F.col("vec_id") == 0).first()["embedding"]
-    ]
+    # Driver-side pyarrow read of vec_id 0's embedding — zero Spark
+    # jobs (the `read_ann_codebook` discipline; parquet float32 →
+    # python float is bit-exact, identical to a collect()).
+    t = pa_pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = t.column("vec_id").to_pylist()
+    qv = [float(v) for v in t.column("embedding")[ids.index(0)].as_py()]
     return hybrid_topk(
         spark, doc, emb, _REGISTRY_TERMS, qv, topk=10, candidates=50
     )
