@@ -606,3 +606,53 @@ def bpe_encode_ids(
     return doc.select("doc_id", "text").mapInPandas(
         encode, "doc_id long, pos long, token_id long"
     )
+
+
+def bpe_decode_ids(
+    tok: DataFrame, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """(doc_id, text) from `bpe_encode_ids` rows — the inverse map that
+    completes the tokenizer roundtrip: ids < |vocab| resolve through
+    the inverted `bpe_vocab`, residual ids to ``chr(id - |vocab|)``
+    (the open-alphabet convention), and a piece ending in the
+    end-of-word sentinel closes the current word. Exact inverse of the
+    encoder on space-normalized text (encoding drops empty words, so
+    doubled separators normalize — pinned); one Arrow pass grouped by
+    doc_id, tokens ordered by pos inside the kernel so the result is
+    partitioning-invariant."""
+    vocab = bpe_vocab(merges)
+    inv = {i: p for p, i in vocab.items()}
+    base = len(vocab)
+    n_eow = len(EOW)
+
+    def decode(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("pos")
+        words: list[str] = []
+        cur: list[str] = []
+        for tid in pdf["token_id"]:
+            tid = int(tid)
+            piece = inv[tid] if tid < base else chr(tid - base)
+            if piece.endswith(EOW):
+                cur.append(piece[:-n_eow])
+                words.append("".join(cur))
+                cur = []
+            else:
+                cur.append(piece)
+        if cur:
+            raise ValueError(
+                f"doc {int(pdf['doc_id'].iloc[0])}: token stream ends "
+                "mid-word (no end-of-word sentinel) — truncated or "
+                "corrupted ids"
+            )
+        return pd.DataFrame(
+            {
+                "doc_id": [int(pdf["doc_id"].iloc[0])],
+                "text": [" ".join(words)],
+            }
+        )
+
+    return tok.groupBy("doc_id").applyInPandas(
+        decode, "doc_id long, text string"
+    )

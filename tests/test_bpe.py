@@ -260,3 +260,41 @@ def test_driver_actions_constant_in_n_merges(spark):
     big = njobs() - j1
     assert big == small, (small, big)
     assert small <= 4
+
+
+def test_decode_roundtrips_encode(spark, trained):
+    """`bpe_decode_ids ∘ bpe_encode_ids` is the identity on
+    space-normalized text (encoding drops empty words) — the tokenizer
+    roundtrip, doc-exact at fixture scale; and a truncated id stream
+    (no closing end-of-word sentinel) fails loudly instead of silently
+    reconstructing a shorter document."""
+    from kinesis_iterator_spark.bpe import bpe_decode_ids, bpe_encode_ids
+
+    doc = _doc(spark, SF_DIRS[0])
+    got = {
+        r["doc_id"]: r["text"]
+        for r in bpe_decode_ids(
+            bpe_encode_ids(doc, trained), trained
+        ).collect()
+    }
+    want = {
+        r["doc_id"]: " ".join(w for w in r["text"].split(" ") if w)
+        for r in doc.collect()
+    }
+    assert got == want
+
+    from pyspark.sql.window import Window
+
+    truncated = (
+        bpe_encode_ids(doc.limit(5), trained)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(F.desc("pos"))
+            ),
+        )
+        .filter(F.col("rn") > 1)  # drop each doc's LAST token
+        .drop("rn")
+    )
+    with pytest.raises(Exception, match="end-of-word sentinel"):
+        bpe_decode_ids(truncated, trained).collect()
