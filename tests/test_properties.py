@@ -326,3 +326,96 @@ def test_pack_sequences_invariants_random_corpora(spark, tokens, ctx):
             if s > ctx:
                 assert sum(1 for r in rs if r["pack"] == p) == 1
         assert set(sums) == set(range(len(sums)))
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.floats(-8, 8, allow_nan=False, width=32),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=24,
+    ),
+)
+@settings(max_examples=40, deadline=None)
+def test_fold_dot_helpers_bit_identical_to_scalar_loop(vecs):
+    """Every vectorized dot-fold helper (`_fold_dot_rows`, the
+    transposed-layout `_fold_dot_rows_T` / `_fold_dot_pairs`) is the
+    SAME sequential d-ascending left fold as a scalar Python loop —
+    bit-identical on arbitrary float32 inputs. The whole cross-engine
+    vector discipline (Spark ≡ DuckDB list_reduce ≡ SQL `+` chain)
+    rests on this identity, so it gets an adversarial pin, not just
+    fixture coverage."""
+    import numpy as np
+
+    from kinesis_iterator_spark.queries.similarity import (
+        _fold_dot_pairs,
+        _fold_dot_rows,
+        _fold_dot_rows_T,
+    )
+
+    # float32 storage, float64 fold — the engine's convention (gathered
+    # payloads are cast to f8 before any fold).
+    A = np.asarray(vecs, dtype=np.float32).astype(np.float64)
+    B = A[::-1].copy()
+
+    def scalar(a, b):
+        acc = float(a[0]) * float(b[0])
+        for x, y in zip(a[1:], b[1:]):
+            acc = acc + float(x) * float(y)
+        return acc
+
+    want = np.array([scalar(a, b) for a, b in zip(A, B)])
+    got_rows = _fold_dot_rows(A, B)
+    assert got_rows.tolist() == want.tolist()
+    AT = np.ascontiguousarray(A.T)
+    BT = np.ascontiguousarray(B.T)
+    assert _fold_dot_rows_T(AT, BT).tolist() == want.tolist()
+    # self-pair form: both sides gather from ONE transposed corpus
+    M = np.vstack([A, B])
+    MT = np.ascontiguousarray(M.T)
+    i = np.arange(len(A))
+    j = np.arange(len(A)) + len(A)
+    assert _fold_dot_pairs(MT, i, j).tolist() == want.tolist()
+
+
+@given(
+    st.lists(st.integers(1, 200), min_size=1, max_size=30, unique=True),
+    st.lists(st.integers(1, 200), min_size=1, max_size=30, unique=True),
+)
+@settings(max_examples=30, deadline=None)
+def test_rrf_fixed_point_is_exact_and_order_free(lex_ranks, sem_ranks):
+    """The RRF integer arithmetic: RRF_FIX // (k0 + rank) summed over
+    legs is exact (no float on the sort key) and symmetric in the
+    legs, and ordering by rrf_fix is a total refinement of ordering by
+    the true rational RRF score — fusion can never invert two
+    documents whose exact scores differ."""
+    from fractions import Fraction
+
+    from kinesis_iterator_spark.queries.retrieval import RRF_FIX, RRF_K0
+
+    def fix(lr, sr):
+        s = 0
+        if lr is not None:
+            s += RRF_FIX // (RRF_K0 + lr)
+        if sr is not None:
+            s += RRF_FIX // (RRF_K0 + sr)
+        return s
+
+    def frac(lr, sr):
+        s = Fraction(0)
+        if lr is not None:
+            s += Fraction(1, RRF_K0 + lr)
+        if sr is not None:
+            s += Fraction(1, RRF_K0 + sr)
+        return s
+
+    docs = [(l, s) for l in [*lex_ranks, None] for s in [*sem_ranks, None]]
+    for a in docs:
+        assert fix(*a) == fix(*reversed(a)) or a[0] == a[1]
+        for b in docs:
+            # exact-score strict order is never inverted by the fix key
+            if frac(*a) > frac(*b):
+                assert fix(*a) >= fix(*b)
