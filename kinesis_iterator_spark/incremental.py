@@ -892,3 +892,100 @@ def release_lease(index_dir: str, writer_id: str) -> None:
         os.remove(tmp)
     except OSError:
         pass
+
+
+# --- admission snapshots (as-of reads over the append-only stores) ------
+#
+# The corpus/store dirs are APPEND-ONLY after bootstrap (admits append
+# novel rows; reconcile/compaction rewrite derived INDEX layers, never
+# the data of record), so a per-admit manifest of the parquet files each
+# admission added gives exact time travel for free: `store(as_of=g)` /
+# `corpus(as_of=g)` read precisely the files the first g recorded
+# admissions committed — reproducible training snapshots and reader
+# isolation against in-flight admits, with ZERO Spark jobs (os.listdir +
+# one appended JSONL line per admit). The manifest lives INSIDE the data
+# dir under a "_"-prefixed name: Spark's file index and pyarrow dataset
+# discovery both skip it, and a bootstrap `mode("overwrite")` clears it
+# together with the data — generations restart with the store, so a
+# manifest can never describe files from a previous life of the dir.
+# Crash contract: the manifest line is appended AFTER the data commit;
+# a crash in between leaves the files unattributed until the NEXT
+# recorded admission sweeps them in (snapshots stay consistent, the
+# full-dir read stays complete). A torn tail line (crash mid-append) is
+# skipped by the reader (JSONL discipline).
+
+SNAPSHOT_NAME = "_snapshots.jsonl"
+
+
+def _snapshot_path(data_dir: str) -> str:
+    return os.path.join(data_dir, SNAPSHOT_NAME)
+
+
+def _data_files(data_dir: str) -> list[str]:
+    return sorted(
+        f for f in os.listdir(data_dir) if f.endswith(".parquet")
+    )
+
+
+def _read_snapshots(data_dir: str) -> list[dict]:
+    """Valid manifest lines (unparseable tails from a torn append are
+    skipped — only ever the LAST line, but the reader tolerates any)."""
+    path = _snapshot_path(data_dir)
+    if not os.path.exists(path):
+        return []
+    out = []
+    with open(path) as fh:
+        for line in fh:
+            try:
+                rec = json.loads(line)
+                out.append({"files": list(rec["files"]), "n": rec.get("n")})
+            except (ValueError, KeyError, TypeError):
+                continue
+    return out
+
+
+def record_snapshot(data_dir: str, n: int | None = None) -> int:
+    """Record the files the just-committed admission added (everything
+    in ``data_dir`` not attributed to an earlier snapshot) as the next
+    generation; returns that 1-based generation. Call AFTER the data
+    write commits (and under the writer's lease — this is writer-side
+    metadata)."""
+    seen: set[str] = set()
+    for rec in _read_snapshots(data_dir):
+        seen.update(rec["files"])
+    delta = [f for f in _data_files(data_dir) if f not in seen]
+    with open(_snapshot_path(data_dir), "a") as fh:
+        fh.write(json.dumps({"files": delta, "n": n}) + "\n")
+        fh.flush()
+        os.fsync(fh.fileno())
+    return len(_read_snapshots(data_dir))
+
+
+def snapshot_gens(data_dir: str) -> int:
+    """How many admission snapshots the dir records (0 for a
+    pre-snapshot layout or a dir without recorded admissions)."""
+    return len(_read_snapshots(data_dir))
+
+
+def snapshot_files(data_dir: str, as_of: int) -> list[str]:
+    """Absolute paths of the data files visible at generation
+    ``as_of`` (1-based). Loud on an unknown generation or a dir with
+    no manifest — silently reading the full dir would break the
+    isolation the caller asked for."""
+    recs = _read_snapshots(data_dir)
+    if not recs:
+        raise ValueError(
+            f"{data_dir} records no admission snapshots ({SNAPSHOT_NAME}"
+            " missing or empty) — as-of reads need a writer that "
+            "recorded them; use the plain full read instead"
+        )
+    if not 1 <= as_of <= len(recs):
+        raise ValueError(
+            f"as_of={as_of} out of range: {data_dir} records "
+            f"{len(recs)} snapshot generation(s)"
+        )
+    return [
+        os.path.join(data_dir, f)
+        for rec in recs[:as_of]
+        for f in rec["files"]
+    ]

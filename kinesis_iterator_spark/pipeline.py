@@ -794,10 +794,20 @@ class CorpusWriter:
     def _corpus_exists(self) -> bool:
         return _parquet_dir_committed(self.corpus_dir)
 
-    def corpus(self) -> DataFrame:
+    def corpus(self, as_of: int | None = None) -> DataFrame:
         """The admitted corpus so far (doc_id, lang, source, text,
-        tokens)."""
-        return self.spark.read.parquet(self.corpus_dir)
+        tokens). ``as_of``: a 1-based admission-snapshot generation
+        (the ``snapshot`` field of that admit's stats) — read EXACTLY
+        the files the first ``as_of`` recorded admissions committed
+        (`incremental.snapshot_files`, zero jobs): reproducible
+        training snapshots, and isolation from an in-flight admit."""
+        from . import incremental
+
+        if as_of is None:
+            return self.spark.read.parquet(self.corpus_dir)
+        return self.spark.read.parquet(
+            *incremental.snapshot_files(self.corpus_dir, as_of)
+        )
 
     def _contaminated_ids(self, survivors: DataFrame) -> DataFrame:
         """doc_ids among the batch survivors whose distinct hashed
@@ -1140,6 +1150,13 @@ class CorpusWriter:
                 stats["rejected_exact"] = by_verdict.get("exact_dup", 0)
                 stats["rejected_near"] = by_verdict.get("near_dup", 0)
                 stats["n_admitted"] = by_verdict.get("novel", 0)
+                # Admission snapshot — AFTER the corpus commit (the
+                # manifest attributes exactly this admit's files; a
+                # crash before this line leaves them for the next
+                # recorded admission — snapshots stay consistent).
+                stats["snapshot"] = incremental.record_snapshot(
+                    self.corpus_dir, n=stats["n_admitted"]
+                )
                 if self.config.dedup_paragraphs:
                     # Append the ADMITTED docs' paragraph digests —
                     # novel text is already paragraph-unique vs store
@@ -1199,6 +1216,11 @@ class CorpusWriter:
                 )
                 incremental.verify_lease(*self._fence())
                 survivors.write.mode("overwrite").parquet(self.corpus_dir)
+                # Generation 1: the overwrite cleared any prior
+                # manifest with the data it described.
+                stats["snapshot"] = incremental.record_snapshot(
+                    self.corpus_dir, n=stats["n_admitted"]
+                )
                 # Paragraph layer before the index build, same ordering
                 # invariant as the append path: the layer is never
                 # behind the corpus once meta is readable (a crash
@@ -1803,9 +1825,19 @@ class EmbeddingWriter:
         token (VERDICT r11 #5)."""
         return (self.index_dir, self._writer_id, self._lease_gen)
 
-    def store(self) -> DataFrame:
-        """The admitted vectors so far (vec_id, label, embedding)."""
-        return self.spark.read.parquet(self.store_dir)
+    def store(self, as_of: int | None = None) -> DataFrame:
+        """The admitted vectors so far (vec_id, label, embedding).
+        ``as_of``: a 1-based admission-snapshot generation (the
+        ``snapshot`` stats field) — read exactly the files the first
+        ``as_of`` recorded admissions committed
+        (`incremental.snapshot_files`, zero jobs)."""
+        from . import incremental
+
+        if as_of is None:
+            return self.spark.read.parquet(self.store_dir)
+        return self.spark.read.parquet(
+            *incremental.snapshot_files(self.store_dir, as_of)
+        )
 
     def _in_batch_rejects(
         self, batch_emb: DataFrame, sig: DataFrame, cap: int, b: int
@@ -1903,6 +1935,10 @@ class EmbeddingWriter:
             finally:
                 release_local_checkpoint(rejects)
             stats["n_admitted"] = stats["n_input"] - stats["rejected_in_batch"]
+            # Generation 1 (the overwrite cleared any prior manifest).
+            stats["snapshot"] = incremental.record_snapshot(
+                self.store_dir, n=stats["n_admitted"]
+            )
             # n from the stage-count identity — no count job over the
             # just-written store (CLAUDE.md: footer/known counts, never
             # a count() job for parameterization).
@@ -2067,6 +2103,12 @@ class EmbeddingWriter:
             # Every batch row is either an in-batch reject or a
             # classified survivor — n_input needs no count job here
             # (the bootstrap path counts because geometry needs n).
+            # Admission snapshot — after the store commit (the
+            # CorpusWriter discipline: a crash before this line leaves
+            # the files for the next recorded admission).
+            stats["snapshot"] = incremental.record_snapshot(
+                self.store_dir, n=stats["n_admitted"]
+            )
             stats["n_input"] = (
                 stats["rejected_in_batch"]
                 + stats["rejected_near"]

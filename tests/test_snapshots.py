@@ -1,0 +1,162 @@
+"""Admission snapshots (round 12): the corpus/store dirs are
+append-only after bootstrap, so a per-admit manifest of the parquet
+files each admission committed (`incremental.record_snapshot`, one
+JSONL line, zero Spark jobs) gives exact as-of reads —
+`CorpusWriter.corpus(as_of=g)` / `EmbeddingWriter.store(as_of=g)`
+return the data of record exactly as it stood after recorded
+admission g: reproducible training snapshots and reader isolation
+from in-flight admits. Pins: per-admit equality, full-read identity,
+unattributed-files crash contract, torn-tail tolerance, loud
+failures on unknown generations and manifest-less dirs."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kinesis_iterator_spark import incremental
+from kinesis_iterator_spark.pipeline import (
+    CorpusWriter,
+    CurationConfig,
+    EmbeddingWriter,
+)
+from kinesis_iterator_spark.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _ids(df, col):
+    return sorted(r[col] for r in df.select(col).collect())
+
+
+def test_embedding_store_as_of_every_generation(spark, tmp_path):
+    emb = load_table(spark, SF, "embeddings")
+    w = EmbeddingWriter(
+        spark, str(tmp_path / "store"), str(tmp_path / "ann"), tau=0.9
+    )
+    seen: list[list[int]] = []
+    stats = []
+    for m in range(3):
+        s = w.admit(emb.filter(F.col("vec_id") % 3 == m))
+        stats.append(s)
+        seen.append(_ids(w.store(), "vec_id"))
+    assert [s["snapshot"] for s in stats] == [1, 2, 3]
+    assert incremental.snapshot_gens(str(tmp_path / "store")) == 3
+    for g in (1, 2, 3):
+        assert _ids(w.store(as_of=g), "vec_id") == seen[g - 1]
+    # the latest snapshot IS the full read
+    assert _ids(w.store(as_of=3), "vec_id") == _ids(w.store(), "vec_id")
+    # a replayed batch admits nothing but still records a generation
+    # (its delta is empty or an empty part file) — as-of stays exact
+    s = w.admit(emb.filter(F.col("vec_id") % 3 == 0))
+    assert s["n_admitted"] == 0 and s["snapshot"] == 4
+    assert _ids(w.store(as_of=4), "vec_id") == seen[-1]
+
+
+def test_corpus_as_of_and_bootstrap_restart(spark, tmp_path):
+    doc = load_table(spark, SF, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    w = CorpusWriter(
+        spark,
+        str(tmp_path / "corpus"),
+        str(tmp_path / "index"),
+        CurationConfig(),
+    )
+    s1 = w.admit(doc.filter(F.col("doc_id") % 2 == 0))
+    ids1 = _ids(w.corpus(), "doc_id")
+    s2 = w.admit(doc.filter(F.col("doc_id") % 2 == 1))
+    assert (s1["snapshot"], s2["snapshot"]) == (1, 2)
+    assert _ids(w.corpus(as_of=1), "doc_id") == ids1
+    assert _ids(w.corpus(as_of=2), "doc_id") == _ids(w.corpus(), "doc_id")
+    # a FRESH bootstrap (new dirs) restarts generations at 1 — the
+    # overwrite clears the manifest with the data it described
+    w2 = CorpusWriter(
+        spark,
+        str(tmp_path / "corpus2"),
+        str(tmp_path / "index2"),
+        CurationConfig(),
+    )
+    s = w2.admit(doc.filter(F.col("doc_id") % 2 == 0))
+    assert s["snapshot"] == 1
+    assert incremental.snapshot_gens(str(tmp_path / "corpus2")) == 1
+
+
+def test_crash_before_manifest_line_keeps_snapshots_consistent(
+    spark, tmp_path
+):
+    """Files committed by an admit that crashed BEFORE its manifest
+    line stay invisible to as-of reads (snapshots consistent) while
+    the full read stays complete, and the NEXT recorded admission
+    sweeps them into its generation."""
+    emb = load_table(spark, SF, "embeddings")
+    w = EmbeddingWriter(
+        spark, str(tmp_path / "store"), str(tmp_path / "ann"), tau=0.9
+    )
+    w.admit(emb.filter(F.col("vec_id") % 3 == 0))
+    ids1 = _ids(w.store(), "vec_id")
+    w.admit(emb.filter(F.col("vec_id") % 3 == 1))
+    # simulate the crash window: drop the SECOND admit's manifest line
+    path = incremental._snapshot_path(str(tmp_path / "store"))
+    lines = open(path).read().splitlines(keepends=True)
+    with open(path, "w") as fh:
+        fh.write(lines[0])
+    assert incremental.snapshot_gens(str(tmp_path / "store")) == 1
+    assert _ids(w.store(as_of=1), "vec_id") == ids1  # consistent
+    full = _ids(w.store(), "vec_id")
+    assert set(ids1) < set(full)  # full read still complete
+    # next recorded admission attributes the orphaned files
+    s3 = w.admit(emb.filter(F.col("vec_id") % 3 == 2))
+    assert s3["snapshot"] == 2
+    assert _ids(w.store(as_of=2), "vec_id") == _ids(w.store(), "vec_id")
+
+
+def test_torn_tail_line_is_skipped(spark, tmp_path):
+    emb = load_table(spark, SF, "embeddings")
+    w = EmbeddingWriter(
+        spark, str(tmp_path / "store"), str(tmp_path / "ann"), tau=0.9
+    )
+    w.admit(emb.filter(F.col("vec_id") < 100))
+    path = incremental._snapshot_path(str(tmp_path / "store"))
+    with open(path, "a") as fh:
+        fh.write('{"files": ["part-torn')  # crash mid-append
+    assert incremental.snapshot_gens(str(tmp_path / "store")) == 1
+    assert len(_ids(w.store(as_of=1), "vec_id")) > 0
+
+
+def test_loud_on_unknown_generation_and_manifestless_dir(
+    spark, tmp_path
+):
+    emb = load_table(spark, SF, "embeddings")
+    w = EmbeddingWriter(
+        spark, str(tmp_path / "store"), str(tmp_path / "ann"), tau=0.9
+    )
+    w.admit(emb.filter(F.col("vec_id") < 50))
+    with pytest.raises(ValueError, match="out of range"):
+        w.store(as_of=7)
+    # pre-snapshot layout: data without a manifest
+    os.remove(incremental._snapshot_path(str(tmp_path / "store")))
+    with pytest.raises(ValueError, match="no admission snapshots"):
+        w.store(as_of=1)
+    assert len(_ids(w.store(), "vec_id")) > 0  # plain read unaffected
+
+
+def test_manifest_invisible_to_scans_and_footer_counts(spark, tmp_path):
+    """The `_`-prefixed manifest must be ignored by Spark's file
+    index, by pyarrow discovery (`_dir_rows`), and by the snapshot
+    file lister itself."""
+    emb = load_table(spark, SF, "embeddings")
+    w = EmbeddingWriter(
+        spark, str(tmp_path / "store"), str(tmp_path / "ann"), tau=0.9
+    )
+    s = w.admit(emb.filter(F.col("vec_id") < 100))
+    d = str(tmp_path / "store")
+    assert incremental.SNAPSHOT_NAME in os.listdir(d)
+    assert w.store().count() == s["n_admitted"]  # Spark scan unaffected
+    assert incremental._dir_rows(d) == s["n_admitted"]
+    assert not any(
+        incremental.SNAPSHOT_NAME in f
+        for f in incremental.snapshot_files(d, 1)
+    )
