@@ -809,6 +809,14 @@ class CorpusWriter:
             *incremental.snapshot_files(self.corpus_dir, as_of)
         )
 
+    def snapshots(self) -> int:
+        """Recorded admission-snapshot generations (0 for a corpus
+        written before snapshots existed) — valid ``as_of`` values are
+        1..this."""
+        from . import incremental
+
+        return incremental.snapshot_gens(self.corpus_dir)
+
     def _contaminated_ids(self, survivors: DataFrame) -> DataFrame:
         """doc_ids among the batch survivors whose distinct hashed
         k-gram shingles collide with the benchmark's beyond
@@ -1838,6 +1846,14 @@ class EmbeddingWriter:
         return self.spark.read.parquet(
             *incremental.snapshot_files(self.store_dir, as_of)
         )
+
+    def snapshots(self) -> int:
+        """Recorded admission-snapshot generations (0 for a store
+        written before snapshots existed) — valid ``as_of`` values are
+        1..this."""
+        from . import incremental
+
+        return incremental.snapshot_gens(self.store_dir)
 
     def _in_batch_rejects(
         self, batch_emb: DataFrame, sig: DataFrame, cap: int, b: int

@@ -44,6 +44,7 @@ def test_embedding_store_as_of_every_generation(spark, tmp_path):
         seen.append(_ids(w.store(), "vec_id"))
     assert [s["snapshot"] for s in stats] == [1, 2, 3]
     assert incremental.snapshot_gens(str(tmp_path / "store")) == 3
+    assert w.snapshots() == 3
     for g in (1, 2, 3):
         assert _ids(w.store(as_of=g), "vec_id") == seen[g - 1]
     # the latest snapshot IS the full read
@@ -82,6 +83,7 @@ def test_corpus_as_of_and_bootstrap_restart(spark, tmp_path):
     s = w2.admit(doc.filter(F.col("doc_id") % 2 == 0))
     assert s["snapshot"] == 1
     assert incremental.snapshot_gens(str(tmp_path / "corpus2")) == 1
+    assert w2.snapshots() == 1 and w.snapshots() == 2
 
 
 def test_crash_before_manifest_line_keeps_snapshots_consistent(
