@@ -1908,7 +1908,8 @@ class EmbeddingWriter:
         """Run one (vec_id, label, embedding) batch through in-batch
         near-dup pruning + vs-store classification; append the novel
         vectors to the store and their index rows to the ANN index.
-        Returns stage counts: ``n_input`` / ``rejected_in_batch`` /
+        Returns stage counts (plus ``snapshot``, this admission's
+        as-of generation): ``n_input`` / ``rejected_in_batch`` /
         ``rejected_near`` / ``n_admitted``."""
         from . import incremental
         from .queries import release_local_checkpoint
