@@ -544,10 +544,30 @@ def bpe_vocab(merges: list[tuple[str, str]]) -> dict[str, int]:
     merged piece (in merge-rank order, the GPT-2 convention), with
     unmerged single characters resolved at encode time via a stable
     fallback (see `bpe_encode_ids`). Pure function of the merge list,
-    so two runs over the same corpus produce identical id spaces."""
+    so two runs over the same corpus produce identical id spaces.
+
+    Loud guard (ADVICE r12): a corpus whose TEXT literally contains the
+    end-of-word sentinel string can train a merge whose piece spells the
+    sentinel out of literal characters — e.g. ('</', 'w>') → '</w>'.
+    Such a piece would silently alias onto sentinel id 0 here (the
+    duplicate skip) and falsely close words in `bpe_decode_ids`,
+    breaking the exact-inverse contract. The first such formation is
+    detectable structurally: a legitimate word-final merge always has a
+    SECOND element that itself ends with the sentinel (the sentinel
+    symbol rides at the end of the symbol chain), so a piece ending in
+    the sentinel whose second element does not is literal-character
+    spelling — refused."""
     vocab: dict[str, int] = {EOW: 0}
     for a, b in merges:
         piece = a + b
+        if piece.endswith(EOW) and not b.endswith(EOW):
+            raise ValueError(
+                f"merge ({a!r}, {b!r}) spells the end-of-word sentinel "
+                f"{EOW!r} out of literal characters — the training text "
+                "contains the sentinel string, which the id space cannot "
+                "represent unambiguously. Pre-escape the sentinel "
+                "sequence in the corpus before training/encoding."
+            )
         if piece not in vocab:
             vocab[piece] = len(vocab)
     return vocab
@@ -616,8 +636,11 @@ def bpe_decode_ids(
     the inverted `bpe_vocab`, residual ids to ``chr(id - |vocab|)``
     (the open-alphabet convention), and a piece ending in the
     end-of-word sentinel closes the current word. Exact inverse of the
-    encoder on space-normalized text (encoding drops empty words, so
-    doubled separators normalize — pinned); one Arrow pass grouped by
+    encoder on space-normalized, sentinel-free text (a corpus whose text
+    literally contains the EOW string can train pieces that spell the
+    sentinel and falsely close words — `bpe_vocab` refuses such merge
+    lists loudly; encoding drops empty words, so doubled separators
+    normalize — pinned); one Arrow pass grouped by
     doc_id, tokens ordered by pos inside the kernel so the result is
     partitioning-invariant."""
     vocab = bpe_vocab(merges)

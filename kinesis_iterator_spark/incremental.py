@@ -954,8 +954,22 @@ def record_snapshot(data_dir: str, n: int | None = None) -> int:
     for rec in _read_snapshots(data_dir):
         seen.update(rec["files"])
     delta = [f for f in _data_files(data_dir) if f not in seen]
-    with open(_snapshot_path(data_dir), "a") as fh:
-        fh.write(json.dumps({"files": delta, "n": n}) + "\n")
+    path = _snapshot_path(data_dir)
+    # Torn-tail guard (ADVICE r12): a crash mid-append can leave a line
+    # without its newline; appending straight onto it would concatenate
+    # two records into one unparseable line and silently SHIFT every
+    # later generation number. A leading newline when the last byte
+    # isn't '\n' confines a torn write to costing only its own line.
+    prefix = ""
+    try:
+        with open(path, "rb") as fh:
+            fh.seek(-1, os.SEEK_END)
+            if fh.read(1) != b"\n":
+                prefix = "\n"
+    except (OSError, ValueError):
+        pass  # missing or empty manifest — nothing to guard
+    with open(path, "a") as fh:
+        fh.write(prefix + json.dumps({"files": delta, "n": n}) + "\n")
         fh.flush()
         os.fsync(fh.fileno())
     return len(_read_snapshots(data_dir))
@@ -984,8 +998,20 @@ def snapshot_files(data_dir: str, as_of: int) -> list[str]:
             f"as_of={as_of} out of range: {data_dir} records "
             f"{len(recs)} snapshot generation(s)"
         )
-    return [
+    paths = [
         os.path.join(data_dir, f)
         for rec in recs[:as_of]
         for f in rec["files"]
     ]
+    if not paths:
+        # Every generation up to as_of committed an empty delta (e.g. a
+        # bootstrap admit whose survivors wrote zero part files).
+        # spark.read.parquet() with no paths dies with an opaque py4j
+        # error — fail with the module's loud convention instead
+        # (ADVICE r12).
+        raise ValueError(
+            f"snapshot generation(s) 1..{as_of} of {data_dir} contain "
+            "no data files (every recorded admission committed an "
+            "empty delta) — there is nothing to read at this as_of"
+        )
+    return paths

@@ -890,6 +890,50 @@ FROM fused
 ORDER BY rrf_fix DESC, doc_id LIMIT {topk}"""
 
 
+def _vec_row_groups(path: str, vec_id: int) -> tuple[list[int], int]:
+    """(candidate row-group indices, total row groups) for a point read
+    of ``vec_id`` from a parquet file: only groups whose vec_id min/max
+    FOOTER statistics admit the id (groups without statistics stay
+    candidates — correctness over pruning). Driver-side metadata only,
+    zero data bytes."""
+    import pyarrow.parquet as pa_pq
+
+    md = pa_pq.ParquetFile(path).metadata
+    rg0 = md.row_group(0)
+    ci = next(
+        j
+        for j in range(rg0.num_columns)
+        if rg0.column(j).path_in_schema.split(".")[0] == "vec_id"
+    )
+    keep = []
+    for i in range(md.num_row_groups):
+        st = md.row_group(i).column(ci).statistics
+        if st is None or not st.has_min_max or st.min <= vec_id <= st.max:
+            keep.append(i)
+    return keep, md.num_row_groups
+
+
+def read_query_vec(path: str, vec_id: int) -> list[float]:
+    """Driver-side read of ONE stored embedding by vec_id — row-group
+    pruned via footer statistics, so the driver materializes O(one row
+    group), never the whole table (VERDICT r12: the registry entry used
+    to read EVERY embedding to pick one). Parquet float32 → python
+    float is bit-exact, identical to a collect(); zero Spark jobs (the
+    `read_ann_codebook` discipline)."""
+    import pyarrow.parquet as pa_pq
+
+    pf = pa_pq.ParquetFile(path)
+    for i in _vec_row_groups(path, vec_id)[0]:
+        t = pf.read_row_group(i, columns=["vec_id", "embedding"])
+        ids = t.column("vec_id").to_pylist()
+        if vec_id in ids:
+            return [
+                float(v)
+                for v in t.column("embedding")[ids.index(vec_id)].as_py()
+            ]
+    raise ValueError(f"vec_id {vec_id} not found in {path}")
+
+
 # --- registry entry (VERDICT r11 #6) -----------------------------------
 # Fixed query shape so the oracle is scale-factor-agnostic: five literal
 # terms, and the query vector IS vec_id 0's stored embedding (read from
@@ -918,18 +962,11 @@ def hybrid_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`hybrid_oracle_sql`, literal-free `query_vec_sql` form) replays
     the BM25 chain, the list_reduce cosine fold, both candidate cuts,
     and the RRF arithmetic."""
-    import pyarrow.parquet as pa_pq
-
     doc = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     emb = load_table(spark, sf_dir, "embeddings")
-    # Driver-side pyarrow read of vec_id 0's embedding — zero Spark
-    # jobs (the `read_ann_codebook` discipline; parquet float32 →
-    # python float is bit-exact, identical to a collect()).
-    t = pa_pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
-    ids = t.column("vec_id").to_pylist()
-    qv = [float(v) for v in t.column("embedding")[ids.index(0)].as_py()]
+    # Driver-side row-group-pruned read of vec_id 0's embedding — zero
+    # Spark jobs, O(one row group) driver bytes (`read_query_vec`).
+    qv = read_query_vec(f"{sf_dir}/embeddings.parquet", 0)
     return hybrid_topk(
         spark, doc, emb, _REGISTRY_TERMS, qv, topk=10, candidates=50
     )

@@ -298,3 +298,20 @@ def test_decode_roundtrips_encode(spark, trained):
     )
     with pytest.raises(Exception, match="end-of-word sentinel"):
         bpe_decode_ids(truncated, trained).collect()
+
+
+def test_vocab_refuses_literal_sentinel_merges():
+    """Text literally containing the EOW string can train pieces that
+    SPELL the sentinel out of single characters; unguarded, such a piece
+    aliases onto sentinel id 0 and falsely closes words in decode. The
+    structural tell: a legitimate word-final merge always has a second
+    element that itself ends with the sentinel (ADVICE r12)."""
+    from kinesis_iterator_spark.bpe import EOW, bpe_vocab
+
+    ok = [("e", EOW), ("th", "e" + EOW), ("a", "b")]
+    v = bpe_vocab(ok)
+    assert v[EOW] == 0 and ("e" + EOW) in v and ("the" + EOW) in v
+    with pytest.raises(ValueError, match="sentinel"):
+        bpe_vocab([("</", "w>")])
+    with pytest.raises(ValueError, match="sentinel"):
+        bpe_vocab([("</w", ">")])

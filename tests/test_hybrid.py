@@ -379,3 +379,37 @@ def test_stream_fed_two_writer_hybrid_serving(spark, tmp_path):
     by_id = {r["doc_id"]: r for r in served}
     assert qrow["vec_id"] in by_id
     assert by_id[qrow["vec_id"]]["sem_rnk"] == 1
+
+
+def test_query_vec_read_is_row_group_pruned(tmp_path):
+    """The registry entry's driver-side query-vector read must stay
+    O(one row group), not O(corpus): footer min/max statistics prune
+    every row group that cannot contain the id (VERDICT r12 perf nit)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pa_pq
+
+    from kinesis_iterator_spark.queries.retrieval import (
+        _vec_row_groups,
+        read_query_vec,
+    )
+
+    n = 1000
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [[float(i), 1.5, -2.25, 3.0] for i in range(n)],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    p = str(tmp_path / "emb.parquet")
+    pa_pq.write_table(t, p, row_group_size=100)
+    keep, total = _vec_row_groups(p, 0)
+    assert total == 10 and keep == [0]
+    keep, _ = _vec_row_groups(p, 777)
+    assert keep == [7]
+    assert read_query_vec(p, 0) == [0.0, 1.5, -2.25, 3.0]
+    assert read_query_vec(p, 777)[0] == 777.0
+    with pytest.raises(ValueError, match="not found"):
+        read_query_vec(p, n + 5)

@@ -169,11 +169,18 @@ def _hint_subtrees(analyzed: str):
 
 
 def _literal_in_bounded_aggregate(sub: list[str]) -> bool:
-    """True if some Aggregate in the subtree groups ONLY on attributes
-    that a literal IN filter below it restricts to a fixed value list —
-    its output cardinality is then ≤ |IN list| regardless of corpus
-    size (the `bm25_scores` per-query-term df relation: groupBy(term)
-    under `term IN ('scan','column',...)`)."""
+    """True if the hinted subtree's output cardinality is bounded by a
+    grouped Aggregate whose EVERY grouping key a literal IN filter below
+    it restricts to a fixed value list — ≤ |IN list| rows regardless of
+    corpus size (the `bm25_scores` per-query-term df relation:
+    groupBy(term) under `term IN ('scan','column',...)`).
+
+    The bounded Aggregate must sit at the TOP of the hinted subtree
+    (only non-expanding unary nodes — Project/Filter/Sort/alias — may
+    wrap it): an Aggregate buried under a Join would not bound the
+    subtree's own output, so a broadcast hint on e.g. an SF-growing
+    relation joined WITH a bounded aggregate must NOT slip past the
+    100 TB OOM gate (ADVICE r12)."""
     import re
 
     # attribute ids constrained by a literal IN list (no #refs inside
@@ -185,14 +192,17 @@ def _literal_in_bounded_aggregate(sub: list[str]) -> bool:
                 bounded_ids.add(m.group(1))
     if not bounded_ids:
         return False
+    # Walk from the subtree root down: the first non-unary node must be
+    # the bounded Aggregate itself.
+    _UNARY = ("Project [", "Filter ", "Sort [", "SubqueryAlias ", "ResolvedHint ")
     for s in sub:
         body = s.lstrip(" :+-")
         m = re.match(r"Aggregate \[([^\]]*)\], \[", body)
-        if not m:
-            continue
-        keys = re.findall(r"#(\d+)", m.group(1))
-        if keys and all(k in bounded_ids for k in keys):
-            return True
+        if m:
+            keys = re.findall(r"#(\d+)", m.group(1))
+            return bool(keys) and all(k in bounded_ids for k in keys)
+        if not body.startswith(_UNARY):
+            return False
     return False
 
 

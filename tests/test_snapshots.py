@@ -162,3 +162,41 @@ def test_manifest_invisible_to_scans_and_footer_counts(spark, tmp_path):
         incremental.SNAPSHOT_NAME in f
         for f in incremental.snapshot_files(d, 1)
     )
+
+
+def test_torn_tail_newline_guard_confines_damage(tmp_path):
+    """A crash mid-append can leave a manifest line without its newline;
+    the NEXT append must not concatenate onto it (both records would
+    become one unparseable line and every later generation number would
+    silently shift). The guard writes a leading newline, so a torn
+    write only ever costs its own line (ADVICE r12)."""
+    d = tmp_path / "data"
+    d.mkdir()
+    (d / "a.parquet").write_bytes(b"")
+    assert incremental.record_snapshot(str(d), n=1) == 1
+    # Simulate the torn append: a partial JSON line, no trailing newline.
+    with open(incremental._snapshot_path(str(d)), "a") as fh:
+        fh.write('{"files": ["b.par')
+    (d / "b.parquet").write_bytes(b"")
+    assert incremental.record_snapshot(str(d), n=1) == 2
+    assert incremental.snapshot_gens(str(d)) == 2
+    assert [os.path.basename(p) for p in incremental.snapshot_files(str(d), 2)] == [
+        "a.parquet",
+        "b.parquet",
+    ]
+
+
+def test_as_of_over_only_empty_deltas_is_loud(tmp_path):
+    """Generations whose accumulated file list is empty (e.g. a
+    bootstrap admit whose survivors wrote zero part files) must raise
+    the module's descriptive ValueError, not hand spark.read.parquet()
+    an empty path list (opaque py4j failure — ADVICE r12)."""
+    d = tmp_path / "data"
+    d.mkdir()
+    assert incremental.record_snapshot(str(d)) == 1  # empty delta
+    with pytest.raises(ValueError, match="no data files"):
+        incremental.snapshot_files(str(d), 1)
+    # A later generation that does commit files reads fine.
+    (d / "a.parquet").write_bytes(b"")
+    assert incremental.record_snapshot(str(d)) == 2
+    assert len(incremental.snapshot_files(str(d), 2)) == 1

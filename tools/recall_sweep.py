@@ -50,6 +50,20 @@ def _approx_frame_from_single_query(spark, rows_by_qid):
 
 
 def sweep(spark, sf_dir: str) -> list[dict]:
+    """Run the recall sweep; temp index dirs are removed on exit
+    (ADVICE r12 — repeated sweeps used to accumulate full ANN+PQ+IVFPQ
+    indexes in /tmp)."""
+    import shutil
+
+    tmp_roots: list[str] = []
+    try:
+        return _sweep(spark, sf_dir, tmp_roots)
+    finally:
+        for r in tmp_roots:
+            shutil.rmtree(r, ignore_errors=True)
+
+
+def _sweep(spark, sf_dir: str, tmp_roots: list[str]) -> list[dict]:
     from pyspark.sql import functions as F
 
     from kinesis_iterator_spark.queries import release_persists
@@ -161,7 +175,8 @@ def sweep(spark, sf_dir: str) -> list[dict]:
                  pq_adc_runner(shortlist))
 
     # Stored layers: one ANN index (raw-PQ layer + residual layer).
-    idx = tempfile.mkdtemp(prefix="recall_idx_") + "/ann"
+    tmp_roots.append(tempfile.mkdtemp(prefix="recall_idx_"))
+    idx = tmp_roots[-1] + "/ann"
     write_ann_index(spark, sf_dir, idx)
     write_pq_layer(spark, idx, emb, iters=2)
     write_ivfpq_layer(spark, idx, emb, iters=2)
@@ -236,7 +251,8 @@ def sweep(spark, sf_dir: str) -> list[dict]:
     )
 
     kp = proportional_train_k(n)
-    idx2 = tempfile.mkdtemp(prefix="recall_idx_prop_") + "/ann"
+    tmp_roots.append(tempfile.mkdtemp(prefix="recall_idx_prop_"))
+    idx2 = tmp_roots[-1] + "/ann"
     cb = kmeans_embeddings(spark, emb, k=kp, iters=2, init="kmeans_par")
     release_persists()
     write_ann_index(spark, sf_dir, idx2, codebook=codebook_rows(cb))
