@@ -131,8 +131,15 @@ DRIVER_BPE_MAX_WORDS = 200_000
 
 _STATE_SCHEMA = (
     "kind string, w string, freq long, syms array<string>, "
-    "a string, b string, c long"
+    "a string, b string, c long, s long"
 )
+
+# How many ranked pair candidates each distributed round collects for
+# disjoint-prefix batching (VERDICT r12 #3). The prefix that survives
+# the disjointness filter AND the post-apply faithfulness verifier is
+# committed as one round — jobs per merge fall from ~5 to ~(3 + one
+# delta collect)/|prefix|.
+BPE_BATCH_TOP_K = 64
 
 
 def bpe_train_driver(
@@ -206,6 +213,7 @@ def _word_state(wc: DataFrame) -> DataFrame:
         F.lit(None).cast("string").alias("a"),
         F.lit(None).cast("string").alias("b"),
         F.lit(None).cast("long").alias("c"),
+        F.lit(None).cast("long").alias("s"),
     )
 
 
@@ -219,6 +227,7 @@ def _pc_state(pc: DataFrame) -> DataFrame:
         "a",
         "b",
         F.col("c").cast("long").alias("c"),
+        F.lit(None).cast("long").alias("s"),
     )
 
 
@@ -248,12 +257,17 @@ def _count_kernel(batches):
         )
 
 
-def _merge_kernel(a: str, b: str):
-    """One round's state transition over word rows: words containing
-    adjacent (a, b) are rewritten (and emit their pair-count DELTAS as
-    kind='d' rows — old adjacencies negative, new positive); untouched
-    words pass through. Only affected words pay any work beyond the
-    adjacency scan."""
+def _batch_merge_kernel(batch: list[tuple[str, str]]):
+    """One round's state transition applying an ORDERED batch of merges
+    to every word — each word applies the batch sequentially in rank
+    order (exactly what the sequential reference does globally, since
+    merges only interact WITHIN a word), so the resulting symbol state
+    is bit-identical to |batch| single-merge rounds by construction.
+    Pair-count deltas are emitted per STEP (kind='d', ``s`` = 1-based
+    batch position) so the driver-side faithfulness verifier can
+    reconstruct the count table BETWEEN steps — selection faithfulness
+    (would greedy have chosen step i's pair?) is the part batching can
+    break, and it is checked, not assumed."""
 
     def fn(batches):
         import pandas as pd
@@ -266,17 +280,19 @@ def _merge_kernel(a: str, b: str):
             for w, f, syms in zip(pdf["w"], pdf["freq"], pdf["syms"]):
                 f = int(f)
                 syms = list(syms)
-                hit = any(
-                    syms[j] == a and syms[j + 1] == b
-                    for j in range(len(syms) - 1)
-                )
-                if hit:
+                for step, (a, b) in enumerate(batch, start=1):
+                    hit = any(
+                        syms[j] == a and syms[j + 1] == b
+                        for j in range(len(syms) - 1)
+                    )
+                    if not hit:
+                        continue
                     for j in range(len(syms) - 1):
-                        k = (syms[j], syms[j + 1])
+                        k = (syms[j], syms[j + 1], step)
                         delta[k] = delta.get(k, 0) - f
                     syms = _apply_merge(syms, a, b)
                     for j in range(len(syms) - 1):
-                        k = (syms[j], syms[j + 1])
+                        k = (syms[j], syms[j + 1], step)
                         delta[k] = delta.get(k, 0) + f
                 ws.append(w)
                 fs.append(f)
@@ -290,6 +306,7 @@ def _merge_kernel(a: str, b: str):
                     "a": [None] * len(ws),
                     "b": [None] * len(ws),
                     "c": [None] * len(ws),
+                    "s": [None] * len(ws),
                 }
             )
             dk = [(k, v) for k, v in delta.items() if v]
@@ -306,6 +323,7 @@ def _merge_kernel(a: str, b: str):
                                 "a": [k[0] for k, _ in dk],
                                 "b": [k[1] for k, _ in dk],
                                 "c": [v for _, v in dk],
+                                "s": [k[2] for k, _ in dk],
                             }
                         ),
                     ],
@@ -316,17 +334,93 @@ def _merge_kernel(a: str, b: str):
     return fn
 
 
+def _disjoint_prefix(
+    top: list, min_freq: int
+) -> list[tuple[str, str]]:
+    """The longest PREFIX of the ranked top pairs that is pairwise
+    symbol-disjoint and product-safe: no symbol appears in two selected
+    pairs, and no selected pair's product a+b collides with another
+    selected pair's symbol (either direction). Under these conditions
+    an earlier batch merge cannot change a later batch pair's COUNT —
+    only brand-new pairs (x, a+b) can still outrank it, which the
+    post-apply verifier checks from the step-tagged deltas. A PREFIX
+    (never a skipping subset) is required for faithfulness: a skipped
+    pair with an untouched count would be greedy's true next choice."""
+    used: set[str] = set()
+    prods: set[str] = set()
+    prefix: list[tuple[str, str]] = []
+    for r in top:
+        a, b, c = r["a"], r["b"], int(r["c"])
+        if c < min_freq:
+            break
+        m = a + b
+        if prefix and (
+            a in used
+            or b in used
+            or m in used
+            or a in prods
+            or b in prods
+            or m in prods
+        ):
+            break
+        used.update((a, b))
+        prods.add(m)
+        prefix.append((a, b))
+    return prefix
+
+
+def _faithful_steps(
+    prefix: list[tuple[str, str]],
+    top: list,
+    touched: list,
+) -> int:
+    """How many leading steps of the applied batch match what
+    sequential greedy would have chosen — the selection check batching
+    needs (application is exact by construction). At step i the only
+    candidates that can outrank ``prefix[i-1]`` are TOUCHED pairs
+    (any delta row): untouched pairs kept their round-start counts and
+    every untouched pair ranking above step i's count was itself an
+    earlier prefix member. ``touched`` rows carry (a, b, s, d, c0);
+    counts between steps are c0 + cumulative deltas of earlier steps.
+    Returns len(prefix) when fully faithful."""
+    c0_top = {(r["a"], r["b"]): int(r["c"]) for r in top}
+    cum: dict = {}
+    by_step: dict = {}
+    for r in touched:
+        by_step.setdefault(int(r["s"]), []).append(r)
+        cum[(r["a"], r["b"])] = int(r["c0"] or 0)
+    applied: set = set()
+    for i, (a, b) in enumerate(prefix, start=1):
+        key_i = (-c0_top[(a, b)], a, b)
+        for q, c in cum.items():
+            if q == (a, b) or q in applied:
+                continue
+            if (-c, q[0], q[1]) < key_i:
+                return i - 1
+        applied.add((a, b))
+        for r in by_step.get(i, ()):
+            cum[(r["a"], r["b"])] += int(r["d"])
+    return len(prefix)
+
+
 def _bpe_train_distributed(
     spark: SparkSession, wc: DataFrame, n_merges: int, min_freq: int
 ) -> list[tuple[str, str]]:
-    """The above-gate loop: ONE tagged state frame (word rows with
-    materialized syms + pair-count rows) checkpointed per round, pair
-    counts maintained by the merge kernel's deltas. 2 Spark actions
-    per round (top-1 collect on materialized blocks + the state
-    checkpoint), per-round WORK proportional to affected words — the
-    r11 loop paid one action per round too but re-segmented EVERY word
-    under the growing merge list (per-round cost rose with |merges|;
-    ~quadratic total)."""
+    """The above-gate loop, batched (VERDICT r12 #3): each round
+    collects the top `BPE_BATCH_TOP_K` ranked pairs, takes the longest
+    disjoint PREFIX, applies it in ONE kernel pass (per-word
+    sequential, so the state transition is exact by construction), and
+    VERIFIES from step-tagged deltas that sequential greedy would have
+    selected exactly those pairs — a violated step truncates the batch
+    and re-runs the shorter, verified prefix. Output stays
+    bit-identical to `bpe_train_reference` (pinned, including an
+    adversarial case where a merge's own product pair outranks the
+    round's rank-2 pair and forces truncation).
+
+    Actions per ROUND: top-K collect + (multi-step rounds only) one
+    delta-aggregate collect + the state checkpoint — so jobs per MERGE
+    fall from the r12 ~5 to ~4/|prefix| (tools/bpe_jobs.py measures
+    the curve)."""
     from .queries import release_local_checkpoint
 
     words = _word_state(wc)
@@ -340,24 +434,53 @@ def _bpe_train_distributed(
     )
     merges: list[tuple[str, str]] = []
     try:
-        for _ in range(n_merges):
+        while len(merges) < n_merges:
             top = (
                 state.filter(F.col("kind") == "p")
                 .orderBy(F.col("c").desc(), "a", "b")
-                .limit(1)
+                .limit(BPE_BATCH_TOP_K)
                 .collect()
             )
             if not top or int(top[0]["c"]) < min_freq:
                 break
-            a, b = top[0]["a"], top[0]["b"]
-            merges.append((a, b))
+            prefix = _disjoint_prefix(top, min_freq)[
+                : n_merges - len(merges)
+            ]
+
+            def _apply(prefix):
+                return (
+                    state.filter(F.col("kind") == "w")
+                    .mapInPandas(_batch_merge_kernel(prefix), _STATE_SCHEMA)
+                    .persist()
+                )
+
+            ker = _apply(prefix)
+            if len(prefix) > 1:
+                touched = (
+                    ker.filter(F.col("kind") == "d")
+                    .groupBy("a", "b", "s")
+                    .agg(F.sum("c").cast("long").alias("d"))
+                    .join(
+                        state.filter(F.col("kind") == "p").select(
+                            "a", "b", F.col("c").alias("c0")
+                        ),
+                        ["a", "b"],
+                        "left",
+                    )
+                    .collect()
+                )
+                ok = _faithful_steps(prefix, top, touched)
+                if ok < len(prefix):
+                    # Greedy would have diverged at step ok+1 (a new
+                    # pair born inside the batch outranks it): commit
+                    # only the verified prefix — its own check did not
+                    # depend on the truncated steps' deltas.
+                    ker.unpersist(False)
+                    prefix = prefix[:ok]
+                    ker = _apply(prefix)
+            merges.extend(prefix)
             # The kernel output feeds BOTH state branches inside one
-            # checkpoint action — persist so the Arrow pass runs once.
-            ker = (
-                state.filter(F.col("kind") == "w")
-                .mapInPandas(_merge_kernel(a, b), _STATE_SCHEMA)
-                .persist()
-            )
+            # checkpoint action — persisted so the Arrow pass runs once.
             pc = (
                 state.filter(F.col("kind") == "p")
                 .select("a", "b", "c")

@@ -922,9 +922,18 @@ def _snapshot_path(data_dir: str) -> str:
 
 
 def _data_files(data_dir: str) -> list[str]:
-    return sorted(
-        f for f in os.listdir(data_dir) if f.endswith(".parquet")
-    )
+    """Sorted RELATIVE paths of every parquet file under ``data_dir``,
+    recursively — a hive-partitioned layer (e.g. ``lsh_signatures/
+    table_id=K/part-*.parquet``) keeps its partition-dir prefix in the
+    manifest so the as-of reader can restore the partition column via
+    ``basePath``. Flat dirs produce the same names as before."""
+    out = []
+    for root, _dirs, files in os.walk(data_dir):
+        rel = os.path.relpath(root, data_dir)
+        for f in files:
+            if f.endswith(".parquet"):
+                out.append(f if rel == "." else os.path.join(rel, f))
+    return sorted(out)
 
 
 def _read_snapshots(data_dir: str) -> list[dict]:
@@ -938,18 +947,29 @@ def _read_snapshots(data_dir: str) -> list[dict]:
         for line in fh:
             try:
                 rec = json.loads(line)
-                out.append({"files": list(rec["files"]), "n": rec.get("n")})
+                out.append(
+                    {
+                        "files": list(rec["files"]),
+                        "n": rec.get("n"),
+                        "extra": rec.get("extra"),
+                        "compacted": bool(rec.get("compacted", False)),
+                    }
+                )
             except (ValueError, KeyError, TypeError):
                 continue
     return out
 
 
-def record_snapshot(data_dir: str, n: int | None = None) -> int:
+def record_snapshot(
+    data_dir: str, n: int | None = None, extra: dict | None = None
+) -> int:
     """Record the files the just-committed admission added (everything
     in ``data_dir`` not attributed to an earlier snapshot) as the next
     generation; returns that 1-based generation. Call AFTER the data
     write commits (and under the writer's lease — this is writer-side
-    metadata)."""
+    metadata). ``extra``: an optional JSON dict carried on the line —
+    cumulative layer totals a generation-pinned reader needs as-of this
+    generation (e.g. the BM25 (n_docs, t_tokens) pair)."""
     seen: set[str] = set()
     for rec in _read_snapshots(data_dir):
         seen.update(rec["files"])
@@ -968,8 +988,11 @@ def record_snapshot(data_dir: str, n: int | None = None) -> int:
                 prefix = "\n"
     except (OSError, ValueError):
         pass  # missing or empty manifest — nothing to guard
+    rec: dict = {"files": delta, "n": n}
+    if extra is not None:
+        rec["extra"] = extra
     with open(path, "a") as fh:
-        fh.write(prefix + json.dumps({"files": delta, "n": n}) + "\n")
+        fh.write(prefix + json.dumps(rec) + "\n")
         fh.flush()
         os.fsync(fh.fileno())
     return len(_read_snapshots(data_dir))
@@ -998,6 +1021,18 @@ def snapshot_files(data_dir: str, as_of: int) -> list[str]:
             f"as_of={as_of} out of range: {data_dir} records "
             f"{len(recs)} snapshot generation(s)"
         )
+    if recs[as_of - 1]["compacted"]:
+        first_live = next(
+            (i + 1 for i, r in enumerate(recs) if not r["compacted"]),
+            len(recs),
+        )
+        raise ValueError(
+            f"generation {as_of} of {data_dir} was collapsed by a "
+            "compaction/reconcile rewrite (derived layers trade history "
+            f"for layout) — only generations >= {first_live} are "
+            "servable here; rebuild a fresh index over the data of "
+            "record as of that generation instead"
+        )
     paths = [
         os.path.join(data_dir, f)
         for rec in recs[:as_of]
@@ -1015,3 +1050,222 @@ def snapshot_files(data_dir: str, as_of: int) -> list[str]:
             "empty delta) — there is nothing to read at this as_of"
         )
     return paths
+
+
+def snapshot_extra(data_dir: str, as_of: int) -> dict | None:
+    """The ``extra`` dict recorded on generation ``as_of``'s manifest
+    line (cumulative layer totals as of that admission), or None if the
+    line carries none. Same range/compaction loudness as
+    :func:`snapshot_files`."""
+    recs = _read_snapshots(data_dir)
+    if not 1 <= as_of <= len(recs):
+        raise ValueError(
+            f"as_of={as_of} out of range: {data_dir} records "
+            f"{len(recs)} snapshot generation(s)"
+        )
+    if recs[as_of - 1]["compacted"]:
+        raise ValueError(
+            f"generation {as_of} of {data_dir} was collapsed by a "
+            "compaction/reconcile rewrite — its totals are no longer "
+            "recorded"
+        )
+    return recs[as_of - 1]["extra"]
+
+
+def snapshot_read(spark: SparkSession, data_dir: str, as_of: int) -> DataFrame:
+    """The layer/store as it stood at generation ``as_of`` — a parquet
+    read over exactly the manifest's files. ``basePath`` pins the
+    table root so hive-partitioned layers (``lsh_signatures/
+    table_id=K/``) keep their partition column when individual files
+    are listed."""
+    return (
+        spark.read.option("basePath", data_dir)
+        .parquet(*snapshot_files(data_dir, as_of))
+    )
+
+
+def _files_rows(paths: list[str]) -> int:
+    """Total row count of explicit parquet files from their FOOTERS —
+    the `_dir_rows` discipline (driver-side metadata, zero Spark jobs)
+    for an as-of file list."""
+    import pyarrow.parquet as pq
+
+    return sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
+
+
+def collapse_snapshots(
+    list_dir: str,
+    gens: int,
+    extra: dict | None = None,
+    manifest_dir: str | None = None,
+) -> None:
+    """Atomically rewrite a layer's manifest after a content-equivalent
+    REWRITE of the whole layer (compaction or reconcile): generations
+    ``1..gens-1`` become tombstones (``compacted: true`` — their
+    file-level history no longer exists) and generation ``gens`` claims
+    every parquet file currently under ``list_dir``. Generation
+    NUMBERING stays aligned with the data of record, so a reader
+    pinning a pre-rewrite generation fails loudly (with the
+    first-servable generation in the message) instead of silently
+    reading post-rewrite content.
+
+    ``manifest_dir`` defaults to ``list_dir`` — a staged-swap compactor
+    passes the ``.compact`` stage dir for both (the manifest rides the
+    stage through `_swap_staged`'s renames, so files and manifest
+    commit together)."""
+    if gens < 1:
+        raise ValueError(f"gens must be >= 1 (got {gens})")
+    manifest_dir = list_dir if manifest_dir is None else manifest_dir
+    lines = [
+        json.dumps({"files": [], "n": None, "compacted": True})
+        for _ in range(gens - 1)
+    ]
+    rec: dict = {"files": _data_files(list_dir), "n": None}
+    if extra is not None:
+        rec["extra"] = extra
+    lines.append(json.dumps(rec))
+    tmp = _snapshot_path(manifest_dir) + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, _snapshot_path(manifest_dir))
+
+
+def record_aligned_snapshot(
+    data_dir: str, target_gen: int, extra: dict | None = None
+) -> None:
+    """Writer-side per-admit recording for a DERIVED layer dir, keeping
+    its generation numbering aligned with the data of record's:
+
+    - ``target_gen <= 0`` — the data dir itself records no snapshots
+      (pre-snapshot layout): nothing to align, no-op;
+    - layer is exactly one generation behind — the normal admit path:
+      append one line attributing this admission's delta;
+    - anything else (a rebuild cleared the manifest, or a crash inside
+      a previous admit's index-side window skipped a recording) — the
+      per-generation attribution is unrecoverable, so COLLAPSE: claim
+      the full current file set at ``target_gen`` and tombstone
+      earlier generations. Always correct for ``as_of >= target_gen``
+      (the files ARE the cumulative content); earlier pins fail loudly
+      — a crash degrades layer HISTORY, never correctness."""
+    if target_gen <= 0:
+        return
+    if snapshot_gens(data_dir) == target_gen - 1:
+        record_snapshot(data_dir, extra=extra)
+    else:
+        collapse_snapshots(data_dir, target_gen, extra=extra)
+
+
+def recover_data_dir(data_dir: str) -> None:
+    """Self-heal an interrupted :func:`compact_data_snapshots` swap on a
+    DATA-of-record dir — `_recover_staged` scoped to the dir's own
+    name. Call before any read/admit touch of the dir (the writers
+    do)."""
+    _recover_staged(os.path.dirname(data_dir), (os.path.basename(data_dir),))
+
+
+def compact_data_snapshots(
+    spark: SparkSession,
+    data_dir: str,
+    order_cols: tuple[str, ...],
+    fence: tuple[str, str, int] | None = None,
+) -> dict:
+    """Snapshot-AWARE compaction of a data-of-record dir (VERDICT r12
+    #4): the corpus/store dirs grow one small parquet file set per
+    admit forever — a small-files problem at any real ingestion
+    cadence — but a naive rewrite would break the `as_of` manifests
+    that make them reproducible training snapshots. This compactor
+    rewrites PER GENERATION: each recorded admission's delta collapses
+    to ONE file, sorted by ``order_cols`` (the query key — point
+    lookups prune by parquet min/max), and the manifest is rewritten so
+    every generation maps to exactly its rewritten file. History is
+    fully preserved — ``corpus(as_of=g)`` is bit-equal before and after
+    for EVERY g (pinned), unlike the derived-layer compactors (which
+    collapse history, because their rewrites mix generations).
+
+    Files present in the dir but attributed to NO generation (the
+    crash-before-manifest window) are carried over byte-identical under
+    their own names, so the next recorded admission still sweeps them
+    in. Tombstoned/empty generations keep their lines (with ``n`` and
+    ``extra`` intact).
+
+    Crash contract: everything is staged to ``{data_dir}.compact``
+    (files + rewritten manifest), then committed with `_swap_staged`'s
+    rename pair — a reader never sees a half-written dir, and
+    :func:`recover_data_dir` heals an interrupted swap (forward if the
+    stage was complete, back otherwise). ``fence``: the writer-lease
+    fencing triple, verified at the commit. Returns
+    ``{"generations": .., "files_before": .., "files_after": ..}``."""
+    import shutil
+
+    recover_data_dir(data_dir)
+    recs = _read_snapshots(data_dir)
+    if not recs:
+        raise ValueError(
+            f"{data_dir} records no admission snapshots — nothing to "
+            "compact generation-aware; use a plain rewrite for "
+            "manifest-less dirs"
+        )
+    files_before = _data_files(data_dir)
+    attributed: set[str] = set()
+    for rec in recs:
+        attributed.update(rec["files"])
+    stage = f"{data_dir}.compact"
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(stage)
+    tmp = f"{data_dir}.compact.work"
+    new_lines = []
+    try:
+        for i, rec in enumerate(recs):
+            gen = i + 1
+            out = dict(rec)
+            if not rec["compacted"] and rec["files"]:
+                paths = [os.path.join(data_dir, f) for f in rec["files"]]
+                shutil.rmtree(tmp, ignore_errors=True)
+                (
+                    spark.read.parquet(*paths)
+                    .coalesce(1)
+                    .sortWithinPartitions(*order_cols)
+                    .write.mode("overwrite")
+                    .parquet(tmp)
+                )
+                moved = []
+                for f in sorted(os.listdir(tmp)):
+                    if f.endswith(".parquet"):
+                        name = f"gen{gen:06d}-{f}"
+                        os.replace(
+                            os.path.join(tmp, f), os.path.join(stage, name)
+                        )
+                        moved.append(name)
+                out["files"] = moved
+            new_lines.append(out)
+        # Unattributed files (crash-before-manifest window): byte-
+        # identical carry-over under their own names.
+        for f in files_before:
+            if f not in attributed:
+                dst = os.path.join(stage, f)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                shutil.copyfile(os.path.join(data_dir, f), dst)
+        with open(_snapshot_path(stage), "w") as fh:
+            for rec in new_lines:
+                line: dict = {"files": rec["files"], "n": rec["n"]}
+                if rec.get("extra") is not None:
+                    line["extra"] = rec["extra"]
+                if rec["compacted"]:
+                    line["compacted"] = True
+                fh.write(json.dumps(line) + "\n")
+            fh.flush()
+            os.fsync(fh.fileno())
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    _swap_staged(
+        os.path.dirname(data_dir),
+        os.path.basename(data_dir),
+        fence=fence,
+    )
+    return {
+        "generations": len(recs),
+        "files_before": len(files_before),
+        "files_after": len(_data_files(data_dir)),
+    }

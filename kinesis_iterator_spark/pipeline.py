@@ -803,6 +803,7 @@ class CorpusWriter:
         training snapshots, and isolation from an in-flight admit."""
         from . import incremental
 
+        incremental.recover_data_dir(self.corpus_dir)
         if as_of is None:
             return self.spark.read.parquet(self.corpus_dir)
         return self.spark.read.parquet(
@@ -816,6 +817,31 @@ class CorpusWriter:
         from . import incremental
 
         return incremental.snapshot_gens(self.corpus_dir)
+
+    def compact_corpus(self) -> dict:
+        """Snapshot-AWARE compaction of the data of record (VERDICT r12
+        #4): each recorded admission's small part files collapse to one
+        doc_id-sorted file and the `_snapshots.jsonl` manifest is
+        rewritten so EVERY generation still maps to exactly its
+        content — ``corpus(as_of=g)`` is bit-equal before/after for
+        every g (pinned), unlike the derived-layer compactors (which
+        trade history for layout). Staged-swap crash discipline
+        (`incremental.recover_data_dir` heals an interrupted commit at
+        every read), under the writer lease."""
+        from . import incremental
+
+        self._lease_gen = incremental.acquire_lease(
+            self.index_dir, self._writer_id, incremental.LEASE_TTL_S
+        )
+        try:
+            return incremental.compact_data_snapshots(
+                self.spark,
+                self.corpus_dir,
+                ("doc_id",),
+                fence=self._fence(),
+            )
+        finally:
+            incremental.release_lease(self.index_dir, self._writer_id)
 
     def _contaminated_ids(self, survivors: DataFrame) -> DataFrame:
         """doc_ids among the batch survivors whose distinct hashed
@@ -898,6 +924,11 @@ class CorpusWriter:
         from . import incremental
         from .queries import release_local_checkpoint, release_persists
 
+        # Heal an interrupted data-dir compaction swap BEFORE any
+        # existence probe — a mid-swap crash leaves the corpus renamed
+        # away, and an unhealed probe would route into bootstrap and
+        # OVERWRITE everything previously admitted.
+        incremental.recover_data_dir(self.corpus_dir)
         # Crash-safe bootstrap detection: the corpus write commits before
         # the index build, so a crash in that window leaves corpus files
         # with no meta.json. Re-bootstrapping would OVERWRITE the corpus
@@ -1197,7 +1228,13 @@ class CorpusWriter:
                     # w.r.t. the committed corpus, and _extend_bm25
                     # self-heals a missing/interrupted layer by
                     # rebuilding from the corpus (the reconcile path).
-                    self._extend_bm25(novel)
+                    bm_meta = self._extend_bm25(novel)
+                    # Generation-pin the layer (VERDICT r12 #1): one
+                    # manifest line per relation per admit, aligned
+                    # with the corpus generation; a heal-path rebuild
+                    # collapses history instead (crash degrades layer
+                    # HISTORY, never correctness). Zero Spark jobs.
+                    self._record_bm25_gens(stats["snapshot"], bm_meta)
                 if self.drift_monitor:
                     # The layer extends with the ADMITTED (novel) docs —
                     # sum-of-segments stays ≡ a recount of the corpus
@@ -1247,11 +1284,12 @@ class CorpusWriter:
                 if self.bm25_index:
                     from .queries.retrieval import write_bm25_index
 
-                    write_bm25_index(
+                    bm_meta = write_bm25_index(
                         self.spark,
                         self.corpus().select("doc_id", "text"),
                         self._bm25_dir(),
                     )
+                    self._record_bm25_gens(stats["snapshot"], bm_meta)
                 if self.drift_monitor:
                     # Bootstrap segment 0 = the whole just-written
                     # corpus; no drift stats (there is no pre-admit
@@ -1276,7 +1314,7 @@ class CorpusWriter:
     def _bm25_dir(self) -> str:
         return f"{self.index_dir}/bm25"
 
-    def _extend_bm25(self, novel: DataFrame) -> None:
+    def _extend_bm25(self, novel: DataFrame) -> dict:
         """Extend the stored BM25 layer with the admitted docs; rebuild
         from the corpus when the layer is missing or was left
         interrupted (late enablement on pre-existing state, or a crash
@@ -1291,20 +1329,40 @@ class CorpusWriter:
         try:
             _check_bm25_meta(self._bm25_dir())
         except ValueError:
-            write_bm25_index(
+            return write_bm25_index(
                 self.spark,
                 self.corpus().select("doc_id", "text"),
                 self._bm25_dir(),
             )
-            return
-        extend_bm25_index(
+        return extend_bm25_index(
             self.spark, novel.select("doc_id", "text"), self._bm25_dir()
         )
+
+    def _record_bm25_gens(self, target_gen: int, meta: dict) -> None:
+        """Per-admit generation recording for the BM25 layer relations,
+        aligned with the corpus manifest (VERDICT r12 #1): cumulative
+        (n_docs, t_tokens) ride the ``postings/`` line so a pinned read
+        recovers the exact scoring constants of that era. Driver-side
+        file metadata only — zero Spark jobs."""
+        from . import incremental
+
+        totals = {
+            "n_docs": int(meta["n_docs"]),
+            "t_tokens": int(meta["t_tokens"]),
+        }
+        for name in ("postings", "df", "doclen"):
+            incremental.record_aligned_snapshot(
+                f"{self._bm25_dir()}/{name}",
+                target_gen,
+                extra=totals if name == "postings" else None,
+            )
 
     def bm25_topk(self, query_terms: list[str], topk: int = 10, **kw) -> DataFrame:
         """Ranked retrieval over the admitted corpus from the stored
         inverted index (requires ``bm25_index=True``) — tf/df/dl come
-        from the postings layer, never a corpus-text scan."""
+        from the postings layer, never a corpus-text scan. Pass
+        ``as_of=g`` to serve the index exactly as it stood after
+        recorded admission g (generation-pinned layers)."""
         from .queries.retrieval import bm25_topk_from_index
 
         if not self.bm25_index:
@@ -1500,10 +1558,16 @@ class CorpusWriter:
         if self.bm25_index:
             from .queries.retrieval import write_bm25_index
 
-            write_bm25_index(
+            bm_meta = write_bm25_index(
                 self.spark,
                 self.corpus().select("doc_id", "text"),
                 self._bm25_dir(),
+            )
+            # A rebuild collapses generation history (the manifests
+            # went with the overwritten dirs); numbering stays aligned
+            # with the corpus, older as_of pins fail loudly.
+            self._record_bm25_gens(
+                incremental.snapshot_gens(self.corpus_dir), bm_meta
             )
         if self.drift_monitor:
             # Also the staleness-heal and late-enablement path.
@@ -1841,6 +1905,7 @@ class EmbeddingWriter:
         (`incremental.snapshot_files`, zero jobs)."""
         from . import incremental
 
+        incremental.recover_data_dir(self.store_dir)
         if as_of is None:
             return self.spark.read.parquet(self.store_dir)
         return self.spark.read.parquet(
@@ -1854,6 +1919,26 @@ class EmbeddingWriter:
         from . import incremental
 
         return incremental.snapshot_gens(self.store_dir)
+
+    def compact_store(self) -> dict:
+        """`CorpusWriter.compact_corpus`'s twin for the vector store:
+        per-generation vec_id-sorted rewrite + manifest rewrite —
+        ``store(as_of=g)`` bit-equal before/after for every g; staged
+        swap, healed at every read; under the writer lease."""
+        from . import incremental
+
+        self._lease_gen = incremental.acquire_lease(
+            self.index_dir, self._writer_id, incremental.LEASE_TTL_S
+        )
+        try:
+            return incremental.compact_data_snapshots(
+                self.spark,
+                self.store_dir,
+                ("vec_id",),
+                fence=self._fence(),
+            )
+        finally:
+            incremental.release_lease(self.index_dir, self._writer_id)
 
     def _in_batch_rejects(
         self, batch_emb: DataFrame, sig: DataFrame, cap: int, b: int
@@ -1921,6 +2006,7 @@ class EmbeddingWriter:
             write_ann_index,
         )
 
+        incremental.recover_data_dir(self.store_dir)
         if not self._bootstrapped() and self._store_exists():
             self._reconcile_locked()
         par = self.spark.sparkContext.defaultParallelism
@@ -1969,6 +2055,9 @@ class EmbeddingWriter:
             )
             if self.pq_layer:
                 self._rebuild_pq()
+            # Generation-pin the index layers (VERDICT r12 #1) —
+            # aligned with the store manifest, zero Spark jobs.
+            self._record_ann_gens(stats["snapshot"])
             if self.drift_monitor:
                 # Bootstrap segment 0 = the just-built inverted file's
                 # occupancy; no drift stats (no pre-admit reference).
@@ -2151,6 +2240,12 @@ class EmbeddingWriter:
                 # store (which already holds this batch — the append
                 # above committed first).
                 self._extend_pq(novel)
+            # Generation-pin the extended layers (VERDICT r12 #1):
+            # one manifest line per layer per admit, aligned with the
+            # store generation; a heal-path rebuild collapses history
+            # (crash degrades layer HISTORY, never correctness). A
+            # drift reconcile below re-collapses after its rebuild.
+            self._record_ann_gens(stats["snapshot"])
             if self.drift_monitor:
                 # Derived-layer window, marker-bracketed: same crash
                 # contract as the text writer's drift_ref.
@@ -2324,6 +2419,7 @@ class EmbeddingWriter:
         topk: int = 5,
         shortlist: int | None = None,
         nprobe: int | None = None,
+        as_of: int | None = None,
     ) -> DataFrame:
         """ADC-shortlisted exact top-k over the admitted store from the
         stored PQ layer (requires ``pq_layer=True``) — codes from the
@@ -2334,7 +2430,10 @@ class EmbeddingWriter:
         raw-vector layer scans all codes by design). Omitted knobs
         scale with the stored corpus (the RECALL.md rule, VERDICT
         r11 #2): as admits grow the store, recall holds instead of
-        decaying."""
+        decaying. ``as_of=g`` serves codes, inverted file, AND the
+        re-rank store exactly as they stood after recorded admission g
+        (generation-pinned layers; collapsed generations fail
+        loudly)."""
         from .queries.quantization import (
             ivfpq_topk_from_index,
             pq_topk_from_index,
@@ -2349,22 +2448,43 @@ class EmbeddingWriter:
             return ivfpq_topk_from_index(
                 self.spark,
                 self.index_dir,
-                self.store(),
+                self.store(as_of=as_of),
                 query,
                 topk=topk,
                 shortlist=shortlist,
                 nprobe=nprobe,
                 books=self._cached_pq_books(),
+                as_of=as_of,
             )
         return pq_topk_from_index(
             self.spark,
             self.index_dir,
-            self.store(),
+            self.store(as_of=as_of),
             query,
             topk=topk,
             shortlist=shortlist,
             books=self._cached_pq_books(),
+            as_of=as_of,
         )
+
+    def _record_ann_gens(self, target_gen: int) -> None:
+        """Per-admit generation recording for every per-admit-appended
+        index layer this writer maintains, aligned with the store
+        manifest (VERDICT r12 #1). Codebook/books sidecars are whole-
+        rewrite artifacts — constant within a servable generation
+        range (any retrain goes through reconcile, which collapses
+        history) — so they need no manifests. Zero Spark jobs."""
+        import os
+
+        from . import incremental
+
+        names = ["lsh_signatures", "ivf_assignment", "bucket_sizes"]
+        if self.pq_layer:
+            names.append("ivfpq_codes" if self.pq_residual else "pq_codes")
+        for name in names:
+            d = f"{self.index_dir}/{name}"
+            if os.path.isdir(d):
+                incremental.record_aligned_snapshot(d, target_gen)
 
     def _check_drift(self) -> None:
         """Post-extend codebook-staleness hook: reconcile in-loop when
@@ -2430,6 +2550,13 @@ class EmbeddingWriter:
         )
         if self.pq_layer:
             self._rebuild_pq()
+        # A rebuild collapses generation history (the overwrites took
+        # the manifests with the dirs); numbering stays aligned with
+        # the store, older as_of pins fail loudly (VERDICT r13
+        # contract).
+        from . import incremental
+
+        self._record_ann_gens(incremental.snapshot_gens(self.store_dir))
         if self.drift_monitor:
             # A rebuild retrains the codebook — the cell DOMAIN itself
             # changes, so the layer rebuilds wholesale from the fresh

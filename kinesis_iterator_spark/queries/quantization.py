@@ -793,6 +793,7 @@ def ivfpq_topk_from_index(
     shortlist: int | None = None,
     nprobe: int | None = None,
     books: PQResult | None = None,
+    as_of: int | None = None,
 ) -> DataFrame:
     """`ivfpq_topk` served from the stored layer — the full residual
     IVFADC read path: driver-side probe over the centroid sidecar,
@@ -801,8 +802,21 @@ def ivfpq_topk_from_index(
 
     Omitted knobs default corpus-proportionally — n from the stored
     code layer's parquet footers (zero Spark jobs), cells from the
-    codebook sidecar (VERDICT r11 #2)."""
-    from ..incremental import _dir_rows
+    codebook sidecar (VERDICT r11 #2).
+
+    ``as_of`` (VERDICT r12 #1): serve the code layer exactly as it
+    stood after recorded admission ``as_of`` (per-admit manifest file
+    selection; the proportional shortlist sizes from the as-of
+    footers). Pair with the writer's ``store(as_of=...)`` as ``emb``
+    so the exact re-rank gathers the same-era payloads. Books and
+    coarse codebook are constant within a servable range — a retrain
+    collapses history and older pins fail loudly."""
+    from ..incremental import (
+        _dir_rows,
+        _files_rows,
+        snapshot_files,
+        snapshot_read,
+    )
     from .similarity import read_ann_codebook
 
     if books is None:
@@ -810,10 +824,19 @@ def ivfpq_topk_from_index(
     else:
         _check_ivfpq_layer(index_dir)
     crows = read_ann_codebook(index_dir)
-    codes = spark.read.parquet(f"{index_dir}/ivfpq_codes")
+    codes = (
+        spark.read.parquet(f"{index_dir}/ivfpq_codes")
+        if as_of is None
+        else snapshot_read(spark, f"{index_dir}/ivfpq_codes", as_of)
+    )
     if shortlist is None:
         shortlist = proportional_shortlist(
-            _dir_rows(f"{index_dir}/ivfpq_codes"), topk
+            _dir_rows(f"{index_dir}/ivfpq_codes")
+            if as_of is None
+            else _files_rows(
+                snapshot_files(f"{index_dir}/ivfpq_codes", as_of)
+            ),
+            topk,
         )
     return ivfpq_topk(
         spark,
@@ -839,7 +862,7 @@ def compact_pq_codes(
     untouched (the train-once contract). Staged-swap crash discipline:
     the stage is fully written, then committed with `_swap_staged`'s
     rename pair; `_check_pq_layer` self-heals an interrupted swap."""
-    from ..incremental import _swap_staged
+    from ..incremental import _swap_staged, collapse_snapshots, snapshot_gens
 
     _check_pq_layer(index_dir)
     spark.read.parquet(f"{index_dir}/pq_codes").repartitionByRange(
@@ -847,6 +870,11 @@ def compact_pq_codes(
     ).sortWithinPartitions("vec_id").write.mode("overwrite").parquet(
         f"{index_dir}/pq_codes.compact"
     )
+    # Generation-pinned layer: collapse the manifest into the stage so
+    # files + manifest commit together (VERDICT r13 contract).
+    gens = snapshot_gens(f"{index_dir}/pq_codes")
+    if gens:
+        collapse_snapshots(f"{index_dir}/pq_codes.compact", gens)
     _swap_staged(index_dir, "pq_codes", fence=fence)
 
 
@@ -859,7 +887,7 @@ def compact_ivfpq_codes(
     (cell, vec_id), so a probe's cell-pruned scan skips other cells'
     FILES by parquet min/max stats (the layout the per-cell ADC scans
     are designed for)."""
-    from ..incremental import _swap_staged
+    from ..incremental import _swap_staged, collapse_snapshots, snapshot_gens
 
     _check_ivfpq_layer(index_dir)
     spark.read.parquet(f"{index_dir}/ivfpq_codes").repartitionByRange(
@@ -867,6 +895,9 @@ def compact_ivfpq_codes(
     ).sortWithinPartitions("cell", "vec_id").write.mode("overwrite").parquet(
         f"{index_dir}/ivfpq_codes.compact"
     )
+    gens = snapshot_gens(f"{index_dir}/ivfpq_codes")
+    if gens:
+        collapse_snapshots(f"{index_dir}/ivfpq_codes.compact", gens)
     _swap_staged(index_dir, "ivfpq_codes", fence=fence)
 
 
@@ -878,6 +909,7 @@ def pq_topk_from_index(
     topk: int = 5,
     shortlist: int | None = None,
     books: PQResult | None = None,
+    as_of: int | None = None,
 ) -> DataFrame:
     """`pq_adc_topk` served from the stored layer: codes come from the
     ``pq_codes/`` parquet (the 8 B/vec production scan), books from the
@@ -885,8 +917,14 @@ def pq_topk_from_index(
     exact re-rank gathers shortlist payloads from — pinned equal to
     the recompute form over the same store. ``shortlist=None`` scales
     with the stored corpus (parquet footers, zero jobs — VERDICT
-    r11 #2)."""
-    from ..incremental import _dir_rows
+    r11 #2). ``as_of`` pins the code layer to an admission-snapshot
+    generation (see `ivfpq_topk_from_index`)."""
+    from ..incremental import (
+        _dir_rows,
+        _files_rows,
+        snapshot_files,
+        snapshot_read,
+    )
 
     if books is None:
         books = read_pq_books(index_dir)
@@ -894,9 +932,18 @@ def pq_topk_from_index(
         _check_pq_layer(index_dir)
     if shortlist is None:
         shortlist = proportional_shortlist(
-            _dir_rows(f"{index_dir}/pq_codes"), topk
+            _dir_rows(f"{index_dir}/pq_codes")
+            if as_of is None
+            else _files_rows(
+                snapshot_files(f"{index_dir}/pq_codes", as_of)
+            ),
+            topk,
         )
-    codes = spark.read.parquet(f"{index_dir}/pq_codes")
+    codes = (
+        spark.read.parquet(f"{index_dir}/pq_codes")
+        if as_of is None
+        else snapshot_read(spark, f"{index_dir}/pq_codes", as_of)
+    )
     perm = read_pq_perm(index_dir)
     if perm is not None:
         # OPQ layer: serve in the rotated space (codes were encoded
@@ -951,6 +998,7 @@ def pq_ivf_topk_from_index(
     shortlist: int | None = None,
     nprobe: int | None = None,
     books: PQResult | None = None,
+    as_of: int | None = None,
 ) -> DataFrame:
     """The full IVFADC read path (FAISS `IndexIVFPQ`): probe the
     ``nprobe`` stored IVF cells nearest the query (driver-side over
@@ -961,8 +1009,15 @@ def pq_ivf_topk_from_index(
     point of the composition: the ADC scan touches ~nprobe/n_cells of
     the codes and the re-rank a bounded shortlist — no stage ever
     reads the full vector payload. Omitted knobs default
-    corpus-proportionally from footers/sidecar (VERDICT r11 #2)."""
-    from ..incremental import _dir_rows
+    corpus-proportionally from footers/sidecar (VERDICT r11 #2).
+    ``as_of`` pins BOTH the code layer and the inverted file to an
+    admission-snapshot generation (see `ivfpq_topk_from_index`)."""
+    from ..incremental import (
+        _dir_rows,
+        _files_rows,
+        snapshot_files,
+        snapshot_read,
+    )
     from .similarity import read_ann_codebook
 
     if books is None:
@@ -974,19 +1029,31 @@ def pq_ivf_topk_from_index(
         nprobe = proportional_nprobe(len(crows))
     if shortlist is None:
         shortlist = proportional_shortlist(
-            _dir_rows(f"{index_dir}/pq_codes"), topk
+            _dir_rows(f"{index_dir}/pq_codes")
+            if as_of is None
+            else _files_rows(
+                snapshot_files(f"{index_dir}/pq_codes", as_of)
+            ),
+            topk,
         )
     # IVF probing stays RAW-space: the inverted file was built from the
     # unrotated store, so the probe ranks cells with the unrotated query.
     cells = _rank_cells(crows, query, nprobe)
-    members = (
+    inv = (
         spark.read.parquet(f"{index_dir}/ivf_assignment")
-        .filter((F.col("rk") == 1) & F.col("cell").isin(cells))
+        if as_of is None
+        else snapshot_read(spark, f"{index_dir}/ivf_assignment", as_of)
+    )
+    members = (
+        inv.filter((F.col("rk") == 1) & F.col("cell").isin(cells))
         .select("vec_id")
     )
-    codes = spark.read.parquet(f"{index_dir}/pq_codes").join(
-        members, "vec_id", "leftsemi"
+    base_codes = (
+        spark.read.parquet(f"{index_dir}/pq_codes")
+        if as_of is None
+        else snapshot_read(spark, f"{index_dir}/pq_codes", as_of)
     )
+    codes = base_codes.join(members, "vec_id", "leftsemi")
     perm = read_pq_perm(index_dir)
     if perm is not None:
         # OPQ layer: stored codes/books live in the permuted space — the

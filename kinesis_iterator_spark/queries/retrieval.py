@@ -451,6 +451,7 @@ def bm25_scores_from_index(
     query_terms: list[str],
     k1: tuple[int, int] = (6, 5),
     b: tuple[int, int] = (3, 4),
+    as_of: int | None = None,
 ) -> DataFrame:
     """`bm25_scores` served from the stored index: tf rows come from a
     term-pushdown parquet scan of ``postings/`` (never the corpus text),
@@ -458,27 +459,52 @@ def bm25_scores_from_index(
     terms, dl from an equi-join against ``doclen/``, and (N, T) enter as
     driver-side literals from meta — zero corpus-text work per query.
     Bit-equal to the scan form over the same corpus (shared
-    `_finish_scores` tail; pinned in tests/test_bm25_index.py)."""
+    `_finish_scores` tail; pinned in tests/test_bm25_index.py).
+
+    ``as_of``: a 1-based admission-snapshot generation (VERDICT r12
+    #1): serve the index exactly as it stood after recorded admission
+    ``as_of`` — file selection from each relation's per-admit manifest,
+    (N, T) from the cumulative totals the writer recorded on that
+    generation's ``postings/`` line. Requires a generation-pinned index
+    (a `CorpusWriter(bm25_index=True)`); loud otherwise. Generations
+    collapsed by compaction/reconcile fail loudly with the first
+    servable generation."""
+    from ..incremental import snapshot_extra, snapshot_read
+
     _check_params(k1, b)
     terms = sorted(set(query_terms))
     if not terms:
         raise ValueError("query_terms must be non-empty")
     meta = _check_bm25_meta(index_dir)
-    post = spark.read.parquet(f"{index_dir}/postings").filter(
-        F.col("term").isin(terms)
-    )
+    if as_of is None:
+        post = spark.read.parquet(f"{index_dir}/postings")
+        dfr_raw = spark.read.parquet(f"{index_dir}/df")
+        dl = spark.read.parquet(f"{index_dir}/doclen")
+        n_docs, t_tokens = int(meta["n_docs"]), int(meta["t_tokens"])
+    else:
+        post = snapshot_read(spark, f"{index_dir}/postings", as_of)
+        dfr_raw = snapshot_read(spark, f"{index_dir}/df", as_of)
+        dl = snapshot_read(spark, f"{index_dir}/doclen", as_of)
+        totals = snapshot_extra(f"{index_dir}/postings", as_of)
+        if not totals:
+            raise ValueError(
+                f"BM25 index at {index_dir} records no cumulative "
+                f"totals for generation {as_of} — generation-pinned "
+                "serving needs a writer that recorded them "
+                "(CorpusWriter admits after round 13 do)"
+            )
+        n_docs, t_tokens = int(totals["n_docs"]), int(totals["t_tokens"])
+    post = post.filter(F.col("term").isin(terms))
     dfr = (
-        spark.read.parquet(f"{index_dir}/df")
-        .filter(F.col("term").isin(terms))
+        dfr_raw.filter(F.col("term").isin(terms))
         .groupBy("term")
         .agg(F.sum("df").cast("long").alias("df"))
     )
-    dl = spark.read.parquet(f"{index_dir}/doclen")
     joined = (
         post.join(dl, "doc_id")
         .join(F.broadcast(dfr), "term")
-        .withColumn("n_docs", F.lit(int(meta["n_docs"])).cast("long"))
-        .withColumn("t_tokens", F.lit(int(meta["t_tokens"])).cast("long"))
+        .withColumn("n_docs", F.lit(n_docs).cast("long"))
+        .withColumn("t_tokens", F.lit(t_tokens).cast("long"))
     )
     return _finish_scores(joined, k1, b)
 
@@ -490,12 +516,16 @@ def bm25_topk_from_index(
     topk: int = 10,
     k1: tuple[int, int] = (6, 5),
     b: tuple[int, int] = (3, 4),
+    as_of: int | None = None,
 ) -> DataFrame:
     """`bm25_topk` served from the stored index — same deterministic
-    (score desc, doc_id) TakeOrdered top-k."""
+    (score desc, doc_id) TakeOrdered top-k. ``as_of`` pins an
+    admission-snapshot generation (see `bm25_scores_from_index`)."""
     if topk < 1:
         raise ValueError("topk must be >= 1")
-    s = bm25_scores_from_index(spark, index_dir, query_terms, k1=k1, b=b)
+    s = bm25_scores_from_index(
+        spark, index_dir, query_terms, k1=k1, b=b, as_of=as_of
+    )
     return s.orderBy(F.desc("bm25_fix"), "doc_id").limit(topk)
 
 
@@ -526,8 +556,22 @@ def compact_bm25_index(
     stored relations), then swapped live via `_swap_staged`'s rename
     pairs; `_check_bm25_meta` self-heals an interrupted swap, and since
     every relation is independently equivalent, any mix of swapped and
-    unswapped relations serves correct queries."""
-    from ..incremental import _concurrently, _swap_staged
+    unswapped relations serves correct queries.
+
+    Generation interplay (VERDICT r13 contract): a generation-pinned
+    index (per-admit manifests) keeps its generation NUMBERING across
+    compaction, but file-level history collapses — each stage dir gets
+    a collapsed manifest (tombstones + the full compacted set at the
+    latest generation, cumulative totals carried on ``postings/``)
+    written INTO the stage before the swap, so files and manifest
+    commit atomically together. ``as_of`` pins older than the
+    compaction fail loudly; the latest generation serves identically."""
+    from ..incremental import (
+        _concurrently,
+        _swap_staged,
+        collapse_snapshots,
+        snapshot_gens,
+    )
 
     meta = _check_bm25_meta(index_dir)
     par = spark.sparkContext.defaultParallelism
@@ -547,6 +591,21 @@ def compact_bm25_index(
         .write.mode("overwrite")
         .parquet(f"{index_dir}/postings.compact"),
     )
+    for name in _BM25_RELATIONS:
+        gens = snapshot_gens(f"{index_dir}/{name}")
+        if gens:
+            collapse_snapshots(
+                f"{index_dir}/{name}.compact",
+                gens,
+                extra=(
+                    {
+                        "n_docs": int(meta["n_docs"]),
+                        "t_tokens": int(meta["t_tokens"]),
+                    }
+                    if name == "postings"
+                    else None
+                ),
+            )
     _swap_staged(index_dir, *_BM25_RELATIONS, fence=fence)
     return meta
 

@@ -1120,20 +1120,30 @@ def _resolve_codebook(codebook) -> list | None:
     return sorted(codebook, key=lambda r: r["cell"])
 
 
-def stored_bucket_sizes(spark: SparkSession, index_dir: str) -> DataFrame | None:
+def stored_bucket_sizes(
+    spark: SparkSession, index_dir: str, as_of: int | None = None
+) -> DataFrame | None:
     """The stored signature-bucket occupancy (table_id, bucket, bsz),
     summed over the per-segment `bucket_sizes/` rows — or None for a
     pre-layer index (callers then fall back to the window form). The
     relation is O(distinct buckets): hot-bucket filtering over it costs
     a slim aggregate instead of re-windowing corpus-sized signatures on
-    every stored-index query / admission."""
+    every stored-index query / admission. ``as_of`` restricts the sum
+    to the segments committed by the first ``as_of`` recorded
+    admissions — occupancy exactly as it stood then."""
     import os
+
+    from ..incremental import snapshot_read
 
     if not os.path.isdir(f"{index_dir}/bucket_sizes"):
         return None
-    return (
+    seg = (
         spark.read.parquet(f"{index_dir}/bucket_sizes")
-        .groupBy("table_id", "bucket")
+        if as_of is None
+        else snapshot_read(spark, f"{index_dir}/bucket_sizes", as_of)
+    )
+    return (
+        seg.groupBy("table_id", "bucket")
         .agg(F.sum("bsz").cast("long").alias("bsz"))
     )
 
@@ -1317,6 +1327,16 @@ def compact_ann_index(
         .write.mode("overwrite")
         .parquet(f"{index_dir}/ivf_assignment.compact"),
     )
+    # Generation interplay (VERDICT r13 contract): a generation-pinned
+    # layer keeps its numbering but collapses file-level history — the
+    # collapsed manifest is written INTO each stage dir so files and
+    # manifest swap live together; older as_of pins then fail loudly.
+    from ..incremental import collapse_snapshots, snapshot_gens
+
+    for name in _ANN_RELATIONS:
+        gens = snapshot_gens(f"{index_dir}/{name}")
+        if gens and os.path.isdir(f"{index_dir}/{name}.compact"):
+            collapse_snapshots(f"{index_dir}/{name}.compact", gens)
     _swap_staged(index_dir, *_ANN_RELATIONS, fence=fence)
     return meta
 
@@ -1411,15 +1431,32 @@ def _check_ann_compat(index_dir: str, meta: dict) -> None:
 
 
 def similarity_lsh_topk_from_index(
-    spark: SparkSession, sf_dir: str, index_dir: str, query_ids=None
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    query_ids=None,
+    as_of: int | None = None,
 ) -> DataFrame:
     """`similarity_lsh_topk` over a stored index: identical candidate
     generation + scoring, but the signature side is a slim parquet scan
     instead of the corpus-wide Arrow kernel (and needs no persist — the
     two consumers re-read the file, which is the stored column's whole
-    point)."""
+    point).
+
+    ``as_of`` (VERDICT r12 #1): serve the SIGNATURE/occupancy layers
+    exactly as they stood after recorded admission ``as_of`` (per-admit
+    manifest file selection — `incremental.snapshot_read`). The vector
+    payload side stays the caller's ``sf_dir`` table; a writer-managed
+    store pairs this with ``store(as_of=...)``. Generations collapsed
+    by compaction/reconcile fail loudly."""
+    from ..incremental import snapshot_read
+
     meta = _read_ann_meta(index_dir)
-    sig = spark.read.parquet(f"{index_dir}/lsh_signatures")
+    sig = (
+        spark.read.parquet(f"{index_dir}/lsh_signatures")
+        if as_of is None
+        else snapshot_read(spark, f"{index_dir}/lsh_signatures", as_of)
+    )
     emb = load_table(spark, sf_dir, "embeddings")
     return _score_pairs_topk(
         _lsh_candidate_pairs(
@@ -1427,7 +1464,7 @@ def similarity_lsh_topk_from_index(
             meta["b"],
             meta["cap"],
             query_ids=query_ids,
-            bucket_sizes=stored_bucket_sizes(spark, index_dir),
+            bucket_sizes=stored_bucket_sizes(spark, index_dir, as_of=as_of),
         ),
         emb,
         spark.sparkContext.defaultParallelism,
@@ -1437,13 +1474,27 @@ def similarity_lsh_topk_from_index(
 
 
 def similarity_ivf_topk_from_index(
-    spark: SparkSession, sf_dir: str, index_dir: str, query_ids=None
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    query_ids=None,
+    as_of: int | None = None,
 ) -> DataFrame:
     """`similarity_ivf_topk` over a stored index: the codebook build and
     assignment kernel are skipped entirely — the cell join runs on the
-    stored (vec_id, cell, rk) inverted file."""
+    stored (vec_id, cell, rk) inverted file. ``as_of`` pins the
+    inverted file to an admission-snapshot generation (see
+    `similarity_lsh_topk_from_index`; the codebook sidecar is constant
+    within a servable generation range — any retrain collapses
+    history)."""
+    from ..incremental import snapshot_read
+
     meta = _read_ann_meta(index_dir)
-    ranked = spark.read.parquet(f"{index_dir}/ivf_assignment")
+    ranked = (
+        spark.read.parquet(f"{index_dir}/ivf_assignment")
+        if as_of is None
+        else snapshot_read(spark, f"{index_dir}/ivf_assignment", as_of)
+    )
     emb = load_table(spark, sf_dir, "embeddings")
     return _score_pairs_topk(
         _ivf_candidate_pairs(ranked, query_ids=query_ids),

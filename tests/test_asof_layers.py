@@ -1,0 +1,254 @@
+"""Generation-pinned DERIVED index layers (VERDICT r12 #1 / r13).
+
+Round 12's admission snapshots pinned the data of record
+(`corpus(as_of=g)` / `store(as_of=g)`); the derived layers (BM25
+postings, ANN signatures/inverted file/bucket occupancy, PQ code
+segments) always served the LATEST admission — a user who trained on
+`corpus(as_of=g)` could not reproduce the retrieval results that fed
+it. Round 13 extends the per-admit manifest discipline to every
+per-admit-appended layer and accepts ``as_of=`` on every from-index
+reader.
+
+Contract pinned here:
+
+- every admit appends one manifest line per layer, generation numbers
+  ALIGNED with the data of record's;
+- a from-index query ``as_of=g`` is bit-equal to the answer that query
+  gave right after admission g (the time-travel story), and — for the
+  geometry-free BM25 layer — to a fresh index rebuilt over
+  ``corpus(as_of=g)``;
+- compaction/reconcile rewrites keep generation NUMBERING but collapse
+  file-level history: the latest generation serves identically, older
+  pins fail loudly naming the rewrite (the data of record keeps full
+  history; derived layers keep history since the last rewrite);
+- an all-duplicate admit (empty delta) still advances every layer's
+  generation in lockstep.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kinesis_iterator_spark import incremental
+from kinesis_iterator_spark.pipeline import CorpusWriter, EmbeddingWriter
+from kinesis_iterator_spark.queries.retrieval import (
+    bm25_topk_from_index,
+    read_query_vec,
+    write_bm25_index,
+)
+from kinesis_iterator_spark.queries.similarity import (
+    similarity_ivf_topk_from_index,
+    similarity_lsh_topk_from_index,
+)
+from kinesis_iterator_spark.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+TERMS = ["scan", "column", "window", "order", "sort"]
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_bm25_generations_pin_history_then_collapse(spark, tmp_path):
+    doc = load_table(spark, SF, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    batches = [doc.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    w = CorpusWriter(
+        spark,
+        f"{tmp_path}/corpus",
+        f"{tmp_path}/index",
+        bm25_index=True,
+    )
+    captured = {}
+    for i, b in enumerate(batches, start=1):
+        s = w.admit(b)
+        assert s["snapshot"] == i
+        captured[i] = _rows(w.bm25_topk(TERMS, topk=10))
+    # Layer generations aligned with the corpus manifest.
+    for name in ("postings", "df", "doclen"):
+        assert (
+            incremental.snapshot_gens(f"{tmp_path}/index/bm25/{name}") == 3
+        )
+    # Time travel: as_of=g reproduces the answer captured after admit g.
+    for g in (1, 2, 3):
+        assert _rows(w.bm25_topk(TERMS, topk=10, as_of=g)) == captured[g]
+    # Cross-check vs a FRESH index rebuilt over the data of record
+    # as-of g (the VERDICT done-criterion — BM25 has no geometry, so
+    # rebuild equality is exact).
+    for g in (1, 3):
+        fresh = f"{tmp_path}/fresh{g}"
+        write_bm25_index(
+            spark, w.corpus(as_of=g).select("doc_id", "text"), fresh
+        )
+        assert (
+            _rows(bm25_topk_from_index(spark, fresh, TERMS, topk=10))
+            == captured[g]
+        )
+    # Compaction: numbering kept, latest serves identically, older
+    # generations fail loudly naming the rewrite.
+    w.compact()
+    assert _rows(w.bm25_topk(TERMS, topk=10, as_of=3)) == captured[3]
+    with pytest.raises(ValueError, match="collapsed"):
+        w.bm25_topk(TERMS, topk=10, as_of=2)
+    # An all-duplicate admit advances every generation in lockstep with
+    # an empty delta; content at gen 4 == content at gen 3.
+    s4 = w.admit(batches[0])
+    assert s4["snapshot"] == 4 and s4["n_admitted"] == 0
+    for name in ("postings", "df", "doclen"):
+        assert (
+            incremental.snapshot_gens(f"{tmp_path}/index/bm25/{name}") == 4
+        )
+    assert _rows(w.bm25_topk(TERMS, topk=10, as_of=4)) == captured[3]
+    # Reconcile (full rebuild): collapse again at the corpus head.
+    w.reconcile()
+    assert _rows(w.bm25_topk(TERMS, topk=10, as_of=4)) == captured[3]
+    with pytest.raises(ValueError, match="collapsed"):
+        w.bm25_topk(TERMS, topk=10, as_of=3)
+
+
+def test_embedding_layers_pin_history_then_collapse(spark, tmp_path):
+    emb = load_table(spark, SF, "embeddings")
+    batches = [emb.filter(F.col("vec_id") % 3 == i) for i in range(3)]
+    store, ann = f"{tmp_path}/store", f"{tmp_path}/ann"
+    w = EmbeddingWriter(
+        spark, store, ann, pq_layer=True, pq_ks=16, pq_iters=1
+    )
+    qv = read_query_vec(f"{SF}/embeddings.parquet", 0)
+    cap_pq, cap_lsh, cap_ivf = {}, {}, {}
+    for i, b in enumerate(batches, start=1):
+        s = w.admit(b)
+        assert s["snapshot"] == i
+        cap_pq[i] = _rows(w.pq_topk(qv, topk=5))
+        cap_lsh[i] = _rows(similarity_lsh_topk_from_index(spark, SF, ann))
+        cap_ivf[i] = _rows(similarity_ivf_topk_from_index(spark, SF, ann))
+    for name in ("lsh_signatures", "ivf_assignment", "bucket_sizes",
+                 "pq_codes"):
+        assert incremental.snapshot_gens(f"{ann}/{name}") == 3, name
+    for g in (1, 2, 3):
+        assert _rows(w.pq_topk(qv, topk=5, as_of=g)) == cap_pq[g]
+        assert (
+            _rows(similarity_lsh_topk_from_index(spark, SF, ann, as_of=g))
+            == cap_lsh[g]
+        )
+        assert (
+            _rows(similarity_ivf_topk_from_index(spark, SF, ann, as_of=g))
+            == cap_ivf[g]
+        )
+    # Compaction collapses layer history, keeps the head servable.
+    w.compact()
+    assert _rows(w.pq_topk(qv, topk=5, as_of=3)) == cap_pq[3]
+    assert (
+        _rows(similarity_lsh_topk_from_index(spark, SF, ann, as_of=3))
+        == cap_lsh[3]
+    )
+    with pytest.raises(ValueError, match="collapsed"):
+        w.pq_topk(qv, topk=5, as_of=1)
+    with pytest.raises(ValueError, match="collapsed"):
+        similarity_ivf_topk_from_index(spark, SF, ann, as_of=2)
+    # Reconcile retrains geometry: the head generation serves the SAME
+    # ROWS as the plain (latest) read — content, not codes, is pinned —
+    # and pre-reconcile generations fail loudly.
+    w.reconcile()
+    assert _rows(w.pq_topk(qv, topk=5, as_of=3)) == _rows(
+        w.pq_topk(qv, topk=5)
+    )
+    with pytest.raises(ValueError, match="collapsed"):
+        w.pq_topk(qv, topk=5, as_of=2)
+
+
+def test_interrupted_layer_swap_heals_with_manifest(spark, tmp_path):
+    """A crash INSIDE a compaction swap (live dir renamed away, stage
+    not yet renamed in) must roll the stage — files AND its collapsed
+    manifest together — forward at the next index touch, so as-of
+    serving stays consistent with the swap's atomicity story."""
+    import os
+
+    doc = load_table(spark, SF, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    batches = [doc.filter(F.col("doc_id") % 2 == i) for i in range(2)]
+    w = CorpusWriter(
+        spark, f"{tmp_path}/corpus", f"{tmp_path}/index", bm25_index=True
+    )
+    for b in batches:
+        w.admit(b)
+    head = _rows(w.bm25_topk(TERMS, topk=10))
+    bm = f"{tmp_path}/index/bm25"
+    w.compact()
+    # Simulate the mid-swap crash window on postings/: re-stage the
+    # live dir, then rename it away (the state between _swap_staged's
+    # two renames).
+    os.rename(f"{bm}/postings", f"{bm}/postings.compact")
+    assert _rows(w.bm25_topk(TERMS, topk=10)) == head  # heals forward
+    assert _rows(w.bm25_topk(TERMS, topk=10, as_of=2)) == head
+    with pytest.raises(ValueError, match="collapsed"):
+        w.bm25_topk(TERMS, topk=10, as_of=1)
+
+
+def test_corpus_compaction_preserves_every_generation(spark, tmp_path):
+    """`compact_corpus` (VERDICT r12 #4): per-generation rewrite keeps
+    EVERY as_of bit-equal (the data of record never trades history for
+    layout), shrinks the file count, and a subsequent admit continues
+    the generation sequence."""
+    import os
+
+    doc = load_table(spark, SF, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    batches = [doc.filter(F.col("doc_id") % 4 == i) for i in range(4)]
+    w = CorpusWriter(
+        spark, f"{tmp_path}/corpus", f"{tmp_path}/index", bm25_index=True
+    )
+    for b in batches[:3]:
+        w.admit(b)
+    before = {
+        g: _rows(w.corpus(as_of=g).select("doc_id", "text"))
+        for g in (1, 2, 3)
+    }
+    head = _rows(w.corpus().select("doc_id", "text"))
+    n_files_before = len(incremental._data_files(f"{tmp_path}/corpus"))
+    res = w.compact_corpus()
+    assert res["files_after"] <= 3 < n_files_before == res["files_before"]
+    for g in (1, 2, 3):
+        assert (
+            _rows(w.corpus(as_of=g).select("doc_id", "text")) == before[g]
+        )
+    assert _rows(w.corpus().select("doc_id", "text")) == head
+    # BM25 generation pins are untouched by data-dir compaction.
+    assert len(_rows(w.bm25_topk(TERMS, topk=10, as_of=2))) > 0
+    # The generation sequence continues across the rewrite.
+    s4 = w.admit(batches[3])
+    assert s4["snapshot"] == 4
+    assert len(
+        _rows(w.corpus(as_of=4).select("doc_id"))
+    ) == len(head) + s4["n_admitted"]
+    # Crash mid-swap: stage complete, live dir renamed away — the next
+    # read (and the next admit's entry probe) rolls forward.
+    cd = f"{tmp_path}/corpus"
+    os.rename(cd, f"{cd}.compact")
+    assert _rows(w.corpus(as_of=1).select("doc_id", "text")) == before[1]
+    assert not os.path.isdir(f"{cd}.compact")
+
+
+def test_store_compaction_preserves_every_generation(spark, tmp_path):
+    emb = load_table(spark, SF, "embeddings")
+    batches = [emb.filter(F.col("vec_id") % 3 == i) for i in range(3)]
+    store, ann = f"{tmp_path}/store", f"{tmp_path}/ann"
+    w = EmbeddingWriter(spark, store, ann)
+    for b in batches[:2]:
+        w.admit(b)
+    before = {g: _rows(w.store(as_of=g).select("vec_id")) for g in (1, 2)}
+    res = w.compact_store()
+    # One file per generation after the rewrite (a small-batch admit
+    # may already commit a single file, so <=, not <).
+    assert res["files_after"] <= 2 and res["files_after"] <= res["files_before"]
+    for g in (1, 2):
+        assert _rows(w.store(as_of=g).select("vec_id")) == before[g]
+    s3 = w.admit(batches[2])
+    assert s3["snapshot"] == 3
+    assert len(_rows(w.store(as_of=3).select("vec_id"))) == len(
+        before[2]
+    ) + s3["n_admitted"]

@@ -315,3 +315,68 @@ def test_vocab_refuses_literal_sentinel_merges():
         bpe_vocab([("</", "w>")])
     with pytest.raises(ValueError, match="sentinel"):
         bpe_vocab([("</w", ">")])
+
+
+def test_batched_distributed_truncates_unfaithful_batches(
+    spark, monkeypatch
+):
+    """Batched rounds (r13): blind disjoint top-k is NOT greedy-faithful
+    — merging rank-1 can create product pairs (x, a+b) whose count
+    outranks the round's rank-2 pair, so the verifier must truncate.
+    Corpus engineered so step 2 of the naive batch diverges: after
+    merging (a, b), the new pair (ab, y) carries the full 100 count
+    while the next original pair would have been chosen otherwise.
+    The distributed result must stay bit-identical to the reference."""
+    import kinesis_iterator_spark.bpe as bpe_mod
+
+    monkeypatch.setattr(bpe_mod, "DRIVER_BPE_MAX_WORDS", -1)
+    rows = [("x a b y", 100), ("p q", 90), ("r s", 80)]
+    doc = spark.createDataFrame(
+        [(i, " ".join([t] * f)) for i, (t, f) in enumerate(rows)],
+        "doc_id long, text string",
+    )
+    wf = []
+    for t, f in rows:
+        wf.extend((w, f) for w in t.split(" "))
+    want = bpe_train_reference(sorted(wf), 6)
+    got = bpe_mod.bpe_train(spark, doc, 6)
+    assert got == want
+    # Sanity: the adversarial shape actually bites — the product pair
+    # is chosen at some step, i.e. a naive disjoint batch of the
+    # round-1 ranking would have diverged.
+    assert any(a.endswith(bpe_mod.EOW) is False and len(a) > 1 for a, _ in want) or any(
+        len(a) > 1 or len(b) > 1 for a, b in want
+    )
+
+
+def test_batched_distributed_matches_reference_adversarial(
+    spark, monkeypatch
+):
+    """Random adversarial corpora through the BATCHED distributed loop
+    (the driver-path adversarial pin's twin): bit-identical merges at
+    multiple min_freq settings, under a small top-K so batching and
+    truncation both exercise."""
+    import random
+
+    import kinesis_iterator_spark.bpe as bpe_mod
+
+    monkeypatch.setattr(bpe_mod, "DRIVER_BPE_MAX_WORDS", -1)
+    monkeypatch.setattr(bpe_mod, "BPE_BATCH_TOP_K", 8)
+    rng = random.Random(13)
+    for trial in range(3):
+        wf: dict = {}
+        for _ in range(rng.randint(6, 18)):
+            w = "".join(
+                rng.choice("abc") for _ in range(rng.randint(1, 7))
+            )
+            wf[w] = wf.get(w, 0) + rng.randint(1, 9)
+        doc = spark.createDataFrame(
+            [
+                (i, " ".join([w] * f))
+                for i, (w, f) in enumerate(sorted(wf.items()))
+            ],
+            "doc_id long, text string",
+        )
+        want = bpe_train_reference(sorted(wf.items()), 12)
+        got = bpe_mod.bpe_train(spark, doc, 12)
+        assert got == want, (trial, wf, got, want)
