@@ -305,3 +305,23 @@ def test_from_index_omitted_knobs_resolve_proportionally(
         ).collect()
     )
     assert got == want and len(got) == 5
+
+
+def test_reconcile_growth_recall_floor(spark, sf_dir, tmp_path):
+    """Recall under reconcile-growth, end-to-end (VERDICT r12 #6): a 4x
+    label-skewed growth admitted with drift_reconcile=True must (a)
+    actually trip the monitor and retrain, (b) grow the coarse geometry
+    (proportional ceil-sqrt(n) cells on the grown store), and (c) hold
+    a recall@10 floor on the stored serving path vs exact over the
+    grown store. Measured (tools/recall_reconcile.py): 0.833 at
+    sf0.001 / 0.939 at sf0.01 reconciled — vs 0.818 CONTROL (frozen
+    bootstrap geometry) at sf0.01, the +0.12 the retrain recovers;
+    floors are alarms, not targets."""
+    from tools.recall_reconcile import reconcile_growth_recall
+
+    res = reconcile_growth_recall(
+        spark, sf_dir, n_queries=12, root=str(tmp_path)
+    )
+    assert res["reconciles"] >= 1
+    assert res["cells_reconciled"] > res["cells_control"]
+    assert res["recall_reconciled"] >= 0.6
