@@ -686,6 +686,7 @@ def _lex_ranked_from_index(
     candidates: int,
     k1: tuple[int, int],
     b: tuple[int, int],
+    as_of: int | None = None,
 ) -> DataFrame:
     """`_lex_ranked` served from the STORED inverted index
     (`bm25_scores_from_index`) — bit-equal to the corpus-scan form over
@@ -693,11 +694,13 @@ def _lex_ranked_from_index(
     scan≡index equality), with zero corpus-text work per query: tf
     rows come from a term-pushdown ``postings/`` scan, never from
     re-tokenizing ``documents``. The 100 TB lexical leg (VERDICT
-    r11 #1)."""
+    r11 #1). ``as_of`` pins an admission-snapshot generation."""
     from pyspark.sql.window import Window
 
     return (
-        bm25_scores_from_index(spark, bm25_dir, query_terms, k1=k1, b=b)
+        bm25_scores_from_index(
+            spark, bm25_dir, query_terms, k1=k1, b=b, as_of=as_of
+        )
         .orderBy(F.desc("bm25_fix"), "doc_id")
         .limit(candidates)
         .withColumn(
@@ -810,6 +813,7 @@ def hybrid_topk_ann(
     shortlist: int | None = None,
     books=None,
     bm25_dir: str | None = None,
+    as_of: int | None = None,
 ) -> DataFrame:
     """:func:`hybrid_topk` with BOTH legs served from stored indexes —
     the 100 TB serving form the exact ranker's docstring promises.
@@ -828,7 +832,14 @@ def hybrid_topk_ann(
     pinned equal to brute force), and tighter (nprobe, shortlist)
     trade recall for the 8 B/vec scan exactly as RECALL.md
     measures. Omitted (nprobe, shortlist) default
-    corpus-proportionally (VERDICT r11 #2)."""
+    corpus-proportionally (VERDICT r11 #2).
+
+    ``as_of`` (r13): pin BOTH stored legs to an admission-snapshot
+    generation — the BM25 relations (requires ``bm25_dir``) and the
+    IVFPQ code/inverted-file layers; pass the matching
+    ``store(as_of=g)`` as ``emb`` so the exact re-rank gathers
+    same-era payloads. Generations collapsed by compaction/reconcile
+    fail loudly."""
     from pyspark.sql.window import Window
 
     from .quantization import ivfpq_topk_from_index
@@ -837,9 +848,14 @@ def hybrid_topk_ann(
         raise ValueError("need candidates >= topk >= 1")
     if bm25_dir is not None:
         lex = _lex_ranked_from_index(
-            spark, bm25_dir, query_terms, candidates, k1, b
+            spark, bm25_dir, query_terms, candidates, k1, b, as_of=as_of
         )
     elif doc is not None:
+        if as_of is not None:
+            raise ValueError(
+                "as_of pins STORED layers — pass bm25_dir for the "
+                "lexical leg (the doc-frame scan has no generations)"
+            )
         lex = _lex_ranked(doc, query_terms, candidates, k1, b)
     else:
         raise ValueError(
@@ -861,6 +877,7 @@ def hybrid_topk_ann(
             ),
             nprobe=nprobe,
             books=books,
+            as_of=as_of,
         )
         .select(F.col("vec_id").alias("doc_id"), "cosine")
         .withColumn(

@@ -252,3 +252,79 @@ def test_store_compaction_preserves_every_generation(spark, tmp_path):
     assert len(_rows(w.store(as_of=3).select("vec_id"))) == len(
         before[2]
     ) + s3["n_admitted"]
+
+
+def test_hybrid_serving_as_of_both_legs(spark, tmp_path):
+    """`hybrid_topk_ann(as_of=g)` pins BOTH stored legs — the BM25
+    relations and the residual-IVFPQ layers — plus the re-rank store
+    side via `store(as_of=g)`: the fused answer captured right after
+    admission g is reproduced exactly; the indexless doc-frame lexical
+    leg refuses as_of (it has no generations)."""
+    from kinesis_iterator_spark.pipeline import (
+        CorpusWriter,
+        CurationConfig,
+        EmbeddingWriter,
+    )
+    from kinesis_iterator_spark.queries.retrieval import hybrid_topk_ann
+
+    doc = load_table(spark, SF, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    emb = load_table(spark, SF, "embeddings")
+    w_text = CorpusWriter(
+        spark,
+        f"{tmp_path}/corpus",
+        f"{tmp_path}/index",
+        CurationConfig(min_words=1),
+        bm25_index=True,
+    )
+    w_vec = EmbeddingWriter(
+        spark,
+        f"{tmp_path}/store",
+        f"{tmp_path}/ann",
+        tau=0.9,
+        train_codebook=True,
+        train_k=8,
+        train_iters=2,
+        pq_layer=True,
+        pq_residual=True,
+        pq_m=4,
+        pq_ks=16,
+    )
+    qv = read_query_vec(f"{SF}/embeddings.parquet", 0)
+
+    def serve(as_of=None):
+        return _rows(
+            hybrid_topk_ann(
+                spark,
+                f"{tmp_path}/ann",
+                None,
+                w_vec.store(as_of=as_of),
+                TERMS,
+                qv,
+                topk=10,
+                candidates=30,
+                bm25_dir=f"{tmp_path}/index/bm25",
+                as_of=as_of,
+            )
+        )
+
+    captured = {}
+    for g, pred in ((1, F.col("doc_id") % 2 == 0), (2, F.col("doc_id") % 2 == 1)):
+        assert w_text.admit(doc.filter(pred))["snapshot"] == g
+        assert w_vec.admit(
+            emb.filter(F.col("vec_id") % 2 == (g - 1))
+        )["snapshot"] == g
+        captured[g] = serve()
+    for g in (1, 2):
+        assert serve(as_of=g) == captured[g]
+    with pytest.raises(ValueError, match="doc-frame|bm25_dir"):
+        hybrid_topk_ann(
+            spark,
+            f"{tmp_path}/ann",
+            load_table(spark, SF, "documents"),
+            w_vec.store(),
+            TERMS,
+            qv,
+            as_of=1,
+        )
