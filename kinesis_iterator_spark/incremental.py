@@ -1157,6 +1157,13 @@ def record_aligned_snapshot(
         collapse_snapshots(data_dir, target_gen, extra=extra)
 
 
+# Per-output-file byte target for the data-of-record compactor: one
+# rewritten file per this much input (parquet-compressed bytes, stat'd
+# driver-side). 256 MB tracks spark.sql.files.maxPartitionBytes-scale
+# scan units at the 100 TB design point.
+COMPACT_TARGET_BYTES = 256 * 1024 * 1024
+
+
 def recover_data_dir(data_dir: str) -> None:
     """Self-heal an interrupted :func:`compact_data_snapshots` swap on a
     DATA-of-record dir — `_recover_staged` scoped to the dir's own
@@ -1223,10 +1230,21 @@ def compact_data_snapshots(
             if not rec["compacted"] and rec["files"]:
                 paths = [os.path.join(data_dir, f) for f in rec["files"]]
                 shutil.rmtree(tmp, ignore_errors=True)
+                # Target-sized output: one file per ~COMPACT_TARGET_BYTES
+                # of input (driver-side stat, zero jobs) — a TB-scale
+                # admission's delta must not funnel through a single
+                # coalesce(1) task; small admits still collapse to one
+                # key-sorted, min/max-prunable file.
+                total = sum(os.path.getsize(p) for p in paths)
+                n_out = max(1, -(-total // COMPACT_TARGET_BYTES))
+                frame = spark.read.parquet(*paths)
+                frame = (
+                    frame.coalesce(1)
+                    if n_out == 1
+                    else frame.repartitionByRange(int(n_out), *order_cols)
+                )
                 (
-                    spark.read.parquet(*paths)
-                    .coalesce(1)
-                    .sortWithinPartitions(*order_cols)
+                    frame.sortWithinPartitions(*order_cols)
                     .write.mode("overwrite")
                     .parquet(tmp)
                 )

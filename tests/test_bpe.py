@@ -380,3 +380,101 @@ def test_batched_distributed_matches_reference_adversarial(
         want = bpe_train_reference(sorted(wf.items()), 12)
         got = bpe_mod.bpe_train(spark, doc, 12)
         assert got == want, (trial, wf, got, want)
+
+
+def test_batch_verifier_sound_over_random_corpora_pure_python():
+    """Soundness of the batched round's SELECTION verifier without
+    Spark: mirror `_bpe_train_distributed`'s round structure in
+    process (exact counts, `_disjoint_prefix`, per-word sequential
+    batch application with step-tagged deltas, `_faithful_steps`
+    truncation) and pin bit-identity to the reference across many
+    random corpora × (min_freq, top-K) configs — the argument that
+    only TOUCHED pairs can outrank a prefix step is exercised at
+    volume here (400×6 configs ran clean during development; a
+    reduced sweep is kept suite-fast)."""
+    import random
+
+    from kinesis_iterator_spark.bpe import (
+        EOW,
+        _apply_merge,
+        _disjoint_prefix,
+        _faithful_steps,
+    )
+
+    def simulate(wf, n_merges, min_freq, topk):
+        words = [list(w) + [EOW] for w, _ in wf]
+        freqs = [f for _, f in wf]
+
+        def counts():
+            pc: dict = {}
+            for syms, f in zip(words, freqs):
+                for j in range(len(syms) - 1):
+                    p = (syms[j], syms[j + 1])
+                    pc[p] = pc.get(p, 0) + f
+            return pc
+
+        def apply_batch(prefix):
+            delta: dict = {}
+            new_words = []
+            for syms, f in zip(words, freqs):
+                syms = list(syms)
+                for step, (a, b) in enumerate(prefix, start=1):
+                    hit = any(
+                        syms[j] == a and syms[j + 1] == b
+                        for j in range(len(syms) - 1)
+                    )
+                    if not hit:
+                        continue
+                    for j in range(len(syms) - 1):
+                        k = (syms[j], syms[j + 1], step)
+                        delta[k] = delta.get(k, 0) - f
+                    syms = _apply_merge(syms, a, b)
+                    for j in range(len(syms) - 1):
+                        k = (syms[j], syms[j + 1], step)
+                        delta[k] = delta.get(k, 0) + f
+                new_words.append(syms)
+            return new_words, delta
+
+        merges: list = []
+        while len(merges) < n_merges:
+            pc = counts()
+            ts = sorted(
+                pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )[:topk]
+            top = [{"a": p[0], "b": p[1], "c": c} for p, c in ts]
+            if not top or top[0]["c"] < min_freq:
+                break
+            prefix = _disjoint_prefix(top, min_freq)[
+                : n_merges - len(merges)
+            ]
+            new_words, delta = apply_batch(prefix)
+            if len(prefix) > 1:
+                touched = [
+                    {"a": a, "b": b, "s": s, "d": d, "c0": pc.get((a, b))}
+                    for (a, b, s), d in delta.items()
+                    if d
+                ]
+                ok = _faithful_steps(prefix, top, touched)
+                if ok < len(prefix):
+                    prefix = prefix[:ok]
+                    new_words, delta = apply_batch(prefix)
+            merges.extend(prefix)
+            words = new_words
+        return merges
+
+    rng = random.Random(99)
+    for trial in range(60):
+        wf: dict = {}
+        alpha = rng.choice(["ab", "abc", "abcd"])
+        for _ in range(rng.randint(2, 20)):
+            w = "".join(
+                rng.choice(alpha) for _ in range(rng.randint(1, 8))
+            )
+            wf[w] = wf.get(w, 0) + rng.randint(1, 9)
+        items = sorted(wf.items())
+        mf = rng.choice((1, 2))
+        topk = rng.choice((4, 16, 64))
+        nm = rng.randint(1, 20)
+        got = simulate(list(items), nm, mf, topk)
+        want = bpe_train_reference(list(items), nm, mf)
+        assert got == want, (trial, mf, topk, nm, items, got, want)

@@ -452,3 +452,77 @@ def test_proportional_train_k_properties(n, m):
     assert k * k >= n or k == n  # floor-at-n for tiny corpora
     lo, hi = sorted((n, m))
     assert proportional_train_k(lo) <= proportional_train_k(hi)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            # (op, n_files): record an admission committing n new files
+            st.tuples(st.just("admit"), st.integers(0, 3)),
+            st.just(("collapse", 0)),
+            st.just(("torn", 0)),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_snapshot_manifest_model(tmp_path_factory, ops):
+    """Model-based pin of the admission-manifest machinery (round 13):
+    random interleavings of admissions (0-3 files each), history
+    collapses, and torn tail lines, checked against a pure-Python
+    model — `snapshot_files(g)` returns exactly the cumulative file
+    set of the first g admissions (or raises for collapsed/empty
+    generations), `snapshot_gens` tracks the model length, and a torn
+    tail never shifts generation numbering. No Spark — the machinery
+    is driver-side file metadata by design."""
+    import json
+    import os
+
+    from kinesis_iterator_spark import incremental
+
+    d = str(tmp_path_factory.mktemp("manifest_model"))
+    model: list[dict] = []  # [{"files": set, "collapsed": bool}]
+    counter = 0
+    for op, n in ops:
+        if op == "admit":
+            new = []
+            for _ in range(n):
+                name = f"part-{counter:05d}.parquet"
+                counter += 1
+                open(os.path.join(d, name), "wb").close()
+                new.append(name)
+            gen = incremental.record_snapshot(d, n=n)
+            model.append({"files": set(new), "collapsed": False})
+            assert gen == len(model)
+        elif op == "collapse" and model:
+            incremental.collapse_snapshots(d, len(model))
+            all_files = set().union(*(m["files"] for m in model))
+            model = [
+                {"files": set(), "collapsed": True}
+                for _ in range(len(model) - 1)
+            ] + [{"files": all_files, "collapsed": False}]
+        elif op == "torn":
+            with open(incremental._snapshot_path(d), "a") as fh:
+                fh.write('{"files": ["torn')
+        assert incremental.snapshot_gens(d) == len(model)
+        for g in range(1, len(model) + 1):
+            expect = set().union(*(m["files"] for m in model[:g]))
+            if model[g - 1]["collapsed"]:
+                try:
+                    incremental.snapshot_files(d, g)
+                    raise AssertionError("collapsed gen must be loud")
+                except ValueError as e:
+                    assert "collapsed" in str(e)
+            elif not expect:
+                try:
+                    incremental.snapshot_files(d, g)
+                    raise AssertionError("empty gen must be loud")
+                except ValueError as e:
+                    assert "no data files" in str(e)
+            else:
+                got = {
+                    os.path.basename(p)
+                    for p in incremental.snapshot_files(d, g)
+                }
+                assert got == expect, (g, got, expect)
