@@ -156,12 +156,25 @@ def _write_band_files(
         marked.unpersist()
 
 
-def _read_dropped(spark: SparkSession, index_dir: str) -> DataFrame | None:
+def _read_dropped(
+    spark: SparkSession, index_dir: str, as_of: int | None = None
+) -> DataFrame | None:
     """The tombstone frame, or None for a pre-tombstone index layout
-    (treated as empty — those indexes never recorded drops)."""
+    (treated as empty — those indexes never recorded drops).
+    ``as_of`` restricts to the first ``as_of`` recorded admissions'
+    tombstones (generation-pinned classifier replay, r13)."""
     d = f"{index_dir}/dropped"
     if not os.path.isdir(d):
         return None
+    if as_of is not None:
+        try:
+            return snapshot_read(spark, d, as_of).select(
+                "band_id", "band_key"
+            )
+        except ValueError as e:
+            if "no data files" in str(e):
+                return None  # no tombstones recorded by generation as_of
+            raise
     return spark.read.parquet(d).select("band_id", "band_key")
 
 
@@ -292,6 +305,7 @@ def dedup_against_index(
     index_dir: str,
     corpus_doc: DataFrame,
     batch_bands: DataFrame | None = None,
+    as_of: int | None = None,
 ) -> DataFrame:
     """Classify each NEW document against the indexed corpus.
 
@@ -316,16 +330,30 @@ def dedup_against_index(
     superset of ``new_doc`` — filtered to the non-exact remainder here.
     Band rows are per-document, so the subset equals a fresh banding;
     an admit loop that also extends the index bands the batch ONCE.
+
+    ``as_of`` (r13): replay the classification against the index
+    exactly as it stood after recorded admission ``as_of`` —
+    digest/band/tombstone file selection from the per-admit manifests
+    a `CorpusWriter` maintains. Pass the matching
+    ``corpus(as_of=as_of)`` as ``corpus_doc`` so candidate text joins
+    the same-era corpus. Generations collapsed by compaction/reconcile
+    fail loudly.
     """
     meta = _check_meta(index_dir)
     _warn_if_drifted(index_dir, meta)
-    stored_digests = spark.read.parquet(f"{index_dir}/digests")
-    stored_bands = spark.read.parquet(f"{index_dir}/bands")
+    if as_of is None:
+        stored_digests = spark.read.parquet(f"{index_dir}/digests")
+        stored_bands = spark.read.parquet(f"{index_dir}/bands")
+    else:
+        stored_digests = snapshot_read(
+            spark, f"{index_dir}/digests", as_of
+        )
+        stored_bands = snapshot_read(spark, f"{index_dir}/bands", as_of)
     # Honor tombstones: a bucket the cap rule dropped in ANY batch is
     # boilerplate; its remnant rows from other batches must not pair
     # (the union-corpus rebuild would drop the whole bucket). The
     # tombstone frame is one row per mega-bucket — AQE broadcasts it.
-    dropped = _read_dropped(spark, index_dir)
+    dropped = _read_dropped(spark, index_dir, as_of=as_of)
     if dropped is not None:
         stored_bands = stored_bands.join(
             dropped, ["band_id", "band_key"], "left_anti"
@@ -526,6 +554,15 @@ def compact_index(
     compacted.write.mode("overwrite").parquet(f"{index_dir}/bands.compact")
     kill.write.mode("overwrite").parquet(f"{index_dir}/dropped.compact")
     release_local_checkpoint(kill)
+    # Generation-pinned index (r13): collapse each staged relation's
+    # manifest so files + manifest swap together; the digests relation
+    # is untouched by this compaction and keeps full history (a pinned
+    # read raises on the first collapsed RELATION it touches — loud
+    # either way).
+    for name in ("bands", "dropped"):
+        gens = snapshot_gens(f"{index_dir}/{name}")
+        if gens:
+            collapse_snapshots(f"{index_dir}/{name}.compact", gens)
     # Commit order: tombstones BEFORE bands. If a crash lands between
     # the two swaps, new-dropped + old-bands is conservative-correct
     # (dedup_against_index's anti-join suppresses the not-yet-removed
@@ -582,6 +619,7 @@ def embedding_dedup_against_index(
     corpus_emb: DataFrame | None = None,
     batch_sig: DataFrame | None = None,
     ids_validated: bool = False,
+    as_of: int | None = None,
 ) -> DataFrame:
     """The embedding-side analogue of :func:`dedup_against_index`:
     classify NEW vectors (vec_id, embedding) against a corpus whose ANN
@@ -615,7 +653,10 @@ def embedding_dedup_against_index(
     would fabricate candidate work). ``ids_validated``: the caller
     already ran `_check_vec_ids` on a SUPERSET of ``new_emb`` this
     admission (`EmbeddingWriter.admit` does, on the raw batch) — skips
-    the redundant bounds aggregate over the batch lineage."""
+    the redundant bounds aggregate over the batch lineage. ``as_of``
+    (r13): replay the classification against the signature/occupancy
+    layers as of recorded admission ``as_of`` (pass the matching
+    ``store(as_of=as_of)`` as ``corpus_emb``)."""
     from .queries.dedup import COSINE_TAU
     from .queries.similarity import (
         _check_ann_compat,
@@ -638,7 +679,11 @@ def embedding_dedup_against_index(
         _check_vec_ids(new_emb)
     tau = COSINE_TAU if tau is None else tau
     par = spark.sparkContext.defaultParallelism
-    stored_sig = spark.read.parquet(f"{index_dir}/lsh_signatures")
+    stored_sig = (
+        spark.read.parquet(f"{index_dir}/lsh_signatures")
+        if as_of is None
+        else snapshot_read(spark, f"{index_dir}/lsh_signatures", as_of)
+    )
     new_sig = batch_sig
     if new_sig is None:
         new_sig = lsh_signatures(
@@ -652,7 +697,7 @@ def embedding_dedup_against_index(
         meta["b"],
         meta["cap"],
         probe_sig=new_sig,
-        bucket_sizes=stored_bucket_sizes(spark, index_dir),
+        bucket_sizes=stored_bucket_sizes(spark, index_dir, as_of=as_of),
     )
     scored = _score_pairs_topk(
         cand,

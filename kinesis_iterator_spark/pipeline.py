@@ -1222,6 +1222,7 @@ class CorpusWriter:
                 incremental.extend_index(
                     novel, self.index_dir, bands=batch_bands
                 )
+                self._record_dedup_gens(stats["snapshot"])
                 if self.bm25_index:
                     # After the dedup-index extend: a crash anywhere in
                     # the index-side window leaves DERIVED layers stale
@@ -1281,6 +1282,7 @@ class CorpusWriter:
                 incremental.write_index(
                     self.corpus(), self.index_dir, bands=cur.bands
                 )
+                self._record_dedup_gens(stats["snapshot"])
                 if self.bm25_index:
                     from .queries.retrieval import write_bm25_index
 
@@ -1337,6 +1339,21 @@ class CorpusWriter:
         return extend_bm25_index(
             self.spark, novel.select("doc_id", "text"), self._bm25_dir()
         )
+
+    def _record_dedup_gens(self, target_gen: int) -> None:
+        """Per-admit generation recording for the dedup-index relations
+        (digests/bands/dropped) — generation-pinned classifier REPLAY:
+        `incremental.dedup_against_index(..., as_of=g)` re-answers
+        "was this batch novel at admission g" from these manifests.
+        Zero Spark jobs (the `_record_bm25_gens` discipline)."""
+        import os
+
+        from . import incremental
+
+        for name in ("digests", "bands", "dropped"):
+            d = f"{self.index_dir}/{name}"
+            if os.path.isdir(d):
+                incremental.record_aligned_snapshot(d, target_gen)
 
     def _record_bm25_gens(self, target_gen: int, meta: dict) -> None:
         """Per-admit generation recording for the BM25 layer relations,
@@ -1546,6 +1563,9 @@ class CorpusWriter:
         from .queries.dedup import paragraph_digests
 
         meta = incremental.write_index(self.corpus(), self.index_dir)
+        self._record_dedup_gens(
+            incremental.snapshot_gens(self.corpus_dir)
+        )
         if self.config.dedup_paragraphs:
             paragraph_digests(
                 self.corpus().select("doc_id", "text"),

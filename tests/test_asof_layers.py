@@ -328,3 +328,99 @@ def test_hybrid_serving_as_of_both_legs(spark, tmp_path):
             qv,
             as_of=1,
         )
+
+
+def test_classifier_replay_as_of(spark, tmp_path):
+    """Generation-pinned classifier REPLAY (r13, closing the round-13
+    open edge): `dedup_against_index(..., as_of=g)` re-answers "was
+    this batch novel at admission g" — docs duplicating a LATER
+    generation read novel again under the earlier pin, and the replay
+    is bit-equal to the classification captured right after admit g.
+    Same for the embedding-side classifier."""
+    doc = load_table(spark, SF, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    b = [doc.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    w = CorpusWriter(spark, f"{tmp_path}/corpus", f"{tmp_path}/index")
+    # Probe = fresh-id copies of gen-1 text + gen-2 text + never-admitted
+    # text; ids offset so they cannot collide with corpus ids.
+    probe = (
+        b[0].limit(3).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+        .unionByName(b[1].limit(3).select(
+            (F.col("doc_id") + 200000).alias("doc_id"), "text"
+        ))
+        .unionByName(b[2].limit(3).select(
+            (F.col("doc_id") + 300000).alias("doc_id"), "text"
+        ))
+    )
+    captured = {}
+    for g in (1, 2):
+        assert w.admit(b[g - 1])["snapshot"] == g
+        captured[g] = _rows(
+            incremental.dedup_against_index(
+                spark, probe, f"{tmp_path}/index", w.corpus()
+            )
+        )
+    # Replay: as-of generation g answers exactly as it did then.
+    for g in (1, 2):
+        assert (
+            _rows(
+                incremental.dedup_against_index(
+                    spark,
+                    probe,
+                    f"{tmp_path}/index",
+                    w.corpus(as_of=g),
+                    as_of=g,
+                )
+            )
+            == captured[g]
+        )
+    # The pin is not vacuous: gen-2 copies flipped novel -> exact_dup.
+    v1 = {r[0]: r[1] for r in captured[1]}
+    v2 = {r[0]: r[1] for r in captured[2]}
+    flipped = [d for d in v1 if v1[d] == "novel" and v2[d] == "exact_dup"]
+    assert flipped, (v1, v2)
+
+    # Embedding side: copies of gen-1 vectors + never-admitted vectors.
+    emb = load_table(spark, SF, "embeddings")
+    eb = [emb.filter(F.col("vec_id") % 3 == i) for i in range(3)]
+    ew = EmbeddingWriter(spark, f"{tmp_path}/store", f"{tmp_path}/ann")
+    vprobe = (
+        eb[1].limit(3).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        )
+        .unionByName(eb[2].limit(3).select(
+            (F.col("vec_id") + 200000).alias("vec_id"), "embedding"
+        ))
+    )
+    vcap = {}
+    for g in (1, 2):
+        assert ew.admit(eb[g - 1])["snapshot"] == g
+        vcap[g] = _rows(
+            incremental.embedding_dedup_against_index(
+                spark,
+                vprobe,
+                f"{tmp_path}/ann",
+                corpus_emb=ew.store(),
+            )
+        )
+    for g in (1, 2):
+        assert (
+            _rows(
+                incremental.embedding_dedup_against_index(
+                    spark,
+                    vprobe,
+                    f"{tmp_path}/ann",
+                    corpus_emb=ew.store(as_of=g),
+                    as_of=g,
+                )
+            )
+            == vcap[g]
+        )
+    ev1 = {r[0]: r[1] for r in vcap[1]}
+    ev2 = {r[0]: r[1] for r in vcap[2]}
+    assert any(
+        ev1[v] == "novel" and ev2[v] == "near_dup" for v in ev1
+    ), (ev1, ev2)
