@@ -456,19 +456,71 @@ def _bpe_train_distributed(
 
             ker = _apply(prefix)
             if len(prefix) > 1:
-                touched = (
-                    ker.filter(F.col("kind") == "d")
-                    .groupBy("a", "b", "s")
-                    .agg(F.sum("c").cast("long").alias("d"))
-                    .join(
-                        state.filter(F.col("kind") == "p").select(
-                            "a", "b", F.col("c").alias("c0")
-                        ),
-                        ["a", "b"],
-                        "left",
-                    )
-                    .collect()
+                # The verifier's candidate set is BOUNDED server-side
+                # before the collect: a touched pair q can outrank a
+                # prefix step only if its maximum possible count —
+                # c0(q) + its positive deltas — reaches the SMALLEST
+                # prefix count (strictly below ⇒ strictly worse key at
+                # every step; sound). Without the bound, a hot merge
+                # like ('e', EOW) touches pairs across every word
+                # ending in e — a vocabulary-shaped driver collect at
+                # scale. With it, candidates are the few pairs near
+                # the top of the ranking (Zipf), regardless of corpus.
+                min_c0 = min(int(r["c"]) for r in top[: len(prefix)])
+                c0_rel = state.filter(F.col("kind") == "p").select(
+                    "a", "b", F.col("c").alias("c0")
                 )
+                # ONE shuffle over the delta rows: per-pair positive-
+                # delta total rides the same groupBy as the per-step
+                # list (exploded back driver-side).
+                d_pairs = (
+                    ker.filter(F.col("kind") == "d")
+                    .groupBy("a", "b")
+                    .agg(
+                        F.collect_list(F.struct("s", "c")).alias("_ds"),
+                        F.sum(F.greatest(F.col("c"), F.lit(0)))
+                        .cast("long")
+                        .alias("_pos"),
+                    )
+                )
+                # Driver-known relaxed prefilter: a pair OUTSIDE the
+                # collected top-K has c0 <= c0(top[-1]), so it can
+                # reach min_c0 only with _pos >= relax; top-K pairs
+                # (c0 known driver-side) are kept unconditionally —
+                # 2K literals, a broadcast-able isin. When the relaxed
+                # threshold cannot bite (flat top region), fall back
+                # to the exact c0 join (correct, costlier).
+                relax = min_c0 - int(top[-1]["c"])
+                key = F.concat_ws("\u0000", "a", "b")
+                top_keys = ["\u0000".join((r["a"], r["b"])) for r in top]
+                if relax > 0:
+                    cand = d_pairs.filter(
+                        (F.col("_pos") >= F.lit(relax))
+                        | key.isin(top_keys)
+                    )
+                    # Broadcast-semi: the big count relation is probed
+                    # by the tiny candidate key set — no vocab-scale
+                    # shuffle rides the verifier.
+                    c0_small = c0_rel.join(
+                        F.broadcast(cand.select("a", "b")),
+                        ["a", "b"],
+                        "leftsemi",
+                    )
+                    joined = cand.join(
+                        F.broadcast(c0_small), ["a", "b"], "left"
+                    )
+                else:
+                    joined = d_pairs.join(c0_rel, ["a", "b"], "left")
+                rows = joined.filter(
+                    F.coalesce(F.col("c0"), F.lit(0)) + F.col("_pos")
+                    >= F.lit(min_c0)
+                ).collect()
+                touched = [
+                    {"a": r["a"], "b": r["b"], "s": int(e["s"]),
+                     "d": int(e["c"]), "c0": r["c0"]}
+                    for r in rows
+                    for e in r["_ds"]
+                ]
                 ok = _faithful_steps(prefix, top, touched)
                 if ok < len(prefix):
                     # Greedy would have diverged at step ok+1 (a new

@@ -449,10 +449,25 @@ def test_batch_verifier_sound_over_random_corpora_pure_python():
             ]
             new_words, delta = apply_batch(prefix)
             if len(prefix) > 1:
+                # Mirror the production loop's server-side candidate
+                # bound: only pairs whose max possible count (c0 +
+                # positive deltas) reaches the smallest prefix count
+                # can outrank — the rest never reach the driver.
+                min_c0 = min(int(r["c"]) for r in top[: len(prefix)])
+                pos: dict = {}
+                for (a, b, st_), d in delta.items():
+                    if d > 0:
+                        pos[(a, b)] = pos.get((a, b), 0) + d
+                pairs = {(a, b) for (a, b, st_) in delta}
+                elig = {
+                    q
+                    for q in pairs
+                    if pc.get(q, 0) + pos.get(q, 0) >= min_c0
+                }
                 touched = [
-                    {"a": a, "b": b, "s": s, "d": d, "c0": pc.get((a, b))}
-                    for (a, b, s), d in delta.items()
-                    if d
+                    {"a": a, "b": b, "s": st_, "d": d, "c0": pc.get((a, b))}
+                    for (a, b, st_), d in delta.items()
+                    if d and (a, b) in elig
                 ]
                 ok = _faithful_steps(prefix, top, touched)
                 if ok < len(prefix):
