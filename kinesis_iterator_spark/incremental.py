@@ -250,14 +250,26 @@ def _swap_staged(
         shutil.rmtree(old, ignore_errors=True)
 
 
-def _recover_staged(index_dir: str, names: tuple[str, ...]) -> None:
+def _recover_staged(
+    index_dir: str, names: tuple[str, ...], discard_stage: bool = True
+) -> None:
     """Complete or roll back a :func:`_swap_staged` that a crash
     interrupted. Per directory: a missing live dir with a staged
     ``.compact`` sibling rolls FORWARD (the stage is complete by
     construction — it was written before any rename); a missing live dir
     with only an ``.old`` sibling rolls BACK. Leftover siblings next to
     an intact live dir are discarded — compaction is idempotent, an
-    uncommitted stage is simply re-run."""
+    uncommitted stage is simply re-run.
+
+    ``discard_stage=False`` (ADVICE r13): an UNLOCKED read path must
+    not delete a ``.compact`` stage sitting next to an INTACT live dir
+    — that is exactly what an in-flight compactor in another process
+    looks like between staging and its swap, and discarding it makes
+    the lease-holding compactor crash at its rename. Healing a MISSING
+    live dir stays on (that state is never in-flight — the compactor's
+    two renames bracket it, and a reader that finds it is looking at a
+    crash); stage discard is then confined to roll-forward's own
+    cleanup."""
     import shutil
 
     for name in names:
@@ -270,7 +282,8 @@ def _recover_staged(index_dir: str, names: tuple[str, ...]) -> None:
             elif os.path.isdir(old):
                 os.rename(old, cur)
         shutil.rmtree(old, ignore_errors=True)
-        shutil.rmtree(staged, ignore_errors=True)
+        if discard_stage or not os.path.isdir(cur):
+            shutil.rmtree(staged, ignore_errors=True)
 
 
 def _recover_compaction(index_dir: str) -> None:
@@ -971,12 +984,18 @@ def _data_files(data_dir: str) -> list[str]:
     recursively — a hive-partitioned layer (e.g. ``lsh_signatures/
     table_id=K/part-*.parquet``) keeps its partition-dir prefix in the
     manifest so the as-of reader can restore the partition column via
-    ``basePath``. Flat dirs produce the same names as before."""
+    ``basePath``. Flat dirs produce the same names as before.
+
+    Hidden components (``_``/``.`` prefixes) are pruned, matching
+    Spark/pyarrow dataset discovery (ADVICE r13): parquet files left
+    under a crashed write's ``_temporary/`` must not be swept into a
+    generation manifest or the compactor's carry-over."""
     out = []
-    for root, _dirs, files in os.walk(data_dir):
+    for root, dirs, files in os.walk(data_dir):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
         rel = os.path.relpath(root, data_dir)
         for f in files:
-            if f.endswith(".parquet"):
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
                 out.append(f if rel == "." else os.path.join(rel, f))
     return sorted(out)
 
@@ -998,6 +1017,7 @@ def _read_snapshots(data_dir: str) -> list[dict]:
                         "n": rec.get("n"),
                         "extra": rec.get("extra"),
                         "compacted": bool(rec.get("compacted", False)),
+                        "reason": rec.get("reason"),
                     }
                 )
             except (ValueError, KeyError, TypeError):
@@ -1071,12 +1091,15 @@ def snapshot_files(data_dir: str, as_of: int) -> list[str]:
             (i + 1 for i, r in enumerate(recs) if not r["compacted"]),
             len(recs),
         )
+        why = recs[as_of - 1].get("reason") or (
+            "collapsed by a compaction/reconcile rewrite (derived "
+            "layers trade history for layout)"
+        )
         raise ValueError(
-            f"generation {as_of} of {data_dir} was collapsed by a "
-            "compaction/reconcile rewrite (derived layers trade history "
-            f"for layout) — only generations >= {first_live} are "
-            "servable here; rebuild a fresh index over the data of "
-            "record as of that generation instead"
+            f"generation {as_of} of {data_dir} is not servable: {why} — "
+            f"only generations >= {first_live} are servable here; "
+            "rebuild a fresh index over the data of record as of that "
+            "generation instead"
         )
     paths = [
         os.path.join(data_dir, f)
@@ -1109,10 +1132,12 @@ def snapshot_extra(data_dir: str, as_of: int) -> dict | None:
             f"{len(recs)} snapshot generation(s)"
         )
     if recs[as_of - 1]["compacted"]:
+        why = recs[as_of - 1].get("reason") or (
+            "collapsed by a compaction/reconcile rewrite"
+        )
         raise ValueError(
-            f"generation {as_of} of {data_dir} was collapsed by a "
-            "compaction/reconcile rewrite — its totals are no longer "
-            "recorded"
+            f"generation {as_of} of {data_dir} is not servable: {why} — "
+            "its totals are no longer recorded"
         )
     return recs[as_of - 1]["extra"]
 
@@ -1143,6 +1168,7 @@ def collapse_snapshots(
     gens: int,
     extra: dict | None = None,
     manifest_dir: str | None = None,
+    reason: str | None = None,
 ) -> None:
     """Atomically rewrite a layer's manifest after a content-equivalent
     REWRITE of the whole layer (compaction or reconcile): generations
@@ -1157,14 +1183,19 @@ def collapse_snapshots(
     ``manifest_dir`` defaults to ``list_dir`` — a staged-swap compactor
     passes the ``.compact`` stage dir for both (the manifest rides the
     stage through `_swap_staged`'s renames, so files and manifest
-    commit together)."""
+    commit together).
+
+    ``reason`` (ADVICE r13): a short human explanation stamped on the
+    tombstone lines, surfaced verbatim by `snapshot_files`' loud
+    refusal — so an as-of caller can tell "a rewrite destroyed this
+    history" from "this layer predates generation pinning"."""
     if gens < 1:
         raise ValueError(f"gens must be >= 1 (got {gens})")
     manifest_dir = list_dir if manifest_dir is None else manifest_dir
-    lines = [
-        json.dumps({"files": [], "n": None, "compacted": True})
-        for _ in range(gens - 1)
-    ]
+    stone: dict = {"files": [], "n": None, "compacted": True}
+    if reason is not None:
+        stone["reason"] = reason
+    lines = [json.dumps(stone) for _ in range(gens - 1)]
     rec: dict = {"files": _data_files(list_dir), "n": None}
     if extra is not None:
         rec["extra"] = extra
@@ -1196,10 +1227,22 @@ def record_aligned_snapshot(
       — a crash degrades layer HISTORY, never correctness."""
     if target_gen <= 0:
         return
-    if snapshot_gens(data_dir) == target_gen - 1:
+    gens = snapshot_gens(data_dir)
+    if gens == target_gen - 1:
         record_snapshot(data_dir, extra=extra)
     else:
-        collapse_snapshots(data_dir, target_gen, extra=extra)
+        # Stamp WHY history is missing (ADVICE r13): a layer aligned
+        # late (upgraded mid-history, manifest-less until now) reads
+        # very differently to the as-of caller than one whose history
+        # a rewrite destroyed.
+        reason = (
+            "layer predates generation pinning (manifest first aligned "
+            f"at generation {target_gen})"
+            if gens == 0
+            else "layer history collapsed by a rebuild/recording gap "
+            f"(re-aligned at generation {target_gen})"
+        )
+        collapse_snapshots(data_dir, target_gen, extra=extra, reason=reason)
 
 
 # Per-output-file byte target for the data-of-record compactor: one
@@ -1209,12 +1252,21 @@ def record_aligned_snapshot(
 COMPACT_TARGET_BYTES = 256 * 1024 * 1024
 
 
-def recover_data_dir(data_dir: str) -> None:
+def recover_data_dir(data_dir: str, locked: bool = False) -> None:
     """Self-heal an interrupted :func:`compact_data_snapshots` swap on a
     DATA-of-record dir — `_recover_staged` scoped to the dir's own
     name. Call before any read/admit touch of the dir (the writers
-    do)."""
-    _recover_staged(os.path.dirname(data_dir), (os.path.basename(data_dir),))
+    do). ``locked=True`` (the admit/compact entry points, under the
+    writer lease) also discards leftover stage dirs; the default read
+    path leaves a stage next to an intact live dir alone — it may be
+    another process's in-flight compaction (ADVICE r13: readers are
+    not fenced by the writer lease, so they must not destroy its
+    stage)."""
+    _recover_staged(
+        os.path.dirname(data_dir),
+        (os.path.basename(data_dir),),
+        discard_stage=locked,
+    )
 
 
 def compact_data_snapshots(
@@ -1251,7 +1303,7 @@ def compact_data_snapshots(
     ``{"generations": .., "files_before": .., "files_after": ..}``."""
     import shutil
 
-    recover_data_dir(data_dir)
+    recover_data_dir(data_dir, locked=True)
     recs = _read_snapshots(data_dir)
     if not recs:
         raise ValueError(
@@ -1317,6 +1369,8 @@ def compact_data_snapshots(
                     line["extra"] = rec["extra"]
                 if rec["compacted"]:
                     line["compacted"] = True
+                if rec.get("reason") is not None:
+                    line["reason"] = rec["reason"]
                 fh.write(json.dumps(line) + "\n")
             fh.flush()
             os.fsync(fh.fileno())

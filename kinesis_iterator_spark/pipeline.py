@@ -927,8 +927,9 @@ class CorpusWriter:
         # Heal an interrupted data-dir compaction swap BEFORE any
         # existence probe — a mid-swap crash leaves the corpus renamed
         # away, and an unhealed probe would route into bootstrap and
-        # OVERWRITE everything previously admitted.
-        incremental.recover_data_dir(self.corpus_dir)
+        # OVERWRITE everything previously admitted. locked=True: we
+        # hold the lease, so a leftover stage is definitely dead.
+        incremental.recover_data_dir(self.corpus_dir, locked=True)
         # Crash-safe bootstrap detection: the corpus write commits before
         # the index build, so a crash in that window leaves corpus files
         # with no meta.json. Re-bootstrapping would OVERWRITE the corpus
@@ -2026,7 +2027,8 @@ class EmbeddingWriter:
             write_ann_index,
         )
 
-        incremental.recover_data_dir(self.store_dir)
+        # locked=True: admit entry under the lease (see CorpusWriter).
+        incremental.recover_data_dir(self.store_dir, locked=True)
         if not self._bootstrapped() and self._store_exists():
             self._reconcile_locked()
         par = self.spark.sparkContext.defaultParallelism

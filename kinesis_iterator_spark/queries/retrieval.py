@@ -975,12 +975,29 @@ def _vec_row_groups(path: str, vec_id: int) -> tuple[list[int], int]:
     import pyarrow.parquet as pa_pq
 
     md = pa_pq.ParquetFile(path).metadata
+    # Loud, descriptive failures (ADVICE r13): this is the registry
+    # entry's driver-side path — a zero-row-group file or a file
+    # without the id column must name itself, not die in a bare
+    # StopIteration / opaque pyarrow index error.
+    if md.num_row_groups == 0:
+        raise ValueError(
+            f"{path} has no row groups — cannot point-read vec_id "
+            f"{vec_id} from an empty parquet file"
+        )
     rg0 = md.row_group(0)
     ci = next(
-        j
-        for j in range(rg0.num_columns)
-        if rg0.column(j).path_in_schema.split(".")[0] == "vec_id"
+        (
+            j
+            for j in range(rg0.num_columns)
+            if rg0.column(j).path_in_schema.split(".")[0] == "vec_id"
+        ),
+        None,
     )
+    if ci is None:
+        raise ValueError(
+            f"{path} has no 'vec_id' column — point reads need the id "
+            "column for footer min/max pruning"
+        )
     keep = []
     for i in range(md.num_row_groups):
         st = md.row_group(i).column(ci).statistics

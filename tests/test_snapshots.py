@@ -200,3 +200,104 @@ def test_as_of_over_only_empty_deltas_is_loud(tmp_path):
     (d / "a.parquet").write_bytes(b"")
     assert incremental.record_snapshot(str(d)) == 2
     assert len(incremental.snapshot_files(str(d), 2)) == 1
+
+
+def test_data_files_skip_hidden_components(tmp_path):
+    """`_data_files` prunes _/. prefixed path components, matching
+    Spark/pyarrow dataset discovery (ADVICE r13): parquet files left
+    under a crashed write's _temporary/ must never be swept into a
+    generation manifest or the compactor's carry-over."""
+    d = tmp_path / "data"
+    (d / "_temporary" / "0").mkdir(parents=True)
+    (d / ".stage").mkdir()
+    (d / "part-0.parquet").write_bytes(b"")
+    (d / "table_id=7").mkdir()
+    (d / "table_id=7" / "part-1.parquet").write_bytes(b"")
+    (d / "_temporary" / "0" / "part-x.parquet").write_bytes(b"")
+    (d / ".stage" / "part-y.parquet").write_bytes(b"")
+    (d / "._committed.parquet").write_bytes(b"")
+    (d / "_metadata.parquet").write_bytes(b"")
+    assert incremental._data_files(str(d)) == [
+        "part-0.parquet",
+        os.path.join("table_id=7", "part-1.parquet"),
+    ]
+
+
+def test_unlocked_read_recovery_keeps_foreign_stage(spark, tmp_path):
+    """ADVICE r13: corpus()/store() heal at every read, but a reader is
+    not fenced by the writer lease — a `.compact` stage next to an
+    INTACT live dir may be another process's in-flight compaction and
+    must survive the read path. The lease-held entry points (admit /
+    compact, locked=True) still discard it; a MISSING live dir still
+    rolls forward either way."""
+    doc = load_table(spark, SF, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    w = CorpusWriter(spark, f"{tmp_path}/corpus", f"{tmp_path}/index")
+    w.admit(doc.filter(F.col("doc_id") % 7 == 0))
+    stage = f"{tmp_path}/corpus.compact"
+    os.makedirs(stage)
+    with open(os.path.join(stage, "marker.parquet"), "w") as fh:
+        fh.write("")
+    n = w.corpus().count()  # unlocked read: stage untouched
+    assert n > 0
+    assert os.path.isdir(stage)
+    incremental.recover_data_dir(f"{tmp_path}/corpus", locked=True)
+    assert not os.path.isdir(stage)
+    # Missing live dir: the read path DOES roll forward (that state is
+    # never in-flight — it is bracketed by the compactor's renames).
+    os.rename(f"{tmp_path}/corpus", stage)
+    assert not os.path.isdir(f"{tmp_path}/corpus")
+    assert w.corpus().count() == n
+    assert os.path.isdir(f"{tmp_path}/corpus")
+
+
+def test_late_alignment_reason_is_surfaced(tmp_path):
+    """ADVICE r13: when `record_aligned_snapshot` collapses a layer
+    that never had a manifest (generation pinning enabled mid-history),
+    the as-of refusal says the layer PREDATES pinning instead of
+    implying a compaction destroyed history."""
+    d = tmp_path / "layer"
+    d.mkdir()
+    (d / "seg-0.parquet").write_bytes(b"")
+    incremental.record_aligned_snapshot(str(d), 3)
+    assert incremental.snapshot_gens(str(d)) == 3
+    with pytest.raises(ValueError, match="predates generation pinning"):
+        incremental.snapshot_files(str(d), 1)
+    with pytest.raises(ValueError, match="predates generation pinning"):
+        incremental.snapshot_extra(str(d), 2)
+    assert incremental.snapshot_files(str(d), 3) == [
+        str(d / "seg-0.parquet")
+    ]
+    # A genuine rewrite keeps the default collapse wording.
+    d2 = tmp_path / "layer2"
+    d2.mkdir()
+    (d2 / "a.parquet").write_bytes(b"")
+    incremental.record_snapshot(str(d2))
+    (d2 / "b.parquet").write_bytes(b"")
+    incremental.record_snapshot(str(d2))
+    incremental.collapse_snapshots(str(d2), 2)
+    with pytest.raises(ValueError, match="compaction/reconcile"):
+        incremental.snapshot_files(str(d2), 1)
+
+
+def test_read_query_vec_loud_failures(tmp_path):
+    """ADVICE r13: the registry entry's driver-side point read fails
+    descriptively on a zero-row-group file and on a file without the
+    vec_id column (bare StopIteration / opaque pyarrow index errors
+    otherwise)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pa_pq
+
+    from kinesis_iterator_spark.queries.retrieval import read_query_vec
+
+    empty = tmp_path / "empty.parquet"
+    schema = pa.schema([("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32()))])
+    pa_pq.ParquetWriter(str(empty), schema).close()
+    with pytest.raises(ValueError, match="no row groups"):
+        read_query_vec(str(empty), 0)
+
+    noid = tmp_path / "noid.parquet"
+    pa_pq.write_table(pa.table({"x": [1, 2, 3]}), str(noid))
+    with pytest.raises(ValueError, match="no 'vec_id' column"):
+        read_query_vec(str(noid), 0)
