@@ -843,6 +843,54 @@ class CorpusWriter:
         finally:
             incremental.release_lease(self.index_dir, self._writer_id)
 
+    def _pruneable_layer_dirs(self) -> list[str]:
+        import os
+
+        names = ["digests", "bands", "dropped", "paragraphs", "exact_substr"]
+        dirs = [f"{self.index_dir}/{n}" for n in names]
+        dirs += [
+            f"{self._bm25_dir()}/{n}" for n in ("postings", "df", "doclen")
+        ]
+        return [d for d in dirs if os.path.isdir(d)]
+
+    def prune_snapshots(self, before_gen: int) -> dict:
+        """Manifest retention across the whole writer family (VERDICT
+        r13 #3): collapse generations ``< before_gen`` on the data of
+        record AND every derived layer together, so lockstep numbering
+        survives — ``corpus(as_of>=before_gen)`` and every from-index
+        ``as_of>=before_gen`` read are bit-equal before/after, older
+        pins fail loudly naming the horizon. Driver-side manifest
+        rewrites only (each atomic; a crash between dirs is healed by
+        re-running — prune is idempotent), under the writer lease with
+        the fencing check. Layers whose manifests lag the horizon (a
+        crash inside a previous admit's recording window) are skipped —
+        the next admit's `record_aligned_snapshot` collapses them
+        anyway. Composes with :meth:`compact_corpus` in either order
+        (pinned). Returns {dir_basename: changed} per touched dir."""
+        from . import incremental
+
+        self._lease_gen = incremental.acquire_lease(
+            self.index_dir, self._writer_id, incremental.LEASE_TTL_S
+        )
+        try:
+            incremental.verify_lease(*self._fence())
+            incremental.recover_data_dir(self.corpus_dir, locked=True)
+            out = {
+                "corpus": incremental.prune_snapshots(
+                    self.corpus_dir, before_gen
+                )
+            }
+            for d in self._pruneable_layer_dirs():
+                if incremental.snapshot_gens(d) >= before_gen:
+                    import os
+
+                    out[os.path.basename(d)] = incremental.prune_snapshots(
+                        d, before_gen
+                    )
+            return out
+        finally:
+            incremental.release_lease(self.index_dir, self._writer_id)
+
     def _contaminated_ids(self, survivors: DataFrame) -> DataFrame:
         """doc_ids among the batch survivors whose distinct hashed
         k-gram shingles collide with the benchmark's beyond
@@ -964,12 +1012,16 @@ class CorpusWriter:
             )
             # Every pre-applied rewrite flag is cleared for the inner
             # curate — dedup_exact_substr is NOT idempotent, so leaving
-            # it on would strip spans twice.
+            # it on would strip spans twice; split_long already ran in
+            # the pre-apply too, and a second application would re-key
+            # every doc_id AGAIN (orig·2^40 for small ids — silent
+            # provenance corruption; loud raise for ids >= 2^23).
             cfg = replace(
                 cfg,
                 scrub_pii=False,
                 dedup_paragraphs=False,
                 dedup_exact_substr=False,
+                split_long=None,
             )
 
         # Start the vs-corpus verdict build the moment the eligible
@@ -1220,6 +1272,12 @@ class CorpusWriter:
                     # any index-side write, so a crash can only leave
                     # the layer covering text the corpus holds.
                     self._write_substr(novel, "append")
+                # Generation-pin the pre-stage layers right after their
+                # appends (r14): a crash between a write and its
+                # recording misaligns the manifest, which the next
+                # admit's record_aligned_snapshot COLLAPSES — history
+                # degrades, correctness never does.
+                self._record_prestage_gens(stats["snapshot"])
                 incremental.extend_index(
                     novel, self.index_dir, bands=batch_bands
                 )
@@ -1277,6 +1335,7 @@ class CorpusWriter:
                     self._write_paragraphs(self.corpus(), "overwrite")
                 if self.config.dedup_exact_substr:
                     self._write_substr(self.corpus(), "overwrite")
+                self._record_prestage_gens(stats["snapshot"])
                 # cur.bands (when exposed) covers the eligible superset
                 # of the just-written corpus; _write_band_files filters
                 # to the corpus ids, saving the bootstrap re-banding.
@@ -1341,12 +1400,17 @@ class CorpusWriter:
             self.spark, novel.select("doc_id", "text"), self._bm25_dir()
         )
 
-    def _record_dedup_gens(self, target_gen: int) -> None:
+    def _record_dedup_gens(
+        self, target_gen: int, reason: str | None = None
+    ) -> None:
         """Per-admit generation recording for the dedup-index relations
         (digests/bands/dropped) — generation-pinned classifier REPLAY:
         `incremental.dedup_against_index(..., as_of=g)` re-answers
         "was this batch novel at admission g" from these manifests.
-        Zero Spark jobs (the `_record_bm25_gens` discipline)."""
+        Zero Spark jobs (the `_record_bm25_gens` discipline).
+        ``reason``: stamped on collapse tombstones when the caller just
+        rebuilt the layer (reconcile) — without it a rebuild's cleared
+        manifest is indistinguishable from true late alignment."""
         import os
 
         from . import incremental
@@ -1354,9 +1418,39 @@ class CorpusWriter:
         for name in ("digests", "bands", "dropped"):
             d = f"{self.index_dir}/{name}"
             if os.path.isdir(d):
-                incremental.record_aligned_snapshot(d, target_gen)
+                incremental.record_aligned_snapshot(
+                    d, target_gen, reason=reason
+                )
 
-    def _record_bm25_gens(self, target_gen: int, meta: dict) -> None:
+    def _record_prestage_gens(
+        self, target_gen: int, reason: str | None = None
+    ) -> None:
+        """Per-admit generation recording for the pre-stage digest
+        layers (``paragraphs`` / ``exact_substr``) — VERDICT r13 #1:
+        these were the one stored-state pair the r13 generation pinning
+        missed, so an admission replay on a writer with the pre-stages
+        enabled silently consulted the LATEST layers. With the
+        manifests aligned, :meth:`pre_stage_batch` (and through it the
+        full classifier replay) is bit-equal at every recorded
+        generation. Zero Spark jobs (the `_record_bm25_gens`
+        discipline)."""
+        import os
+
+        from . import incremental
+
+        for name, enabled in (
+            ("paragraphs", self.config.dedup_paragraphs),
+            ("exact_substr", self.config.dedup_exact_substr),
+        ):
+            d = f"{self.index_dir}/{name}"
+            if enabled and os.path.isdir(d):
+                incremental.record_aligned_snapshot(
+                    d, target_gen, reason=reason
+                )
+
+    def _record_bm25_gens(
+        self, target_gen: int, meta: dict, reason: str | None = None
+    ) -> None:
         """Per-admit generation recording for the BM25 layer relations,
         aligned with the corpus manifest (VERDICT r12 #1): cumulative
         (n_docs, t_tokens) ride the ``postings/`` line so a pinned read
@@ -1373,6 +1467,7 @@ class CorpusWriter:
                 f"{self._bm25_dir()}/{name}",
                 target_gen,
                 extra=totals if name == "postings" else None,
+                reason=reason,
             )
 
     def bm25_topk(self, query_terms: list[str], topk: int = 10, **kw) -> DataFrame:
@@ -1394,12 +1489,15 @@ class CorpusWriter:
     def _paras_dir(self) -> str:
         return f"{self.index_dir}/paragraphs"
 
-    def _stored_paragraphs(self) -> DataFrame:
+    def _stored_paragraphs(self, as_of: int | None = None) -> DataFrame:
         """The stored paragraph-digest layer (single ``h`` column). A
         bootstrapped index WITHOUT the layer means the corpus predates
         `dedup_paragraphs=True` — its paragraphs were never recorded,
         so silently treating the layer as empty would re-admit every
-        one of them; reconcile() builds the layer from the corpus."""
+        one of them; reconcile() builds the layer from the corpus.
+        ``as_of`` (r14): serve the layer exactly as it stood after
+        recorded admission ``as_of`` (generation-pinned, the
+        `_record_prestage_gens` manifests)."""
         import os
 
         from . import incremental
@@ -1413,6 +1511,10 @@ class CorpusWriter:
                 "the writer is configured with dedup_paragraphs=True — "
                 "run reconcile() once to build it from the corpus."
             )
+        if as_of is not None:
+            return incremental.snapshot_read(
+                self.spark, self._paras_dir(), as_of
+            )
         return self.spark.read.parquet(self._paras_dir())
 
     def _write_paragraphs(self, doc: DataFrame, mode: str) -> None:
@@ -1425,7 +1527,7 @@ class CorpusWriter:
     def _substr_dir(self) -> str:
         return f"{self.index_dir}/exact_substr"
 
-    def _stored_substr(self) -> DataFrame:
+    def _stored_substr(self, as_of: int | None = None) -> DataFrame:
         """The stored ExactSubstr window-digest layer (single ``h``
         column, one row per distinct ``w``-word window of admitted
         text). A bootstrapped index WITHOUT the layer means the corpus
@@ -1448,6 +1550,10 @@ class CorpusWriter:
                 "dedup_exact_substr=True — run reconcile() once to "
                 "build it from the corpus."
             )
+        if as_of is not None:
+            return incremental.snapshot_read(
+                self.spark, self._substr_dir(), as_of
+            )
         return self.spark.read.parquet(self._substr_dir())
 
     def _write_substr(self, doc: DataFrame, mode: str) -> None:
@@ -1456,6 +1562,46 @@ class CorpusWriter:
         exact_substr_digests(
             doc.select("doc_id", "text"), w=self.config.exact_substr_w
         ).write.mode(mode).parquet(self._substr_dir())
+
+    def pre_stage_batch(
+        self, batch_doc: DataFrame, as_of: int | None = None
+    ) -> DataFrame:
+        """The text-REWRITING pre-stages exactly as :meth:`admit` would
+        apply them to ``batch_doc`` — PII scrub, paragraph dedup
+        against the stored paragraph layer, ExactSubstr span removal
+        against the stored window layer, long-doc split — WITHOUT
+        admitting anything. ``as_of`` pins the stored digest layers to
+        recorded admission generation ``as_of`` (r14: the layers carry
+        per-admit manifests like every other derived layer), so
+
+            w.pre_stage_batch(probe, as_of=g)
+
+        followed by ``incremental.dedup_against_index(..., corpus_doc=
+        w.corpus(as_of=g), as_of=g)`` replays the FULL admission
+        classification of a pre-stage-enabled writer bit-equal to the
+        answer at generation g (pinned in tests/test_asof_layers.py).
+        Generations collapsed by compact()/reconcile() fail loudly."""
+        cfg = self.config
+        if not (
+            cfg.scrub_pii
+            or cfg.dedup_paragraphs
+            or cfg.dedup_exact_substr
+            or cfg.split_long is not None
+        ):
+            return batch_doc
+        seen = (
+            self._stored_paragraphs(as_of=as_of)
+            if cfg.dedup_paragraphs and self._bootstrapped()
+            else None
+        )
+        seen_sub = (
+            self._stored_substr(as_of=as_of)
+            if cfg.dedup_exact_substr and self._bootstrapped()
+            else None
+        )
+        return _pre_stages(
+            batch_doc, cfg, seen_paras=seen, seen_substr=seen_sub
+        )
 
     def _drift_dir(self) -> str:
         return f"{self.index_dir}/drift_ref"
@@ -1563,9 +1709,14 @@ class CorpusWriter:
         from . import incremental
         from .queries.dedup import paragraph_digests
 
+        rebuild_reason = (
+            "layer history collapsed by reconcile (full rebuild from "
+            "the data of record)"
+        )
         meta = incremental.write_index(self.corpus(), self.index_dir)
         self._record_dedup_gens(
-            incremental.snapshot_gens(self.corpus_dir)
+            incremental.snapshot_gens(self.corpus_dir),
+            reason=rebuild_reason,
         )
         if self.config.dedup_paragraphs:
             paragraph_digests(
@@ -1576,6 +1727,14 @@ class CorpusWriter:
             # Also the late-enablement path: _stored_substr refuses on a
             # corpus whose windows were never recorded until this runs.
             self._write_substr(self.corpus(), "overwrite")
+        # A rebuild collapses the pre-stage layers' generation history
+        # (the overwrites took the manifests with the dirs); numbering
+        # stays aligned with the corpus, older as_of pins fail loudly
+        # (the bm25 contract below).
+        self._record_prestage_gens(
+            incremental.snapshot_gens(self.corpus_dir),
+            reason=rebuild_reason,
+        )
         if self.bm25_index:
             from .queries.retrieval import write_bm25_index
 
@@ -1588,7 +1747,9 @@ class CorpusWriter:
             # went with the overwritten dirs); numbering stays aligned
             # with the corpus, older as_of pins fail loudly.
             self._record_bm25_gens(
-                incremental.snapshot_gens(self.corpus_dir), bm_meta
+                incremental.snapshot_gens(self.corpus_dir),
+                bm_meta,
+                reason=rebuild_reason,
             )
         if self.drift_monitor:
             # Also the staleness-heal and late-enablement path.
@@ -1643,6 +1804,15 @@ class CorpusWriter:
                 ).distinct().repartition(par).write.mode("overwrite").parquet(
                     f"{self.index_dir}/{name}.compact"
                 )
+                # Generation-pinned layer (r14): collapse the manifest
+                # INTO the stage so files + manifest swap together;
+                # older as_of pins then fail loudly (the VERDICT r13
+                # rewrite contract, extended to the pre-stage layers).
+                gens = incremental.snapshot_gens(f"{self.index_dir}/{name}")
+                if gens:
+                    incremental.collapse_snapshots(
+                        f"{self.index_dir}/{name}.compact", gens
+                    )
                 incremental._swap_staged(
                     self.index_dir, name, fence=self._fence()
                 )
@@ -1958,6 +2128,45 @@ class EmbeddingWriter:
                 ("vec_id",),
                 fence=self._fence(),
             )
+        finally:
+            incremental.release_lease(self.index_dir, self._writer_id)
+
+    def prune_snapshots(self, before_gen: int) -> dict:
+        """`CorpusWriter.prune_snapshots`'s twin for the vector-store
+        family: the store's data-of-record manifest and every stored
+        ANN layer's manifest collapse generations ``< before_gen``
+        together (lockstep numbering survives; layers lagging the
+        horizon are skipped and heal at the next admit). Driver-side
+        only, idempotent, under the writer lease."""
+        import os
+
+        from . import incremental
+
+        self._lease_gen = incremental.acquire_lease(
+            self.index_dir, self._writer_id, incremental.LEASE_TTL_S
+        )
+        try:
+            incremental.verify_lease(*self._fence())
+            incremental.recover_data_dir(self.store_dir, locked=True)
+            out = {
+                "store": incremental.prune_snapshots(
+                    self.store_dir, before_gen
+                )
+            }
+            for name in (
+                "lsh_signatures",
+                "ivf_assignment",
+                "bucket_sizes",
+                "pq_codes",
+                "ivfpq_codes",
+            ):
+                d = f"{self.index_dir}/{name}"
+                if (
+                    os.path.isdir(d)
+                    and incremental.snapshot_gens(d) >= before_gen
+                ):
+                    out[name] = incremental.prune_snapshots(d, before_gen)
+            return out
         finally:
             incremental.release_lease(self.index_dir, self._writer_id)
 
@@ -2489,7 +2698,9 @@ class EmbeddingWriter:
             as_of=as_of,
         )
 
-    def _record_ann_gens(self, target_gen: int) -> None:
+    def _record_ann_gens(
+        self, target_gen: int, reason: str | None = None
+    ) -> None:
         """Per-admit generation recording for every per-admit-appended
         index layer this writer maintains, aligned with the store
         manifest (VERDICT r12 #1). Codebook/books sidecars are whole-
@@ -2506,7 +2717,9 @@ class EmbeddingWriter:
         for name in names:
             d = f"{self.index_dir}/{name}"
             if os.path.isdir(d):
-                incremental.record_aligned_snapshot(d, target_gen)
+                incremental.record_aligned_snapshot(
+                    d, target_gen, reason=reason
+                )
 
     def _check_drift(self) -> None:
         """Post-extend codebook-staleness hook: reconcile in-loop when
@@ -2578,7 +2791,13 @@ class EmbeddingWriter:
         # contract).
         from . import incremental
 
-        self._record_ann_gens(incremental.snapshot_gens(self.store_dir))
+        self._record_ann_gens(
+            incremental.snapshot_gens(self.store_dir),
+            reason=(
+                "layer history collapsed by reconcile (full rebuild "
+                "from the data of record)"
+            ),
+        )
         if self.drift_monitor:
             # A rebuild retrains the codebook — the cell DOMAIN itself
             # changes, so the layer rebuilds wholesale from the fresh

@@ -424,3 +424,218 @@ def test_classifier_replay_as_of(spark, tmp_path):
     assert any(
         ev1[v] == "novel" and ev2[v] == "near_dup" for v in ev1
     ), (ev1, ev2)
+
+
+SEP = "\n\n"
+
+
+def _two_para(base, ids, left_off, right_off, id_off):
+    """doc (id_off + i): text = t_{i+left_off} ¶ t_{i+right_off}."""
+    left = base.select(
+        F.col("doc_id").alias("l_id"),
+        "lang",
+        "source",
+        F.col("text").alias("l_text"),
+    )
+    right = base.select(
+        F.col("doc_id").alias("r_id"), F.col("text").alias("r_text")
+    )
+    ids_df = left.sparkSession.createDataFrame([(i,) for i in ids], ["i"])
+    return (
+        ids_df.join(left, F.col("l_id") == F.col("i") + left_off)
+        .join(right, F.col("r_id") == F.col("i") + right_off)
+        .select(
+            (F.col("i") + id_off).alias("doc_id"),
+            "lang",
+            "source",
+            F.concat_ws(SEP, "l_text", "r_text").alias("text"),
+        )
+    )
+
+
+def test_prestage_layers_replay_as_of(spark, tmp_path):
+    """VERDICT r13 #1 (SURVEY §8's recorded open edge): the paragraph /
+    exact-substr digest layers are generation-pinned like every other
+    per-admit-appended layer, so the FULL admission classification of a
+    writer with both pre-stages enabled replays bit-equal —
+    `pre_stage_batch(probe, as_of=g)` + `dedup_against_index(...,
+    as_of=g)` reproduce the answer captured right after admit g.
+    Probe paragraphs duplicating GEN-2 content are scrubbed under the
+    latest pin but SURVIVE under the gen-1 pin (the flip), and
+    compact()/reconcile() collapse the layers' history loudly."""
+    from kinesis_iterator_spark.pipeline import CurationConfig
+
+    base = (
+        load_table(spark, SF, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", "lang", "source", "text")
+    )
+    b1 = _two_para(base, range(40), 0, 40, 0)
+    # batch 2 re-uses t_i (stored at gen 1) and brings t_{200+i} (fresh).
+    b2 = _two_para(base, range(40), 0, 200, 1000)
+    # Probe: fresh ids, left paragraph never admitted (t_{240+i}), right
+    # paragraph = gen-2 content (t_{200+i}) — scrubbed at as_of=2, kept
+    # at as_of=1.
+    probe = _two_para(base, range(10), 240, 200, 50000)
+    w = CorpusWriter(
+        spark,
+        f"{tmp_path}/corpus",
+        f"{tmp_path}/index",
+        CurationConfig(dedup_paragraphs=True, dedup_exact_substr=True),
+    )
+    cap_text, cap_verd = {}, {}
+    for g, b in ((1, b1), (2, b2)):
+        assert w.admit(b)["snapshot"] == g
+        staged = w.pre_stage_batch(probe)
+        cap_text[g] = _rows(staged.select("doc_id", "text"))
+        cap_verd[g] = _rows(
+            incremental.dedup_against_index(
+                spark,
+                staged.select("doc_id", "text"),
+                f"{tmp_path}/index",
+                w.corpus(),
+            )
+        )
+    for name in ("paragraphs", "exact_substr"):
+        assert (
+            incremental.snapshot_gens(f"{tmp_path}/index/{name}") == 2
+        )
+    # Replay: both layers pinned → pre-staged text AND classification
+    # bit-equal to the capture of each era.
+    for g in (1, 2):
+        staged = w.pre_stage_batch(probe, as_of=g)
+        assert _rows(staged.select("doc_id", "text")) == cap_text[g]
+        assert (
+            _rows(
+                incremental.dedup_against_index(
+                    spark,
+                    staged.select("doc_id", "text"),
+                    f"{tmp_path}/index",
+                    w.corpus(as_of=g),
+                    as_of=g,
+                )
+            )
+            == cap_verd[g]
+        )
+    # The pin is not vacuous: gen-2 paragraphs survive under the gen-1
+    # pin and are scrubbed under the gen-2 pin.
+    assert cap_text[1] != cap_text[2]
+    len1 = sum(len(t) for _, t in cap_text[1])
+    len2 = sum(len(t) for _, t in cap_text[2])
+    assert len1 > len2
+    # compact() collapses layer history: older pins fail loudly, the
+    # head generation serves identically (set-equivalent layers).
+    w.compact()
+    with pytest.raises(ValueError, match="not servable"):
+        w.pre_stage_batch(probe, as_of=1).collect()
+    with pytest.raises(ValueError, match="not servable"):
+        w._stored_substr(as_of=1)
+    staged = w.pre_stage_batch(probe, as_of=2)
+    assert _rows(staged.select("doc_id", "text")) == cap_text[2]
+    # reconcile() (full rebuild) keeps numbering, collapses history too.
+    w.reconcile()
+    for name in ("paragraphs", "exact_substr"):
+        assert (
+            incremental.snapshot_gens(f"{tmp_path}/index/{name}") == 2
+        )
+    with pytest.raises(ValueError, match="not servable"):
+        w.pre_stage_batch(probe, as_of=1).collect()
+    staged = w.pre_stage_batch(probe, as_of=2)
+    assert _rows(staged.select("doc_id", "text")) == cap_text[2]
+
+
+def test_writer_prune_snapshots_lockstep(spark, tmp_path):
+    """Retention across the writer family (VERDICT r13 #3):
+    `CorpusWriter.prune_snapshots(g0)` collapses generations < g0 on
+    the corpus AND every derived layer together — as_of >= g0 stays
+    bit-equal for the data of record and from-index serving, older
+    pins fail loudly naming the horizon, a crash between dirs heals by
+    re-running (idempotent), and a following compact_corpus preserves
+    the merged base generation."""
+    doc = load_table(spark, SF, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    batches = [doc.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    w = CorpusWriter(
+        spark, f"{tmp_path}/corpus", f"{tmp_path}/index", bm25_index=True
+    )
+    cap_bm, cap_corpus = {}, {}
+    for g, b in enumerate(batches, start=1):
+        assert w.admit(b)["snapshot"] == g
+        cap_bm[g] = _rows(w.bm25_topk(TERMS, topk=10))
+        cap_corpus[g] = _rows(w.corpus().select("doc_id", "text"))
+    # Simulate a crash mid-prune: the corpus manifest was rewritten,
+    # the layers were not — re-running from the writer completes.
+    assert incremental.prune_snapshots(f"{tmp_path}/corpus", 2) is True
+    out = w.prune_snapshots(2)
+    assert out["corpus"] is False  # already pruned by the "crashed" run
+    assert out["postings"] is True and out["digests"] is True
+    for g in (2, 3):
+        assert _rows(w.corpus(as_of=g).select("doc_id", "text")) == (
+            cap_corpus[g]
+        )
+        assert _rows(w.bm25_topk(TERMS, topk=10, as_of=g)) == cap_bm[g]
+    with pytest.raises(ValueError, match="retention horizon"):
+        w.corpus(as_of=1)
+    with pytest.raises(ValueError, match="retention horizon"):
+        w.bm25_topk(TERMS, topk=10, as_of=1).collect()
+    # Classifier replay below the horizon is loud too.
+    with pytest.raises(ValueError, match="retention horizon"):
+        incremental.dedup_against_index(
+            spark,
+            batches[0].select("doc_id", "text"),
+            f"{tmp_path}/index",
+            w.corpus(as_of=2),
+            as_of=1,
+        )
+    # Idempotent; then compact keeps the merged base + later gens.
+    assert all(v is False for v in w.prune_snapshots(2).values())
+    w.compact_corpus()
+    for g in (2, 3):
+        assert _rows(w.corpus(as_of=g).select("doc_id", "text")) == (
+            cap_corpus[g]
+        )
+    with pytest.raises(ValueError, match="retention horizon"):
+        w.corpus(as_of=1)
+    # A later admit keeps appending generations on the pruned manifest.
+    s = w.admit(batches[0])  # all-duplicate batch
+    assert s["snapshot"] == 4 and s["n_admitted"] == 0
+    assert _rows(w.corpus(as_of=4).select("doc_id", "text")) == (
+        cap_corpus[3]
+    )
+
+
+def test_embedding_writer_prune_snapshots_lockstep(spark, tmp_path):
+    """`EmbeddingWriter.prune_snapshots`: store + stored ANN layers
+    prune together; as_of >= horizon serves bit-equal, older pins are
+    loud on both the data of record and the from-index readers."""
+    emb = load_table(spark, SF, "embeddings")
+    batches = [emb.filter(F.col("vec_id") % 3 == i) for i in range(3)]
+    w = EmbeddingWriter(
+        spark, f"{tmp_path}/store", f"{tmp_path}/ann", tau=0.9
+    )
+    cap_lsh, cap_store = {}, {}
+    for g, b in enumerate(batches, start=1):
+        assert w.admit(b)["snapshot"] == g
+        cap_lsh[g] = _rows(
+            similarity_lsh_topk_from_index(spark, SF, f"{tmp_path}/ann")
+        )
+        cap_store[g] = _rows(w.store(as_of=g).select("vec_id"))
+    out = w.prune_snapshots(2)
+    assert out["store"] is True and out["lsh_signatures"] is True
+    for g in (2, 3):
+        assert _rows(w.store(as_of=g).select("vec_id")) == cap_store[g]
+        assert (
+            _rows(
+                similarity_lsh_topk_from_index(
+                    spark, SF, f"{tmp_path}/ann", as_of=g
+                )
+            )
+            == cap_lsh[g]
+        )
+    with pytest.raises(ValueError, match="retention horizon"):
+        w.store(as_of=1)
+    with pytest.raises(ValueError, match="retention horizon"):
+        similarity_lsh_topk_from_index(
+            spark, SF, f"{tmp_path}/ann", as_of=1
+        ).collect()

@@ -907,3 +907,63 @@ def test_dsir_select_tokens_col_reports_caller_counts(spark, sf_dir):
         assert r["n_tokens"] == 1000 + did  # caller's accounting
         assert r["sel_rank"] == brows[did]["sel_rank"]
         assert r["sample_key"] == brows[did]["sample_key"]
+
+
+def test_corpus_writer_split_long_applies_once(spark, sf_dir, tmp_path):
+    """A writer with BOTH a stored pre-stage and split_long must split
+    exactly once (r14 fix): admit's pre-apply runs the full
+    `_pre_stages` chain, so the inner curate's config must clear
+    split_long too — the old behavior re-keyed every doc_id a SECOND
+    time (orig·2^40 for small ids: silent provenance corruption)."""
+    from pyspark.sql import functions as F
+
+    from kinesis_iterator_spark.pipeline import (
+        PIECE_SPACE,
+        CorpusWriter,
+        CurationConfig,
+    )
+    from kinesis_iterator_spark.tables import load_table
+
+    SEP = "\n\n"
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 40)
+        .select("doc_id", "lang", "source", "text")
+    )
+    # 4 long docs of 10 paragraphs each — all exceed split_long=150.
+    batch = (
+        base.groupBy((F.col("doc_id") / 10).cast("long").alias("doc_id"))
+        .agg(
+            F.concat_ws(
+                SEP,
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                    lambda s: s["text"],
+                ),
+            ).alias("text"),
+            F.min("lang").alias("lang"),
+            F.min("source").alias("source"),
+        )
+        .select("doc_id", "lang", "source", "text")
+    )
+    w = CorpusWriter(
+        spark,
+        str(tmp_path / "corpus"),
+        str(tmp_path / "index"),
+        CurationConfig(
+            dedup_paragraphs=True,
+            split_long=150,
+            min_words=1,
+            max_words=200,
+            paragraph_sep=SEP,
+        ),
+    )
+    s = w.admit(batch)
+    assert s["n_admitted"] > 0
+    ids = [r["doc_id"] for r in w.corpus().select("doc_id").collect()]
+    origs = {0, 1, 2, 3}
+    # Single re-key: id // PIECE_SPACE recovers an original batch id and
+    # at least one doc actually split (piece >= 1). A double split
+    # would leave id // PIECE_SPACE = orig*PIECE_SPACE + piece ∉ origs.
+    assert ids and all(i // PIECE_SPACE in origs for i in ids)
+    assert any(i % PIECE_SPACE >= 1 for i in ids)
