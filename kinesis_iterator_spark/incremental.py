@@ -1208,8 +1208,86 @@ def collapse_snapshots(
     os.replace(tmp, _snapshot_path(manifest_dir))
 
 
+def prune_snapshots(
+    data_dir: str, before_gen: int, reason: str | None = None
+) -> bool:
+    """Manifest RETENTION (VERDICT r13 #3): collapse generations
+    ``< before_gen`` into generation ``before_gen`` — the base line
+    inherits their file attributions (and keeps its own ``n``/``extra``;
+    ``n`` becomes the cumulative row-delta sum when every merged line
+    recorded one), earlier lines become reason-stamped tombstones. The
+    DATA FILES are untouched: this is a driver-side manifest rewrite
+    (temp file + os.replace — atomic, zero Spark jobs), so
+
+    - ``as_of >= before_gen`` reads are bit-equal before/after (the
+      cumulative file set per generation is unchanged);
+    - ``as_of < before_gen`` fails loudly naming the horizon (the
+      tombstone discipline `collapse_snapshots` established);
+    - generation NUMBERING is preserved, so lockstep with derived
+      layers survives — prune a writer family together
+      (`CorpusWriter.prune_snapshots` / `EmbeddingWriter.
+      prune_snapshots` do, under the writer lease).
+
+    This bounds what unbounded history costs: tombstone lines are
+    ~60 bytes each, and a following `compact_data_snapshots` rewrites
+    the merged base generation into target-sized files (the two
+    compose in either order — pinned). Returns True if anything
+    changed; ``before_gen == 1`` or a horizon at/below an existing
+    collapse is a no-op."""
+    recs = _read_snapshots(data_dir)
+    if not recs:
+        raise ValueError(
+            f"{data_dir} records no admission snapshots — nothing to "
+            "prune"
+        )
+    if not 1 <= before_gen <= len(recs):
+        raise ValueError(
+            f"before_gen={before_gen} out of range: {data_dir} records "
+            f"{len(recs)} snapshot generation(s)"
+        )
+    if before_gen == 1 or recs[before_gen - 1]["compacted"]:
+        # Nothing below the horizon, or the base itself is already a
+        # tombstone (an earlier rewrite collapsed deeper) — no-op.
+        return False
+    if all(r["compacted"] for r in recs[: before_gen - 1]):
+        return False  # already pruned to (at least) this horizon
+    base = dict(recs[before_gen - 1])
+    base["files"] = [
+        f for rec in recs[:before_gen] for f in rec["files"]
+    ]
+    merged_n = [r["n"] for r in recs[:before_gen] if not r["compacted"]]
+    base["n"] = (
+        sum(merged_n) if all(n is not None for n in merged_n) else None
+    )
+    why = reason or (
+        "pruned below the retention horizon (first servable "
+        f"generation is {before_gen})"
+    )
+    stone = {"files": [], "n": None, "compacted": True, "reason": why}
+    lines = [json.dumps(stone) for _ in range(before_gen - 1)]
+    for rec in [base] + recs[before_gen:]:
+        line: dict = {"files": rec["files"], "n": rec["n"]}
+        if rec.get("extra") is not None:
+            line["extra"] = rec["extra"]
+        if rec["compacted"]:
+            line["compacted"] = True
+        if rec.get("reason") is not None:
+            line["reason"] = rec["reason"]
+        lines.append(json.dumps(line))
+    tmp = _snapshot_path(data_dir) + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, _snapshot_path(data_dir))
+    return True
+
+
 def record_aligned_snapshot(
-    data_dir: str, target_gen: int, extra: dict | None = None
+    data_dir: str,
+    target_gen: int,
+    extra: dict | None = None,
+    reason: str | None = None,
 ) -> None:
     """Writer-side per-admit recording for a DERIVED layer dir, keeping
     its generation numbering aligned with the data of record's:
@@ -1234,14 +1312,21 @@ def record_aligned_snapshot(
         # Stamp WHY history is missing (ADVICE r13): a layer aligned
         # late (upgraded mid-history, manifest-less until now) reads
         # very differently to the as-of caller than one whose history
-        # a rewrite destroyed.
-        reason = (
-            "layer predates generation pinning (manifest first aligned "
-            f"at generation {target_gen})"
-            if gens == 0
-            else "layer history collapsed by a rebuild/recording gap "
-            f"(re-aligned at generation {target_gen})"
-        )
+        # a rewrite destroyed. A rebuild path that just cleared the
+        # manifest KNOWS it did — it passes ``reason`` explicitly
+        # (the writers' reconcile paths do); the gens == 0 default
+        # below is then exactly the true late-alignment case. Every
+        # reason keeps the word "collapsed" (the loud-refusal match
+        # contract).
+        if reason is None:
+            reason = (
+                "layer history collapsed: no per-admit manifest existed "
+                "before this recording (layer predates generation "
+                f"pinning; first aligned at generation {target_gen})"
+                if gens == 0
+                else "layer history collapsed by a recording gap "
+                f"(re-aligned at generation {target_gen})"
+            )
         collapse_snapshots(data_dir, target_gen, extra=extra, reason=reason)
 
 
@@ -1300,7 +1385,19 @@ def compact_data_snapshots(
     :func:`recover_data_dir` heals an interrupted swap (forward if the
     stage was complete, back otherwise). ``fence``: the writer-lease
     fencing triple, verified at the commit. Returns
-    ``{"generations": .., "files_before": .., "files_after": ..}``."""
+    ``{"generations": .., "files_before": .., "files_after": ..}``.
+
+    Job shape (VERDICT r13 #2): ONE Spark write over every attributed
+    file, partitioned by a ``__gen`` column attached via a
+    broadcast-joined file→generation map — O(1) jobs however many
+    generations the manifest records (the old per-generation loop was
+    O(generations) sequential job submissions: ~10⁴ driver round trips
+    of mostly-tiny work at a 10⁴-admit horizon). Per-generation FILE
+    attribution — the as_of contract — survives because
+    ``partitionBy("__gen")`` splits every task's output by generation;
+    the emitted files are then renamed into the flat stage under
+    ``gen{g:06d}-`` prefixes and attributed per generation in the
+    rewritten manifest."""
     import shutil
 
     recover_data_dir(data_dir, locked=True)
@@ -1319,42 +1416,117 @@ def compact_data_snapshots(
     shutil.rmtree(stage, ignore_errors=True)
     os.makedirs(stage)
     tmp = f"{data_dir}.compact.work"
-    new_lines = []
+    new_lines: list[dict] = [dict(rec) for rec in recs]
+    live = [
+        (i + 1, rec)
+        for i, rec in enumerate(recs)
+        if not rec["compacted"] and rec["files"]
+    ]
     try:
-        for i, rec in enumerate(recs):
-            gen = i + 1
-            out = dict(rec)
-            if not rec["compacted"] and rec["files"]:
-                paths = [os.path.join(data_dir, f) for f in rec["files"]]
-                shutil.rmtree(tmp, ignore_errors=True)
-                # Target-sized output: one file per ~COMPACT_TARGET_BYTES
+        if live:
+            shutil.rmtree(tmp, ignore_errors=True)
+            # Driver-side file→generation map. The join key is the
+            # file's BASENAME (part names carry write UUIDs, and
+            # rewritten files carry genNNNNNN- prefixes, so collisions
+            # don't happen in practice) — checked, with the old
+            # per-generation loop as the exact fallback, because a
+            # collision would silently misattribute rows ACROSS
+            # generations and corrupt every as_of read.
+            name_gen: list[tuple[str, int]] = []
+            for gen, rec in live:
+                for f in rec["files"]:
+                    name_gen.append((os.path.basename(f), gen))
+            unique = len({n for n, _ in name_gen}) == len(name_gen)
+            if unique:
+                paths = [
+                    os.path.join(data_dir, f)
+                    for _, rec in live
+                    for f in rec["files"]
+                ]
+                # Target-sized output: one task per ~COMPACT_TARGET_BYTES
                 # of input (driver-side stat, zero jobs) — a TB-scale
-                # admission's delta must not funnel through a single
-                # coalesce(1) task; small admits still collapse to one
-                # key-sorted, min/max-prunable file.
+                # history must not funnel through one task, and a tiny
+                # history SHOULD: one task writing one file per small
+                # generation keeps the post-compaction file count at
+                # ~1/generation (a task whose (__gen, key) range spans
+                # several generations splits its output by partitionBy).
                 total = sum(os.path.getsize(p) for p in paths)
                 n_out = max(1, -(-total // COMPACT_TARGET_BYTES))
-                frame = spark.read.parquet(*paths)
-                frame = (
-                    frame.coalesce(1)
-                    if n_out == 1
-                    else frame.repartitionByRange(int(n_out), *order_cols)
+                gmap = spark.createDataFrame(
+                    name_gen, "__name string, __gen int"
+                )
+                frame = spark.read.parquet(*paths).withColumn(
+                    "__name",
+                    F.element_at(F.split(F.input_file_name(), "/"), -1),
                 )
                 (
-                    frame.sortWithinPartitions(*order_cols)
-                    .write.mode("overwrite")
+                    frame.join(F.broadcast(gmap), "__name")
+                    .drop("__name")
+                    .repartitionByRange(int(n_out), "__gen", *order_cols)
+                    .sortWithinPartitions("__gen", *order_cols)
+                    .write.partitionBy("__gen")
+                    .mode("overwrite")
                     .parquet(tmp)
                 )
-                moved = []
-                for f in sorted(os.listdir(tmp)):
-                    if f.endswith(".parquet"):
-                        name = f"gen{gen:06d}-{f}"
-                        os.replace(
-                            os.path.join(tmp, f), os.path.join(stage, name)
+                moved: dict[int, list[str]] = {g: [] for g, _ in live}
+                for d in sorted(os.listdir(tmp)):
+                    if not d.startswith("__gen="):
+                        continue
+                    gen = int(d.split("=", 1)[1])
+                    for f in sorted(os.listdir(os.path.join(tmp, d))):
+                        if f.endswith(".parquet"):
+                            name = f"gen{gen:06d}-{f}"
+                            os.replace(
+                                os.path.join(tmp, d, f),
+                                os.path.join(stage, name),
+                            )
+                            moved[gen].append(name)
+                for gen, rec in live:
+                    if not moved[gen] and _files_rows(
+                        [os.path.join(data_dir, f) for f in rec["files"]]
+                    ):
+                        # A zero-ROW generation (an all-duplicate
+                        # admit's empty part file) legitimately emits
+                        # no partition dir and collapses to an empty
+                        # file list; losing a generation that HAS rows
+                        # would corrupt every as_of read.
+                        raise RuntimeError(
+                            f"compact_data_snapshots: generation {gen} "
+                            f"of {data_dir} produced no rewritten files "
+                            "— attribution join lost its rows"
                         )
-                        moved.append(name)
-                out["files"] = moved
-            new_lines.append(out)
+                    new_lines[gen - 1]["files"] = moved[gen]
+            else:  # pragma: no cover — needs a basename collision
+                for gen, rec in live:
+                    paths = [
+                        os.path.join(data_dir, f) for f in rec["files"]
+                    ]
+                    shutil.rmtree(tmp, ignore_errors=True)
+                    total = sum(os.path.getsize(p) for p in paths)
+                    n_out = max(1, -(-total // COMPACT_TARGET_BYTES))
+                    frame = spark.read.parquet(*paths)
+                    frame = (
+                        frame.coalesce(1)
+                        if n_out == 1
+                        else frame.repartitionByRange(
+                            int(n_out), *order_cols
+                        )
+                    )
+                    (
+                        frame.sortWithinPartitions(*order_cols)
+                        .write.mode("overwrite")
+                        .parquet(tmp)
+                    )
+                    moved_one = []
+                    for f in sorted(os.listdir(tmp)):
+                        if f.endswith(".parquet"):
+                            name = f"gen{gen:06d}-{f}"
+                            os.replace(
+                                os.path.join(tmp, f),
+                                os.path.join(stage, name),
+                            )
+                            moved_one.append(name)
+                    new_lines[gen - 1]["files"] = moved_one
         # Unattributed files (crash-before-manifest window): byte-
         # identical carry-over under their own names.
         for f in files_before:

@@ -277,3 +277,58 @@ def test_embedding_writer_compact_preserves_admission(
     assert _rows(w_c.store().select("vec_id")) == _rows(
         w_r.store().select("vec_id")
     )
+
+
+def test_data_compactor_single_pass_jobs_and_asof_equality(
+    spark, doc, tmp_path
+):
+    """VERDICT r13 #2: `compact_data_snapshots` rewrites ALL generations
+    in ONE partitioned Spark write (file→generation broadcast map +
+    partitionBy(__gen)), not a sequential per-generation job loop —
+    O(few) jobs however many generations the manifest records. Pins:
+    every as_of bit-equal before/after (including an empty-delta
+    generation), per-generation file attribution (gen prefixes), and
+    the job count for a 6-generation dir stays under the old loop's
+    floor (>= 2 jobs/generation)."""
+    from kinesis_iterator_spark import incremental
+
+    d = f"{tmp_path}/data"
+    n_gens = 6
+    for g in range(n_gens):
+        delta = doc.filter(F.col("doc_id") % n_gens == g).select(
+            "doc_id", "text"
+        )
+        if g == 4:  # an all-duplicate admit: empty delta, line recorded
+            delta = delta.limit(0)
+        delta.write.mode("append").parquet(d)
+        assert incremental.record_snapshot(d, n=delta.count()) == g + 1
+    before = {
+        g: _rows(
+            incremental.snapshot_read(spark, d, g).select("doc_id", "text")
+        )
+        for g in range(1, n_gens + 1)
+    }
+    tracker = spark.sparkContext.statusTracker()
+    j0 = len(tracker.getJobIdsForGroup(None))
+    out = incremental.compact_data_snapshots(spark, d, ("doc_id",))
+    jobs = len(tracker.getJobIdsForGroup(None)) - j0
+    assert out["generations"] == n_gens
+    assert jobs <= 5, f"expected O(few) jobs, measured {jobs}"
+    for g in range(1, n_gens + 1):
+        assert (
+            _rows(
+                incremental.snapshot_read(spark, d, g).select(
+                    "doc_id", "text"
+                )
+            )
+            == before[g]
+        )
+    # Per-generation attribution survives the single-pass rewrite.
+    recs = incremental._read_snapshots(d)
+    for i, rec in enumerate(recs):
+        assert all(f.startswith(f"gen{i + 1:06d}-") for f in rec["files"])
+    assert recs[4]["files"] == []  # the empty-delta generation
+    assert [r["n"] for r in recs] == [
+        doc.filter(F.col("doc_id") % n_gens == g).count() if g != 4 else 0
+        for g in range(n_gens)
+    ]
