@@ -301,3 +301,75 @@ def test_read_query_vec_loud_failures(tmp_path):
     pa_pq.write_table(pa.table({"x": [1, 2, 3]}), str(noid))
     with pytest.raises(ValueError, match="no 'vec_id' column"):
         read_query_vec(str(noid), 0)
+
+
+def test_prune_snapshots_semantics_and_compactor_interplay(
+    spark, tmp_path
+):
+    """Manifest retention (VERDICT r13 #3): `prune_snapshots(d, g0)`
+    collapses generations < g0 into g0 — as_of >= g0 bit-equal
+    before/after, older pins fail loudly naming the horizon, the base
+    line inherits file attributions and sums the row deltas; the
+    rewrite is idempotent and composes with `compact_data_snapshots`
+    in BOTH orders."""
+    doc = load_table(spark, SF, "documents").select("doc_id", "text")
+    d = f"{tmp_path}/data"
+    ns = []
+    for g in range(4):
+        delta = doc.filter(F.col("doc_id") % 4 == g)
+        delta.write.mode("append").parquet(d)
+        ns.append(delta.count())
+        assert incremental.record_snapshot(d, n=ns[-1]) == g + 1
+    before = {
+        g: sorted(
+            r["doc_id"]
+            for r in incremental.snapshot_read(spark, d, g).collect()
+        )
+        for g in range(1, 5)
+    }
+    assert incremental.prune_snapshots(d, 3) is True
+    for g in (3, 4):
+        assert (
+            sorted(
+                r["doc_id"]
+                for r in incremental.snapshot_read(spark, d, g).collect()
+            )
+            == before[g]
+        )
+    for g in (1, 2):
+        with pytest.raises(ValueError, match="retention horizon"):
+            incremental.snapshot_files(d, g)
+    recs = incremental._read_snapshots(d)
+    assert recs[2]["n"] == ns[0] + ns[1] + ns[2]  # merged row deltas
+    assert recs[3]["n"] == ns[3]
+    # Idempotent; horizon 1 is a no-op; deeper-than-existing is a no-op.
+    assert incremental.prune_snapshots(d, 3) is False
+    assert incremental.prune_snapshots(d, 1) is False
+    assert incremental.prune_snapshots(d, 2) is False
+    # prune → compact: the merged base generation rewrites into
+    # gen-prefixed files; every servable as_of stays bit-equal.
+    incremental.compact_data_snapshots(spark, d, ("doc_id",))
+    for g in (3, 4):
+        assert (
+            sorted(
+                r["doc_id"]
+                for r in incremental.snapshot_read(spark, d, g).collect()
+            )
+            == before[g]
+        )
+    with pytest.raises(ValueError, match="retention horizon"):
+        incremental.snapshot_files(d, 2)
+    # compact → prune (the other order): deepen the horizon afterwards.
+    assert incremental.prune_snapshots(d, 4) is True
+    assert (
+        sorted(
+            r["doc_id"]
+            for r in incremental.snapshot_read(spark, d, 4).collect()
+        )
+        == before[4]
+    )
+    with pytest.raises(ValueError, match="retention horizon"):
+        incremental.snapshot_files(d, 3)
+    # Out-of-range horizons stay loud.
+    with pytest.raises(ValueError, match="out of range"):
+        incremental.prune_snapshots(d, 5)
