@@ -45,6 +45,10 @@ HEADLINE = [
     "fn_string_suite",
     "stream_record_model",
     "hybrid_retrieval_topk",
+    # Round 14: generation-pinned serving — builds a 3-generation
+    # stored BM25 index and serves every generation via as_of (the
+    # build writes run inside the timed window; that IS the surface).
+    "asof_serving_suite",
 ]
 
 

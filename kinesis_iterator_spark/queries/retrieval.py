@@ -192,10 +192,14 @@ def bm25_oracle_sql(
     query_terms: list[str],
     k1: tuple[int, int] = (6, 5),
     b: tuple[int, int] = (3, 4),
+    doc_filter: str | None = None,
 ) -> str:
     """DuckDB derivation of the identical scoring over the
     pre-registered ``documents`` view — same tokenization, same integer
-    quantities, same ln-of-integers idf, same truncating division."""
+    quantities, same ln-of-integers idf, same truncating division.
+    ``doc_filter``: optional SQL predicate restricting the corpus (the
+    `asof_serving_suite` oracle scores each generation's cumulative
+    slice)."""
     _check_params(k1, b)
     terms = sorted(set(query_terms))
     if not terms:
@@ -203,10 +207,11 @@ def bm25_oracle_sql(
     kn, kd = k1
     bn, bd = b
     in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    where = f"WHERE {doc_filter}" if doc_filter else ""
     return f"""
 WITH dl AS (
   SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
-  FROM documents
+  FROM documents {where}
 ),
 totals AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -216,7 +221,7 @@ totals AS (
 postings AS (
   SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
   FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
-        FROM documents)
+        FROM documents {where})
   WHERE term IN ({in_list})
   GROUP BY doc_id, term
 ),
@@ -1063,3 +1068,99 @@ def hybrid_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hybrid_topk(
         spark, doc, emb, _REGISTRY_TERMS, qv, topk=10, candidates=50
     )
+
+
+# --- generation-pinned serving under the value gate (VERDICT r13 #5) ----
+#
+# The Spark side BUILDS a small stored BM25 index from three disjoint
+# corpus slices (one write_bm25_index + two extend_bm25_index calls,
+# each followed by the writer-family `record_aligned_snapshot` line, so
+# the layers carry real per-admit manifests) and then SERVES all three
+# generations via `bm25_topk_from_index(as_of=g)`. The oracle needs no
+# file lists or literals: a generation-pinned serve is bit-equal to
+# fresh BM25 over the corpus as of that generation (the
+# tests/test_asof_layers.py fresh-rebuild pin), and "corpus as of g"
+# is the cumulative slice predicate `doc_id % 10 < g` — so each oracle
+# leg is the ordinary `bm25_oracle_sql` chain over the filtered
+# `documents` view. Scale-factor-agnostic like every other entry.
+
+_ASOF_SLICES = 3  # generations; gen g admits doc_id % 10 == g-1
+
+
+def _asof_suite_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build the 3-generation stored index under a fresh temp dir
+    (previous invocations' dirs are cleared first — their frames were
+    already materialized; the gate and bench both consume one entry
+    fully before rebuilding it)."""
+    import os
+    import shutil
+    import tempfile
+
+    from .. import incremental
+
+    parent = os.path.join(tempfile.gettempdir(), "ki_asof_suite")
+    shutil.rmtree(parent, ignore_errors=True)
+    os.makedirs(parent, exist_ok=True)
+    idx = tempfile.mkdtemp(dir=parent)
+    doc = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    for g in range(1, _ASOF_SLICES + 1):
+        batch = doc.filter(F.col("doc_id") % 10 == g - 1)
+        meta = (
+            write_bm25_index(spark, batch, idx)
+            if g == 1
+            else extend_bm25_index(spark, batch, idx)
+        )
+        totals = {
+            "n_docs": int(meta["n_docs"]),
+            "t_tokens": int(meta["t_tokens"]),
+        }
+        for name in _BM25_RELATIONS:
+            incremental.record_aligned_snapshot(
+                f"{idx}/{name}",
+                g,
+                extra=totals if name == "postings" else None,
+            )
+    return idx
+
+
+def _asof_suite_oracle() -> str:
+    legs = []
+    for g in range(1, _ASOF_SLICES + 1):
+        inner = bm25_oracle_sql(
+            _REGISTRY_TERMS, doc_filter=f"doc_id % 10 < {g}"
+        )
+        legs.append(
+            f"SELECT CAST('g{g}' AS VARCHAR) AS part, doc_id, n_terms, "
+            "bm25_fix, bm25 FROM (\n"
+            f"  SELECT * FROM ({inner}\n"
+            "  ) ORDER BY bm25_fix DESC, doc_id LIMIT 10\n"
+            ")"
+        )
+    return "\nUNION ALL\n".join(legs)
+
+
+@query("asof_serving_suite", oracle=_asof_suite_oracle())
+def asof_serving_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generation-pinned index serving under the driver's value gate
+    (VERDICT r13 #5): build a stored BM25 index in three recorded
+    admission generations (cumulative slices ``doc_id % 10 < g``), then
+    serve `bm25_topk_from_index(as_of=g)` for every generation as one
+    tagged union. Values pin the whole r13/r14 manifest machinery —
+    per-admit file attribution, the cumulative (n_docs, t_tokens)
+    totals riding the postings manifest line, and the from-index
+    scoring tail — against a literal-free DuckDB derivation (fresh
+    BM25 over each generation's cumulative corpus slice)."""
+    idx = _asof_suite_index(spark, sf_dir)
+    out = None
+    for g in range(1, _ASOF_SLICES + 1):
+        leg = bm25_topk_from_index(
+            spark, idx, _REGISTRY_TERMS, topk=10, as_of=g
+        ).select(
+            F.lit(f"g{g}").alias("part"),
+            "doc_id",
+            "n_terms",
+            "bm25_fix",
+            "bm25",
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out

@@ -268,9 +268,17 @@ def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
                i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
              )) AS bigram
       FROM documents
+    ),
+    samp AS (
+      SELECT lang, doc_id, n_chars,
+             CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) % 1000 < 100 AS keep
+      FROM documents
     )
     SELECT 'tf' AS part, source, word AS term,
-           CAST(tf AS BIGINT) AS n, rnk
+           CAST(tf AS BIGINT) AS n, rnk,
+           CAST(NULL AS BIGINT) AS m1, CAST(NULL AS BIGINT) AS m2,
+           CAST(NULL AS BIGINT) AS m3, CAST(NULL AS BIGINT) AS m4
     FROM (
       SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source
                        ORDER BY tf DESC, word) AS BIGINT) AS rnk
@@ -278,25 +286,44 @@ def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE rnk <= 5
     UNION ALL
     SELECT 'bigram' AS part, CAST(NULL AS VARCHAR) AS source, bigram AS term,
-           CAST(COUNT(*) AS BIGINT) AS n, CAST(NULL AS BIGINT) AS rnk
+           CAST(COUNT(*) AS BIGINT) AS n, CAST(NULL AS BIGINT) AS rnk,
+           CAST(NULL AS BIGINT) AS m1, CAST(NULL AS BIGINT) AS m2,
+           CAST(NULL AS BIGINT) AS m3, CAST(NULL AS BIGINT) AS m4
     FROM grams
     GROUP BY bigram
     HAVING COUNT(*) >= 5
+    UNION ALL
+    SELECT 'sample' AS part, lang AS source, CAST(NULL AS VARCHAR) AS term,
+           COUNT(*) AS n, CAST(NULL AS BIGINT) AS rnk,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS m1,
+           CAST(COALESCE(SUM(CASE WHEN keep THEN n_chars END), 0) AS BIGINT)
+             AS m2,
+           MIN(CASE WHEN keep THEN doc_id END) AS m3,
+           MAX(CASE WHEN keep THEN doc_id END) AS m4
+    FROM samp GROUP BY lang
     """,
 )
 def text_frequency_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both term-frequency shapes under one gate entry (merged round 12
-    — the `analytic_suite`/`pq_suite` tagged-union discipline, freeing
-    a registry slot for hybrid retrieval): part='tf' is
+    """Three per-corpus accounting shapes under one gate entry (the
+    `analytic_suite`/`pq_suite` tagged-union discipline): part='tf' is
     `text_tf_per_source` leg-intact (per-source windowed top-5 terms),
-    part='bigram' is `text_ngrams` (corpus bigram counts ≥ 5),
-    NULL-padded onto the shared (part, source, term, n, rnk) schema."""
+    part='bigram' is `text_ngrams` (corpus bigram counts ≥ 5), and —
+    merged round 14 to free the registry slot `asof_serving_suite` now
+    holds — part='sample' is `text_sample_stratified` leg-intact
+    (deterministic hash-mod 10% sampling accounted per language
+    stratum: n=n_total, m1=n_sample, m2=sampled_chars,
+    m3/m4=min/max sampled doc_id), NULL-padded onto the shared
+    (part, source, term, n, rnk, m1..m4) schema."""
+    pad = [
+        F.lit(None).cast("long").alias(c) for c in ("m1", "m2", "m3", "m4")
+    ]
     tf = text_tf_per_source(spark, sf_dir).select(
         F.lit("tf").alias("part"),
         "source",
         F.col("word").alias("term"),
         F.col("tf").cast("long").alias("n"),
         "rnk",
+        *pad,
     )
     bg = text_ngrams(spark, sf_dir).select(
         F.lit("bigram").alias("part"),
@@ -304,34 +331,28 @@ def text_frequency_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bigram").alias("term"),
         F.col("n").cast("long").alias("n"),
         F.lit(None).cast("long").alias("rnk"),
+        *pad,
     )
-    return tf.unionByName(bg)
+    sm = text_sample_stratified(spark, sf_dir).select(
+        F.lit("sample").alias("part"),
+        F.col("lang").alias("source"),
+        F.lit(None).cast("string").alias("term"),
+        F.col("n_total").cast("long").alias("n"),
+        F.lit(None).cast("long").alias("rnk"),
+        F.col("n_sample").cast("long").alias("m1"),
+        F.col("sampled_chars").cast("long").alias("m2"),
+        F.col("min_sampled_doc").cast("long").alias("m3"),
+        F.col("max_sampled_doc").cast("long").alias("m4"),
+    )
+    return tf.unionByName(bg).unionByName(sm)
 
 
-@query(
-    "text_sample_stratified",
-    oracle="""
-    WITH s AS (
-      SELECT lang, doc_id, n_chars,
-             CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
-                  AS BIGINT) % 1000 < 100 AS keep
-      FROM documents
-    )
-    SELECT lang,
-           COUNT(*) AS n_total,
-           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sample,
-           CAST(COALESCE(SUM(CASE WHEN keep THEN n_chars END), 0) AS BIGINT)
-             AS sampled_chars,
-           MIN(CASE WHEN keep THEN doc_id END) AS min_sampled_doc,
-           MAX(CASE WHEN keep THEN doc_id END) AS max_sampled_doc
-    FROM s GROUP BY lang
-    """,
-)
 def text_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling — the training-pipeline primitive
     for reproducible subsets: keep a document iff
     ``hash(doc_id) mod 1000 < 100`` (a 10% rate), accounted per language
-    stratum.
+    stratum. Registry coverage via `text_frequency_suite` part='sample'
+    (merged round 14 to free the slot `asof_serving_suite` holds).
 
     Why hash-mod and not ``df.sample()``: RNG samplers are
     engine/partitioning-dependent and unrepeatable across runs; the
