@@ -1098,7 +1098,12 @@ def _asof_suite_index(spark: SparkSession, sf_dir: str) -> str:
 
     from .. import incremental
 
-    parent = os.path.join(tempfile.gettempdir(), "ki_asof_suite")
+    # Per-PID parent: each driver process reclaims only ITS previous
+    # invocations' dirs — two processes running the gate and the bench
+    # concurrently must not rmtree each other's index mid-read.
+    parent = os.path.join(
+        tempfile.gettempdir(), f"ki_asof_suite_{os.getpid()}"
+    )
     shutil.rmtree(parent, ignore_errors=True)
     os.makedirs(parent, exist_ok=True)
     idx = tempfile.mkdtemp(dir=parent)
