@@ -1496,7 +1496,8 @@ def compact_data_snapshots(
                             "— attribution join lost its rows"
                         )
                     new_lines[gen - 1]["files"] = moved[gen]
-            else:  # pragma: no cover — needs a basename collision
+            else:  # basename collision (subdir-housed deltas) — pinned
+                # in tests/test_compaction.py::..collision_fallback_exact
                 for gen, rec in live:
                     paths = [
                         os.path.join(data_dir, f) for f in rec["files"]

@@ -606,23 +606,33 @@ def test_writer_prune_snapshots_lockstep(spark, tmp_path):
 
 
 def test_embedding_writer_prune_snapshots_lockstep(spark, tmp_path):
-    """`EmbeddingWriter.prune_snapshots`: store + stored ANN layers
-    prune together; as_of >= horizon serves bit-equal, older pins are
-    loud on both the data of record and the from-index readers."""
+    """`EmbeddingWriter.prune_snapshots`: store + every stored ANN
+    layer (signatures, inverted file, occupancy, PQ codes) prune
+    together; as_of >= horizon serves bit-equal, older pins are loud
+    on both the data of record and the from-index readers."""
     emb = load_table(spark, SF, "embeddings")
     batches = [emb.filter(F.col("vec_id") % 3 == i) for i in range(3)]
     w = EmbeddingWriter(
-        spark, f"{tmp_path}/store", f"{tmp_path}/ann", tau=0.9
+        spark,
+        f"{tmp_path}/store",
+        f"{tmp_path}/ann",
+        tau=0.9,
+        pq_layer=True,
+        pq_ks=16,
+        pq_iters=1,
     )
-    cap_lsh, cap_store = {}, {}
+    qv = read_query_vec(f"{SF}/embeddings.parquet", 0)
+    cap_lsh, cap_store, cap_pq = {}, {}, {}
     for g, b in enumerate(batches, start=1):
         assert w.admit(b)["snapshot"] == g
         cap_lsh[g] = _rows(
             similarity_lsh_topk_from_index(spark, SF, f"{tmp_path}/ann")
         )
         cap_store[g] = _rows(w.store(as_of=g).select("vec_id"))
+        cap_pq[g] = _rows(w.pq_topk(qv, topk=5))
     out = w.prune_snapshots(2)
     assert out["store"] is True and out["lsh_signatures"] is True
+    assert out["pq_codes"] is True
     for g in (2, 3):
         assert _rows(w.store(as_of=g).select("vec_id")) == cap_store[g]
         assert (
@@ -633,9 +643,12 @@ def test_embedding_writer_prune_snapshots_lockstep(spark, tmp_path):
             )
             == cap_lsh[g]
         )
+        assert _rows(w.pq_topk(qv, topk=5, as_of=g)) == cap_pq[g]
     with pytest.raises(ValueError, match="retention horizon"):
         w.store(as_of=1)
     with pytest.raises(ValueError, match="retention horizon"):
         similarity_lsh_topk_from_index(
             spark, SF, f"{tmp_path}/ann", as_of=1
         ).collect()
+    with pytest.raises(ValueError, match="retention horizon"):
+        w.pq_topk(qv, topk=5, as_of=1)

@@ -332,3 +332,53 @@ def test_data_compactor_single_pass_jobs_and_asof_equality(
         doc.filter(F.col("doc_id") % n_gens == g).count() if g != 4 else 0
         for g in range(n_gens)
     ]
+
+
+def test_data_compactor_collision_fallback_exact(spark, doc, tmp_path):
+    """The single-pass rewrite attributes rows by file BASENAME; when
+    two generations' files share one (possible only via subdir-housed
+    deltas), the compactor must take the exact per-generation fallback
+    — same as_of equality, same gen-prefixed attribution."""
+    import os
+
+    from kinesis_iterator_spark import incremental
+
+    d = f"{tmp_path}/data"
+    for g, sub in enumerate(("a", "b"), start=1):
+        delta = doc.filter(F.col("doc_id") % 2 == g - 1).select(
+            "doc_id", "text"
+        )
+        delta.coalesce(1).write.mode("overwrite").parquet(f"{d}/{sub}")
+        # Rename to a COLLIDING basename across the two subdirs.
+        part = next(
+            f for f in os.listdir(f"{d}/{sub}") if f.endswith(".parquet")
+        )
+        os.replace(f"{d}/{sub}/{part}", f"{d}/{sub}/part-same.parquet")
+        for junk in os.listdir(f"{d}/{sub}"):
+            if not junk.endswith(".parquet"):
+                os.remove(f"{d}/{sub}/{junk}")
+        assert incremental.record_snapshot(d) == g
+    recs = incremental._read_snapshots(d)
+    names = [os.path.basename(f) for r in recs for f in r["files"]]
+    assert names == ["part-same.parquet", "part-same.parquet"]  # collision
+    before = {
+        g: _rows(
+            incremental.snapshot_read(spark, d, g).select("doc_id", "text")
+        )
+        for g in (1, 2)
+    }
+    incremental.compact_data_snapshots(spark, d, ("doc_id",))
+    for g in (1, 2):
+        assert (
+            _rows(
+                incremental.snapshot_read(spark, d, g).select(
+                    "doc_id", "text"
+                )
+            )
+            == before[g]
+        )
+    recs = incremental._read_snapshots(d)
+    for i, rec in enumerate(recs):
+        assert rec["files"] and all(
+            f.startswith(f"gen{i + 1:06d}-") for f in rec["files"]
+        )
