@@ -846,7 +846,14 @@ class CorpusWriter:
     def _pruneable_layer_dirs(self) -> list[str]:
         import os
 
-        names = ["digests", "bands", "dropped", "paragraphs", "exact_substr"]
+        names = [
+            "digests",
+            "bands",
+            "dropped",
+            "paragraphs",
+            "exact_substr",
+            "drift_ref",
+        ]
         dirs = [f"{self.index_dir}/{n}" for n in names]
         dirs += [
             f"{self._bm25_dir()}/{n}" for n in ("postings", "df", "doclen")
@@ -1305,6 +1312,16 @@ class CorpusWriter:
                     # the next reader rebuilds instead of
                     # double-counting.
                     self._extend_drift(novel)
+                    # Generation-pin the layer (r14: drift_refuse makes
+                    # the reference histogram ADMISSION-affecting state
+                    # — drift_stats(batch, as_of=g) replays the
+                    # would-it-have-refused measurement of any era). A
+                    # mid-admit heal rebuild cleared the manifest; the
+                    # recording then collapses — history, never
+                    # correctness.
+                    incremental.record_aligned_snapshot(
+                        self._drift_dir(), stats["snapshot"]
+                    )
                 if self.auto_compact:
                     drift = incremental.index_drift(self.index_dir)
                     if (
@@ -1357,6 +1374,9 @@ class CorpusWriter:
                     # corpus; no drift stats (there is no pre-admit
                     # reference to measure against).
                     self._write_drift_hist(self.corpus(), "overwrite")
+                    incremental.record_aligned_snapshot(
+                        self._drift_dir(), stats["snapshot"]
+                    )
             return stats
         finally:
             if batch_bands is not None and batch_bands is not cur.bands:
@@ -1682,6 +1702,44 @@ class CorpusWriter:
         self._write_drift_hist(novel, "append")
         os.remove(self._drift_marker())
 
+    def drift_stats(self, doc: DataFrame, as_of: int | None = None) -> dict:
+        """KL/TV of ``doc``'s text distribution vs the stored reference
+        histogram — exactly the measurement :meth:`admit` records in
+        its stats (and thresholds under ``drift_warn``/``drift_refuse``).
+        ``as_of`` pins the reference to recorded admission generation
+        ``as_of`` (r14: the layer carries per-admit manifests), so a
+        would-this-have-alarmed question replays against any era's
+        corpus distribution; generations collapsed by
+        compact()/reconcile() or pruned below the retention horizon
+        fail loudly. Returns {"drift_kl_fix", "drift_tv_fix"} (÷
+        DSIR_FIX for the float values)."""
+        from . import incremental
+        from .queries.text import corpus_drift_from_hists, corpus_hist
+
+        if not self.drift_monitor:
+            raise ValueError(
+                "this CorpusWriter was constructed without "
+                "drift_monitor=True — there is no stored reference "
+                "histogram to measure against"
+            )
+        if as_of is None:
+            ref = self._drift_hist_or_heal()
+        else:
+            incremental._recover_staged(self.index_dir, ("drift_ref",))
+            ref = incremental.snapshot_read(
+                self.spark, self._drift_dir(), as_of
+            )
+        row = corpus_drift_from_hists(
+            self.spark,
+            ref,
+            corpus_hist(doc.select("text"), self.drift_buckets),
+            self.drift_buckets,
+        ).collect()[0]
+        return {
+            "drift_kl_fix": int(row["kl_fix"]),
+            "drift_tv_fix": int(row["tv_fix"]),
+        }
+
     def reconcile(self) -> dict:
         """Public entry: :meth:`_reconcile_locked` under the
         single-writer lease (the :meth:`admit` contract)."""
@@ -1756,6 +1814,11 @@ class CorpusWriter:
             import os
 
             self._write_drift_hist(self.corpus(), "overwrite")
+            incremental.record_aligned_snapshot(
+                self._drift_dir(),
+                incremental.snapshot_gens(self.corpus_dir),
+                reason=rebuild_reason,
+            )
             if os.path.exists(self._drift_marker()):
                 os.remove(self._drift_marker())
         return meta
@@ -1831,6 +1894,11 @@ class CorpusWriter:
             ).coalesce(1).write.mode("overwrite").parquet(
                 f"{self._drift_dir()}.compact"
             )
+            gens = incremental.snapshot_gens(self._drift_dir())
+            if gens:
+                incremental.collapse_snapshots(
+                    f"{self._drift_dir()}.compact", gens
+                )
             incremental._swap_staged(
                 self.index_dir, "drift_ref", fence=self._fence()
             )
@@ -2159,6 +2227,7 @@ class EmbeddingWriter:
                 "bucket_sizes",
                 "pq_codes",
                 "ivfpq_codes",
+                "cell_hist",
             ):
                 d = f"{self.index_dir}/{name}"
                 if (
@@ -2295,6 +2364,9 @@ class EmbeddingWriter:
                 self._ensure_crows(_read_ann_meta(self.index_dir))
                 self._write_cell_hist(
                     self._stored_cell_source(), "overwrite"
+                )
+                incremental.record_aligned_snapshot(
+                    self._cell_hist_dir(), stats["snapshot"]
                 )
             return stats
 
@@ -2479,8 +2551,13 @@ class EmbeddingWriter:
             self._record_ann_gens(stats["snapshot"])
             if self.drift_monitor:
                 # Derived-layer window, marker-bracketed: same crash
-                # contract as the text writer's drift_ref.
+                # contract as the text writer's drift_ref — and the
+                # same generation pin (r14): drift_refuse makes this
+                # layer admission-affecting state.
                 self._extend_cell_hist(novel)
+                incremental.record_aligned_snapshot(
+                    self._cell_hist_dir(), stats["snapshot"]
+                )
             if drift_hit and self.drift_reconcile:
                 # The retrain trigger (VERDICT r11 #8 stretch): the
                 # batch IS admitted (all layers extended above — the
@@ -2570,6 +2647,44 @@ class EmbeddingWriter:
         open(self._cell_hist_marker(), "w").close()
         self._write_cell_hist(self._cell_hist_of(novel), "append")
         os.remove(self._cell_hist_marker())
+
+    def drift_stats(self, emb: DataFrame, as_of: int | None = None) -> dict:
+        """KL/TV of ``emb``'s IVF-cell distribution (under the FROZEN
+        stored codebook) vs the stored occupancy layer — exactly the
+        measurement :meth:`admit` records and thresholds. ``as_of``
+        pins the reference to recorded admission generation ``as_of``
+        (r14); any servable generation is within the current
+        codebook's cell domain, because a reconcile retrain collapses
+        the layer's history along with the domain. Returns
+        {"drift_kl_fix", "drift_tv_fix"}."""
+        from . import incremental
+        from .queries.similarity import _read_ann_meta
+        from .queries.text import corpus_drift_from_hists
+
+        if not self.drift_monitor:
+            raise ValueError(
+                "this EmbeddingWriter was constructed without "
+                "drift_monitor=True — there is no stored occupancy "
+                "layer to measure against"
+            )
+        self._ensure_crows(_read_ann_meta(self.index_dir))
+        if as_of is None:
+            ref = self._cell_hist_or_heal()
+        else:
+            incremental._recover_staged(self.index_dir, ("cell_hist",))
+            ref = incremental.snapshot_read(
+                self.spark, self._cell_hist_dir(), as_of
+            )
+        row = corpus_drift_from_hists(
+            self.spark,
+            ref,
+            self._cell_hist_of(emb.select("vec_id", "embedding")),
+            len(self._crows),
+        ).collect()[0]
+        return {
+            "drift_kl_fix": int(row["kl_fix"]),
+            "drift_tv_fix": int(row["tv_fix"]),
+        }
 
     def _ensure_crows(self, meta: dict) -> None:
         crows_key = (meta["n"], meta["b"])
@@ -2802,11 +2917,20 @@ class EmbeddingWriter:
             # A rebuild retrains the codebook — the cell DOMAIN itself
             # changes, so the layer rebuilds wholesale from the fresh
             # inverted file (also the staleness-heal / late-enablement
-            # path).
+            # path). History collapses WITH the domain: any servable
+            # as_of is always within one codebook's cell domain.
             import os
 
             self._ensure_crows(meta)
             self._write_cell_hist(self._stored_cell_source(), "overwrite")
+            incremental.record_aligned_snapshot(
+                self._cell_hist_dir(),
+                incremental.snapshot_gens(self.store_dir),
+                reason=(
+                    "layer history collapsed by reconcile (full "
+                    "rebuild from the data of record)"
+                ),
+            )
             if os.path.exists(self._cell_hist_marker()):
                 os.remove(self._cell_hist_marker())
         return meta
@@ -2862,6 +2986,11 @@ class EmbeddingWriter:
             ).write.mode("overwrite").parquet(
                 f"{self._cell_hist_dir()}.compact"
             )
+            gens = incremental.snapshot_gens(self._cell_hist_dir())
+            if gens:
+                incremental.collapse_snapshots(
+                    f"{self._cell_hist_dir()}.compact", gens
+                )
             incremental._swap_staged(
                 self.index_dir, "cell_hist", fence=self._fence()
             )

@@ -613,3 +613,81 @@ def test_stream_drift_trips_policy_and_retrain_rearms_guardrail(
     )
     want = sorted(tuple(r) for r in w._stored_cell_source().collect())
     assert stored == want
+
+
+def test_drift_layers_replay_as_of(spark, batches, tmp_path):
+    """r14: `drift_refuse` makes the reference histogram
+    ADMISSION-affecting state, so the layer is generation-pinned like
+    every other — `drift_stats(batch, as_of=g)` replays the
+    would-this-have-alarmed measurement of any recorded era bit-equal
+    to the capture, prune names the horizon, compact/reconcile keep
+    the head serving and refuse older pins."""
+    from kinesis_iterator_spark import incremental
+
+    b1, b2 = batches
+    w = _writer(spark, tmp_path)
+    probe = b2.limit(40).select(
+        (F.col("doc_id") + 700000).alias("doc_id"), "lang", "source", "text"
+    )
+    cap = {}
+    for g, b in ((1, b1), (2, b2)):
+        assert w.admit(b)["snapshot"] == g
+        cap[g] = w.drift_stats(probe)
+    assert (
+        incremental.snapshot_gens(f"{tmp_path}/index/drift_ref") == 2
+    )
+    for g in (1, 2):
+        assert w.drift_stats(probe, as_of=g) == cap[g]
+    # Not vacuous: the reference distribution changed between admits.
+    assert cap[1] != cap[2]
+    # Retention: prune below 2 — horizon named, head still bit-equal.
+    out = w.prune_snapshots(2)
+    assert out["drift_ref"] is True
+    with pytest.raises(ValueError, match="retention horizon"):
+        w.drift_stats(probe, as_of=1)
+    assert w.drift_stats(probe, as_of=2) == cap[2]
+    # compact() sums segments — reader-SUM equivalent, head servable.
+    w.compact()
+    assert w.drift_stats(probe, as_of=2) == cap[2]
+    # reconcile(): rebuild collapses with the explicit reason.
+    w.reconcile()
+    with pytest.raises(ValueError, match="reconcile"):
+        w.drift_stats(probe, as_of=1)
+    assert w.drift_stats(probe, as_of=2) == cap[2]
+    # Guard: a writer without the monitor has nothing to replay.
+    w2 = CorpusWriter(
+        spark, f"{tmp_path}/c2", f"{tmp_path}/i2", CurationConfig()
+    )
+    with pytest.raises(ValueError, match="drift_monitor"):
+        w2.drift_stats(probe)
+
+
+def test_embedding_drift_layer_replay_as_of(spark, tmp_path):
+    """The vector twin: cell_hist is generation-pinned;
+    `EmbeddingWriter.drift_stats(emb, as_of=g)` replays the cell-drift
+    measurement of any recorded era; prune covers the layer."""
+    from kinesis_iterator_spark import incremental
+    from kinesis_iterator_spark.pipeline import EmbeddingWriter
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    b1 = emb.filter(F.col("vec_id") % 2 == 0)
+    b2 = emb.filter(F.col("vec_id") % 2 == 1)
+    probe = b2.limit(40).select(
+        (F.col("vec_id") + 700000).alias("vec_id"), "label", "embedding"
+    )
+    w = EmbeddingWriter(
+        spark, f"{tmp_path}/store", f"{tmp_path}/ann", drift_monitor=True
+    )
+    cap = {}
+    for g, b in ((1, b1), (2, b2)):
+        assert w.admit(b)["snapshot"] == g
+        cap[g] = w.drift_stats(probe)
+    assert incremental.snapshot_gens(f"{tmp_path}/ann/cell_hist") == 2
+    for g in (1, 2):
+        assert w.drift_stats(probe, as_of=g) == cap[g]
+    assert cap[1] != cap[2]
+    out = w.prune_snapshots(2)
+    assert out["cell_hist"] is True
+    with pytest.raises(ValueError, match="retention horizon"):
+        w.drift_stats(probe, as_of=1)
+    assert w.drift_stats(probe, as_of=2) == cap[2]
