@@ -313,6 +313,121 @@ def minhash_pairs(doc: DataFrame, bands: DataFrame | None = None) -> DataFrame:
     return verify_jaccard(pairs, doc, doc)
 
 
+def dedup_replay_oracle_sql(
+    gen: int, probe_where: str, rekey: int = 1_000_000
+) -> str:
+    """DuckDB derivation of `incremental.dedup_against_index(...,
+    as_of=gen)` over a dedup index built as successive appends of the
+    cumulative ``documents`` slices ``doc_id % 10 == a-1`` for append
+    ``a`` (the `asof_serving_suite` build shape), classifying the probe
+    ``SELECT doc_id + rekey, text FROM documents WHERE {probe_where}``.
+
+    Replicates the stored state at generation ``gen`` exactly:
+    digests = md5(text) of slices 1..gen; band rows = the slices'
+    LSH bands minus every bucket that exceeded MAX_BUCKET *within its
+    own append* (the `_write_band_files` per-append cap — tombstones
+    recorded per append, honored at read via the anti-join); and the
+    classification: exact digest match (min stored id, jaccard 1.0)
+    short-circuits banding, the remainder's candidates come from the
+    band-bucket join, exact 3-shingle Jaccard >= JACCARD_THRESHOLD
+    verifies, best match per probe doc (desc jaccard, asc id). The
+    minhash/band fragments are the `dedup_minhash_lsh` oracle's,
+    verbatim."""
+    sig_expr = (
+        f"list_transform(range(0, {N_HASHES}), "
+        "j -> list_min(list_transform(h60s, "
+        "h -> ((h % (1::BIGINT << 30)) + (j + 1) * (h >> 30)) "
+        f"% {_MERSENNE31})))"
+    )
+    band_key = (
+        f"md5(array_to_string(list_slice(sig, b.band_id * {ROWS_PER_BAND}"
+        f" + 1, (b.band_id + 1) * {ROWS_PER_BAND}), ','))"
+    )
+    bdom = f"(SELECT UNNEST(range(0, {N_BANDS})) AS band_id) b"
+    h60 = _H60_SQL.format(x="s")
+    return f"""
+WITH probe AS (
+  SELECT doc_id + {rekey} AS doc_id, text FROM documents
+  WHERE {probe_where}
+),
+corp AS (
+  SELECT doc_id, text, 1 + (doc_id % 10) AS app FROM documents
+  WHERE doc_id % 10 < {gen}
+),
+ex AS (
+  SELECT p.doc_id, MIN(c.doc_id) AS dup_of
+  FROM probe p JOIN corp c ON md5(p.text) = md5(c.text)
+  GROUP BY p.doc_id
+),
+rem AS (
+  SELECT doc_id, text FROM probe
+  WHERE doc_id NOT IN (SELECT doc_id FROM ex)
+),
+csh AS (SELECT doc_id, app, {_SHINGLES_SQL} AS shingles FROM corp),
+chash AS (
+  SELECT doc_id, app, shingles,
+         list_transform(shingles, s -> {h60}) AS h60s
+  FROM csh WHERE len(shingles) > 0
+),
+csig AS (SELECT doc_id, app, shingles, {sig_expr} AS sig FROM chash),
+cbands AS (
+  SELECT doc_id, app, shingles, b.band_id, {band_key} AS band_key
+  FROM csig, {bdom}
+),
+dropped AS (
+  SELECT DISTINCT band_id, band_key FROM (
+    SELECT app, band_id, band_key, COUNT(*) AS bsz
+    FROM cbands GROUP BY 1, 2, 3
+  ) WHERE bsz > {MAX_BUCKET}
+),
+visible AS (
+  SELECT cb.* FROM cbands cb
+  ANTI JOIN dropped d ON cb.band_id = d.band_id
+                     AND cb.band_key = d.band_key
+),
+psh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM rem),
+phash AS (
+  SELECT doc_id, shingles,
+         list_transform(shingles, s -> {h60}) AS h60s
+  FROM psh WHERE len(shingles) > 0
+),
+psig AS (SELECT doc_id, shingles, {sig_expr} AS sig FROM phash),
+pbands AS (
+  SELECT doc_id, shingles, b.band_id, {band_key} AS band_key
+  FROM psig, {bdom}
+),
+cand AS (
+  SELECT DISTINCT pb.doc_id AS doc_a, vb.doc_id AS doc_b,
+         pb.shingles AS sa, vb.shingles AS sb
+  FROM pbands pb
+  JOIN visible vb ON pb.band_id = vb.band_id
+                 AND pb.band_key = vb.band_key
+),
+ver AS (
+  SELECT doc_a, doc_b,
+         CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+           / len(list_distinct(list_concat(sa, sb))) AS jaccard
+  FROM cand
+),
+near AS (
+  SELECT doc_a AS doc_id, doc_b AS dup_of, jaccard FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY doc_a ORDER BY jaccard DESC, doc_b) AS rk
+    FROM ver WHERE jaccard >= {JACCARD_THRESHOLD}
+  ) WHERE rk = 1
+)
+SELECT p.doc_id,
+       CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+            WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+            ELSE 'novel' END AS verdict,
+       COALESCE(e.dup_of, n.dup_of) AS dup_of,
+       CASE WHEN e.doc_id IS NOT NULL THEN CAST(1 AS DOUBLE)
+            ELSE n.jaccard END AS jaccard
+FROM probe p
+LEFT JOIN ex e ON p.doc_id = e.doc_id
+LEFT JOIN near n ON p.doc_id = n.doc_id"""
+
+
 def verify_jaccard(
     pairs: DataFrame, doc_a: DataFrame, doc_b: DataFrame
 ) -> DataFrame:

@@ -48,6 +48,8 @@ the row path.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1087,24 +1089,27 @@ def hybrid_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ASOF_SLICES = 3  # generations; gen g admits doc_id % 10 == g-1
 
 
-def _asof_suite_index(spark: SparkSession, sf_dir: str) -> str:
-    """Build the 3-generation stored index under a fresh temp dir
-    (previous invocations' dirs are cleared first — their frames were
-    already materialized; the gate and bench both consume one entry
-    fully before rebuilding it)."""
+def _asof_suite_index(
+    spark: SparkSession, sf_dir: str, parent: str | None = None
+) -> str:
+    """Build the 3-generation stored BM25 index under a fresh temp dir.
+    ``parent``: the per-PID parent the suite entry manages (cleared at
+    each invocation — previous invocations' frames were already
+    materialized; the gate and bench both consume one entry fully
+    before rebuilding it, and the per-PID key keeps two processes from
+    rmtree'ing each other's index mid-read). None = manage it here
+    (direct library use)."""
     import os
     import shutil
     import tempfile
 
     from .. import incremental
 
-    # Per-PID parent: each driver process reclaims only ITS previous
-    # invocations' dirs — two processes running the gate and the bench
-    # concurrently must not rmtree each other's index mid-read.
-    parent = os.path.join(
-        tempfile.gettempdir(), f"ki_asof_suite_{os.getpid()}"
-    )
-    shutil.rmtree(parent, ignore_errors=True)
+    if parent is None:
+        parent = os.path.join(
+            tempfile.gettempdir(), f"ki_asof_suite_{os.getpid()}"
+        )
+        shutil.rmtree(parent, ignore_errors=True)
     os.makedirs(parent, exist_ok=True)
     idx = tempfile.mkdtemp(dir=parent)
     doc = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1128,7 +1133,51 @@ def _asof_suite_index(spark: SparkSession, sf_dir: str) -> str:
     return idx
 
 
+# Probe for the classifier-replay legs: tiny at any scale (4% of the
+# doc_id space), re-keyed out of the corpus id range. The % 100 == 1
+# and == 11 members duplicate GEN-2 content (their originals sit in
+# the append-2 slice doc_id % 10 == 1), so their verdicts FLIP from
+# novel at as_of=1 to exact_dup at as_of>=2 — the time-travel story in
+# driver-hashed values.
+_ASOF_PROBE_WHERE = "doc_id % 100 IN (1, 7, 11, 17)"
+_ASOF_PROBE_REKEY = 1_000_000
+
+
+def _asof_dedup_index(spark: SparkSession, sf_dir: str, parent: str) -> str:
+    """Build the 3-generation stored DEDUP index next to the BM25 one:
+    `incremental.write_index` + two `extend_index` appends over the
+    same cumulative slices, each followed by the writer-family
+    `record_aligned_snapshot` lines for digests/bands/dropped."""
+    import tempfile
+
+    from .. import incremental
+
+    idx = tempfile.mkdtemp(dir=parent)
+    doc = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    for g in range(1, _ASOF_SLICES + 1):
+        batch = doc.filter(F.col("doc_id") % 10 == g - 1)
+        if g == 1:
+            incremental.write_index(batch, idx)
+        else:
+            incremental.extend_index(batch, idx)
+        for name in ("digests", "bands", "dropped"):
+            d = f"{idx}/{name}"
+            if os.path.isdir(d):
+                incremental.record_aligned_snapshot(d, g)
+    return idx
+
+
 def _asof_suite_oracle() -> str:
+    from .dedup import dedup_replay_oracle_sql
+
+    pad_bm = (
+        "CAST(NULL AS VARCHAR) AS verdict, CAST(NULL AS BIGINT) AS "
+        "dup_of, CAST(NULL AS DOUBLE) AS jaccard"
+    )
+    pad_cl = (
+        "CAST(NULL AS BIGINT) AS n_terms, CAST(NULL AS BIGINT) AS "
+        "bm25_fix, CAST(NULL AS DOUBLE) AS bm25"
+    )
     legs = []
     for g in range(1, _ASOF_SLICES + 1):
         inner = bm25_oracle_sql(
@@ -1136,36 +1185,97 @@ def _asof_suite_oracle() -> str:
         )
         legs.append(
             f"SELECT CAST('g{g}' AS VARCHAR) AS part, doc_id, n_terms, "
-            "bm25_fix, bm25 FROM (\n"
+            f"bm25_fix, bm25, {pad_bm} FROM (\n"
             f"  SELECT * FROM ({inner}\n"
             "  ) ORDER BY bm25_fix DESC, doc_id LIMIT 10\n"
             ")"
+        )
+    for g in range(1, _ASOF_SLICES + 1):
+        inner = dedup_replay_oracle_sql(
+            g, _ASOF_PROBE_WHERE, rekey=_ASOF_PROBE_REKEY
+        )
+        legs.append(
+            f"SELECT CAST('c{g}' AS VARCHAR) AS part, doc_id, {pad_cl}, "
+            f"verdict, dup_of, jaccard FROM ({inner}\n)"
         )
     return "\nUNION ALL\n".join(legs)
 
 
 @query("asof_serving_suite", oracle=_asof_suite_oracle())
 def asof_serving_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Generation-pinned index serving under the driver's value gate
-    (VERDICT r13 #5): build a stored BM25 index in three recorded
-    admission generations (cumulative slices ``doc_id % 10 < g``), then
-    serve `bm25_topk_from_index(as_of=g)` for every generation as one
-    tagged union. Values pin the whole r13/r14 manifest machinery —
-    per-admit file attribution, the cumulative (n_docs, t_tokens)
-    totals riding the postings manifest line, and the from-index
-    scoring tail — against a literal-free DuckDB derivation (fresh
-    BM25 over each generation's cumulative corpus slice)."""
-    idx = _asof_suite_index(spark, sf_dir)
+    """Generation-pinned serving AND admission-classifier replay under
+    the driver's value gate (VERDICT r13 #5, widened r14): build a
+    stored BM25 index and a stored dedup index in three recorded
+    admission generations each (cumulative slices ``doc_id % 10 < g``),
+    then emit one tagged union of
+
+    - parts g1..g3: `bm25_topk_from_index(as_of=g)` — pins per-admit
+      file attribution, the cumulative (n_docs, t_tokens) totals riding
+      the postings manifest line, and the from-index scoring tail;
+    - parts c1..c3: `incremental.dedup_against_index(probe, as_of=g)` —
+      pins the generation-pinned classifier replay itself: stored
+      digests/bands/tombstones file-selected per generation, probe
+      docs duplicating gen-2 content flip novel→exact_dup between the
+      c1 and c2 legs IN THE HASHED VALUES.
+
+    The oracle is literal-free and scale-factor-agnostic: fresh BM25
+    over each generation's cumulative slice, and a full DuckDB
+    derivation of the stored dedup state (per-append bucket-cap
+    tombstones included) + classification chain
+    (`dedup.dedup_replay_oracle_sql`)."""
+    import shutil
+    import tempfile
+
+    from .. import incremental
+
+    parent = os.path.join(
+        tempfile.gettempdir(), f"ki_asof_suite_{os.getpid()}"
+    )
+    shutil.rmtree(parent, ignore_errors=True)
+    os.makedirs(parent, exist_ok=True)
+    bm_idx = _asof_suite_index(spark, sf_dir, parent=parent)
+    dd_idx = _asof_dedup_index(spark, sf_dir, parent)
+    doc = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    probe = doc.filter(
+        F.expr(_ASOF_PROBE_WHERE)
+    ).select(
+        (F.col("doc_id") + F.lit(_ASOF_PROBE_REKEY)).alias("doc_id"),
+        "text",
+    )
+    pad_bm = [
+        F.lit(None).cast("string").alias("verdict"),
+        F.lit(None).cast("long").alias("dup_of"),
+        F.lit(None).cast("double").alias("jaccard"),
+    ]
+    pad_cl = [
+        F.lit(None).cast("long").alias("n_terms"),
+        F.lit(None).cast("long").alias("bm25_fix"),
+        F.lit(None).cast("double").alias("bm25"),
+    ]
     out = None
     for g in range(1, _ASOF_SLICES + 1):
         leg = bm25_topk_from_index(
-            spark, idx, _REGISTRY_TERMS, topk=10, as_of=g
+            spark, bm_idx, _REGISTRY_TERMS, topk=10, as_of=g
         ).select(
             F.lit(f"g{g}").alias("part"),
             "doc_id",
             "n_terms",
             "bm25_fix",
             "bm25",
+            *pad_bm,
         )
         out = leg if out is None else out.unionByName(leg)
+    for g in range(1, _ASOF_SLICES + 1):
+        corpus_g = doc.filter(F.col("doc_id") % 10 < g)
+        leg = incremental.dedup_against_index(
+            spark, probe, dd_idx, corpus_g, as_of=g
+        ).select(
+            F.lit(f"c{g}").alias("part"),
+            "doc_id",
+            *pad_cl,
+            "verdict",
+            F.col("dup_of").cast("long").alias("dup_of"),
+            F.col("jaccard").cast("double").alias("jaccard"),
+        )
+        out = out.unionByName(leg)
     return out
