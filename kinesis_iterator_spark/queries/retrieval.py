@@ -1233,8 +1233,13 @@ def asof_serving_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(parent, ignore_errors=True)
     os.makedirs(parent, exist_ok=True)
-    bm_idx = _asof_suite_index(spark, sf_dir, parent=parent)
-    dd_idx = _asof_dedup_index(spark, sf_dir, parent)
+    # The two stored-index builds are independent (separate dirs,
+    # separate relations) — overlap them in driver threads; each
+    # thread's write→extend→extend order is preserved within it.
+    bm_idx, dd_idx = incremental._concurrently(
+        lambda: _asof_suite_index(spark, sf_dir, parent=parent),
+        lambda: _asof_dedup_index(spark, sf_dir, parent),
+    )
     doc = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     probe = doc.filter(
         F.expr(_ASOF_PROBE_WHERE)
