@@ -1151,19 +1151,32 @@ def _asof_dedup_index(spark: SparkSession, sf_dir: str, parent: str) -> str:
     import tempfile
 
     from .. import incremental
+    from . import release_local_checkpoint
+    from .dedup import minhash_bands
 
     idx = tempfile.mkdtemp(dir=parent)
     doc = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    for g in range(1, _ASOF_SLICES + 1):
-        batch = doc.filter(F.col("doc_id") % 10 == g - 1)
-        if g == 1:
-            incremental.write_index(batch, idx)
-        else:
-            incremental.extend_index(batch, idx)
-        for name in ("digests", "bands", "dropped"):
-            d = f"{idx}/{name}"
-            if os.path.isdir(d):
-                incremental.record_aligned_snapshot(d, g)
+    # Band ALL three slices in ONE signature pipeline and hand each
+    # append its subset via bands= (band rows are a pure per-document
+    # function, so the filtered subset equals a fresh banding — the
+    # CorpusWriter.admit reuse discipline); saves two full
+    # shingle→signature pipelines per invocation.
+    all_bands = minhash_bands(
+        doc.filter(F.col("doc_id") % 10 < _ASOF_SLICES)
+    ).localCheckpoint(eager=True)
+    try:
+        for g in range(1, _ASOF_SLICES + 1):
+            batch = doc.filter(F.col("doc_id") % 10 == g - 1)
+            if g == 1:
+                incremental.write_index(batch, idx, bands=all_bands)
+            else:
+                incremental.extend_index(batch, idx, bands=all_bands)
+            for name in ("digests", "bands", "dropped"):
+                d = f"{idx}/{name}"
+                if os.path.isdir(d):
+                    incremental.record_aligned_snapshot(d, g)
+    finally:
+        release_local_checkpoint(all_bands)
     return idx
 
 
