@@ -526,3 +526,131 @@ def test_snapshot_manifest_model(tmp_path_factory, ops):
                     for p in incremental.snapshot_files(d, g)
                 }
                 assert got == expect, (g, got, expect)
+
+
+# ---------------------------------------------------------------------------
+# Snapshot-manifest lifecycle model (round 14): record / collapse / prune
+# against a pure-Python reference. The manifest ops are driver-side file
+# metadata — no Spark — so this fuzzes the retention machinery cheaply:
+# every reachable interleaving must keep snapshot_gens / snapshot_files /
+# snapshot_extra exactly equal to the model, servable-vs-loud included,
+# and hidden (_/. prefixed) files must never be attributed.
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.data())
+def test_manifest_lifecycle_matches_model(tmp_path_factory, data):
+    import os
+
+    from kinesis_iterator_spark import incremental
+
+    d = str(tmp_path_factory.mktemp("mani"))
+    model: list[dict] = []  # {files: [..], n, extra, compacted}
+    counter = [0]
+
+    def new_files(k: int) -> list[str]:
+        out = []
+        for _ in range(k):
+            name = f"part-{counter[0]:05d}.parquet"
+            counter[0] += 1
+            open(os.path.join(d, name), "wb").close()
+            out.append(name)
+        return out
+
+    n_ops = data.draw(st.integers(1, 10), label="n_ops")
+    for _ in range(n_ops):
+        op = data.draw(
+            st.sampled_from(["record", "record", "record", "collapse",
+                             "prune", "hidden"]),
+            label="op",
+        )
+        if op == "hidden":
+            # Junk a crashed write would leave — must stay invisible.
+            os.makedirs(os.path.join(d, "_temporary"), exist_ok=True)
+            open(
+                os.path.join(d, "_temporary", f"x{counter[0]}.parquet"),
+                "wb",
+            ).close()
+            open(os.path.join(d, f".crc{counter[0]}.parquet"), "wb").close()
+            counter[0] += 1
+            continue
+        if op == "record":
+            k = data.draw(st.integers(0, 3), label="k")
+            with_extra = data.draw(st.booleans(), label="extra?")
+            files = new_files(k)
+            extra = {"t": counter[0]} if with_extra else None
+            n = incremental.record_snapshot(d, n=k, extra=extra)
+            model.append(
+                {"files": files, "n": k, "extra": extra, "compacted": False}
+            )
+            assert n == len(model)
+            continue
+        if op == "collapse":
+            if not model:
+                continue
+            incremental.collapse_snapshots(d, len(model), extra={"c": 1})
+            allf = sorted(f for rec in model for f in rec["files"])
+            for rec in model[:-1]:
+                rec.update(files=[], n=None, extra=None, compacted=True)
+            model[-1].update(
+                files=allf, n=None, extra={"c": 1}, compacted=False
+            )
+            continue
+        if op == "prune":
+            if not model:
+                continue
+            bg = data.draw(
+                st.integers(1, len(model)), label="before_gen"
+            )
+            changed = incremental.prune_snapshots(d, bg)
+            base = model[bg - 1]
+            expect_noop = (
+                bg == 1
+                or base["compacted"]
+                or all(r["compacted"] for r in model[: bg - 1])
+            )
+            assert changed is (not expect_noop)
+            if not expect_noop:
+                merged = [
+                    f for rec in model[:bg] for f in rec["files"]
+                ]
+                ns = [
+                    r["n"] for r in model[:bg] if not r["compacted"]
+                ]
+                base["files"] = merged
+                base["n"] = (
+                    sum(ns) if all(x is not None for x in ns) else None
+                )
+                for rec in model[: bg - 1]:
+                    rec.update(
+                        files=[], n=None, extra=None, compacted=True
+                    )
+            continue
+
+    # Invariants vs the model, every generation.
+    assert incremental.snapshot_gens(d) == len(model)
+    for g in range(1, len(model) + 1):
+        cum = sorted(
+            os.path.join(d, f)
+            for rec in model[:g]
+            for f in rec["files"]
+        )
+        if model[g - 1]["compacted"]:
+            import pytest as _pt
+
+            with _pt.raises(ValueError):
+                incremental.snapshot_files(d, g)
+            with _pt.raises(ValueError):
+                incremental.snapshot_extra(d, g)
+        elif not cum:
+            import pytest as _pt
+
+            with _pt.raises(ValueError, match="no data files"):
+                incremental.snapshot_files(d, g)
+            assert incremental.snapshot_extra(d, g) == model[g - 1]["extra"]
+        else:
+            assert sorted(incremental.snapshot_files(d, g)) == cum
+            assert incremental.snapshot_extra(d, g) == model[g - 1]["extra"]
+            for p in cum:
+                assert "_temporary" not in p and "/.crc" not in p
