@@ -199,6 +199,17 @@ def test_stream_feeds_corpus_writer_checkpoint_resume(spark, sf_dir, tmp_path):
     first = consume(w, f"{root}/ck.json", max_polls=1)
     assert sum(s["n_admitted"] for s in first) > 0
     mid_ids = {r["doc_id"] for r in w.corpus().select("doc_id").collect()}
+    # r14: every trigger batch recorded one admission generation — the
+    # stream feed composes with the snapshot machinery.
+    gens_mid = w.snapshots()
+    assert gens_mid == len(first)
+    frozen = {
+        g: sorted(
+            r["doc_id"]
+            for r in w.corpus(as_of=g).select("doc_id").collect()
+        )
+        for g in range(1, gens_mid + 1)
+    }
     rest = consume(w, f"{root}/ck.json")
     assert sum(s["n_input"] for s in rest) > 0, "resume delivered nothing"
     # The fixture's first 80-per-shard poll covers 99 of the 100 distinct
@@ -228,6 +239,20 @@ def test_stream_feeds_corpus_writer_checkpoint_resume(spark, sf_dir, tmp_path):
         s["rejected_exact"] + s["rejected_near"] == s["n_kept"] for s in replay
     )
     assert ids(w) == ids(w_ref), "replay mutated the corpus"
+    # r14: the at-least-once replay appended (all-duplicate, empty-
+    # delta) generations; every pre-interruption era still reads
+    # bit-equal under its pin — a crash/replay of the ingestion loop
+    # never disturbs a training snapshot someone already took.
+    assert w.snapshots() == gens_mid + len(rest) + len(replay)
+    for g in range(1, gens_mid + 1):
+        assert (
+            sorted(
+                r["doc_id"]
+                for r in w.corpus(as_of=g).select("doc_id").collect()
+            )
+            == frozen[g]
+        )
+    assert sorted(mid_ids) == frozen[gens_mid]
 
 
 def test_admit_decontaminates_against_benchmark(spark, batches, tmp_path):
