@@ -654,3 +654,73 @@ def test_manifest_lifecycle_matches_model(tmp_path_factory, data):
             assert incremental.snapshot_extra(d, g) == model[g - 1]["extra"]
             for p in cum:
                 assert "_temporary" not in p and "/.crc" not in p
+
+
+@settings(max_examples=6, deadline=None)
+@given(data=st.data())
+def test_data_dir_maintenance_interleavings_preserve_asof(
+    spark, tmp_path_factory, data
+):
+    """Random interleavings of {record-an-admission, prune(k),
+    compact_data_snapshots} on a data-of-record dir keep EVERY
+    servable as_of bit-equal to the model's cumulative row set, and
+    pruned generations stay loud. The Spark twin of the manifest-only
+    lifecycle fuzz above (compaction rewrites real files)."""
+    import os
+
+    from kinesis_iterator_spark import incremental
+
+    d = str(tmp_path_factory.mktemp("dmaint")) + "/data"
+    rows_of: list[set] = []   # model: per-generation row-id sets
+    pruned_below = [1]        # first servable generation
+
+    def record(ids):
+        if ids:
+            spark.createDataFrame(
+                [(i, f"t{i}") for i in ids], "doc_id long, text string"
+            ).coalesce(1).write.mode("append").parquet(d)
+        else:
+            os.makedirs(d, exist_ok=True)
+        incremental.record_snapshot(d, n=len(ids))
+        rows_of.append(set(ids))
+
+    next_id = [0]
+    record(list(range(3)))
+    next_id[0] = 3
+    n_ops = data.draw(st.integers(1, 6), label="n_ops")
+    for _ in range(n_ops):
+        op = data.draw(
+            st.sampled_from(["record", "record", "prune", "compact"]),
+            label="op",
+        )
+        if op == "record":
+            k = data.draw(st.integers(0, 4), label="k")
+            ids = list(range(next_id[0], next_id[0] + k))
+            next_id[0] += k
+            record(ids)
+        elif op == "prune":
+            bg = data.draw(st.integers(1, len(rows_of)), label="bg")
+            incremental.prune_snapshots(d, bg)
+            pruned_below[0] = max(pruned_below[0], bg)
+        else:
+            incremental.compact_data_snapshots(spark, d, ("doc_id",))
+
+    assert incremental.snapshot_gens(d) == len(rows_of)
+    for g in range(1, len(rows_of) + 1):
+        cum = set().union(*rows_of[:g])
+        if g < pruned_below[0]:
+            import pytest as _pt
+
+            with _pt.raises(ValueError):
+                incremental.snapshot_files(d, g)
+        elif not cum:
+            import pytest as _pt
+
+            with _pt.raises(ValueError, match="no data files"):
+                incremental.snapshot_files(d, g)
+        else:
+            got = {
+                r["doc_id"]
+                for r in incremental.snapshot_read(spark, d, g).collect()
+            }
+            assert got == cum, (g, pruned_below[0])
