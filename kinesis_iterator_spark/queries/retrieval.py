@@ -1211,6 +1211,25 @@ def _asof_suite_oracle() -> str:
             f"SELECT CAST('c{g}' AS VARCHAR) AS part, doc_id, {pad_cl}, "
             f"verdict, dup_of, jaccard FROM ({inner}\n)"
         )
+    # Post-RETENTION legs: after prune_snapshots(2) on both indexes,
+    # serving at/above the horizon must produce the exact same values
+    # — the oracle legs are therefore the g2/c2 derivations verbatim
+    # under new tags (retention correctness in driver-hashed values).
+    legs.append(
+        "SELECT CAST('p2' AS VARCHAR) AS part, doc_id, n_terms, "
+        f"bm25_fix, bm25, {pad_bm} FROM (\n"
+        "  SELECT * FROM ("
+        + bm25_oracle_sql(_REGISTRY_TERMS, doc_filter="doc_id % 10 < 2")
+        + "\n  ) ORDER BY bm25_fix DESC, doc_id LIMIT 10\n)"
+    )
+    legs.append(
+        f"SELECT CAST('pc2' AS VARCHAR) AS part, doc_id, {pad_cl}, "
+        "verdict, dup_of, jaccard FROM ("
+        + dedup_replay_oracle_sql(
+            2, _ASOF_PROBE_WHERE, rekey=_ASOF_PROBE_REKEY
+        )
+        + "\n)"
+    )
     return "\nUNION ALL\n".join(legs)
 
 
@@ -1296,4 +1315,36 @@ def asof_serving_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("jaccard").cast("double").alias("jaccard"),
         )
         out = out.unionByName(leg)
-    return out
+    # RETENTION under the gate: prune both indexes below generation 2
+    # (manifest-only; the legs above resolved their file lists at plan
+    # construction, so they serve unchanged) and re-serve at the
+    # horizon — bit-equal to the pre-prune g2/c2 answers by contract,
+    # now verified in hashed values. Direct library calls: these are
+    # private single-process temp indexes, not a writer family.
+    for name in _BM25_RELATIONS:
+        incremental.prune_snapshots(f"{bm_idx}/{name}", 2)
+    for name in ("digests", "bands", "dropped"):
+        d = f"{dd_idx}/{name}"
+        if os.path.isdir(d) and incremental.snapshot_gens(d) >= 2:
+            incremental.prune_snapshots(d, 2)
+    p2 = bm25_topk_from_index(
+        spark, bm_idx, _REGISTRY_TERMS, topk=10, as_of=2
+    ).select(
+        F.lit("p2").alias("part"),
+        "doc_id",
+        "n_terms",
+        "bm25_fix",
+        "bm25",
+        *pad_bm,
+    )
+    pc2 = incremental.dedup_against_index(
+        spark, probe, dd_idx, doc.filter(F.col("doc_id") % 10 < 2), as_of=2
+    ).select(
+        F.lit("pc2").alias("part"),
+        "doc_id",
+        *pad_cl,
+        "verdict",
+        F.col("dup_of").cast("long").alias("dup_of"),
+        F.col("jaccard").cast("double").alias("jaccard"),
+    )
+    return out.unionByName(p2).unionByName(pc2)
