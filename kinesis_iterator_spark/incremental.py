@@ -216,6 +216,12 @@ def write_index(
     return meta
 
 
+# Test seam: called between _swap_staged's two renames (the window in
+# which the live dir is missing) so tests can deterministically inject
+# the unlocked-reader roll-forward race. Never set in production.
+_swap_midpoint_hook = None
+
+
 def _swap_staged(
     index_dir: str,
     *names: str,
@@ -246,7 +252,23 @@ def _swap_staged(
         cur = f"{index_dir}/{name}"
         if os.path.isdir(cur):
             os.rename(cur, old)
-        os.rename(f"{index_dir}/{name}.compact", cur)
+        if _swap_midpoint_hook is not None:
+            _swap_midpoint_hook(name)
+        try:
+            os.rename(f"{index_dir}/{name}.compact", cur)
+        except FileNotFoundError:
+            # External roll-forward (ADVICE r14): between the two renames
+            # the live dir is missing, and an unlocked reader that heals
+            # in that window commits OUR fully-written stage itself
+            # (`_recover_staged` rolls staged→cur and removes `.old`).
+            # The content that landed live is exactly what this swap was
+            # committing — treat it as done rather than dying at the
+            # rename. Anything else (no stage was ever written) keeps
+            # failing loudly, restoring the displaced live dir first.
+            if not os.path.isdir(cur):
+                if os.path.isdir(old):
+                    os.rename(old, cur)
+                raise
         shutil.rmtree(old, ignore_errors=True)
 
 
@@ -266,10 +288,13 @@ def _recover_staged(
     — that is exactly what an in-flight compactor in another process
     looks like between staging and its swap, and discarding it makes
     the lease-holding compactor crash at its rename. Healing a MISSING
-    live dir stays on (that state is never in-flight — the compactor's
-    two renames bracket it, and a reader that finds it is looking at a
-    crash); stage discard is then confined to roll-forward's own
-    cleanup."""
+    live dir stays on even though that state CAN be in-flight (a
+    lease-held compactor between `_swap_staged`'s two renames, ADVICE
+    r14): the stage is complete by construction, so the reader's
+    roll-forward commits the compactor's own content, and
+    `_swap_staged` treats the resulting ENOENT at its second rename as
+    an external commit rather than a crash. Stage discard is then
+    confined to roll-forward's own cleanup."""
     import shutil
 
     for name in names:
@@ -286,21 +311,27 @@ def _recover_staged(
             shutil.rmtree(staged, ignore_errors=True)
 
 
-def _recover_compaction(index_dir: str) -> None:
+def _recover_compaction(index_dir: str, locked: bool = False) -> None:
     """Self-heal every staged swap under a TEXT dedup index dir: the
     band/tombstone pair plus the derived digest layers the CorpusWriter
     stores alongside them (`CorpusWriter.compact` rewrites those too —
     absent names are no-ops). Called from `_check_meta`, so every
-    reader/extender heals before touching the index."""
+    reader/extender heals before touching the index. ``locked=True``
+    (mutating entry points under the caller's coordination) also
+    discards leftover stage dirs; the unlocked default leaves a stage
+    next to an intact live dir alone — it may be another process's
+    in-flight compaction (ADVICE r14)."""
     _recover_staged(
-        index_dir, ("dropped", "bands", "paragraphs", "exact_substr")
+        index_dir,
+        ("dropped", "bands", "paragraphs", "exact_substr"),
+        discard_stage=locked,
     )
 
 
-def _check_meta(index_dir: str) -> dict:
+def _check_meta(index_dir: str, locked: bool = False) -> dict:
     with open(f"{index_dir}/meta.json") as fh:
         meta = json.load(fh)
-    _recover_compaction(index_dir)
+    _recover_compaction(index_dir, locked=locked)
     current = _current_meta()
     stale = {k: (meta.get(k), current[k]) for k in current if meta.get(k) != current[k]}
     if stale:
@@ -516,7 +547,7 @@ def extend_index(
     they run concurrently (`_concurrently`): a crash committing either
     subset is the same recoverable stale-index window as the sequential
     order (reconcile rebuilds both from the corpus)."""
-    _check_meta(index_dir)
+    _check_meta(index_dir, locked=True)
     _concurrently(
         lambda: _digests(accepted_doc)
         .write.mode("append")
@@ -548,7 +579,7 @@ def compact_index(
     Rewrites are staged to sibling directories and swapped in with two
     renames, so a reader never sees a half-written index; the old data
     is removed last."""
-    meta = _check_meta(index_dir)
+    meta = _check_meta(index_dir, locked=True)
     bands = spark.read.parquet(f"{index_dir}/bands")
     dropped = _read_dropped(spark, index_dir)
     over = (

@@ -1524,7 +1524,9 @@ class CorpusWriter:
 
         # Self-heal an interrupted compact() swap — the paragraph
         # pre-stage can read the layer before anything calls _check_meta.
-        incremental._recover_staged(self.index_dir, ("paragraphs",))
+        incremental._recover_staged(
+            self.index_dir, ("paragraphs",), discard_stage=False
+        )
         if not os.path.isdir(self._paras_dir()):
             raise ValueError(
                 f"index at {self.index_dir} has no paragraph layer but "
@@ -1562,7 +1564,9 @@ class CorpusWriter:
 
         from . import incremental
 
-        incremental._recover_staged(self.index_dir, ("exact_substr",))
+        incremental._recover_staged(
+            self.index_dir, ("exact_substr",), discard_stage=False
+        )
         if not os.path.isdir(self._substr_dir()):
             raise ValueError(
                 f"index at {self.index_dir} has no exact-substr layer "
@@ -1676,7 +1680,9 @@ class CorpusWriter:
 
         from . import incremental
 
-        incremental._recover_staged(self.index_dir, ("drift_ref",))
+        incremental._recover_staged(
+            self.index_dir, ("drift_ref",), discard_stage=False
+        )
         if (
             os.path.exists(self._drift_marker())
             or not _parquet_dir_committed(self._drift_dir())
@@ -1725,7 +1731,9 @@ class CorpusWriter:
         if as_of is None:
             ref = self._drift_hist_or_heal()
         else:
-            incremental._recover_staged(self.index_dir, ("drift_ref",))
+            incremental._recover_staged(
+                self.index_dir, ("drift_ref",), discard_stage=False
+            )
             ref = incremental.snapshot_read(
                 self.spark, self._drift_dir(), as_of
             )
@@ -2632,7 +2640,9 @@ class EmbeddingWriter:
 
         from . import incremental
 
-        incremental._recover_staged(self.index_dir, ("cell_hist",))
+        incremental._recover_staged(
+            self.index_dir, ("cell_hist",), discard_stage=False
+        )
         if os.path.exists(
             self._cell_hist_marker()
         ) or not _parquet_dir_committed(self._cell_hist_dir()):
@@ -2671,7 +2681,9 @@ class EmbeddingWriter:
         if as_of is None:
             ref = self._cell_hist_or_heal()
         else:
-            incremental._recover_staged(self.index_dir, ("cell_hist",))
+            incremental._recover_staged(
+                self.index_dir, ("cell_hist",), discard_stage=False
+            )
             ref = incremental.snapshot_read(
                 self.spark, self._cell_hist_dir(), as_of
             )

@@ -487,7 +487,7 @@ def pq_layer_interrupted(index_dir: str) -> bool:
 def _check_pq_layer(index_dir: str) -> None:
     from ..incremental import _recover_staged
 
-    _recover_staged(index_dir, ("pq_codes",))
+    _recover_staged(index_dir, ("pq_codes",), discard_stage=False)
     if not pq_layer_exists(index_dir):
         raise ValueError(
             f"ANN index at {index_dir} has no PQ layer — build it with "
@@ -680,7 +680,7 @@ def ivfpq_layer_interrupted(index_dir: str) -> bool:
 def _check_ivfpq_layer(index_dir: str) -> None:
     from ..incremental import _recover_staged
 
-    _recover_staged(index_dir, ("ivfpq_codes",))
+    _recover_staged(index_dir, ("ivfpq_codes",), discard_stage=False)
     if not ivfpq_layer_exists(index_dir):
         raise ValueError(
             f"ANN index at {index_dir} has no residual-PQ layer — build "

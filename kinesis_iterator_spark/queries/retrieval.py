@@ -316,7 +316,7 @@ def _check_bm25_meta(index_dir: str) -> dict:
 
     from ..incremental import _recover_staged
 
-    _recover_staged(index_dir, _BM25_RELATIONS)
+    _recover_staged(index_dir, _BM25_RELATIONS, discard_stage=False)
     if bm25_rebuild_interrupted(index_dir):
         raise ValueError(
             f"BM25 index at {index_dir} has an unfinished write "

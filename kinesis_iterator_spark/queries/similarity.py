@@ -1368,7 +1368,7 @@ def _read_ann_meta(index_dir: str) -> dict:
 
     # Self-heal an interrupted compaction swap before any reader touches
     # the relation dirs — every stored-index path reads meta first.
-    _recover_staged(index_dir, _ANN_RELATIONS)
+    _recover_staged(index_dir, _ANN_RELATIONS, discard_stage=False)
     with open(f"{index_dir}/meta.json") as fh:
         return json.load(fh)
 

@@ -373,3 +373,65 @@ def test_prune_snapshots_semantics_and_compactor_interplay(
     # Out-of-range horizons stay loud.
     with pytest.raises(ValueError, match="out of range"):
         incremental.prune_snapshots(d, 5)
+
+
+def test_swap_staged_tolerates_external_roll_forward(tmp_path, monkeypatch):
+    """ADVICE r14: between `_swap_staged`'s two renames the live dir is
+    missing; an unlocked reader healing in that window commits the
+    compactor's own (complete) stage. The compactor's second rename then
+    hits ENOENT with the content already live — it must treat that as an
+    external commit, not die."""
+    root = str(tmp_path)
+    live = tmp_path / "layer"
+    live.mkdir()
+    (live / "old.parquet").write_bytes(b"old")
+    stage = tmp_path / "layer.compact"
+    stage.mkdir()
+    (stage / "new.parquet").write_bytes(b"new")
+
+    def reader_heal(name):
+        incremental._recover_staged(root, (name,), discard_stage=False)
+
+    monkeypatch.setattr(incremental, "_swap_midpoint_hook", reader_heal)
+    incremental._swap_staged(root, "layer")  # must not raise
+    assert (tmp_path / "layer" / "new.parquet").read_bytes() == b"new"
+    assert not (tmp_path / "layer.compact").exists()
+    assert not (tmp_path / "layer.old").exists()
+
+
+def test_swap_staged_still_loud_without_a_stage(tmp_path):
+    """The ENOENT tolerance is scoped to the roll-forward race: a swap
+    called with no stage ever written keeps failing loudly AND restores
+    the displaced live dir first."""
+    live = tmp_path / "layer"
+    live.mkdir()
+    (live / "data.parquet").write_bytes(b"x")
+    with pytest.raises(FileNotFoundError):
+        incremental._swap_staged(str(tmp_path), "layer")
+    assert (live / "data.parquet").read_bytes() == b"x"
+    assert not (tmp_path / "layer.old").exists()
+
+
+def test_unlocked_index_heals_keep_foreign_stage(tmp_path):
+    """ADVICE r14: every unlocked read-path heal (`_check_meta`'s
+    `_recover_compaction`, the BM25/ANN/PQ/pre-stage/drift readers) must
+    leave a `.compact` stage next to an INTACT live dir alone — it may
+    be another process's in-flight compaction. Locked (mutating) entries
+    still discard it."""
+    for name in ("bands", "dropped"):
+        d = tmp_path / name
+        d.mkdir()
+        (d / "seg.parquet").write_bytes(b"")
+        s = tmp_path / f"{name}.compact"
+        s.mkdir()
+        (s / "seg.parquet").write_bytes(b"")
+    incremental._recover_compaction(str(tmp_path))  # unlocked default
+    assert (tmp_path / "bands.compact").is_dir()
+    assert (tmp_path / "dropped.compact").is_dir()
+    incremental._recover_compaction(str(tmp_path), locked=True)
+    assert not (tmp_path / "bands.compact").exists()
+    assert not (tmp_path / "dropped.compact").exists()
+    # A MISSING live dir still rolls forward on the unlocked path.
+    os.rename(tmp_path / "bands", tmp_path / "bands.compact")
+    incremental._recover_compaction(str(tmp_path))
+    assert (tmp_path / "bands" / "seg.parquet").exists()
