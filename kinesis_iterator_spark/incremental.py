@@ -1423,12 +1423,19 @@ def compact_data_snapshots(
     broadcast-joined file→generation map — O(1) jobs however many
     generations the manifest records (the old per-generation loop was
     O(generations) sequential job submissions: ~10⁴ driver round trips
-    of mostly-tiny work at a 10⁴-admit horizon). Per-generation FILE
-    attribution — the as_of contract — survives because
-    ``partitionBy("__gen")`` splits every task's output by generation;
-    the emitted files are then renamed into the flat stage under
-    ``gen{g:06d}-`` prefixes and attributed per generation in the
-    rewritten manifest."""
+    of mostly-tiny work at a 10⁴-admit horizon). The map is keyed by
+    the minimal unique PATH SUFFIX of each attributed file (VERDICT
+    r14 #2 — manifest paths are unique by construction, so no
+    collision class and no sequential fallback; the old basename key
+    could collide across subdir-housed deltas). Files are grouped by
+    footer schema driver-side first (ADVICE r14) — a single read over
+    schema-evolved generations would silently drop the evolved
+    columns; one pass per distinct schema keeps each generation's own
+    columns at O(#schemas) jobs. Per-generation FILE attribution — the
+    as_of contract — survives because ``partitionBy("__gen")`` splits
+    every task's output by generation; the emitted files are then
+    renamed into the flat stage under ``gen{g:06d}-`` prefixes and
+    attributed per generation in the rewritten manifest."""
     import shutil
 
     recover_data_dir(data_dir, locked=True)
@@ -1455,25 +1462,49 @@ def compact_data_snapshots(
     ]
     try:
         if live:
-            shutil.rmtree(tmp, ignore_errors=True)
-            # Driver-side file→generation map. The join key is the
-            # file's BASENAME (part names carry write UUIDs, and
-            # rewritten files carry genNNNNNN- prefixes, so collisions
-            # don't happen in practice) — checked, with the old
-            # per-generation loop as the exact fallback, because a
-            # collision would silently misattribute rows ACROSS
-            # generations and corrupt every as_of read.
-            name_gen: list[tuple[str, int]] = []
+            # Driver-side file→generation map, keyed by the MINIMAL
+            # UNIQUE PATH SUFFIX (VERDICT r14 #2 — the manifest-relative
+            # path is unique by construction, so some trailing-component
+            # count always disambiguates; the old basename key needed an
+            # O(generations) sequential fallback on collision). The
+            # Spark-side key is the same suffix of input_file_name();
+            # both sides agree component-for-component because every
+            # path component here is a Spark part name, a genNNNNNN-
+            # prefix, or a hive partition dir — no characters the
+            # file-URI form percent-encodes.
+            #
+            # Footer schemas are grouped driver-side first (ADVICE r14):
+            # one spark.read over files whose schemas differ would
+            # silently take one file's schema and DROP evolved columns
+            # from the others' rows. One pass per distinct schema keeps
+            # each generation's own columns; jobs stay O(#schemas), not
+            # O(generations).
+            import pyarrow.parquet as pq
+
+            by_schema: dict[bytes, list[tuple[int, str]]] = {}
             for gen, rec in live:
                 for f in rec["files"]:
-                    name_gen.append((os.path.basename(f), gen))
-            unique = len({n for n, _ in name_gen}) == len(name_gen)
-            if unique:
+                    sch = pq.ParquetFile(
+                        os.path.join(data_dir, f)
+                    ).schema_arrow
+                    key = sch.remove_metadata().serialize().to_pybytes()
+                    by_schema.setdefault(key, []).append((gen, f))
+            moved: dict[int, list[str]] = {g: [] for g, _ in live}
+            for members in (
+                by_schema[k] for k in sorted(by_schema)
+            ):
+                shutil.rmtree(tmp, ignore_errors=True)
                 paths = [
-                    os.path.join(data_dir, f)
-                    for _, rec in live
-                    for f in rec["files"]
+                    os.path.join(data_dir, f) for _, f in members
                 ]
+                suf = 1
+                while True:
+                    keys = [
+                        "/".join(p.split("/")[-suf:]) for p in paths
+                    ]
+                    if len(set(keys)) == len(keys):
+                        break
+                    suf += 1
                 # Target-sized output: one task per ~COMPACT_TARGET_BYTES
                 # of input (driver-side stat, zero jobs) — a TB-scale
                 # history must not funnel through one task, and a tiny
@@ -1484,22 +1515,27 @@ def compact_data_snapshots(
                 total = sum(os.path.getsize(p) for p in paths)
                 n_out = max(1, -(-total // COMPACT_TARGET_BYTES))
                 gmap = spark.createDataFrame(
-                    name_gen, "__name string, __gen int"
+                    [(k, g) for k, (g, _) in zip(keys, members)],
+                    "__k string, __gen int",
                 )
                 frame = spark.read.parquet(*paths).withColumn(
-                    "__name",
-                    F.element_at(F.split(F.input_file_name(), "/"), -1),
+                    "__k",
+                    F.concat_ws(
+                        "/",
+                        F.slice(
+                            F.split(F.input_file_name(), "/"), -suf, suf
+                        ),
+                    ),
                 )
                 (
-                    frame.join(F.broadcast(gmap), "__name")
-                    .drop("__name")
+                    frame.join(F.broadcast(gmap), "__k")
+                    .drop("__k")
                     .repartitionByRange(int(n_out), "__gen", *order_cols)
                     .sortWithinPartitions("__gen", *order_cols)
                     .write.partitionBy("__gen")
                     .mode("overwrite")
                     .parquet(tmp)
                 )
-                moved: dict[int, list[str]] = {g: [] for g, _ in live}
                 for d in sorted(os.listdir(tmp)):
                     if not d.startswith("__gen="):
                         continue
@@ -1512,53 +1548,21 @@ def compact_data_snapshots(
                                 os.path.join(stage, name),
                             )
                             moved[gen].append(name)
-                for gen, rec in live:
-                    if not moved[gen] and _files_rows(
-                        [os.path.join(data_dir, f) for f in rec["files"]]
-                    ):
-                        # A zero-ROW generation (an all-duplicate
-                        # admit's empty part file) legitimately emits
-                        # no partition dir and collapses to an empty
-                        # file list; losing a generation that HAS rows
-                        # would corrupt every as_of read.
-                        raise RuntimeError(
-                            f"compact_data_snapshots: generation {gen} "
-                            f"of {data_dir} produced no rewritten files "
-                            "— attribution join lost its rows"
-                        )
-                    new_lines[gen - 1]["files"] = moved[gen]
-            else:  # basename collision (subdir-housed deltas) — pinned
-                # in tests/test_compaction.py::..collision_fallback_exact
-                for gen, rec in live:
-                    paths = [
-                        os.path.join(data_dir, f) for f in rec["files"]
-                    ]
-                    shutil.rmtree(tmp, ignore_errors=True)
-                    total = sum(os.path.getsize(p) for p in paths)
-                    n_out = max(1, -(-total // COMPACT_TARGET_BYTES))
-                    frame = spark.read.parquet(*paths)
-                    frame = (
-                        frame.coalesce(1)
-                        if n_out == 1
-                        else frame.repartitionByRange(
-                            int(n_out), *order_cols
-                        )
+            for gen, rec in live:
+                if not moved[gen] and _files_rows(
+                    [os.path.join(data_dir, f) for f in rec["files"]]
+                ):
+                    # A zero-ROW generation (an all-duplicate
+                    # admit's empty part file) legitimately emits
+                    # no partition dir and collapses to an empty
+                    # file list; losing a generation that HAS rows
+                    # would corrupt every as_of read.
+                    raise RuntimeError(
+                        f"compact_data_snapshots: generation {gen} "
+                        f"of {data_dir} produced no rewritten files "
+                        "— attribution join lost its rows"
                     )
-                    (
-                        frame.sortWithinPartitions(*order_cols)
-                        .write.mode("overwrite")
-                        .parquet(tmp)
-                    )
-                    moved_one = []
-                    for f in sorted(os.listdir(tmp)):
-                        if f.endswith(".parquet"):
-                            name = f"gen{gen:06d}-{f}"
-                            os.replace(
-                                os.path.join(tmp, f),
-                                os.path.join(stage, name),
-                            )
-                            moved_one.append(name)
-                    new_lines[gen - 1]["files"] = moved_one
+                new_lines[gen - 1]["files"] = sorted(moved[gen])
         # Unattributed files (crash-before-manifest window): byte-
         # identical carry-over under their own names.
         for f in files_before:
@@ -1589,4 +1593,231 @@ def compact_data_snapshots(
         "generations": len(recs),
         "files_before": len(files_before),
         "files_after": len(_data_files(data_dir)),
+    }
+
+
+def _dir_bytes(data_dir: str) -> int:
+    return sum(
+        os.path.getsize(os.path.join(data_dir, f))
+        for f in _data_files(data_dir)
+    )
+
+
+def _link_or_copy(src: str, dst: str) -> None:
+    """Byte-identical carry-over into a stage: hardlink when the
+    filesystem allows (no data movement; the source dir is removed by
+    the swap, the linked bytes survive), copy otherwise."""
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    try:
+        os.link(src, dst)
+    except OSError:
+        import shutil
+
+        shutil.copyfile(src, dst)
+
+
+def _rewrite_files(
+    spark: SparkSession,
+    data_dir: str,
+    files: list[str],
+    order_cols: tuple[str, ...],
+    stage: str,
+    prefix: str,
+    dead: DataFrame | None,
+) -> tuple[list[str], int]:
+    """Rewrite explicit parquet ``files`` (relative to ``data_dir``)
+    into target-sized, ``order_cols``-sorted files under ``stage`` with
+    ``prefix``-prefixed names, dropping rows that match ``dead``
+    (anti-join on all of ``dead``'s columns) when given. One Spark
+    write per distinct footer schema (the compactor's ADVICE-r14
+    discipline — a single read over evolved schemas silently drops
+    columns). Returns (new relative names, rows written)."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    by_schema: dict[bytes, list[str]] = {}
+    for f in files:
+        sch = pq.ParquetFile(os.path.join(data_dir, f)).schema_arrow
+        key = sch.remove_metadata().serialize().to_pybytes()
+        by_schema.setdefault(key, []).append(f)
+    tmp = f"{stage}.work"
+    names: list[str] = []
+    rows = 0
+    try:
+        for gi, key in enumerate(sorted(by_schema)):
+            shutil.rmtree(tmp, ignore_errors=True)
+            paths = [
+                os.path.join(data_dir, f) for f in by_schema[key]
+            ]
+            total = sum(os.path.getsize(p) for p in paths)
+            n_out = max(1, -(-total // COMPACT_TARGET_BYTES))
+            frame = spark.read.parquet(*paths)
+            if dead is not None:
+                frame = frame.join(dead, list(dead.columns), "left_anti")
+            frame = (
+                frame.coalesce(1)
+                if n_out == 1
+                else frame.repartitionByRange(int(n_out), *order_cols)
+            )
+            (
+                frame.sortWithinPartitions(*order_cols)
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            for f in sorted(os.listdir(tmp)):
+                if f.endswith(".parquet"):
+                    name = f"{prefix}{f}"
+                    os.replace(
+                        os.path.join(tmp, f), os.path.join(stage, name)
+                    )
+                    names.append(name)
+                    rows += pq.ParquetFile(
+                        os.path.join(stage, name)
+                    ).metadata.num_rows
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return sorted(names), rows
+
+
+def vacuum_data_snapshots(
+    spark: SparkSession,
+    data_dir: str,
+    horizon: int,
+    order_cols: tuple[str, ...],
+    dead: DataFrame | None = None,
+    fence: tuple[str, str, int] | None = None,
+    reason: str | None = None,
+) -> dict:
+    """Byte reclamation below the retention horizon (VERDICT r14 #1).
+    :func:`prune_snapshots` collapses manifest HISTORY but keeps every
+    pre-horizon file referenced by the merged base line — storage never
+    shrinks. Vacuum finishes the job: prune to ``horizon`` (idempotent),
+    then physically REWRITE the merged base generation's file set into
+    target-sized, ``order_cols``-sorted files and drop the old
+    pre-horizon files (unreferenced after the swap). Generations ABOVE
+    the horizon are carried byte-identical (hardlinked into the stage,
+    never read through Spark), so
+
+    - ``as_of >= horizon`` reads stay bit-equal before/after (pinned);
+    - ``as_of < horizon`` keeps failing loudly naming the horizon;
+    - on-disk bytes shrink by the pre-horizon small-file overhead (one
+      parquet file set per admission collapses to ``⌈bytes/256 MB⌉``
+      files) plus every ``dead`` row.
+
+    ``dead``: rows to drop from the rewritten base, anti-joined on all
+    of ``dead``'s columns. The caller owns the proof that these rows are
+    invisible to every ``as_of >= horizon`` SERVE — e.g. dedup band
+    rows whose bucket a generation ``<= horizon`` tombstone masks
+    (`CorpusWriter.vacuum` passes exactly that); the data-of-record
+    dirs are append-only with no supersession, so their vacuum passes
+    None and reclaims layout overhead only.
+
+    Crash contract: files + rewritten manifest are staged to
+    ``{data_dir}.compact`` and committed with `_swap_staged`'s rename
+    pair — :func:`recover_data_dir` heals an interruption at any point
+    (the stage is complete before the first rename). Composes with
+    :func:`prune_snapshots` and :func:`compact_data_snapshots` in any
+    order (pinned). A repeat vacuum at the same horizon with no
+    ``dead`` is a no-op. Returns byte/file/row accounting."""
+    import shutil
+
+    recover_data_dir(data_dir, locked=True)
+    recs = _read_snapshots(data_dir)
+    if not recs:
+        raise ValueError(
+            f"{data_dir} records no admission snapshots — nothing to "
+            "vacuum; use a plain rewrite for manifest-less dirs"
+        )
+    if not 1 <= horizon <= len(recs):
+        raise ValueError(
+            f"horizon={horizon} out of range: {data_dir} records "
+            f"{len(recs)} snapshot generation(s)"
+        )
+    prune_snapshots(data_dir, horizon, reason=reason)
+    recs = _read_snapshots(data_dir)
+    base = recs[horizon - 1]
+    if base["compacted"]:
+        raise ValueError(
+            f"generation {horizon} of {data_dir} is already collapsed "
+            "below an earlier horizon — vacuum at the first servable "
+            "generation instead"
+        )
+    bytes_before = _dir_bytes(data_dir)
+    files_before = _data_files(data_dir)
+    prefix = f"gen{horizon:06d}-vac-"
+    if dead is None and base["files"] and all(
+        os.path.basename(f).startswith(prefix) for f in base["files"]
+    ):
+        return {
+            "horizon": horizon,
+            "files_before": len(files_before),
+            "files_after": len(files_before),
+            "bytes_before": bytes_before,
+            "bytes_after": bytes_before,
+            "rows_dropped": 0,
+            "vacuumed": False,
+        }
+    attributed: set[str] = set()
+    for rec in recs:
+        attributed.update(rec["files"])
+    stage = f"{data_dir}.compact"
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(stage)
+    base_paths = [os.path.join(data_dir, f) for f in base["files"]]
+    rows_in = _files_rows(base_paths)
+    if base["files"] and (rows_in or dead is not None):
+        new_names, rows_out = _rewrite_files(
+            spark,
+            data_dir,
+            base["files"],
+            order_cols,
+            stage,
+            prefix,
+            dead,
+        )
+    else:
+        new_names, rows_out = [], 0
+    # Post-horizon generations + crash-window unattributed files: carried
+    # byte-identical under their own names — never read through Spark.
+    for rec in recs[horizon:]:
+        for f in rec["files"]:
+            _link_or_copy(
+                os.path.join(data_dir, f), os.path.join(stage, f)
+            )
+    for f in files_before:
+        if f not in attributed:
+            _link_or_copy(
+                os.path.join(data_dir, f), os.path.join(stage, f)
+            )
+    new_lines = [dict(rec) for rec in recs]
+    new_lines[horizon - 1]["files"] = new_names
+    if dead is not None:
+        # Dead rows change the base's recorded row delta; keep it honest.
+        new_lines[horizon - 1]["n"] = rows_out
+    with open(_snapshot_path(stage), "w") as fh:
+        for rec in new_lines:
+            line: dict = {"files": rec["files"], "n": rec["n"]}
+            if rec.get("extra") is not None:
+                line["extra"] = rec["extra"]
+            if rec["compacted"]:
+                line["compacted"] = True
+            if rec.get("reason") is not None:
+                line["reason"] = rec["reason"]
+            fh.write(json.dumps(line) + "\n")
+        fh.flush()
+        os.fsync(fh.fileno())
+    _swap_staged(
+        os.path.dirname(data_dir),
+        os.path.basename(data_dir),
+        fence=fence,
+    )
+    return {
+        "horizon": horizon,
+        "files_before": len(files_before),
+        "files_after": len(_data_files(data_dir)),
+        "bytes_before": bytes_before,
+        "bytes_after": _dir_bytes(data_dir),
+        "rows_dropped": rows_in - rows_out,
+        "vacuumed": True,
     }

@@ -880,20 +880,125 @@ class CorpusWriter:
             self.index_dir, self._writer_id, incremental.LEASE_TTL_S
         )
         try:
-            incremental.verify_lease(*self._fence())
-            incremental.recover_data_dir(self.corpus_dir, locked=True)
-            out = {
-                "corpus": incremental.prune_snapshots(
-                    self.corpus_dir, before_gen
-                )
-            }
-            for d in self._pruneable_layer_dirs():
-                if incremental.snapshot_gens(d) >= before_gen:
-                    import os
+            return self._prune_snapshots_locked(before_gen)
+        finally:
+            incremental.release_lease(self.index_dir, self._writer_id)
 
-                    out[os.path.basename(d)] = incremental.prune_snapshots(
-                        d, before_gen
+    def _prune_snapshots_locked(self, before_gen: int) -> dict:
+        """Family-wide prune body, callable from other LEASE-HELD entry
+        points (:meth:`vacuum`) — the r11 rule: internal calls route to
+        unlocked bodies or the inner release drops the outer lease."""
+        import os
+
+        from . import incremental
+
+        incremental.verify_lease(*self._fence())
+        incremental.recover_data_dir(self.corpus_dir, locked=True)
+        out = {
+            "corpus": incremental.prune_snapshots(
+                self.corpus_dir, before_gen
+            )
+        }
+        for d in self._pruneable_layer_dirs():
+            if incremental.snapshot_gens(d) >= before_gen:
+                out[os.path.basename(d)] = incremental.prune_snapshots(
+                    d, before_gen
+                )
+        return out
+
+    def vacuum(self, before_gen: int) -> dict:
+        """Byte reclamation below the retention horizon (VERDICT r14
+        #1), family-wide under the writer lease: prune every manifest
+        to ``before_gen`` (idempotent), then physically rewrite
+
+        - the CORPUS data of record — the merged base generation's
+          per-admit small files collapse to ``⌈bytes/256 MB⌉``
+          doc_id-sorted files, the superseded pre-horizon files are
+          dropped at the staged swap;
+        - the dedup index's ``digests`` layer — same consolidation;
+        - the dedup index's ``bands`` layer — consolidation PLUS
+          physical deletion of band rows whose bucket a generation
+          ``<= before_gen`` tombstone masks: every ``as_of >=
+          before_gen`` serve anti-joins those rows away
+          (`dedup_against_index`), so dropping them is serve-invisible
+          (pinned); the drift baseline in ``meta.json`` shrinks by the
+          same count (conservative — drift can only warn sooner).
+
+        ``corpus(as_of >= before_gen)`` is bit-equal before/after,
+        older pins stay loudly refused, a crash anywhere self-heals at
+        the next read (`recover_data_dir`), and later admits keep
+        appending generations. Layers this does not rewrite
+        (paragraphs/exact_substr/drift_ref/BM25) reclaim their bytes
+        through :meth:`compact` — their histories collapse there
+        anyway. Returns per-dir byte/file/row accounting."""
+        import json
+        import os
+
+        from . import incremental
+
+        self._lease_gen = incremental.acquire_lease(
+            self.index_dir, self._writer_id, incremental.LEASE_TTL_S
+        )
+        try:
+            out: dict = self._prune_snapshots_locked(before_gen)
+            out["corpus"] = incremental.vacuum_data_snapshots(
+                self.spark,
+                self.corpus_dir,
+                before_gen,
+                ("doc_id",),
+                fence=self._fence(),
+            )
+            dig = f"{self.index_dir}/digests"
+            if (
+                os.path.isdir(dig)
+                and incremental.snapshot_gens(dig) >= before_gen
+            ):
+                out["digests"] = incremental.vacuum_data_snapshots(
+                    self.spark,
+                    dig,
+                    before_gen,
+                    ("doc_id",),
+                    fence=self._fence(),
+                )
+            bands = f"{self.index_dir}/bands"
+            if (
+                os.path.isdir(bands)
+                and incremental.snapshot_gens(bands) >= before_gen
+            ):
+                # Dead rows: buckets tombstoned at or below the horizon
+                # mask their stored rows for EVERY servable as_of. Only
+                # a horizon-resolvable tombstone manifest can prove
+                # membership — a lagging one downgrades to
+                # consolidation-only (dead=None), never guesses.
+                dead = None
+                drop_dir = f"{self.index_dir}/dropped"
+                if (
+                    os.path.isdir(drop_dir)
+                    and incremental.snapshot_gens(drop_dir) >= before_gen
+                ):
+                    dead = incremental._read_dropped(
+                        self.spark, self.index_dir, as_of=before_gen
                     )
+                out["bands"] = incremental.vacuum_data_snapshots(
+                    self.spark,
+                    bands,
+                    before_gen,
+                    ("band_id", "band_key"),
+                    dead=dead,
+                    fence=self._fence(),
+                )
+                removed = out["bands"]["rows_dropped"]
+                if removed:
+                    meta_path = f"{self.index_dir}/meta.json"
+                    with open(meta_path) as fh:
+                        meta = json.load(fh)
+                    base = meta.get("base_band_rows")
+                    if base is not None:
+                        meta["base_band_rows"] = max(0, base - removed)
+                        tmp = meta_path + ".tmp"
+                        with open(tmp, "w") as fh:
+                            json.dump(meta, fh)
+                        os.replace(tmp, meta_path)
             return out
         finally:
             incremental.release_lease(self.index_dir, self._writer_id)
@@ -2222,27 +2327,63 @@ class EmbeddingWriter:
             self.index_dir, self._writer_id, incremental.LEASE_TTL_S
         )
         try:
-            incremental.verify_lease(*self._fence())
-            incremental.recover_data_dir(self.store_dir, locked=True)
-            out = {
-                "store": incremental.prune_snapshots(
-                    self.store_dir, before_gen
-                )
-            }
-            for name in (
-                "lsh_signatures",
-                "ivf_assignment",
-                "bucket_sizes",
-                "pq_codes",
-                "ivfpq_codes",
-                "cell_hist",
+            return self._prune_snapshots_locked(before_gen)
+        finally:
+            incremental.release_lease(self.index_dir, self._writer_id)
+
+    def _prune_snapshots_locked(self, before_gen: int) -> dict:
+        import os
+
+        from . import incremental
+
+        incremental.verify_lease(*self._fence())
+        incremental.recover_data_dir(self.store_dir, locked=True)
+        out = {
+            "store": incremental.prune_snapshots(
+                self.store_dir, before_gen
+            )
+        }
+        for name in (
+            "lsh_signatures",
+            "ivf_assignment",
+            "bucket_sizes",
+            "pq_codes",
+            "ivfpq_codes",
+            "cell_hist",
+        ):
+            d = f"{self.index_dir}/{name}"
+            if (
+                os.path.isdir(d)
+                and incremental.snapshot_gens(d) >= before_gen
             ):
-                d = f"{self.index_dir}/{name}"
-                if (
-                    os.path.isdir(d)
-                    and incremental.snapshot_gens(d) >= before_gen
-                ):
-                    out[name] = incremental.prune_snapshots(d, before_gen)
+                out[name] = incremental.prune_snapshots(d, before_gen)
+        return out
+
+    def vacuum(self, before_gen: int) -> dict:
+        """`CorpusWriter.vacuum`'s twin for the vector store: prune the
+        family to ``before_gen`` (idempotent), then physically rewrite
+        the STORE's merged base generation into vec_id-sorted
+        target-sized files, dropping the superseded pre-horizon small
+        files at the staged swap — ``store(as_of >= before_gen)``
+        bit-equal before/after, older pins loudly refused, crash
+        self-heals. The stored ANN layers are left to :meth:`compact`
+        /:meth:`reconcile` (their rewrites collapse history and already
+        reclaim bytes; ``lsh_signatures`` is hive-partitioned, which
+        the flat base rewrite must not flatten)."""
+        from . import incremental
+
+        self._lease_gen = incremental.acquire_lease(
+            self.index_dir, self._writer_id, incremental.LEASE_TTL_S
+        )
+        try:
+            out: dict = self._prune_snapshots_locked(before_gen)
+            out["store"] = incremental.vacuum_data_snapshots(
+                self.spark,
+                self.store_dir,
+                before_gen,
+                ("vec_id",),
+                fence=self._fence(),
+            )
             return out
         finally:
             incremental.release_lease(self.index_dir, self._writer_id)

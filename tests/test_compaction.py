@@ -107,13 +107,19 @@ def test_bm25_interrupted_swap_rolls_forward(spark, doc, tmp_path):
 
 
 def test_bm25_uncommitted_stage_is_discarded(spark, doc, tmp_path):
-    """Crash BEFORE any swap: live dirs intact, stage leftovers are
-    garbage — healing discards them and queries serve the live data."""
+    """Crash BEFORE any swap: live dirs intact, stage leftovers next to
+    them. The UNLOCKED read path must leave the stage alone (ADVICE r14
+    — it may be another process's in-flight compaction) while still
+    serving the live data; the next locked compaction consumes/replaces
+    it and queries stay equal."""
     idx = _extended_bm25(spark, doc, str(tmp_path))
     want = _rows(bm25_scores_from_index(spark, idx, TERMS))
     os.makedirs(f"{idx}/postings.compact")
     with open(f"{idx}/postings.compact/garbage", "w") as fh:
         fh.write("not parquet")
+    assert _rows(bm25_scores_from_index(spark, idx, TERMS)) == want
+    assert os.path.isdir(f"{idx}/postings.compact")  # reader kept it
+    compact_bm25_index(spark, idx)
     assert _rows(bm25_scores_from_index(spark, idx, TERMS)) == want
     assert not os.path.isdir(f"{idx}/postings.compact")
 
@@ -335,10 +341,12 @@ def test_data_compactor_single_pass_jobs_and_asof_equality(
 
 
 def test_data_compactor_collision_fallback_exact(spark, doc, tmp_path):
-    """The single-pass rewrite attributes rows by file BASENAME; when
-    two generations' files share one (possible only via subdir-housed
-    deltas), the compactor must take the exact per-generation fallback
-    — same as_of equality, same gen-prefixed attribution."""
+    """VERDICT r14 #2: the single-pass rewrite attributes rows by the
+    minimal unique PATH SUFFIX, so two generations' files sharing a
+    BASENAME (subdir-housed deltas) no longer fall back to the
+    O(generations) sequential loop — the colliding dir compacts in the
+    same O(few) jobs with exact as_of equality and gen-prefixed
+    attribution."""
     import os
 
     from kinesis_iterator_spark import incremental
@@ -367,7 +375,11 @@ def test_data_compactor_collision_fallback_exact(spark, doc, tmp_path):
         )
         for g in (1, 2)
     }
+    tracker = spark.sparkContext.statusTracker()
+    j0 = len(tracker.getJobIdsForGroup(None))
     incremental.compact_data_snapshots(spark, d, ("doc_id",))
+    jobs = len(tracker.getJobIdsForGroup(None)) - j0
+    assert jobs <= 5, f"collision must stay single-pass, measured {jobs}"
     for g in (1, 2):
         assert (
             _rows(
@@ -382,3 +394,66 @@ def test_data_compactor_collision_fallback_exact(spark, doc, tmp_path):
         assert rec["files"] and all(
             f.startswith(f"gen{i + 1:06d}-") for f in rec["files"]
         )
+
+
+def test_data_compactor_schema_evolution_per_generation(
+    spark, doc, tmp_path
+):
+    """ADVICE r14: generations whose parquet schemas differ (a column
+    added in a later admit) must each keep their OWN schema through the
+    rewrite — a single unchecked spark.read would take one file's schema
+    and silently drop the evolved column. The compactor groups files by
+    footer schema driver-side and runs one pass per group (O(#schemas)
+    jobs, not O(generations))."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from kinesis_iterator_spark import incremental
+
+    d = f"{tmp_path}/data"
+    g1 = doc.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    g1.write.mode("append").parquet(d)
+    assert incremental.record_snapshot(d, n=g1.count()) == 1
+    g2 = (
+        doc.filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", "text")
+        .withColumn("lang_tag", F.lit("en"))
+    )
+    g2.write.mode("append").parquet(d)
+    assert incremental.record_snapshot(d, n=g2.count()) == 2
+    before1 = _rows(
+        incremental.snapshot_read(spark, d, 1).select("doc_id", "text")
+    )
+    incremental.compact_data_snapshots(spark, d, ("doc_id",))
+    recs = incremental._read_snapshots(d)
+    cols = {
+        g: sorted(
+            {
+                name
+                for f in recs[g - 1]["files"]
+                for name in pq.ParquetFile(
+                    os.path.join(d, f)
+                ).schema_arrow.names
+            }
+        )
+        for g in (1, 2)
+    }
+    assert cols[1] == ["doc_id", "text"]
+    assert cols[2] == ["doc_id", "lang_tag", "text"]
+    assert (
+        _rows(
+            incremental.snapshot_read(spark, d, 1).select("doc_id", "text")
+        )
+        == before1
+    )
+    g2_rows = sorted(
+        r["doc_id"]
+        for f in recs[1]["files"]
+        for r in pq.ParquetFile(os.path.join(d, f))
+        .read()
+        .to_pylist()
+    )
+    assert g2_rows == sorted(
+        r["doc_id"] for r in g2.select("doc_id").collect()
+    )
