@@ -1180,8 +1180,32 @@ def _asof_dedup_index(spark: SparkSession, sf_dir: str, parent: str) -> str:
     return idx
 
 
+def _asof_drift_layer(spark: SparkSession, sf_dir: str, parent: str) -> str:
+    """Build the 2-generation stored DRIFT-reference layer next to the
+    BM25/dedup indexes: one `corpus_hist` segment per admitted slice
+    (counts are additive, so sum-of-segments ≡ a recount of the
+    cumulative slice — the `drift_ref/` per-segment discipline), each
+    followed by its `record_aligned_snapshot` line. This is exactly the
+    layer `CorpusWriter(drift_monitor=True)` maintains and
+    `drift_stats(batch, as_of=g)` reads (writer↔manual equality is
+    pinned in tests/test_drift_monitor.py)."""
+    import tempfile
+
+    from .. import incremental
+    from .text import _DRIFT_BUCKETS, corpus_hist
+
+    d = tempfile.mkdtemp(dir=parent)
+    doc = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    for g in (1, 2):
+        seg = doc.filter(F.col("doc_id") % 10 == g - 1)
+        corpus_hist(seg, _DRIFT_BUCKETS).write.mode("append").parquet(d)
+        incremental.record_aligned_snapshot(d, g)
+    return d
+
+
 def _asof_suite_oracle() -> str:
     from .dedup import dedup_replay_oracle_sql
+    from .text import _DRIFT_BUCKETS, corpus_drift_oracle
 
     pad_bm = (
         "CAST(NULL AS VARCHAR) AS verdict, CAST(NULL AS BIGINT) AS "
@@ -1230,6 +1254,26 @@ def _asof_suite_oracle() -> str:
         )
         + "\n)"
     )
+    # DRIFT-replay legs (VERDICT r14 #3): the stored reference histogram
+    # is per-generation segments of the cumulative slice, so the oracle
+    # derives it literal-free from the same slice text; the drift row's
+    # fields ride the union's numeric columns (doc_id←new_tokens,
+    # n_terms←ref_tokens, bm25_fix/bm25←kl_fix/kl, dup_of/jaccard←
+    # tv_fix/tv — identical mapping on the Spark side). dp2 re-serves
+    # as_of=2 after prune_snapshots(2) on the layer.
+    for g, tag in ((1, "d1"), (2, "d2"), (2, "dp2")):
+        inner = corpus_drift_oracle(
+            f"SELECT text FROM documents WHERE doc_id % 10 < {g}",
+            f"SELECT text FROM documents WHERE {_ASOF_PROBE_WHERE}",
+            n_buckets=_DRIFT_BUCKETS,
+        )
+        legs.append(
+            f"SELECT CAST('{tag}' AS VARCHAR) AS part, "
+            "new_tokens AS doc_id, ref_tokens AS n_terms, "
+            "kl_fix AS bm25_fix, kl AS bm25, "
+            "CAST(NULL AS VARCHAR) AS verdict, tv_fix AS dup_of, "
+            f"tv AS jaccard FROM ({inner}\n)"
+        )
     return "\nUNION ALL\n".join(legs)
 
 
@@ -1248,29 +1292,40 @@ def asof_serving_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       pins the generation-pinned classifier replay itself: stored
       digests/bands/tombstones file-selected per generation, probe
       docs duplicating gen-2 content flip novel→exact_dup between the
-      c1 and c2 legs IN THE HASHED VALUES.
+      c1 and c2 legs IN THE HASHED VALUES;
+    - parts d1..d2 (r15): the DRIFT replay — the probe's KL/TV against
+      the stored per-generation reference histogram
+      (`drift_stats(batch, as_of=g)`'s computation over the same
+      `drift_ref` per-segment layer a monitoring writer maintains),
+      the admission-affecting distribution shift between g1 and g2
+      visible in the hashed kl/tv values; part dp2 re-serves as_of=2
+      after pruning the layer to that horizon.
 
     The oracle is literal-free and scale-factor-agnostic: fresh BM25
-    over each generation's cumulative slice, and a full DuckDB
-    derivation of the stored dedup state (per-append bucket-cap
-    tombstones included) + classification chain
-    (`dedup.dedup_replay_oracle_sql`)."""
+    over each generation's cumulative slice, a full DuckDB derivation
+    of the stored dedup state (per-append bucket-cap tombstones
+    included) + classification chain (`dedup.dedup_replay_oracle_sql`),
+    and the drift arithmetic re-derived from the cumulative slice text
+    (`text.corpus_drift_oracle` — sum-of-segments ≡ recount)."""
+    import atexit
     import shutil
     import tempfile
 
     from .. import incremental
+    from .text import _DRIFT_BUCKETS, corpus_drift_from_hists, corpus_hist
 
-    parent = os.path.join(
-        tempfile.gettempdir(), f"ki_asof_suite_{os.getpid()}"
-    )
-    shutil.rmtree(parent, ignore_errors=True)
-    os.makedirs(parent, exist_ok=True)
-    # The two stored-index builds are independent (separate dirs,
+    # Unique parent per INVOCATION (ADVICE r14): clearing a shared
+    # per-PID dir at entry would delete the parquet under any lazy
+    # frame a previous invocation in this process still holds.
+    parent = tempfile.mkdtemp(prefix=f"ki_asof_suite_{os.getpid()}_")
+    atexit.register(shutil.rmtree, parent, ignore_errors=True)
+    # The three stored-layer builds are independent (separate dirs,
     # separate relations) — overlap them in driver threads; each
     # thread's write→extend→extend order is preserved within it.
-    bm_idx, dd_idx = incremental._concurrently(
+    bm_idx, dd_idx, dr_dir = incremental._concurrently(
         lambda: _asof_suite_index(spark, sf_dir, parent=parent),
         lambda: _asof_dedup_index(spark, sf_dir, parent),
+        lambda: _asof_drift_layer(spark, sf_dir, parent),
     )
     doc = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     probe = doc.filter(
@@ -1315,18 +1370,50 @@ def asof_serving_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("jaccard").cast("double").alias("jaccard"),
         )
         out = out.unionByName(leg)
-    # RETENTION under the gate: prune both indexes below generation 2
-    # (manifest-only; the legs above resolved their file lists at plan
-    # construction, so they serve unchanged) and re-serve at the
-    # horizon — bit-equal to the pre-prune g2/c2 answers by contract,
-    # now verified in hashed values. Direct library calls: these are
-    # private single-process temp indexes, not a writer family.
+    # DRIFT replay legs: the probe's histogram is tiny (≤ B rows) and
+    # feeds three legs — checkpoint it once (harness-managed: released
+    # by release_persists() after the consuming action).
+    from . import managed_checkpoint
+
+    probe_hist = managed_checkpoint(
+        corpus_hist(probe.select("text"), _DRIFT_BUCKETS)
+    )
+
+    def _drift_leg(tag: str, g: int):
+        row = corpus_drift_from_hists(
+            spark,
+            incremental.snapshot_read(spark, dr_dir, g),
+            probe_hist,
+            _DRIFT_BUCKETS,
+        )
+        return row.select(
+            F.lit(tag).alias("part"),
+            F.col("new_tokens").cast("long").alias("doc_id"),
+            F.col("ref_tokens").cast("long").alias("n_terms"),
+            F.col("kl_fix").alias("bm25_fix"),
+            F.col("kl").alias("bm25"),
+            F.lit(None).cast("string").alias("verdict"),
+            F.col("tv_fix").alias("dup_of"),
+            F.col("tv").alias("jaccard"),
+        )
+
+    out = out.unionByName(_drift_leg("d1", 1)).unionByName(
+        _drift_leg("d2", 2)
+    )
+    # RETENTION under the gate: prune all three layers below
+    # generation 2 (manifest-only; the legs above resolved their file
+    # lists at plan construction, so they serve unchanged) and
+    # re-serve at the horizon — bit-equal to the pre-prune g2/c2/d2
+    # answers by contract, now verified in hashed values. Direct
+    # library calls: these are private single-process temp layers, not
+    # a writer family.
     for name in _BM25_RELATIONS:
         incremental.prune_snapshots(f"{bm_idx}/{name}", 2)
     for name in ("digests", "bands", "dropped"):
         d = f"{dd_idx}/{name}"
         if os.path.isdir(d) and incremental.snapshot_gens(d) >= 2:
             incremental.prune_snapshots(d, 2)
+    incremental.prune_snapshots(dr_dir, 2)
     p2 = bm25_topk_from_index(
         spark, bm_idx, _REGISTRY_TERMS, topk=10, as_of=2
     ).select(
@@ -1347,4 +1434,8 @@ def asof_serving_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dup_of").cast("long").alias("dup_of"),
         F.col("jaccard").cast("double").alias("jaccard"),
     )
-    return out.unionByName(p2).unionByName(pc2)
+    return (
+        out.unionByName(p2)
+        .unionByName(pc2)
+        .unionByName(_drift_leg("dp2", 2))
+    )
