@@ -457,3 +457,55 @@ def test_data_compactor_schema_evolution_per_generation(
     assert g2_rows == sorted(
         r["doc_id"] for r in g2.select("doc_id").collect()
     )
+
+
+def test_data_compactor_jobs_flat_at_10k_generations(spark, tmp_path):
+    """VERDICT r14 #4: the single-pass compactor's job count is O(few)
+    at the 10^4-generation horizon SCALING.md budgets — pinned with a
+    10,000-line manifest (tools/manifest_scale.py measures the
+    full-file variant: 5 jobs flat at 10^2/10^3/10^4). Most deltas here
+    are empty lines (the job count depends on live file groups, never
+    on manifest depth), with real files spread across the history."""
+    import json
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kinesis_iterator_spark import incremental
+
+    d = tmp_path / "data"
+    d.mkdir()
+    n_gens = 10_000
+    lines = []
+    real = {}
+    for g in range(n_gens):
+        if g % 50 == 0:  # 200 generations with actual files
+            name = f"part-{g:06d}-{uuid.uuid4().hex[:8]}.parquet"
+            pq.write_table(
+                pa.table({"doc_id": [2 * g, 2 * g + 1]}),
+                str(d / name),
+            )
+            lines.append(json.dumps({"files": [name], "n": 2}))
+            real[g + 1] = [2 * g, 2 * g + 1]
+        else:
+            lines.append(json.dumps({"files": [], "n": 0}))
+    with open(incremental._snapshot_path(str(d)), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    assert incremental.snapshot_gens(str(d)) == n_gens
+    tracker = spark.sparkContext.statusTracker()
+    j0 = len(tracker.getJobIdsForGroup(None))
+    stats = incremental.compact_data_snapshots(spark, str(d), ("doc_id",))
+    jobs = len(tracker.getJobIdsForGroup(None)) - j0
+    assert jobs <= 5, f"expected O(few) jobs at 10k generations, got {jobs}"
+    assert stats["generations"] == n_gens
+    # Spot-check as_of equality at the head, a middle live gen, the tail.
+    for g in (1, 5001, n_gens):
+        want = sorted(
+            v for gg, ids in real.items() if gg <= g for v in ids
+        )
+        got = sorted(
+            r["doc_id"]
+            for r in incremental.snapshot_read(spark, str(d), g).collect()
+        )
+        assert got == want, g
