@@ -297,15 +297,30 @@ def _recover_staged(
     confined to roll-forward's own cleanup."""
     import shutil
 
+    def _restore(src: str, cur: str) -> bool:
+        """Rename tolerant of CONCURRENT healers (caught by the r15
+        multi-process fuzz): between this process's isdir probe and its
+        rename, another reader may restore the live dir itself — the
+        rename then fails (ENOENT: source already moved; ENOTEMPTY:
+        target already committed), and the only question is whether a
+        live dir exists NOW. Any completed state is valid; losing the
+        race while the live dir is still missing stays loud."""
+        try:
+            os.rename(src, cur)
+            return True
+        except OSError:
+            return os.path.isdir(cur)
+
     for name in names:
         cur = f"{index_dir}/{name}"
         old = f"{index_dir}/{name}.old"
         staged = f"{index_dir}/{name}.compact"
         if not os.path.isdir(cur):
+            restored = False
             if os.path.isdir(staged):
-                os.rename(staged, cur)
-            elif os.path.isdir(old):
-                os.rename(old, cur)
+                restored = _restore(staged, cur)
+            if not restored and os.path.isdir(old):
+                _restore(old, cur)
         shutil.rmtree(old, ignore_errors=True)
         if discard_stage or not os.path.isdir(cur):
             shutil.rmtree(staged, ignore_errors=True)

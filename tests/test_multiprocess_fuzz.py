@@ -1,0 +1,153 @@
+"""True multi-process fuzz of the manifest/lease/staged-swap contracts
+(VERDICT r14 #6): real OS processes — not threads — hammer unlocked
+reads (heal + as-of resolution + footer reads + a row-count invariant)
+against a writer process interleaving admits, compactions, retention
+prunes and a vacuum on one data dir. Pins: no torn reads (every
+successful resolution's row count equals the manifest's recorded
+deltas), swap races surface only as retriable FileNotFoundError, the
+reader's unlocked heal never breaks the writer's in-flight swap (the
+r15 roll-forward tolerance), loud LeaseHeld refusals during a held
+window, and no lost generations at the end."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+import uuid
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from kinesis_iterator_spark import incremental
+
+ROWS_PER_GEN = 34
+
+_READER = r'''
+import json, os, sys
+sys.path.insert(0, %(repo)r)
+import pyarrow.parquet as pq
+from kinesis_iterator_spark import incremental
+
+data_dir, stop_path, hold_path, out_path = sys.argv[1:5]
+lease_dir = data_dir + ".family"
+stats = {"reads": 0, "retries": 0, "lease_held": 0}
+err = None
+try:
+    while not os.path.exists(stop_path):
+        try:
+            # Unlocked read path: heal (must not destroy a foreign
+            # in-flight stage / may roll a mid-swap forward), resolve
+            # the latest generation, read footers, check the row-count
+            # invariant against the manifest's recorded deltas.
+            incremental.recover_data_dir(data_dir)
+            recs = incremental._read_snapshots(data_dir)
+            if recs:
+                g = len(recs)
+                paths = incremental.snapshot_files(data_dir, g)
+                n = sum(
+                    pq.ParquetFile(p).metadata.num_rows for p in paths
+                )
+                want = sum(r["n"] for r in recs if r["n"] is not None)
+                assert n == want, f"torn read: {n} != {want} at gen {g}"
+                stats["reads"] += 1
+        except FileNotFoundError:
+            stats["retries"] += 1  # swap race: stale file list — retry
+        except ValueError as e:
+            # "records no admission snapshots": the whole dir (manifest
+            # included) is renamed away inside the swap window — same
+            # retriable race class as a stale file list.
+            if "no data files" in str(e) or "no admission snapshots" in str(e):
+                stats["retries"] += 1
+            else:
+                raise
+        if os.path.exists(hold_path):
+            # The writer is deliberately holding its lease: a second
+            # writer arriving now MUST be refused loudly.
+            try:
+                incremental.acquire_lease(lease_dir, "reader-probe", 30.0)
+                err = "acquire_lease succeeded during a held window"
+                break
+            except incremental.LeaseHeld:
+                stats["lease_held"] += 1
+except Exception as e:  # noqa: BLE001 - reported to the test
+    err = f"{type(e).__name__}: {e}"
+with open(out_path, "w") as fh:
+    json.dump({"stats": stats, "err": err}, fh)
+'''
+
+
+def _append_gen(d: str, gen_no: int) -> None:
+    for i in range(2):
+        pq.write_table(
+            pa.table({"doc_id": list(range(ROWS_PER_GEN // 2))}),
+            os.path.join(
+                d, f"part-{gen_no:04d}-{i}-{uuid.uuid4().hex[:8]}.parquet"
+            ),
+        )
+    incremental.record_snapshot(d, n=ROWS_PER_GEN)
+
+
+def test_multiprocess_readers_race_maintenance(spark, tmp_path):
+    d = str(tmp_path / "data")
+    os.makedirs(d)
+    lease_dir = d + ".family"
+    stop = str(tmp_path / "stop")
+    hold = str(tmp_path / "hold")
+    script = str(tmp_path / "reader.py")
+    with open(script, "w") as fh:
+        fh.write(
+            _READER
+            % {"repo": os.path.dirname(os.path.dirname(os.path.abspath(__file__)))}
+        )
+    outs = [str(tmp_path / f"reader{i}.json") for i in range(2)]
+    procs = [
+        subprocess.Popen([sys.executable, script, d, stop, hold, o])
+        for o in outs
+    ]
+    try:
+        n_cycles = 6
+        for cycle in range(n_cycles):
+            gen = incremental.acquire_lease(lease_dir, "writer", 30.0)
+            try:
+                _append_gen(d, cycle + 1)
+                if cycle % 2 == 1:
+                    incremental.compact_data_snapshots(
+                        spark, d, ("doc_id",),
+                        fence=(lease_dir, "writer", gen),
+                    )
+                if cycle == 3:
+                    incremental.prune_snapshots(d, 2)
+                if cycle == 4:
+                    incremental.vacuum_data_snapshots(
+                        spark, d, 3, ("doc_id",),
+                        fence=(lease_dir, "writer", gen),
+                    )
+            finally:
+                incremental.release_lease(lease_dir, "writer")
+        # Deliberate held window: readers must see LeaseHeld.
+        incremental.acquire_lease(lease_dir, "writer", 30.0)
+        open(hold, "w").close()
+        time.sleep(1.5)
+        os.remove(hold)
+        incremental.release_lease(lease_dir, "writer")
+    finally:
+        open(stop, "w").close()
+        for p in procs:
+            p.wait(timeout=60)
+    for o in outs:
+        with open(o) as fh:
+            rep = json.load(fh)
+        assert rep["err"] is None, rep
+        assert rep["stats"]["reads"] > 0, rep
+        assert rep["stats"]["lease_held"] > 0, rep
+    # No lost generations; final content matches every recorded admit.
+    assert incremental.snapshot_gens(d) == 6
+    assert (
+        incremental.snapshot_read(spark, d, 6).count()
+        == 6 * ROWS_PER_GEN
+    )
+    with __import__("pytest").raises(ValueError, match="horizon"):
+        incremental.snapshot_files(d, 1)
