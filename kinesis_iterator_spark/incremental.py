@@ -1680,7 +1680,7 @@ def _rewrite_files(
     names: list[str] = []
     rows = 0
     try:
-        for gi, key in enumerate(sorted(by_schema)):
+        for key in sorted(by_schema):
             shutil.rmtree(tmp, ignore_errors=True)
             paths = [
                 os.path.join(data_dir, f) for f in by_schema[key]

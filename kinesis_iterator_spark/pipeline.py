@@ -2362,14 +2362,19 @@ class EmbeddingWriter:
     def vacuum(self, before_gen: int) -> dict:
         """`CorpusWriter.vacuum`'s twin for the vector store: prune the
         family to ``before_gen`` (idempotent), then physically rewrite
-        the STORE's merged base generation into vec_id-sorted
+        each layer's merged base generation into query-key-sorted
         target-sized files, dropping the superseded pre-horizon small
-        files at the staged swap — ``store(as_of >= before_gen)``
-        bit-equal before/after, older pins loudly refused, crash
-        self-heals. The stored ANN layers are left to :meth:`compact`
-        /:meth:`reconcile` (their rewrites collapse history and already
-        reclaim bytes; ``lsh_signatures`` is hive-partitioned, which
-        the flat base rewrite must not flatten)."""
+        files at the staged swap — ``store(as_of >= before_gen)`` and
+        every from-index ``as_of >= before_gen`` read bit-equal
+        before/after, older pins loudly refused, crash self-heals.
+        Covers the store plus every FLAT derived layer (sorted by its
+        query key, the compaction clustering discipline — inverted
+        file by cell, occupancy by (table, bucket), codes by their
+        scan key); ``lsh_signatures`` is hive-partitioned, which the
+        flat base rewrite must not flatten — it keeps reclaiming
+        through :meth:`compact`/:meth:`reconcile` (which collapse
+        history). No layer here has tombstone-masked rows, so every
+        vacuum is consolidation-only (``dead=None``)."""
         from . import incremental
 
         self._lease_gen = incremental.acquire_lease(
@@ -2384,6 +2389,26 @@ class EmbeddingWriter:
                 ("vec_id",),
                 fence=self._fence(),
             )
+            import os
+
+            for name, order in (
+                ("ivf_assignment", ("cell", "vec_id")),
+                ("bucket_sizes", ("table_id", "bucket")),
+                ("pq_codes", ("vec_id",)),
+                ("ivfpq_codes", ("cell", "vec_id")),
+            ):
+                d = f"{self.index_dir}/{name}"
+                if (
+                    os.path.isdir(d)
+                    and incremental.snapshot_gens(d) >= before_gen
+                ):
+                    out[name] = incremental.vacuum_data_snapshots(
+                        self.spark,
+                        d,
+                        before_gen,
+                        order,
+                        fence=self._fence(),
+                    )
             return out
         finally:
             incremental.release_lease(self.index_dir, self._writer_id)

@@ -327,22 +327,31 @@ def test_vacuum_drops_masked_band_rows_serve_equal(spark, doc, tmp_path):
 def test_embedding_writer_vacuum(spark, tmp_path):
     emb = load_table(spark, SF, "embeddings")
     w = EmbeddingWriter(
-        spark, f"{tmp_path}/store", f"{tmp_path}/ann", tau=0.9
+        spark, f"{tmp_path}/store", f"{tmp_path}/ann", tau=0.9,
+        pq_layer=True,
     )
     for m in range(3):
         w.admit(emb.filter(F.col("vec_id") % 3 == m))
+    q = [float(v) for v in emb.orderBy("vec_id").first()["embedding"]]
     before = {
         g: sorted(r["vec_id"] for r in w.store(as_of=g).collect())
         for g in (2, 3)
     }
+    served_before = _rows(w.pq_topk(q, topk=5, as_of=2))
     out = w.vacuum(2)
     assert out["store"]["vacuumed"] is True
     assert out["store"]["bytes_after"] < out["store"]["bytes_before"]
+    # Flat derived layers are vacuumed too (consolidation-only).
+    for name in ("ivf_assignment", "bucket_sizes", "pq_codes"):
+        assert out[name]["vacuumed"] is True, name
+        assert out[name]["rows_dropped"] == 0, name
     for g in (2, 3):
         assert (
             sorted(r["vec_id"] for r in w.store(as_of=g).collect())
             == before[g]
         )
+    # From-index serving at the horizon is row-identical after vacuum.
+    assert _rows(w.pq_topk(q, topk=5, as_of=2)) == served_before
     with pytest.raises(ValueError, match="horizon|collapsed"):
         w.store(as_of=1).count()
     s = w.admit(emb.filter(F.col("vec_id") % 3 == 0))
