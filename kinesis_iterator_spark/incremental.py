@@ -338,7 +338,9 @@ def _recover_compaction(index_dir: str, locked: bool = False) -> None:
     in-flight compaction (ADVICE r14)."""
     _recover_staged(
         index_dir,
-        ("dropped", "bands", "paragraphs", "exact_substr"),
+        # digests is in the heal set since r15: CorpusWriter.vacuum
+        # stages a digests rewrite (compact_index never did).
+        ("dropped", "bands", "digests", "paragraphs", "exact_substr"),
         discard_stage=locked,
     )
 

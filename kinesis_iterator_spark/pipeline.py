@@ -924,13 +924,20 @@ class CorpusWriter:
           (pinned); the drift baseline in ``meta.json`` shrinks by the
           same count (conservative — drift can only warn sooner).
 
+        Every other FLAT per-admit layer is consolidated too (no
+        masked rows there — ``dead=None``), sorted by its query key so
+        point scans stay parquet-min/max-pruned: the BM25
+        postings/df/doclen (term-pushdown key), the paragraph and
+        exact-substr digest layers (digest key — the pre-stage
+        anti-joins), and the drift reference histogram (bucket key).
+        Their post-horizon as-of history survives — unlike
+        :meth:`compact`, which collapses it.
+
         ``corpus(as_of >= before_gen)`` is bit-equal before/after,
         older pins stay loudly refused, a crash anywhere self-heals at
         the next read (`recover_data_dir`), and later admits keep
-        appending generations. Layers this does not rewrite
-        (paragraphs/exact_substr/drift_ref/BM25) reclaim their bytes
-        through :meth:`compact` — their histories collapse there
-        anyway. Returns per-dir byte/file/row accounting."""
+        appending generations. Returns per-dir byte/file/row
+        accounting."""
         import json
         import os
 
@@ -999,6 +1006,27 @@ class CorpusWriter:
                         with open(tmp, "w") as fh:
                             json.dump(meta, fh)
                         os.replace(tmp, meta_path)
+            for d, order in (
+                (f"{self._bm25_dir()}/postings", ("term", "doc_id")),
+                (f"{self._bm25_dir()}/df", ("term",)),
+                (f"{self._bm25_dir()}/doclen", ("doc_id",)),
+                (self._paras_dir(), ("h",)),
+                (self._substr_dir(), ("h",)),
+                (self._drift_dir(), ("b",)),
+            ):
+                if (
+                    os.path.isdir(d)
+                    and incremental.snapshot_gens(d) >= before_gen
+                ):
+                    out[os.path.basename(d)] = (
+                        incremental.vacuum_data_snapshots(
+                            self.spark,
+                            d,
+                            before_gen,
+                            order,
+                            fence=self._fence(),
+                        )
+                    )
             return out
         finally:
             incremental.release_lease(self.index_dir, self._writer_id)

@@ -211,7 +211,13 @@ def test_corpus_writer_vacuum_reclaims_and_serves_equal(spark, tmp_path):
     doc = load_table(spark, SF, "documents").select(
         "doc_id", "lang", "source", "text"
     )
-    w = CorpusWriter(spark, f"{tmp_path}/corpus", f"{tmp_path}/index")
+    w = CorpusWriter(
+        spark,
+        f"{tmp_path}/corpus",
+        f"{tmp_path}/index",
+        bm25_index=True,
+        drift_monitor=True,
+    )
     for m in range(3):
         w.admit(doc.filter(F.col("doc_id") % 3 == m))
     probe = doc.filter(F.col("doc_id") % 7 == 0).select("doc_id", "text")
@@ -231,10 +237,22 @@ def test_corpus_writer_vacuum_reclaims_and_serves_equal(spark, tmp_path):
         )
         for g in (2, 3)
     }
+    bm_before = _rows(
+        w.bm25_topk(["scan", "column", "window"], topk=10, as_of=2)
+    )
+    drift_before = w.drift_stats(probe, as_of=2)
     bytes_before = incremental._dir_bytes(f"{tmp_path}/corpus")
     out = w.vacuum(2)
     assert out["corpus"]["vacuumed"] is True
     assert out["corpus"]["bytes_after"] < bytes_before
+    # Flat derived layers consolidated too, as-of serving identical.
+    for name in ("digests", "postings", "df", "doclen", "drift_ref"):
+        assert out[name]["vacuumed"] is True, name
+    assert (
+        _rows(w.bm25_topk(["scan", "column", "window"], topk=10, as_of=2))
+        == bm_before
+    )
+    assert w.drift_stats(probe, as_of=2) == drift_before
     for g in (2, 3):
         assert (
             _rows(w.corpus(as_of=g).select("doc_id", "text"))
