@@ -79,6 +79,40 @@ with open(out_path, "w") as fh:
 '''
 
 
+_WRITER2 = r'''
+import json, os, sys, time
+sys.path.insert(0, %(repo)r)
+from kinesis_iterator_spark import incremental
+
+data_dir, stop_path, out_path = sys.argv[1:4]
+lease_dir = data_dir + ".family"
+stats = {"acquired": 0, "pruned": 0, "lease_held": 0}
+err = None
+try:
+    while not os.path.exists(stop_path):
+        try:
+            gen = incremental.acquire_lease(lease_dir, "writer2", 30.0)
+        except incremental.LeaseHeld:
+            stats["lease_held"] += 1
+            time.sleep(0.02)
+            continue
+        try:
+            stats["acquired"] += 1
+            # A real maintenance op from a SECOND writer process:
+            # retention prune under the lease (driver-side, no Spark).
+            if incremental.snapshot_gens(data_dir) >= 2:
+                if incremental.prune_snapshots(data_dir, 2):
+                    stats["pruned"] += 1
+        finally:
+            incremental.release_lease(lease_dir, "writer2")
+        time.sleep(0.05)
+except Exception as e:  # noqa: BLE001 - reported to the test
+    err = f"{type(e).__name__}: {e}"
+with open(out_path, "w") as fh:
+    json.dump({"stats": stats, "err": err}, fh)
+'''
+
+
 def _append_gen(d: str, gen_no: int) -> None:
     for i in range(2):
         pq.write_table(
@@ -102,15 +136,36 @@ def test_multiprocess_readers_race_maintenance(spark, tmp_path):
             _READER
             % {"repo": os.path.dirname(os.path.dirname(os.path.abspath(__file__)))}
         )
+    w2_script = str(tmp_path / "writer2.py")
+    with open(w2_script, "w") as fh:
+        fh.write(
+            _WRITER2
+            % {"repo": os.path.dirname(os.path.dirname(os.path.abspath(__file__)))}
+        )
+    w2_out = str(tmp_path / "writer2.json")
     outs = [str(tmp_path / f"reader{i}.json") for i in range(2)]
     procs = [
         subprocess.Popen([sys.executable, script, d, stop, hold, o])
         for o in outs
     ]
+    procs.append(
+        subprocess.Popen([sys.executable, w2_script, d, stop, w2_out])
+    )
+
+    def _acquire_retry() -> int:
+        # A SECOND writer process competes for the same lease: the main
+        # writer must see clean LeaseHeld refusals and win eventually.
+        for _ in range(600):
+            try:
+                return incremental.acquire_lease(lease_dir, "writer", 30.0)
+            except incremental.LeaseHeld:
+                time.sleep(0.02)
+        raise AssertionError("main writer starved by writer2")
+
     try:
         n_cycles = 6
         for cycle in range(n_cycles):
-            gen = incremental.acquire_lease(lease_dir, "writer", 30.0)
+            gen = _acquire_retry()
             try:
                 _append_gen(d, cycle + 1)
                 if cycle % 2 == 1:
@@ -127,8 +182,12 @@ def test_multiprocess_readers_race_maintenance(spark, tmp_path):
                     )
             finally:
                 incremental.release_lease(lease_dir, "writer")
+            # A fair window between cycles so writer2 (polling every
+            # 20 ms) actually gets turns — a real ingestion loop has
+            # idle gaps; back-to-back reacquire would starve it.
+            time.sleep(0.15)
         # Deliberate held window: readers must see LeaseHeld.
-        incremental.acquire_lease(lease_dir, "writer", 30.0)
+        _acquire_retry()
         open(hold, "w").close()
         time.sleep(1.5)
         os.remove(hold)
@@ -143,6 +202,11 @@ def test_multiprocess_readers_race_maintenance(spark, tmp_path):
         assert rep["err"] is None, rep
         assert rep["stats"]["reads"] > 0, rep
         assert rep["stats"]["lease_held"] > 0, rep
+    with open(w2_out) as fh:
+        rep2 = json.load(fh)
+    assert rep2["err"] is None, rep2
+    assert rep2["stats"]["acquired"] > 0, rep2  # second writer got turns
+    assert rep2["stats"]["pruned"] >= 1, rep2
     # No lost generations; final content matches every recorded admit.
     assert incremental.snapshot_gens(d) == 6
     assert (
