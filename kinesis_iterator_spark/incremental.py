@@ -1671,6 +1671,7 @@ def _rewrite_files(
     stage: str,
     prefix: str,
     dead: DataFrame | None,
+    partition_by: tuple[str, ...] = (),
 ) -> tuple[list[str], int]:
     """Rewrite explicit parquet ``files`` (relative to ``data_dir``)
     into target-sized, ``order_cols``-sorted files under ``stage`` with
@@ -1678,7 +1679,12 @@ def _rewrite_files(
     (anti-join on all of ``dead``'s columns) when given. One Spark
     write per distinct footer schema (the compactor's ADVICE-r14
     discipline — a single read over evolved schemas silently drops
-    columns). Returns (new relative names, rows written)."""
+    columns). ``partition_by``: hive partition columns of a
+    partitioned layer (``lsh_signatures/table_id=K/``) — the read pins
+    ``basePath`` so the column survives file listing, the write
+    re-emits ``partitionBy`` dirs, and the returned names keep their
+    partition-dir prefixes (the manifest convention `_data_files`
+    established). Returns (new relative names, rows written)."""
     import shutil
 
     import pyarrow.parquet as pq
@@ -1695,6 +1701,7 @@ def _rewrite_files(
     tmp = f"{stage}.work"
     names: list[str] = []
     rows = 0
+    sort_cols = (*partition_by, *order_cols)
     try:
         for key in sorted(by_schema):
             shutil.rmtree(tmp, ignore_errors=True)
@@ -1703,29 +1710,39 @@ def _rewrite_files(
             ]
             total = sum(os.path.getsize(p) for p in paths)
             n_out = max(1, -(-total // COMPACT_TARGET_BYTES))
-            frame = spark.read.parquet(*paths)
+            reader = spark.read
+            if partition_by:
+                reader = reader.option("basePath", data_dir)
+            frame = reader.parquet(*paths)
             if dead is not None:
                 frame = frame.join(dead, list(dead.columns), "left_anti")
             frame = (
                 frame.coalesce(1)
                 if n_out == 1
-                else frame.repartitionByRange(int(n_out), *order_cols)
+                else frame.repartitionByRange(int(n_out), *sort_cols)
             )
-            (
-                frame.sortWithinPartitions(*order_cols)
-                .write.mode("overwrite")
-                .parquet(tmp)
-            )
-            for f in sorted(os.listdir(tmp)):
-                if f.endswith(".parquet"):
-                    name = f"{prefix}{f}"
-                    os.replace(
-                        os.path.join(tmp, f), os.path.join(stage, name)
+            writer = frame.sortWithinPartitions(*sort_cols).write
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.mode("overwrite").parquet(tmp)
+            for root, dirs, fs in os.walk(tmp):
+                dirs[:] = sorted(
+                    d for d in dirs if not d.startswith(("_", "."))
+                )
+                rel = os.path.relpath(root, tmp)
+                for f in sorted(fs):
+                    if not f.endswith(".parquet"):
+                        continue
+                    name = (
+                        f"{prefix}{f}"
+                        if rel == "."
+                        else os.path.join(rel, f"{prefix}{f}")
                     )
+                    dst = os.path.join(stage, name)
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    os.replace(os.path.join(root, f), dst)
                     names.append(name)
-                    rows += pq.ParquetFile(
-                        os.path.join(stage, name)
-                    ).metadata.num_rows
+                    rows += pq.ParquetFile(dst).metadata.num_rows
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return sorted(names), rows
@@ -1739,6 +1756,7 @@ def vacuum_data_snapshots(
     dead: DataFrame | None = None,
     fence: tuple[str, str, int] | None = None,
     reason: str | None = None,
+    partition_by: tuple[str, ...] = (),
 ) -> dict:
     """Byte reclamation below the retention horizon (VERDICT r14 #1).
     :func:`prune_snapshots` collapses manifest HISTORY but keeps every
@@ -1770,7 +1788,11 @@ def vacuum_data_snapshots(
     (the stage is complete before the first rename). Composes with
     :func:`prune_snapshots` and :func:`compact_data_snapshots` in any
     order (pinned). A repeat vacuum at the same horizon with no
-    ``dead`` is a no-op. Returns byte/file/row accounting."""
+    ``dead`` is a no-op. ``partition_by``: the hive partition columns
+    of a partitioned layer — the base rewrite re-emits the partition
+    dirs and the manifest keeps partition-dir-relative names, so
+    ``basePath`` readers still recover the column (r15: closes the
+    lsh_signatures gap). Returns byte/file/row accounting."""
     import shutil
 
     recover_data_dir(data_dir, locked=True)
@@ -1826,6 +1848,7 @@ def vacuum_data_snapshots(
             stage,
             prefix,
             dead,
+            partition_by=partition_by,
         )
     else:
         new_names, rows_out = [], 0

@@ -2395,14 +2395,15 @@ class EmbeddingWriter:
         files at the staged swap — ``store(as_of >= before_gen)`` and
         every from-index ``as_of >= before_gen`` read bit-equal
         before/after, older pins loudly refused, crash self-heals.
-        Covers the store plus every FLAT derived layer (sorted by its
-        query key, the compaction clustering discipline — inverted
+        Covers the store plus every derived layer, each sorted by its
+        query key (the compaction clustering discipline — inverted
         file by cell, occupancy by (table, bucket), codes by their
-        scan key); ``lsh_signatures`` is hive-partitioned, which the
-        flat base rewrite must not flatten — it keeps reclaiming
-        through :meth:`compact`/:meth:`reconcile` (which collapse
-        history). No layer here has tombstone-masked rows, so every
-        vacuum is consolidation-only (``dead=None``)."""
+        scan key); the hive-partitioned ``lsh_signatures`` rewrite
+        re-emits its ``table_id=`` dirs (``partition_by`` — the
+        manifest keeps partition-dir-relative names, so ``basePath``
+        as-of readers still recover the column). No layer here has
+        tombstone-masked rows, so every vacuum is consolidation-only
+        (``dead=None``)."""
         from . import incremental
 
         self._lease_gen = incremental.acquire_lease(
@@ -2419,11 +2420,12 @@ class EmbeddingWriter:
             )
             import os
 
-            for name, order in (
-                ("ivf_assignment", ("cell", "vec_id")),
-                ("bucket_sizes", ("table_id", "bucket")),
-                ("pq_codes", ("vec_id",)),
-                ("ivfpq_codes", ("cell", "vec_id")),
+            for name, order, parts in (
+                ("ivf_assignment", ("cell", "vec_id"), ()),
+                ("bucket_sizes", ("table_id", "bucket"), ()),
+                ("pq_codes", ("vec_id",), ()),
+                ("ivfpq_codes", ("cell", "vec_id"), ()),
+                ("lsh_signatures", ("bucket", "vec_id"), ("table_id",)),
             ):
                 d = f"{self.index_dir}/{name}"
                 if (
@@ -2436,6 +2438,7 @@ class EmbeddingWriter:
                         before_gen,
                         order,
                         fence=self._fence(),
+                        partition_by=parts,
                     )
             return out
         finally:

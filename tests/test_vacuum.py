@@ -351,25 +351,62 @@ def test_embedding_writer_vacuum(spark, tmp_path):
     for m in range(3):
         w.admit(emb.filter(F.col("vec_id") % 3 == m))
     q = [float(v) for v in emb.orderBy("vec_id").first()["embedding"]]
+    probe = emb.filter(F.col("vec_id") % 11 == 5).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
     before = {
         g: sorted(r["vec_id"] for r in w.store(as_of=g).collect())
         for g in (2, 3)
     }
     served_before = _rows(w.pq_topk(q, topk=5, as_of=2))
+    sig_before = _rows(
+        incremental.embedding_dedup_against_index(
+            spark,
+            probe,
+            f"{tmp_path}/ann",
+            corpus_emb=w.store(as_of=2),
+            tau=0.9,
+            as_of=2,
+        )
+    )
     out = w.vacuum(2)
     assert out["store"]["vacuumed"] is True
     assert out["store"]["bytes_after"] < out["store"]["bytes_before"]
-    # Flat derived layers are vacuumed too (consolidation-only).
-    for name in ("ivf_assignment", "bucket_sizes", "pq_codes"):
+    # Derived layers are vacuumed too (consolidation-only), including
+    # the hive-partitioned signatures (partition dirs re-emitted).
+    for name in (
+        "ivf_assignment",
+        "bucket_sizes",
+        "pq_codes",
+        "lsh_signatures",
+    ):
         assert out[name]["vacuumed"] is True, name
         assert out[name]["rows_dropped"] == 0, name
+    assert any(
+        d.startswith("table_id=")
+        for d in os.listdir(f"{tmp_path}/ann/lsh_signatures")
+    )
     for g in (2, 3):
         assert (
             sorted(r["vec_id"] for r in w.store(as_of=g).collect())
             == before[g]
         )
-    # From-index serving at the horizon is row-identical after vacuum.
+    # From-index serving at the horizon is row-identical after vacuum
+    # (PQ codes AND the signature-served classifier replay).
     assert _rows(w.pq_topk(q, topk=5, as_of=2)) == served_before
+    assert (
+        _rows(
+            incremental.embedding_dedup_against_index(
+                spark,
+                probe,
+                f"{tmp_path}/ann",
+                corpus_emb=w.store(as_of=2),
+                tau=0.9,
+                as_of=2,
+            )
+        )
+        == sig_before
+    )
     with pytest.raises(ValueError, match="horizon|collapsed"):
         w.store(as_of=1).count()
     s = w.admit(emb.filter(F.col("vec_id") % 3 == 0))
