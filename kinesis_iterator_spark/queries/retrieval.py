@@ -1274,6 +1274,17 @@ def _asof_suite_oracle() -> str:
             "CAST(NULL AS VARCHAR) AS verdict, tv_fix AS dup_of, "
             f"tv AS jaccard FROM ({inner}\n)"
         )
+    # Post-VACUUM leg (r15): after vacuum_data_snapshots(horizon=2) on
+    # every BM25 relation — a physical base rewrite, not just a
+    # manifest collapse — serving at the horizon must still produce
+    # the exact g2 values.
+    legs.append(
+        "SELECT CAST('v2' AS VARCHAR) AS part, doc_id, n_terms, "
+        f"bm25_fix, bm25, {pad_bm} FROM (\n"
+        "  SELECT * FROM ("
+        + bm25_oracle_sql(_REGISTRY_TERMS, doc_filter="doc_id % 10 < 2")
+        + "\n  ) ORDER BY bm25_fix DESC, doc_id LIMIT 10\n)"
+    )
     return "\nUNION ALL\n".join(legs)
 
 
@@ -1299,7 +1310,14 @@ def asof_serving_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       `drift_ref` per-segment layer a monitoring writer maintains),
       the admission-affecting distribution shift between g1 and g2
       visible in the hashed kl/tv values; part dp2 re-serves as_of=2
-      after pruning the layer to that horizon.
+      after pruning the layer to that horizon;
+    - part v2 (r15): VACUUM under the gate — after
+      `vacuum_data_snapshots(horizon=2)` physically rewrites every
+      BM25 relation's merged pre-horizon base (and drops the
+      superseded files), serving at the horizon must hash equal to
+      g2. The pre-maintenance legs are eagerly checkpointed first:
+      their resolved file lists point at exactly the files vacuum
+      deletes, so a lazy union would crash at the final action.
 
     The oracle is literal-free and scale-factor-agnostic: fresh BM25
     over each generation's cumulative slice, a full DuckDB derivation
@@ -1376,7 +1394,9 @@ def asof_serving_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import managed_checkpoint
 
     probe_hist = managed_checkpoint(
-        corpus_hist(probe.select("text"), _DRIFT_BUCKETS)
+        corpus_hist(probe.select("text"), _DRIFT_BUCKETS).localCheckpoint(
+            eager=True
+        )
     )
 
     def _drift_leg(tag: str, g: int):
@@ -1400,13 +1420,18 @@ def asof_serving_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.unionByName(_drift_leg("d1", 1)).unionByName(
         _drift_leg("d2", 2)
     )
+    # Materialize the pre-maintenance legs NOW (eager checkpoint,
+    # harness-released): the v2 leg below runs a real VACUUM, which
+    # physically deletes the pre-horizon files these legs' resolved
+    # file lists point at — a lazy union would crash at the final
+    # action. Same total compute: the final consume reads these rows
+    # from the checkpoint and computes only the maintenance legs.
+    out = managed_checkpoint(out.localCheckpoint(eager=True))
     # RETENTION under the gate: prune all three layers below
-    # generation 2 (manifest-only; the legs above resolved their file
-    # lists at plan construction, so they serve unchanged) and
-    # re-serve at the horizon — bit-equal to the pre-prune g2/c2/d2
-    # answers by contract, now verified in hashed values. Direct
-    # library calls: these are private single-process temp layers, not
-    # a writer family.
+    # generation 2 (manifest-only) and re-serve at the horizon —
+    # bit-equal to the pre-prune g2/c2/d2 answers by contract, now
+    # verified in hashed values. Direct library calls: these are
+    # private single-process temp layers, not a writer family.
     for name in _BM25_RELATIONS:
         incremental.prune_snapshots(f"{bm_idx}/{name}", 2)
     for name in ("digests", "bands", "dropped"):
@@ -1414,6 +1439,16 @@ def asof_serving_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         if os.path.isdir(d) and incremental.snapshot_gens(d) >= 2:
             incremental.prune_snapshots(d, 2)
     incremental.prune_snapshots(dr_dir, 2)
+    # VACUUM under the gate (r15): physically rewrite the POSTINGS
+    # relation's merged pre-horizon base (the byte-reclamation op; the
+    # scoring-dominant, term-pushdown relation) and re-serve at the
+    # horizon — part v2 must hash equal to g2. One relation keeps the
+    # entry lean; the full writer-family vacuum (df/doclen, corpus,
+    # bands dead-rows, partitioned signatures) is pytest-pinned in
+    # tests/test_vacuum.py.
+    incremental.vacuum_data_snapshots(
+        spark, f"{bm_idx}/postings", 2, ("term", "doc_id")
+    )
     p2 = bm25_topk_from_index(
         spark, bm_idx, _REGISTRY_TERMS, topk=10, as_of=2
     ).select(
@@ -1434,8 +1469,19 @@ def asof_serving_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dup_of").cast("long").alias("dup_of"),
         F.col("jaccard").cast("double").alias("jaccard"),
     )
+    v2 = bm25_topk_from_index(
+        spark, bm_idx, _REGISTRY_TERMS, topk=10, as_of=2
+    ).select(
+        F.lit("v2").alias("part"),
+        "doc_id",
+        "n_terms",
+        "bm25_fix",
+        "bm25",
+        *pad_bm,
+    )
     return (
         out.unionByName(p2)
         .unionByName(pc2)
         .unionByName(_drift_leg("dp2", 2))
+        .unionByName(v2)
     )
