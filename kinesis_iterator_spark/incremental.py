@@ -297,18 +297,25 @@ def _recover_staged(
     confined to roll-forward's own cleanup."""
     import shutil
 
+    import errno as _errno
+
     def _restore(src: str, cur: str) -> bool:
         """Rename tolerant of CONCURRENT healers (caught by the r15
         multi-process fuzz): between this process's isdir probe and its
         rename, another reader may restore the live dir itself — the
-        rename then fails (ENOENT: source already moved; ENOTEMPTY:
-        target already committed), and the only question is whether a
-        live dir exists NOW. Any completed state is valid; losing the
-        race while the live dir is still missing stays loud."""
+        rename then fails (ENOENT: source already moved; ENOTEMPTY /
+        EEXIST: target already committed), and the only question is
+        whether a live dir exists NOW. Any completed state is valid.
+        Only those RACE errnos are swallowed (ADVICE r15): a non-race
+        failure (EACCES, EIO, ...) while the live dir is missing must
+        stay loud — falling through would let the trailing stage
+        cleanup delete the only surviving copy of the layer."""
         try:
             os.rename(src, cur)
             return True
-        except OSError:
+        except OSError as exc:
+            if exc.errno not in (_errno.ENOENT, _errno.ENOTEMPTY, _errno.EEXIST):
+                raise
             return os.path.isdir(cur)
 
     for name in names:
@@ -322,7 +329,13 @@ def _recover_staged(
             if not restored and os.path.isdir(old):
                 _restore(old, cur)
         shutil.rmtree(old, ignore_errors=True)
-        if discard_stage or not os.path.isdir(cur):
+        # Discard the stage only when a live dir exists (ADVICE r15): a
+        # stage next to a MISSING live dir may be the only surviving
+        # copy of the layer and is never deleted here — the next heal
+        # rolls it forward instead. (After a successful roll-forward the
+        # stage is already gone, so this is roll-forward's cleanup of
+        # stale stages plus the lease-held discard_stage path.)
+        if discard_stage and os.path.isdir(cur):
             shutil.rmtree(staged, ignore_errors=True)
 
 
@@ -1819,8 +1832,14 @@ def vacuum_data_snapshots(
     bytes_before = _dir_bytes(data_dir)
     files_before = _data_files(data_dir)
     prefix = f"gen{horizon:06d}-vac-"
-    if dead is None and base["files"] and all(
-        os.path.basename(f).startswith(prefix) for f in base["files"]
+    # No-op short-circuits (ADVICE r15): an already-vacuumed base (all
+    # files prefix-named) — or a ZERO-FILE base with nothing to drop —
+    # has nothing to rewrite and nothing to reclaim; skip the carry-over
+    # and dir swap entirely so repeat vacuums at the same horizon stay
+    # cheap regardless of the base's row count.
+    if dead is None and (
+        not base["files"]
+        or all(os.path.basename(f).startswith(prefix) for f in base["files"])
     ):
         return {
             "horizon": horizon,

@@ -995,6 +995,17 @@ class CorpusWriter:
                     fence=self._fence(),
                 )
                 removed = out["bands"]["rows_dropped"]
+                # Crash window (ADVICE r15): this meta rewrite is NOT
+                # atomic with the bands staged swap above. A crash
+                # in between leaves `base_band_rows` inflated by
+                # `removed`, so the band-growth compaction trigger
+                # fires LATER than intended (ratio reads low) — never
+                # earlier, never wrong data. The next `compact` heals
+                # it exactly: `compact_index` recomputes the baseline
+                # from the rewritten bands dir (`_dir_rows`).
+                # Recomputing here instead would fold post-compaction
+                # appends into the baseline and RESET growth
+                # accounting, which is worse than the window.
                 if removed:
                     meta_path = f"{self.index_dir}/meta.json"
                     with open(meta_path) as fh:
@@ -2426,6 +2437,9 @@ class EmbeddingWriter:
                 ("pq_codes", ("vec_id",), ()),
                 ("ivfpq_codes", ("cell", "vec_id"), ()),
                 ("lsh_signatures", ("bucket", "vec_id"), ("table_id",)),
+                # Drift layer (ADVICE r15): per-admit (b, c) segments —
+                # mirrors CorpusWriter.vacuum's drift_ref entry.
+                ("cell_hist", ("b",), ()),
             ):
                 d = f"{self.index_dir}/{name}"
                 if (

@@ -1311,13 +1311,18 @@ def asof_serving_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       the admission-affecting distribution shift between g1 and g2
       visible in the hashed kl/tv values; part dp2 re-serves as_of=2
       after pruning the layer to that horizon;
+    - parts p2/pc2 (r14, prune-only by construction since r16): built
+      AFTER the manifest prune but BEFORE the vacuum, so they serve
+      from a collapsed manifest whose files are all still intact —
+      the retention contract distinct from byte reclamation;
     - part v2 (r15): VACUUM under the gate — after
-      `vacuum_data_snapshots(horizon=2)` physically rewrites every
-      BM25 relation's merged pre-horizon base (and drops the
+      `vacuum_data_snapshots(horizon=2)` physically rewrites the
+      postings relation's merged pre-horizon base (and drops the
       superseded files), serving at the horizon must hash equal to
-      g2. The pre-maintenance legs are eagerly checkpointed first:
-      their resolved file lists point at exactly the files vacuum
-      deletes, so a lazy union would crash at the final action.
+      g2 and to p2. Every pre-vacuum leg is eagerly checkpointed
+      first: their resolved file lists point at exactly the files
+      vacuum deletes, so a lazy union would crash at the final
+      action.
 
     The oracle is literal-free and scale-factor-agnostic: fresh BM25
     over each generation's cumulative slice, a full DuckDB derivation
@@ -1420,15 +1425,9 @@ def asof_serving_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.unionByName(_drift_leg("d1", 1)).unionByName(
         _drift_leg("d2", 2)
     )
-    # Materialize the pre-maintenance legs NOW (eager checkpoint,
-    # harness-released): the v2 leg below runs a real VACUUM, which
-    # physically deletes the pre-horizon files these legs' resolved
-    # file lists point at — a lazy union would crash at the final
-    # action. Same total compute: the final consume reads these rows
-    # from the checkpoint and computes only the maintenance legs.
-    out = managed_checkpoint(out.localCheckpoint(eager=True))
     # RETENTION under the gate: prune all three layers below
-    # generation 2 (manifest-only) and re-serve at the horizon —
+    # generation 2 (manifest-only — no file is deleted, so the lazy
+    # pre-prune legs above stay readable) and re-serve at the horizon —
     # bit-equal to the pre-prune g2/c2/d2 answers by contract, now
     # verified in hashed values. Direct library calls: these are
     # private single-process temp layers, not a writer family.
@@ -1439,16 +1438,9 @@ def asof_serving_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         if os.path.isdir(d) and incremental.snapshot_gens(d) >= 2:
             incremental.prune_snapshots(d, 2)
     incremental.prune_snapshots(dr_dir, 2)
-    # VACUUM under the gate (r15): physically rewrite the POSTINGS
-    # relation's merged pre-horizon base (the byte-reclamation op; the
-    # scoring-dominant, term-pushdown relation) and re-serve at the
-    # horizon — part v2 must hash equal to g2. One relation keeps the
-    # entry lean; the full writer-family vacuum (df/doclen, corpus,
-    # bands dead-rows, partitioned signatures) is pytest-pinned in
-    # tests/test_vacuum.py.
-    incremental.vacuum_data_snapshots(
-        spark, f"{bm_idx}/postings", 2, ("term", "doc_id")
-    )
+    # PRUNE-ONLY serving legs (ADVICE r15: built BEFORE the vacuum so
+    # they exercise manifest-collapse-with-files-intact serving — the
+    # vacuum below would make them plan-identical to v2).
     p2 = bm25_topk_from_index(
         spark, bm_idx, _REGISTRY_TERMS, topk=10, as_of=2
     ).select(
@@ -1469,6 +1461,29 @@ def asof_serving_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dup_of").cast("long").alias("dup_of"),
         F.col("jaccard").cast("double").alias("jaccard"),
     )
+    out = (
+        out.unionByName(p2)
+        .unionByName(pc2)
+        .unionByName(_drift_leg("dp2", 2))
+    )
+    # Materialize every pre-vacuum leg NOW (ONE eager checkpoint,
+    # harness-released): the v2 leg below runs a real VACUUM, which
+    # physically deletes the pre-horizon files these legs' resolved
+    # file lists point at — a lazy union would crash at the final
+    # action. Same total compute: the final consume reads these rows
+    # from the checkpoint and computes only the post-vacuum leg.
+    out = managed_checkpoint(out.localCheckpoint(eager=True))
+    # VACUUM under the gate (r15): physically rewrite the POSTINGS
+    # relation's merged pre-horizon base (the byte-reclamation op; the
+    # scoring-dominant, term-pushdown relation) and re-serve at the
+    # horizon — part v2 must hash equal to g2 (and to the prune-only
+    # p2, whose file list the vacuum just replaced). One relation keeps
+    # the entry lean; the full writer-family vacuum (df/doclen, corpus,
+    # bands dead-rows, partitioned signatures) is pytest-pinned in
+    # tests/test_vacuum.py.
+    incremental.vacuum_data_snapshots(
+        spark, f"{bm_idx}/postings", 2, ("term", "doc_id")
+    )
     v2 = bm25_topk_from_index(
         spark, bm_idx, _REGISTRY_TERMS, topk=10, as_of=2
     ).select(
@@ -1479,9 +1494,4 @@ def asof_serving_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bm25",
         *pad_bm,
     )
-    return (
-        out.unionByName(p2)
-        .unionByName(pc2)
-        .unionByName(_drift_leg("dp2", 2))
-        .unionByName(v2)
-    )
+    return out.unionByName(v2)

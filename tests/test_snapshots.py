@@ -435,3 +435,29 @@ def test_unlocked_index_heals_keep_foreign_stage(tmp_path):
     os.rename(tmp_path / "bands", tmp_path / "bands.compact")
     incremental._recover_compaction(str(tmp_path))
     assert (tmp_path / "bands" / "seg.parquet").exists()
+
+def test_recover_staged_nonrace_failure_keeps_only_copy(tmp_path, monkeypatch):
+    """ADVICE r15 (medium): `_recover_staged`'s restore rename swallows
+    only the concurrent-healer race errnos (ENOENT/ENOTEMPTY/EEXIST). A
+    non-race failure (EACCES here) while the live dir is MISSING must
+    raise loudly and must NOT fall through to the trailing stage
+    cleanup, which would delete the only surviving copy of the layer."""
+    stage = tmp_path / "layer.compact"
+    stage.mkdir()
+    (stage / "only.parquet").write_bytes(b"precious")
+
+    real_rename = os.rename
+
+    def deny(src, dst):
+        if str(src).endswith("layer.compact"):
+            raise PermissionError(13, "Permission denied", str(src))
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", deny)
+    with pytest.raises(PermissionError):
+        incremental._recover_staged(str(tmp_path), ("layer",), discard_stage=True)
+    monkeypatch.undo()
+    # The stage — the only copy — survived, and a later heal commits it.
+    assert (stage / "only.parquet").read_bytes() == b"precious"
+    incremental._recover_staged(str(tmp_path), ("layer",), discard_stage=True)
+    assert (tmp_path / "layer" / "only.parquet").read_bytes() == b"precious"

@@ -346,7 +346,7 @@ def test_embedding_writer_vacuum(spark, tmp_path):
     emb = load_table(spark, SF, "embeddings")
     w = EmbeddingWriter(
         spark, f"{tmp_path}/store", f"{tmp_path}/ann", tau=0.9,
-        pq_layer=True,
+        pq_layer=True, drift_monitor=True,
     )
     for m in range(3):
         w.admit(emb.filter(F.col("vec_id") % 3 == m))
@@ -359,6 +359,7 @@ def test_embedding_writer_vacuum(spark, tmp_path):
         for g in (2, 3)
     }
     served_before = _rows(w.pq_topk(q, topk=5, as_of=2))
+    drift_before = w.drift_stats(probe, as_of=2)
     sig_before = _rows(
         incremental.embedding_dedup_against_index(
             spark,
@@ -379,6 +380,9 @@ def test_embedding_writer_vacuum(spark, tmp_path):
         "bucket_sizes",
         "pq_codes",
         "lsh_signatures",
+        # ADVICE r15: the drift layer's per-admit segments are byte-
+        # reclaimed too, mirroring CorpusWriter.vacuum's drift_ref.
+        "cell_hist",
     ):
         assert out[name]["vacuumed"] is True, name
         assert out[name]["rows_dropped"] == 0, name
@@ -394,6 +398,7 @@ def test_embedding_writer_vacuum(spark, tmp_path):
     # From-index serving at the horizon is row-identical after vacuum
     # (PQ codes AND the signature-served classifier replay).
     assert _rows(w.pq_topk(q, topk=5, as_of=2)) == served_before
+    assert w.drift_stats(probe, as_of=2) == drift_before
     assert (
         _rows(
             incremental.embedding_dedup_against_index(
