@@ -63,6 +63,11 @@ class _ShardSlice(InputPartition):
     after: str  # exclusive lower bound (zero-padded sequence, "" = start)
     upto: str  # inclusive upper bound
     tz: str = "UTC"  # session timezone for the arrival-ts cast
+    # Reshard transition layers (A13): ((n_old, (after_int per old
+    # shard, -1 = start)), ...). A record is excluded iff ANY layer
+    # already delivered it under the pre-reshard topology — sequence ≤
+    # the cursor of the OLD shard (user_id % n_old) it belonged to.
+    prev: tuple = ()
 
 
 def _session_tz(options: dict) -> str:
@@ -140,7 +145,15 @@ def _read_slice(partition: "_ShardSlice"):
         columns=["event_id", "ts", "user_id", "props"],
         filters=[("event_id", ">", lo), ("event_id", "<=", hi)],
     )
-    mask = t.column("user_id").to_numpy() % p.n_shards == p.shard_index
+    uid = t.column("user_id").to_numpy()
+    mask = uid % p.n_shards == p.shard_index
+    for pn, afters in p.prev:
+        # Exclude records a pre-reshard topology already delivered:
+        # the parent shard of record e is user_id % n_old, and the
+        # parent delivered a contiguous sequence prefix up to its
+        # cursor — vectorized gather, one compare per layer.
+        arr = np.asarray(afters, dtype=np.int64)
+        mask &= t.column("event_id").to_numpy() > arr[uid % pn]
     t = t.filter(np.asarray(mask)).sort_by("event_id").combine_chunks()
     n = len(t)
     shard = _shard_name(p.shard_index)
@@ -175,6 +188,36 @@ def _read_slice(partition: "_ShardSlice"):
     yield from out.to_batches()
 
 
+def _slice_prev(layers) -> tuple:
+    """Offset-JSON prev layers → the executor form `_ShardSlice.prev`
+    expects: (n_old, tuple of after-ints indexed by old shard, -1 =
+    nothing delivered)."""
+    out = []
+    for layer in layers:
+        n = int(layer["n"])
+        afters = [-1] * n
+        for name, seq in layer["after"].items():
+            try:
+                idx = int(name.rsplit("-", 1)[1])
+            except (IndexError, ValueError):
+                continue
+            if 0 <= idx < n:
+                afters[idx] = int(seq) if seq else -1
+        out.append((n, tuple(afters)))
+    return tuple(out)
+
+
+def write_topology(topology_file: str, n_shards: int) -> None:
+    """Atomically publish a new shard topology for readers polling
+    ``topology_file`` (the simulated control plane a reshard flows
+    through — the service side of ListShards). Atomic replace: a reader
+    polling mid-write must never see a torn file."""
+    tmp = f"{topology_file}.tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump({"n_shards": int(n_shards)}, fh)
+    os.replace(tmp, topology_file)
+
+
 class SimKinesisStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict):
         self._path = _resolve_path(options)
@@ -194,6 +237,18 @@ class SimKinesisStreamReader(DataSourceStreamReader):
         self._limit = int(options.get("limit", "0"))
         self._stream = options.get("stream_name", "events")
         self._tz = _session_tz(options)
+        # Reshard control plane (A13, kinesis.go:58-98): an optional
+        # topology file the reader re-polls every latestOffset — the
+        # simulated ListShards. A changed shard count mid-query records
+        # the last planned offset map as a PREV layer (exactly-once
+        # constraint carried through the transition, see
+        # _maybe_reshard) and re-derives the shard index under the new
+        # topology. Without the option the topology is frozen at the
+        # n_shards value, as before.
+        self._topo_file = options.get("topology_file") or None
+        self._n_shards = self._current_n()
+        self._prev_layers: list[dict] = []
+        self._last_clean: dict[str, str] | None = None
         self._cursor: dict[int, int] = {}  # shard → index into _seqs
         self._seqs = _build_seq_index(self._path, self._n_shards)
         # available_now=true freezes the drain target at reader
@@ -212,6 +267,95 @@ class SimKinesisStreamReader(DataSourceStreamReader):
             s: len(seqs) for s, seqs in self._seqs.items()
         }
         self._latest_calls = 0
+
+    # -- reshard control plane (A13) ----------------------------------------
+    def _current_n(self) -> int:
+        """Poll the topology file (ListShards analogue); keep the
+        last-known topology on any read failure — a control-plane blip
+        must not reshard the stream."""
+        if self._topo_file:
+            try:
+                with open(self._topo_file) as fh:
+                    return int(json.load(fh)["n_shards"])
+            except (OSError, ValueError, KeyError, TypeError):
+                return self._n_shards
+        return self._n_shards
+
+    def _push_layer(self, layer: dict) -> None:
+        if layer not in self._prev_layers:
+            self._prev_layers.append(layer)
+
+    def _maybe_reshard(self) -> None:
+        """Adopt a changed topology between micro-batches. Exactly-once
+        across the transition rides on one fact: a shard delivers a
+        CONTIGUOUS per-shard sequence prefix up to its cursor, so "was
+        record e delivered before the reshard" is exactly ``seq(e) <=
+        after_old[user(e) % n_old]``. The last planned offset map
+        becomes a PREV layer carried in the offset JSON ("_prev") and
+        applied executor-side; child cursors restart at TRIM_HORIZON
+        under the new shard naming. The layer drops from the offset
+        once every child cursor provably covers it
+        (`_drop_redundant_layers`)."""
+        n_new = self._current_n()
+        if n_new == self._n_shards:
+            return
+        if self._last_clean and any(self._last_clean.values()):
+            self._push_layer(
+                {"n": self._n_shards, "after": dict(self._last_clean)}
+            )
+        self._n_shards = n_new
+        self._seqs = _build_seq_index(self._path, n_new)
+        self._cursor = {}
+        # available_now drains re-freeze at the same record set's
+        # per-NEW-shard tails (the fixture is static — identical global
+        # drain target, new naming).
+        self._target = {s: len(seqs) for s, seqs in self._seqs.items()}
+        self._last_clean = None
+
+    def _drop_redundant_layers(self, clean: dict[str, str]) -> None:
+        """A prev layer is redundant once, for every new shard, the
+        child cursor is ≥ the layer's max sequence OR at the shard's own
+        tail — then every record the layer delivered is ≤ its new
+        shard's cursor and the single cursor map captures the full
+        delivered set again. (Zero-padded sequence strings compare
+        lexicographically = numerically; "" sorts first.)
+
+        Evaluated against the PREVIOUS emitted offset, never the one
+        being built: the batch ENDING at the new offset reads its
+        layers from that offset (transition batches have no layer on
+        their start side), so a layer proven redundant by offset k may
+        be omitted only from offset k+1 — the (k, k+1) batch still
+        picks it up from its start side."""
+        if not self._prev_layers:
+            return
+        kept = []
+        for layer in self._prev_layers:
+            mx = max(layer["after"].values(), default="")
+            for s, seqs in self._seqs.items():
+                cur = clean.get(_shard_name(s), "")
+                tail = seqs[-1] if seqs else ""
+                if cur < mx and cur < tail:
+                    kept.append(layer)
+                    break
+        self._prev_layers = kept
+
+    def _adopt(self, offset: dict) -> None:
+        """Restore transition state from a WAL offset (commit/replay):
+        re-learn active prev layers after a restart, fold an
+        OLD-topology offset (a replay that crossed a reshard) in as a
+        completed layer, and fast-forward the paging cursor when the
+        offset speaks the current topology."""
+        for layer in offset.get("_prev") or ():
+            self._push_layer(
+                {"n": int(layer["n"]), "after": dict(layer["after"])}
+            )
+        clean = {k: v for k, v in offset.items() if not k.startswith("_")}
+        if len(clean) != self._n_shards:
+            if any(clean.values()):
+                self._push_layer({"n": len(clean), "after": clean})
+            return
+        if self._limit > 0:
+            self._fast_forward(clean)
 
     # -- offset protocol ----------------------------------------------------
     def initialOffset(self) -> dict:
@@ -234,17 +378,30 @@ class SimKinesisStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         self._latest_calls += 1
+        self._maybe_reshard()
+        # Drop decision BEFORE this call's paging, against the previous
+        # emitted map (None right after a reshard — the transition
+        # offset always carries its fresh layer).
+        if self._last_clean is not None:
+            self._drop_redundant_layers(self._last_clean)
         if self._limit <= 0:
-            return {
+            clean = {
                 _shard_name(s): (seqs[self._target[s] - 1] if self._target[s] else "")
                 for s, seqs in self._seqs.items()
             }
+            self._last_clean = dict(clean)
+            if self._prev_layers:
+                clean["_prev"] = [dict(l) for l in self._prev_layers]
+            return clean
         out = {}
         for s, seqs in self._seqs.items():
             ceil = self._target[s] if self._available_now else len(seqs)
             pos = min(self._cursor.get(s, 0) + self._limit, ceil)
             self._cursor[s] = pos
             out[_shard_name(s)] = seqs[pos - 1] if pos > 0 else ""
+        self._last_clean = dict(out)
+        if self._prev_layers:
+            out["_prev"] = [dict(l) for l in self._prev_layers]
         # Metadata keys ("_"-prefixed, skipped by every by-shard-name
         # consumer) ride along in the offset JSON so the DRIVER can see
         # the paging contract in lastProgress: under the native
@@ -264,31 +421,51 @@ class SimKinesisStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict):
         import bisect
 
-        # Seed the paging cursor from the planned range's END: on restart
-        # Spark replays the last uncommitted batch through here with its
-        # WAL offsets, and every record ≤ end is already admitted, so the
-        # next latestOffset must resume past it, never below.
-        if self._limit > 0:
-            self._fast_forward(end)
+        clean_end = {k: v for k, v in end.items() if not k.startswith("_")}
+        clean_start = {
+            k: v for k, v in start.items() if not k.startswith("_")
+        }
+        # Plan with the END offset's OWN shard map: a replayed batch
+        # after a restart that crossed a reshard speaks the old
+        # topology, not the reader's current one.
+        n_end = len(clean_end)
+        seqs = (
+            self._seqs
+            if n_end == self._n_shards
+            else _build_seq_index(self._path, n_end)
+        )
+        # Seed paging cursor + transition state from the planned range's
+        # END: on restart Spark replays the last uncommitted batch
+        # through here with its WAL offsets, and every record ≤ end is
+        # already admitted, so the next latestOffset must resume past
+        # it, never below.
+        self._adopt(end)
+        # Pre-reshard delivery constraints for THIS batch: carried in
+        # the offsets themselves (restart-safe). A transition batch has
+        # an old-topology start (its cursor map IS the layer, recorded
+        # in end's "_prev") and every new shard starts at TRIM_HORIZON.
+        prev = _slice_prev(start.get("_prev") or end.get("_prev") or ())
+        same_topo = len(clean_start) == n_end
         out = []
-        for s in range(self._n_shards):
+        for s in range(n_end):
             name = _shard_name(s)
-            after = start.get(name, "")
-            tail = end.get(name, "")
-            seqs = self._seqs[s]
-            lo = bisect.bisect_right(seqs, after)
-            hi = bisect.bisect_right(seqs, tail)
+            after = clean_start.get(name, "") if same_topo else ""
+            tail = clean_end.get(name, "")
+            sq = seqs[s]
+            lo = bisect.bisect_right(sq, after)
+            hi = bisect.bisect_right(sq, tail)
             if hi <= lo:
                 continue
             out.append(
                 _ShardSlice(
                     path=self._path,
-                    n_shards=self._n_shards,
+                    n_shards=n_end,
                     shard_index=s,
                     stream_name=self._stream,
                     after=after,
-                    upto=seqs[hi - 1],
+                    upto=sq[hi - 1],
                     tz=self._tz,
+                    prev=prev,
                 )
             )
         return out
@@ -300,10 +477,10 @@ class SimKinesisStreamReader(DataSourceStreamReader):
         # Offsets live in the query's checkpoint WAL (the library form
         # persists them via SequenceSaver instead). Spark re-commits the
         # restored batch's offsets when a query restarts from checkpoint —
-        # seeding the paging cursor here is what keeps bounded admission
-        # exactly-once across restarts.
-        if self._limit > 0:
-            self._fast_forward(end)
+        # seeding the paging cursor (and any in-flight reshard layers)
+        # here is what keeps bounded admission exactly-once across
+        # restarts.
+        self._adopt(end)
 
     def stop(self) -> None:
         # No teardown to do — and NOT a viable under-drain guard hook:
@@ -559,4 +736,5 @@ __all__ = [
     "FORMAT_NAME",
     "await_drained",
     "drain_target",
+    "write_topology",
 ]
