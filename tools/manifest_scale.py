@@ -98,6 +98,30 @@ def measure(spark, n_gens: int) -> dict:
         out["snapshot_files_after_compact_ms"] = round(
             (time.perf_counter() - t0) * 1e3, 1
         )
+
+        # Vacuum at depth (VERDICT r15 #2): fresh N-generation history,
+        # byte reclamation at horizon N/2 — the post-horizon half is the
+        # hardlink carry-over (the rename-bound op), the pre-horizon
+        # half collapses into the rewritten base.
+        d2 = os.path.join(root, "data_vac")
+        build_history(d2, n_gens)
+        t0 = time.perf_counter()
+        v = incremental.vacuum_data_snapshots(
+            spark, d2, n_gens // 2, ("doc_id",)
+        )
+        out["vacuum_s"] = round(time.perf_counter() - t0, 2)
+        out["vacuum_files_before"] = v["files_before"]
+        out["vacuum_files_after"] = v["files_after"]
+        out["vacuum_bytes_pct"] = round(
+            100.0 * v["bytes_after"] / max(1, v["bytes_before"]), 1
+        )
+        # Repeat at the same horizon: the no-op path must stay cheap.
+        t0 = time.perf_counter()
+        again = incremental.vacuum_data_snapshots(
+            spark, d2, n_gens // 2, ("doc_id",)
+        )
+        assert again["vacuumed"] is False
+        out["vacuum_noop_ms"] = round((time.perf_counter() - t0) * 1e3, 1)
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
