@@ -1024,6 +1024,16 @@ class CorpusWriter:
                 (self._paras_dir(), ("h",)),
                 (self._substr_dir(), ("h",)),
                 (self._drift_dir(), ("b",)),
+                # Tombstones (VERDICT r15 #5): the ROWS are load-bearing
+                # forever — a bucket the cap rule ever dropped must stay
+                # masked, or post-vacuum appends to it would pair
+                # against a remnant whose earlier members are physically
+                # gone (the r10 cap contract; a full union rebuild drops
+                # the bucket too). Row growth is bounded and tiny:
+                # ≤ total-band-rows-ever / MAX_BUCKET rows of two ids
+                # (SCALING.md). The per-admit small FILES, however, are
+                # pure layout overhead — consolidation-only vacuum.
+                (f"{self.index_dir}/dropped", ("band_id", "band_key")),
             ):
                 if (
                     os.path.isdir(d)

@@ -84,11 +84,21 @@ import json, os, sys, time
 sys.path.insert(0, %(repo)r)
 from kinesis_iterator_spark import incremental
 
-data_dir, stop_path, out_path = sys.argv[1:4]
+data_dir, stop_path, out_path, vac_marker = sys.argv[1:5]
 lease_dir = data_dir + ".family"
-stats = {"acquired": 0, "pruned": 0, "lease_held": 0}
+stats = {
+    "acquired": 0, "pruned": 0, "lease_held": 0,
+    "vacuum_runs": 0, "vacuum_refused": 0,
+}
 err = None
+spark = None
 try:
+    # Own Spark session (VERDICT r15 #7: vacuum is the one lease-held
+    # op the cross-process fuzz didn't exercise under contention; it
+    # needs a JVM for the base rewrite). Started up-front so the spinup
+    # overlaps the main writer's cycles.
+    from kinesis_iterator_spark.session import get_spark
+    spark = get_spark("fuzz-writer2", cpus=2)
     while not os.path.exists(stop_path):
         try:
             gen = incremental.acquire_lease(lease_dir, "writer2", 30.0)
@@ -98,16 +108,42 @@ try:
             continue
         try:
             stats["acquired"] += 1
-            # A real maintenance op from a SECOND writer process:
-            # retention prune under the lease (driver-side, no Spark).
+            # Real maintenance ops from a SECOND writer process, under
+            # the lease: retention prune (driver-side) and byte
+            # reclamation (staged swap + Spark rewrite) while unlocked
+            # readers hammer the dir.
             if incremental.snapshot_gens(data_dir) >= 2:
                 if incremental.prune_snapshots(data_dir, 2):
                     stats["pruned"] += 1
+                gens = incremental.snapshot_gens(data_dir)
+                for h in range(2, gens + 1):
+                    try:
+                        incremental.vacuum_data_snapshots(
+                            spark, data_dir, h, ("doc_id",),
+                            fence=(lease_dir, "writer2", gen),
+                        )
+                        stats["vacuum_runs"] += 1
+                        open(vac_marker, "w").close()
+                        break
+                    except ValueError as e:
+                        # A base collapsed below an earlier horizon (or
+                        # a racing prune deepened it) refuses loudly --
+                        # try the next servable generation.
+                        if "collapsed" in str(e) or "out of range" in str(e):
+                            stats["vacuum_refused"] += 1
+                            continue
+                        raise
         finally:
             incremental.release_lease(lease_dir, "writer2")
         time.sleep(0.05)
 except Exception as e:  # noqa: BLE001 - reported to the test
     err = f"{type(e).__name__}: {e}"
+finally:
+    if spark is not None:
+        try:
+            spark.stop()
+        except Exception:
+            pass
 with open(out_path, "w") as fh:
     json.dump({"stats": stats, "err": err}, fh)
 '''
@@ -143,19 +179,24 @@ def test_multiprocess_readers_race_maintenance(spark, tmp_path):
             % {"repo": os.path.dirname(os.path.dirname(os.path.abspath(__file__)))}
         )
     w2_out = str(tmp_path / "writer2.json")
+    vac_marker = str(tmp_path / "vacuumed")
     outs = [str(tmp_path / f"reader{i}.json") for i in range(2)]
     procs = [
         subprocess.Popen([sys.executable, script, d, stop, hold, o])
         for o in outs
     ]
     procs.append(
-        subprocess.Popen([sys.executable, w2_script, d, stop, w2_out])
+        subprocess.Popen(
+            [sys.executable, w2_script, d, stop, w2_out, vac_marker]
+        )
     )
 
     def _acquire_retry() -> int:
         # A SECOND writer process competes for the same lease: the main
         # writer must see clean LeaseHeld refusals and win eventually.
-        for _ in range(600):
+        # (Generous bound: writer2 may hold the lease for a multi-second
+        # vacuum rewrite.)
+        for _ in range(3000):
             try:
                 return incremental.acquire_lease(lease_dir, "writer", 30.0)
             except incremental.LeaseHeld:
@@ -192,6 +233,13 @@ def test_multiprocess_readers_race_maintenance(spark, tmp_path):
         time.sleep(1.5)
         os.remove(hold)
         incremental.release_lease(lease_dir, "writer")
+        # Keep the system live (leases free, readers racing) until the
+        # competing writer completes at least one VACUUM under
+        # contention — its Spark session spins up concurrently with the
+        # cycles above, so this usually costs only a few seconds.
+        deadline = time.time() + 120
+        while time.time() < deadline and not os.path.exists(vac_marker):
+            time.sleep(0.2)
     finally:
         open(stop, "w").close()
         for p in procs:
@@ -207,6 +255,7 @@ def test_multiprocess_readers_race_maintenance(spark, tmp_path):
     assert rep2["err"] is None, rep2
     assert rep2["stats"]["acquired"] > 0, rep2  # second writer got turns
     assert rep2["stats"]["pruned"] >= 1, rep2
+    assert rep2["stats"]["vacuum_runs"] >= 1, rep2  # vacuum under contention
     # No lost generations; final content matches every recorded admit.
     assert incremental.snapshot_gens(d) == 6
     assert (

@@ -245,9 +245,30 @@ def test_corpus_writer_vacuum_reclaims_and_serves_equal(spark, tmp_path):
     out = w.vacuum(2)
     assert out["corpus"]["vacuumed"] is True
     assert out["corpus"]["bytes_after"] < bytes_before
+    # Reclamation FLOOR (VERDICT r15 #7): the corpus vacuum must
+    # actually reclaim layout overhead, not degrade into a no-op
+    # rewrite — measured 0.75× at 3 admits / horizon 2 (0.58× at the
+    # 8-admit tools/vacuum_bytes.py scenario); 0.9× leaves format
+    # headroom while catching a silent 1.0× regression.
+    assert out["corpus"]["bytes_after"] <= 0.9 * bytes_before
     # Flat derived layers consolidated too, as-of serving identical.
     for name in ("digests", "postings", "df", "doclen", "drift_ref"):
         assert out[name]["vacuumed"] is True, name
+    # Tombstones (VERDICT r15 #5): the layer's per-admit FILES are
+    # consolidated (it ran under the vacuum), but every tombstone ROW
+    # survives — dropping any would re-enable a capped bucket whose
+    # pre-horizon members are physically gone. With no over-cap bucket
+    # in this fixture the layer is all zero-row files and collapses to
+    # an empty base; either way no rows may be lost.
+    assert "dropped" in out
+    assert out["dropped"]["rows_dropped"] == 0
+    drop_dir = f"{tmp_path}/index/dropped"
+    assert incremental._files_rows(
+        [
+            f"{drop_dir}/{f}"
+            for f in incremental._data_files(drop_dir)
+        ]
+    ) == 0  # fixture never exceeds the cap; rows preserved exactly
     assert (
         _rows(w.bm25_topk(["scan", "column", "window"], topk=10, as_of=2))
         == bm_before
@@ -339,6 +360,24 @@ def test_vacuum_drops_masked_band_rows_serve_equal(spark, doc, tmp_path):
     assert (
         _rows(incremental.dedup_against_index(spark, probe, idx, corpus))
         == before_full
+    )
+    # The DROPPED layer itself (VERDICT r15 #5): consolidation-only
+    # vacuum — every tombstone ROW must survive (it keeps the capped
+    # bucket masked against post-vacuum appends forever), and serving
+    # stays identical after the layer's small files collapse.
+    tomb_before = incremental._dir_rows(f"{idx}/dropped")
+    vout = incremental.vacuum_data_snapshots(
+        spark, f"{idx}/dropped", 2, ("band_id", "band_key")
+    )
+    assert vout["rows_dropped"] == 0
+    assert incremental._dir_rows(f"{idx}/dropped") == tomb_before
+    assert (
+        _rows(
+            incremental.dedup_against_index(
+                spark, probe, idx, corpus, as_of=2
+            )
+        )
+        == before[2]
     )
 
 
