@@ -1367,6 +1367,17 @@ def asof_serving_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("bm25_fix"),
         F.lit(None).cast("double").alias("bm25"),
     ]
+    # The probe is IDENTICAL for every classifier leg (c1-c3, pc2):
+    # band it ONCE (eager checkpoint of the slim 4-rows/doc frame — the
+    # r8 persist-small discipline) and hand the rows to each
+    # `dedup_against_index` call via `batch_bands`, replacing four full
+    # shingle→signature pipelines with one.
+    from . import managed_checkpoint
+    from .dedup import minhash_bands
+
+    probe_bands = managed_checkpoint(
+        minhash_bands(probe).localCheckpoint(eager=True)
+    )
     out = None
     for g in range(1, _ASOF_SLICES + 1):
         leg = bm25_topk_from_index(
@@ -1383,7 +1394,7 @@ def asof_serving_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     for g in range(1, _ASOF_SLICES + 1):
         corpus_g = doc.filter(F.col("doc_id") % 10 < g)
         leg = incremental.dedup_against_index(
-            spark, probe, dd_idx, corpus_g, as_of=g
+            spark, probe, dd_idx, corpus_g, batch_bands=probe_bands, as_of=g
         ).select(
             F.lit(f"c{g}").alias("part"),
             "doc_id",
@@ -1452,7 +1463,12 @@ def asof_serving_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         *pad_bm,
     )
     pc2 = incremental.dedup_against_index(
-        spark, probe, dd_idx, doc.filter(F.col("doc_id") % 10 < 2), as_of=2
+        spark,
+        probe,
+        dd_idx,
+        doc.filter(F.col("doc_id") % 10 < 2),
+        batch_bands=probe_bands,
+        as_of=2,
     ).select(
         F.lit("pc2").alias("part"),
         "doc_id",
