@@ -578,3 +578,78 @@ def test_restart_across_reshard_no_duplicates(spark, sf_dir, tmp_path):
         for b in second
         for r in b
     )
+
+def test_reshard_offset_layer_machinery_driver_side():
+    """Driver-side pins for the reshard offset algebra (no Spark):
+    `_slice_prev` conversion, redundancy-drop rule, and `_adopt`'s
+    WAL-offset folding — the pieces the integration tests exercise
+    only implicitly."""
+    r = ds.SimKinesisStreamReader.__new__(ds.SimKinesisStreamReader)
+    # _slice_prev: names → index, "" → -1, malformed keys skipped.
+    layers = [
+        {"n": 4, "after": {
+            "shardId-000000000000": "000000000007",
+            "shardId-000000000002": "",
+            "bogus": "000000000099",
+        }}
+    ]
+    assert ds._slice_prev(layers) == ((4, (7, -1, -1, -1)),)
+    assert ds._slice_prev(()) == ()
+
+    # _drop_redundant_layers: redundant iff EVERY shard's cursor is
+    # >= the layer max OR at its own tail.
+    r._prev_layers = [
+        {"n": 4, "after": {"shardId-000000000000": "000000000005"}}
+    ]
+    r._seqs = {
+        0: ["000000000002", "000000000008"],
+        1: ["000000000003"],
+    }
+    # shard 0 below the layer max and below its tail: layer kept.
+    r._drop_redundant_layers(
+        {"shardId-000000000000": "000000000002",
+         "shardId-000000000001": "000000000003"}
+    )
+    assert len(r._prev_layers) == 1
+    # shard 0 at its own tail (even though tail < nothing): dropped.
+    r._drop_redundant_layers(
+        {"shardId-000000000000": "000000000008",
+         "shardId-000000000001": "000000000003"}
+    )
+    assert r._prev_layers == []
+
+    # _adopt: an old-topology offset (key count != current n) folds in
+    # as a completed layer; a current-topology offset does not.
+    r._n_shards = 8
+    r._limit = 0
+    r._prev_layers = []
+    r._adopt({"shardId-000000000000": "000000000004",
+              "shardId-000000000001": ""})
+    assert r._prev_layers == [
+        {"n": 2, "after": {"shardId-000000000000": "000000000004",
+                           "shardId-000000000001": ""}}
+    ]
+    # idempotent: re-adopting the same offset does not stack.
+    r._adopt({"shardId-000000000000": "000000000004",
+              "shardId-000000000001": ""})
+    assert len(r._prev_layers) == 1
+    # an all-empty old-topology offset is NOT a layer (nothing
+    # delivered — and an all-"" layer would be vacuous anyway).
+    r._prev_layers = []
+    r._adopt({"shardId-000000000000": "", "shardId-000000000001": ""})
+    assert r._prev_layers == []
+    # "_prev" metadata re-learns layers after a restart.
+    r._adopt({
+        "shardId-000000000000": "000000000009",
+        "shardId-000000000001": "000000000009",
+        "shardId-000000000002": "000000000009",
+        "shardId-000000000003": "000000000009",
+        "shardId-000000000004": "000000000009",
+        "shardId-000000000005": "000000000009",
+        "shardId-000000000006": "000000000009",
+        "shardId-000000000007": "000000000009",
+        "_prev": [{"n": 2, "after": {"shardId-000000000000": "000000000003"}}],
+    })
+    assert r._prev_layers == [
+        {"n": 2, "after": {"shardId-000000000000": "000000000003"}}
+    ]
