@@ -1215,6 +1215,70 @@ def snapshot_read(spark: SparkSession, data_dir: str, as_of: int) -> DataFrame:
     )
 
 
+def export_snapshot(data_dir: str, as_of: int, dest_dir: str) -> dict:
+    """Publish generation ``as_of`` of a snapshot-manifested dir as a
+    STANDALONE dir — the lifecycle's final step (admit hourly, compact
+    nightly, prune weekly, vacuum quarterly, EXPORT the blessed
+    generation for a training run). The resolved file list is carried
+    byte-identical into ``dest_dir`` (hardlink when the filesystem
+    allows — zero data movement on one volume) under its
+    manifest-relative names, with a fresh ONE-LINE manifest whose
+    ``n`` is the cumulative row total and whose ``extra`` is the
+    source generation's line metadata. Consequences:
+
+    - ``snapshot_read(dest, 1)`` ≡ ``snapshot_read(src, as_of)``
+      bit-equal (pinned), and any plain reader sees exactly the
+      snapshot;
+    - the export is INDEPENDENT of the source's later retention,
+      vacuum, or compaction (hardlinked bytes survive the source's
+      staged-swap deletes — the link count does the bookkeeping);
+    - dest is committed ATOMICALLY: files stage into
+      ``{dest_dir}.export`` and one rename publishes; a crash leaves
+      only the stage, which a re-run replaces.
+
+    Loud on an existing ``dest_dir``, an out-of-range/collapsed
+    ``as_of``, or an empty snapshot (same classes as
+    :func:`snapshot_files`). Read-only on the source; callers that
+    must not race a concurrent vacuum's file deletes run it under the
+    writer lease (the writer-family wrappers do)."""
+    import shutil
+
+    recover_data_dir(data_dir)
+    if os.path.exists(dest_dir):
+        raise ValueError(
+            f"export destination {dest_dir} already exists — exports "
+            "are immutable publishes; pick a fresh path"
+        )
+    abs_paths = snapshot_files(data_dir, as_of)  # validates as_of
+    recs = _read_snapshots(data_dir)
+    rel_names = [f for rec in recs[:as_of] for f in rec["files"]]
+    n_total = sum(
+        rec["n"] for rec in recs[:as_of] if rec["n"] is not None
+    )
+    extra = recs[as_of - 1].get("extra")
+    stage = f"{dest_dir}.export"
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(stage)
+    total_bytes = 0
+    for src, name in zip(abs_paths, rel_names):
+        _link_or_copy(src, os.path.join(stage, name))
+        total_bytes += os.path.getsize(src)
+    with open(_snapshot_path(stage), "w") as fh:
+        line: dict = {"files": rel_names, "n": n_total}
+        if extra is not None:
+            line["extra"] = extra
+        fh.write(json.dumps(line) + "\n")
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.rename(stage, dest_dir)
+    return {
+        "generation": as_of,
+        "files": len(rel_names),
+        "rows": n_total,
+        "bytes": total_bytes,
+    }
+
+
 def _footer_map(paths: list[str], fn):
     """Apply ``fn(pyarrow.parquet.ParquetFile)`` to every path's footer
     CONCURRENTLY (thread pool — footer opens are I/O-bound ~1-2 ms

@@ -1052,6 +1052,24 @@ class CorpusWriter:
         finally:
             incremental.release_lease(self.index_dir, self._writer_id)
 
+    def export_corpus(self, as_of: int, dest_dir: str) -> dict:
+        """Publish the corpus as of generation ``as_of`` as a
+        standalone dir (`incremental.export_snapshot`), under the
+        writer lease so a concurrent vacuum cannot delete files
+        mid-copy. The export is bit-equal to ``corpus(as_of)`` and
+        independent of this family's later maintenance (pinned)."""
+        from . import incremental
+
+        self._lease_gen = incremental.acquire_lease(
+            self.index_dir, self._writer_id, incremental.LEASE_TTL_S
+        )
+        try:
+            return incremental.export_snapshot(
+                self.corpus_dir, as_of, dest_dir
+            )
+        finally:
+            incremental.release_lease(self.index_dir, self._writer_id)
+
     def _contaminated_ids(self, survivors: DataFrame) -> DataFrame:
         """doc_ids among the batch survivors whose distinct hashed
         k-gram shingles collide with the benchmark's beyond
@@ -2465,6 +2483,22 @@ class EmbeddingWriter:
                         partition_by=parts,
                     )
             return out
+        finally:
+            incremental.release_lease(self.index_dir, self._writer_id)
+
+    def export_store(self, as_of: int, dest_dir: str) -> dict:
+        """Publish the vector store as of generation ``as_of`` as a
+        standalone dir (`incremental.export_snapshot`), under the
+        writer lease — `CorpusWriter.export_corpus`'s twin."""
+        from . import incremental
+
+        self._lease_gen = incremental.acquire_lease(
+            self.index_dir, self._writer_id, incremental.LEASE_TTL_S
+        )
+        try:
+            return incremental.export_snapshot(
+                self.store_dir, as_of, dest_dir
+            )
         finally:
             incremental.release_lease(self.index_dir, self._writer_id)
 

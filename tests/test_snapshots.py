@@ -461,3 +461,83 @@ def test_recover_staged_nonrace_failure_keeps_only_copy(tmp_path, monkeypatch):
     assert (stage / "only.parquet").read_bytes() == b"precious"
     incremental._recover_staged(str(tmp_path), ("layer",), discard_stage=True)
     assert (tmp_path / "layer" / "only.parquet").read_bytes() == b"precious"
+
+def _hash_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_export_snapshot_standalone_and_immune_to_maintenance(
+    spark, tmp_path
+):
+    """`export_snapshot` (r16): the published dir reads bit-equal to
+    the source as_of via a fresh one-line manifest, carries the
+    generation's `extra`, and survives the source's later prune,
+    vacuum AND compaction untouched (hardlinked bytes outlive the
+    source's staged-swap deletes)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "data")
+    os.makedirs(d)
+    for g in range(4):
+        pq.write_table(
+            pa.table({"doc_id": [10 * g, 10 * g + 1]}),
+            os.path.join(d, f"part-{g}.parquet"),
+        )
+        incremental.record_snapshot(d, n=2, extra={"gen": g + 1})
+    dest = str(tmp_path / "published")
+    out = incremental.export_snapshot(d, 2, dest)
+    assert (out["generation"], out["files"], out["rows"]) == (2, 2, 4)
+    want = _hash_rows(incremental.snapshot_read(spark, d, 2))
+    assert _hash_rows(incremental.snapshot_read(spark, dest, 1)) == want
+    assert incremental.snapshot_gens(dest) == 1
+    assert incremental.snapshot_extra(dest, 1) == {"gen": 2}
+    # Plain readers see exactly the snapshot too.
+    assert _hash_rows(spark.read.parquet(dest)) == want
+    # Source maintenance cannot touch the publish.
+    incremental.prune_snapshots(d, 3)
+    incremental.vacuum_data_snapshots(spark, d, 3, ("doc_id",))
+    incremental.compact_data_snapshots(spark, d, ("doc_id",))
+    assert _hash_rows(incremental.snapshot_read(spark, dest, 1)) == want
+    # Immutable publish: refuse an existing destination.
+    with pytest.raises(ValueError, match="already exists"):
+        incremental.export_snapshot(d, 3, dest)
+    # Collapsed/out-of-range generations stay loud.
+    with pytest.raises(ValueError, match="not servable|out of range"):
+        incremental.export_snapshot(d, 1, str(tmp_path / "other"))
+    with pytest.raises(ValueError, match="out of range"):
+        incremental.export_snapshot(d, 9, str(tmp_path / "other"))
+    # A crash-left stage is replaced by a re-run, not tripped over.
+    stage = str(tmp_path / "p2") + ".export"
+    os.makedirs(stage)
+    open(os.path.join(stage, "junk"), "w").close()
+    out2 = incremental.export_snapshot(d, 3, str(tmp_path / "p2"))
+    assert out2["rows"] == 6
+    assert not os.path.exists(stage)
+
+
+def test_writer_export_corpus_serves_equal(spark, tmp_path):
+    doc = load_table(spark, SF, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    w = CorpusWriter(spark, f"{tmp_path}/corpus", f"{tmp_path}/index")
+    for m in range(2):
+        w.admit(doc.filter(F.col("doc_id") % 2 == m))
+    dest = str(tmp_path / "train_snapshot")
+    out = w.export_corpus(1, dest)
+    assert out["generation"] == 1
+    want = _hash_rows(w.corpus(as_of=1).select("doc_id", "text"))
+    got = _hash_rows(
+        incremental.snapshot_read(spark, dest, 1).select("doc_id", "text")
+    )
+    assert got == want
+    # Maintenance after the publish leaves it untouched.
+    w.vacuum(2)
+    assert (
+        _hash_rows(
+            incremental.snapshot_read(spark, dest, 1).select(
+                "doc_id", "text"
+            )
+        )
+        == want
+    )
