@@ -276,7 +276,8 @@ class SimKinesisStreamReader(DataSourceStreamReader):
         if self._topo_file:
             try:
                 with open(self._topo_file) as fh:
-                    return int(json.load(fh)["n_shards"])
+                    n = int(json.load(fh)["n_shards"])
+                return n if n >= 1 else self._n_shards
             except (OSError, ValueError, KeyError, TypeError):
                 return self._n_shards
         return self._n_shards
