@@ -51,8 +51,16 @@ def _rows(df):
     return sorted(tuple(r) for r in df.collect())
 
 
-def test_bm25_generations_pin_history_then_collapse(spark, tmp_path):
-    doc = load_table(spark, SF, "documents").select(
+# Two-scale parametrization (r16): these two tests are the pytest pins
+# backing the g3/c3 serve legs retired from the timed
+# `asof_serving_suite` entry (retrieval._ASOF_SERVE_GENS — the VERDICT
+# r15 #3 budget rule requires the retired contract pinned at TWO
+# scales).
+@pytest.mark.parametrize(
+    "sf", [SF, "/root/testdata/sf0.01"], ids=["sf0.001", "sf0.01"]
+)
+def test_bm25_generations_pin_history_then_collapse(spark, sf, tmp_path):
+    doc = load_table(spark, sf, "documents").select(
         "doc_id", "lang", "source", "text"
     )
     batches = [doc.filter(F.col("doc_id") % 3 == i) for i in range(3)]
@@ -330,14 +338,19 @@ def test_hybrid_serving_as_of_both_legs(spark, tmp_path):
         )
 
 
-def test_classifier_replay_as_of(spark, tmp_path):
+@pytest.mark.parametrize(
+    "sf", [SF, "/root/testdata/sf0.01"], ids=["sf0.001", "sf0.01"]
+)
+def test_classifier_replay_as_of(spark, sf, tmp_path):
     """Generation-pinned classifier REPLAY (r13, closing the round-13
     open edge): `dedup_against_index(..., as_of=g)` re-answers "was
     this batch novel at admission g" — docs duplicating a LATER
     generation read novel again under the earlier pin, and the replay
     is bit-equal to the classification captured right after admit g.
-    Same for the embedding-side classifier."""
-    doc = load_table(spark, SF, "documents").select(
+    Same for the embedding-side classifier. Three corpus generations
+    (r16): this is the two-scale pin behind the c3 leg retired from the
+    timed `asof_serving_suite` entry."""
+    doc = load_table(spark, sf, "documents").select(
         "doc_id", "lang", "source", "text"
     )
     b = [doc.filter(F.col("doc_id") % 3 == i) for i in range(3)]
@@ -356,7 +369,7 @@ def test_classifier_replay_as_of(spark, tmp_path):
         ))
     )
     captured = {}
-    for g in (1, 2):
+    for g in (1, 2, 3):
         assert w.admit(b[g - 1])["snapshot"] == g
         captured[g] = _rows(
             incremental.dedup_against_index(
@@ -364,7 +377,7 @@ def test_classifier_replay_as_of(spark, tmp_path):
             )
         )
     # Replay: as-of generation g answers exactly as it did then.
-    for g in (1, 2):
+    for g in (1, 2, 3):
         assert (
             _rows(
                 incremental.dedup_against_index(
@@ -377,14 +390,18 @@ def test_classifier_replay_as_of(spark, tmp_path):
             )
             == captured[g]
         )
-    # The pin is not vacuous: gen-2 copies flipped novel -> exact_dup.
+    # The pin is not vacuous: gen-2 copies flipped novel -> exact_dup
+    # between g1 and g2, and gen-3 copies between g2 and g3.
     v1 = {r[0]: r[1] for r in captured[1]}
     v2 = {r[0]: r[1] for r in captured[2]}
+    v3 = {r[0]: r[1] for r in captured[3]}
     flipped = [d for d in v1 if v1[d] == "novel" and v2[d] == "exact_dup"]
     assert flipped, (v1, v2)
+    flipped3 = [d for d in v2 if v2[d] == "novel" and v3[d] == "exact_dup"]
+    assert flipped3, (v2, v3)
 
     # Embedding side: copies of gen-1 vectors + never-admitted vectors.
-    emb = load_table(spark, SF, "embeddings")
+    emb = load_table(spark, sf, "embeddings")
     eb = [emb.filter(F.col("vec_id") % 3 == i) for i in range(3)]
     ew = EmbeddingWriter(spark, f"{tmp_path}/store", f"{tmp_path}/ann")
     vprobe = (
