@@ -541,3 +541,28 @@ def test_writer_export_corpus_serves_equal(spark, tmp_path):
         )
         == want
     )
+
+
+def test_writer_export_store_serves_equal(spark, tmp_path):
+    """`EmbeddingWriter.export_store` (r16): `export_corpus`'s twin —
+    the published dir reads bit-equal to `store(as_of)` and survives
+    the family's later vacuum."""
+    emb = load_table(spark, SF, "embeddings")
+    w = EmbeddingWriter(
+        spark, str(tmp_path / "store"), str(tmp_path / "ann"), tau=0.9
+    )
+    for m in range(2):
+        w.admit(emb.filter(F.col("vec_id") % 2 == m))
+    dest = str(tmp_path / "train_vectors")
+    out = w.export_store(1, dest)
+    assert out["generation"] == 1 and out["files"] >= 1
+
+    def _digest(df):
+        return _hash_rows(
+            df.select("vec_id", F.hash("embedding").alias("h"))
+        )
+
+    want = _digest(w.store(as_of=1))
+    assert _digest(incremental.snapshot_read(spark, dest, 1)) == want
+    w.vacuum(2)
+    assert _digest(incremental.snapshot_read(spark, dest, 1)) == want
