@@ -112,10 +112,17 @@ try:
             # the lease: retention prune (driver-side) and byte
             # reclamation (staged swap + Spark rewrite) while unlocked
             # readers hammer the dir.
-            if incremental.snapshot_gens(data_dir) >= 2:
-                if incremental.prune_snapshots(data_dir, 2):
+            gens = incremental.snapshot_gens(data_dir)
+            if gens >= 2:
+                # Prune at the HEAD horizon: deterministic -- any turn
+                # taken after new admits collapses something, so the
+                # "second writer pruned under contention" pin no longer
+                # depends on beating the main writer's fixed cycle-3
+                # prune to horizon 2 (writer2's cold JVM reliably LOST
+                # that race when a warm suite session let the main
+                # writer sprint -- order-dependent flake).
+                if incremental.prune_snapshots(data_dir, gens):
                     stats["pruned"] += 1
-                gens = incremental.snapshot_gens(data_dir)
                 for h in range(2, gens + 1):
                     try:
                         incremental.vacuum_data_snapshots(
@@ -217,10 +224,20 @@ def test_multiprocess_readers_race_maintenance(spark, tmp_path):
                 if cycle == 3:
                     incremental.prune_snapshots(d, 2)
                 if cycle == 4:
-                    incremental.vacuum_data_snapshots(
-                        spark, d, 3, ("doc_id",),
-                        fence=(lease_dir, "writer", gen),
-                    )
+                    # writer2 may have pruned DEEPER than 3 by now (it
+                    # prunes at the head) -- vacuum at the first
+                    # servable generation, exactly as the refusal
+                    # message instructs a real operator to.
+                    for h in range(3, incremental.snapshot_gens(d) + 1):
+                        try:
+                            incremental.vacuum_data_snapshots(
+                                spark, d, h, ("doc_id",),
+                                fence=(lease_dir, "writer", gen),
+                            )
+                            break
+                        except ValueError as e:
+                            if "collapsed" not in str(e):
+                                raise
             finally:
                 incremental.release_lease(lease_dir, "writer")
             # A fair window between cycles so writer2 (polling every
