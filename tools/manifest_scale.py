@@ -122,6 +122,16 @@ def measure(spark, n_gens: int) -> dict:
         )
         assert again["vacuumed"] is False
         out["vacuum_noop_ms"] = round((time.perf_counter() - t0) * 1e3, 1)
+
+        # Export at depth (r16): publish the head generation of the
+        # full-history dir — the carry is one hardlink per file
+        # (`_carry_map`, threaded), zero Spark jobs.
+        t0 = time.perf_counter()
+        ex = incremental.export_snapshot(
+            d, n_gens + 1, os.path.join(root, "export")
+        )
+        out["export_s"] = round(time.perf_counter() - t0, 2)
+        out["export_files"] = ex["files"]
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
