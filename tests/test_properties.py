@@ -662,17 +662,23 @@ def test_data_dir_maintenance_interleavings_preserve_asof(
     spark, tmp_path_factory, data
 ):
     """Random interleavings of {record-an-admission, prune(k),
-    compact_data_snapshots} on a data-of-record dir keep EVERY
-    servable as_of bit-equal to the model's cumulative row set, and
-    pruned generations stay loud. The Spark twin of the manifest-only
-    lifecycle fuzz above (compaction rewrites real files)."""
+    compact_data_snapshots, vacuum(h), export(g)} on a data-of-record
+    dir keep EVERY servable as_of bit-equal to the model's cumulative
+    row set, pruned generations stay loud, and every export taken
+    along the way still reads its captured row set at the END — i.e.
+    export immunity to whatever maintenance followed it (r16 ops
+    folded into the r15 property). The Spark twin of the
+    manifest-only lifecycle fuzz above (compaction/vacuum rewrite
+    real files)."""
     import os
 
     from kinesis_iterator_spark import incremental
 
-    d = str(tmp_path_factory.mktemp("dmaint")) + "/data"
+    base_dir = str(tmp_path_factory.mktemp("dmaint"))
+    d = base_dir + "/data"
     rows_of: list[set] = []   # model: per-generation row-id sets
     pruned_below = [1]        # first servable generation
+    exports: list[tuple[str, set]] = []  # (dest dir, captured rows)
 
     def record(ids):
         if ids:
@@ -690,7 +696,10 @@ def test_data_dir_maintenance_interleavings_preserve_asof(
     n_ops = data.draw(st.integers(1, 6), label="n_ops")
     for _ in range(n_ops):
         op = data.draw(
-            st.sampled_from(["record", "record", "prune", "compact"]),
+            st.sampled_from(
+                ["record", "record", "prune", "compact", "vacuum",
+                 "export"]
+            ),
             label="op",
         )
         if op == "record":
@@ -702,6 +711,22 @@ def test_data_dir_maintenance_interleavings_preserve_asof(
             bg = data.draw(st.integers(1, len(rows_of)), label="bg")
             incremental.prune_snapshots(d, bg)
             pruned_below[0] = max(pruned_below[0], bg)
+        elif op == "vacuum":
+            h = data.draw(
+                st.integers(pruned_below[0], len(rows_of)), label="h"
+            )
+            v = incremental.vacuum_data_snapshots(
+                spark, d, h, ("doc_id",)
+            )
+            assert v["files_after"] <= v["files_before"]
+            pruned_below[0] = max(pruned_below[0], h)
+        elif op == "export":
+            g = data.draw(
+                st.integers(pruned_below[0], len(rows_of)), label="g"
+            )
+            dest = os.path.join(base_dir, f"export{len(exports)}")
+            incremental.export_snapshot(d, g, dest)
+            exports.append((dest, set().union(*rows_of[:g])))
         else:
             incremental.compact_data_snapshots(spark, d, ("doc_id",))
 
@@ -724,3 +749,11 @@ def test_data_dir_maintenance_interleavings_preserve_asof(
                 for r in incremental.snapshot_read(spark, d, g).collect()
             }
             assert got == cum, (g, pruned_below[0])
+    # Every export published along the way still serves its captured
+    # rows, whatever prune/compact/vacuum followed it on the source.
+    for dest, want in exports:
+        got = {
+            r["doc_id"]
+            for r in incremental.snapshot_read(spark, dest, 1).collect()
+        }
+        assert got == want, dest
