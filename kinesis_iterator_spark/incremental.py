@@ -1252,8 +1252,13 @@ def export_snapshot(data_dir: str, as_of: int, dest_dir: str) -> dict:
     abs_paths = snapshot_files(data_dir, as_of)  # validates as_of
     recs = _read_snapshots(data_dir)
     rel_names = [f for rec in recs[:as_of] for f in rec["files"]]
-    n_total = sum(
-        rec["n"] for rec in recs[:as_of] if rec["n"] is not None
+    # Cumulative row total, mirroring prune_snapshots: tombstones carry
+    # n=None legitimately (their rows were merged into the base), but a
+    # LIVE line with n=None means the total is unknown — propagate None
+    # instead of silently undercounting (ADVICE r16).
+    merged_n = [r["n"] for r in recs[:as_of] if not r["compacted"]]
+    n_total = (
+        sum(merged_n) if all(n is not None for n in merged_n) else None
     )
     extra = recs[as_of - 1].get("extra")
     stage = f"{dest_dir}.export"

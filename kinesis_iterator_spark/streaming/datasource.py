@@ -435,18 +435,35 @@ class SimKinesisStreamReader(DataSourceStreamReader):
             if n_end == self._n_shards
             else _build_seq_index(self._path, n_end)
         )
-        # Seed paging cursor + transition state from the planned range's
-        # END: on restart Spark replays the last uncommitted batch
-        # through here with its WAL offsets, and every record ≤ end is
-        # already admitted, so the next latestOffset must resume past
-        # it, never below.
+        # Seed paging cursor + transition state from BOTH ends of the
+        # planned range. `end` covers the uncommitted-replay restart
+        # (Spark replays the last WAL batch through here; every record
+        # ≤ end is already admitted). `start` covers the COMMITTED-tail
+        # restart: when the stopped query's WAL tail was cleanly
+        # committed, the restarted reader's first latestOffset fires
+        # before it ever sees the WAL, so the old-topology start offset
+        # appears ONLY here — without _adopt(start) the old delivery is
+        # never folded in as a layer and the whole pre-stop run is
+        # re-delivered (exactly-once violation, reproduced 3/10 runs).
+        self._adopt(start)
         self._adopt(end)
-        # Pre-reshard delivery constraints for THIS batch: carried in
-        # the offsets themselves (restart-safe). A transition batch has
-        # an old-topology start (its cursor map IS the layer, recorded
-        # in end's "_prev") and every new shard starts at TRIM_HORIZON.
-        prev = _slice_prev(start.get("_prev") or end.get("_prev") or ())
         same_topo = len(clean_start) == n_end
+        # Pre-reshard delivery constraints for THIS batch: the UNION of
+        # start's and end's layers — `start or end` dropped a second
+        # reshard's fresh layer, which exists only in end (duplicates
+        # under successive splits) — plus, on a topology change, the
+        # old-topology start cursor map itself: the committed-restart
+        # transition batch's end was emitted before the reader saw the
+        # WAL and carries no layer at all.
+        layers = list(start.get("_prev") or ())
+        for layer in end.get("_prev") or ():
+            if layer not in layers:
+                layers.append(layer)
+        if not same_topo and any(clean_start.values()):
+            start_layer = {"n": len(clean_start), "after": dict(clean_start)}
+            if start_layer not in layers:
+                layers.append(start_layer)
+        prev = _slice_prev(layers)
         out = []
         for s in range(n_end):
             name = _shard_name(s)

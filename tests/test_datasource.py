@@ -520,12 +520,23 @@ def test_restart_across_reshard_no_duplicates(spark, sf_dir, tmp_path):
     reader (constructed already under the new topology) must fold the
     WAL's old-topology committed offset in as a transition layer
     (`_adopt`) — resuming exactly-once instead of re-delivering the
-    pre-stop records under the new shard naming."""
+    pre-stop records under the new shard naming.
+
+    Delivery is keyed per epoch_id (the idempotent-sink contract, same
+    as test_bounded_admission_restart_no_duplicates): q.stop() can land
+    between a batch's foreachBatch and its WAL commit, in which case
+    Spark legitimately replays that batch under the SAME epoch on
+    restart — a list-append sink would count it twice and fail on stop
+    timing, which is the sink's race, not the source's. The
+    source-level exactly-once of BOTH WAL tail shapes is pinned
+    deterministically by the protocol-driven tests below."""
     ds.register(spark)
     topo = str(tmp_path / "topology.json")
     ds.write_topology(topo, 4)
     total = load_table(spark, sf_dir, "events").count()
-    per_page = max(25, total // 10)
+    # Small pages: ~10 batches to drain, so the stop lands well short
+    # of the tail even if a few extra batches commit during the poll.
+    per_page = max(25, total // 40)
     ck = str(tmp_path / "ck")
 
     def reader():
@@ -539,43 +550,52 @@ def test_restart_across_reshard_no_duplicates(spark, sf_dir, tmp_path):
             .load()
         )
 
-    first: list = []
+    first: dict = {}  # epoch_id -> rows (a same-epoch replay overwrites)
     q = (
         reader().writeStream.foreachBatch(
-            lambda df, bid: first.append(df.collect())
+            lambda df, bid: first.__setitem__(bid, df.collect())
         )
         .option("checkpointLocation", ck)
         .trigger(processingTime="0 seconds")
         .start()
     )
-    # Stop after ≥2 committed batches, well short of the tail.
+    # Stop after ≥2 delivered batches, well short of the tail.
     deadline = time.time() + 120
     while time.time() < deadline and len(first) < 2:
         time.sleep(0.05)
     q.stop()
     q.awaitTermination(60)
-    delivered = sum(len(b) for b in first)
+    delivered = sum(len(b) for b in first.values())
     assert 0 < delivered < total  # partial drain, something left to do
 
     ds.write_topology(topo, 8)  # reshard while the query is down
-    second: list = []
+    second: dict = {}
+
+    def sink2(df, bid):
+        # The replayed uncommitted batch (if any) arrives under its
+        # pre-stop epoch: overwrite in `first` (identical offset range
+        # → identical rows); genuinely new epochs land in `second`.
+        (first if bid in first else second)[bid] = df.collect()
+
     q2 = (
-        reader().writeStream.foreachBatch(
-            lambda df, bid: second.append(df.collect())
-        )
+        reader().writeStream.foreachBatch(sink2)
         .option("checkpointLocation", ck)
         .trigger(processingTime="0 seconds")
         .start()
     )
     assert ds.await_drained(q2, sf_dir, n_shards=8, timeout=180)
-    rows = [r for b in first + second for r in b]
+    rows = [
+        r
+        for b in list(first.values()) + list(second.values())
+        for r in b
+    ]
     seqs = [r["sequenceNumber"] for r in rows]
     assert len(seqs) == len(set(seqs)), "restart across reshard duplicated"
     assert len(seqs) == total
     # The resumed run actually used the new topology.
     assert any(
         int(r["shardId"].rsplit("-", 1)[1]) >= 4
-        for b in second
+        for b in second.values()
         for r in b
     )
 
@@ -653,3 +673,157 @@ def test_reshard_offset_layer_machinery_driver_side():
     assert r._prev_layers == [
         {"n": 2, "after": {"shardId-000000000000": "000000000003"}}
     ]
+
+
+# -- deterministic restart-across-reshard pins (VERDICT r16 #1) ----------
+#
+# The Spark integration test above races q.stop() against commit
+# progress, so which WAL shape it exercises (committed vs uncommitted
+# tail) is timing luck. These pins drive the reader protocol directly
+# (the same latestOffset → partitions → read → commit sequence the
+# micro-batch engine issues), so each WAL shape is forced
+# deterministically and the tests are rerun-stable.
+
+
+def _proto_batch(reader, start, end):
+    """One micro-batch: plan partitions, read them executor-style via
+    _read_slice, commit. Returns the delivered sequence numbers."""
+    seqs: list[str] = []
+    for p in reader.partitions(start, end):
+        for b in ds._read_slice(p):
+            seqs.extend(b.column("sequenceNumber").to_pylist())
+    reader.commit(end)
+    return seqs
+
+
+def _proto_drain(reader, start):
+    """Drive the protocol until the offset stops changing (Spark's
+    no-new-data detection is offset equality). Returns (seqs, last)."""
+    seqs: list[str] = []
+    prev = start
+    for _ in range(200):
+        end = reader.latestOffset()
+        seqs += _proto_batch(reader, prev, end)
+        if end == prev:
+            return seqs, prev
+        prev = end
+    raise AssertionError("protocol drain did not converge in 200 batches")
+
+
+def _events_total(sf_dir) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(ds._resolve_path({"path": sf_dir})).num_rows
+
+
+def test_restart_committed_tail_across_reshard_deterministic(
+    sf_dir, tmp_path
+):
+    """Committed-WAL-tail restart across a reshard — the shape that
+    FAILED 3/10 under the racy stop (VERDICT r16 #1). Every pre-stop
+    batch commits; the restarted reader plans its first batch BEFORE
+    ever seeing the WAL, so the old-topology delivery is visible only
+    as partitions()'s start offset. Exactly-once rides on
+    _adopt(start) plus the derived start-cursor layer."""
+    total = _events_total(sf_dir)
+    topo = str(tmp_path / "topology.json")
+    ds.write_topology(topo, 4)
+    limit = max(1, total // 4 // 3)  # several pages per shard
+    opts = {
+        "path": sf_dir,
+        "n_shards": "4",
+        "topology_file": topo,
+        "limit": str(limit),
+        "available_now": "true",
+    }
+    r1 = ds.SimKinesisStreamReader(opts)
+    start = r1.initialOffset()
+    seen: list[str] = []
+    for _ in range(2):  # two fully committed batches, short of the tail
+        end = r1.latestOffset()
+        seen += _proto_batch(r1, start, end)
+        start = end
+    assert 0 < len(seen) < total
+    ds.write_topology(topo, 8)  # reshard while the query is down
+    r2 = ds.SimKinesisStreamReader(opts)  # fresh process, new topology
+    rest, _ = _proto_drain(r2, start)
+    seen += rest
+    assert len(seen) == len(set(seen)), "committed-tail restart duplicated"
+    assert len(seen) == total
+    # Stretch (VERDICT r16 #7): transition layers provably converge to
+    # zero once every child cursor covers them.
+    assert r2._prev_layers == []
+
+
+def test_restart_uncommitted_tail_across_reshard_deterministic(
+    sf_dir, tmp_path
+):
+    """Uncommitted-WAL-tail restart across a reshard: the stopped query
+    PLANNED one batch (offset in the WAL) it never committed. On
+    restart Spark replays that batch via partitions(start, end) with
+    both offsets speaking the OLD topology, commits it, then resumes
+    planning under the new topology."""
+    total = _events_total(sf_dir)
+    topo = str(tmp_path / "topology.json")
+    ds.write_topology(topo, 4)
+    limit = max(1, total // 4 // 3)
+    opts = {
+        "path": sf_dir,
+        "n_shards": "4",
+        "topology_file": topo,
+        "limit": str(limit),
+        "available_now": "true",
+    }
+    r1 = ds.SimKinesisStreamReader(opts)
+    start = r1.initialOffset()
+    end1 = r1.latestOffset()
+    seen = _proto_batch(r1, start, end1)
+    end2 = r1.latestOffset()  # planned (in the WAL), never committed
+    assert 0 < len(seen) < total
+    ds.write_topology(topo, 8)  # reshard while the query is down
+    r2 = ds.SimKinesisStreamReader(opts)
+    seen += _proto_batch(r2, end1, end2)  # Spark's WAL replay, old topo
+    rest, _ = _proto_drain(r2, end2)
+    seen += rest
+    assert len(seen) == len(set(seen)), "uncommitted-tail restart duplicated"
+    assert len(seen) == total
+    assert r2._prev_layers == []
+
+
+def test_successive_splits_exactly_once_protocol(sf_dir, tmp_path):
+    """ADVICE r16 (high): successive splits 2→4→8 in ONE run. The
+    second transition batch's fresh layer exists only in the END
+    offset; `start._prev or end._prev` preferred start's stale layer
+    list and re-delivered 166/1000 records. Pins the union, and the
+    redundancy-drop convergence (layers return to zero by drain end)."""
+    total = _events_total(sf_dir)
+    topo = str(tmp_path / "topology.json")
+    ds.write_topology(topo, 2)
+    limit = max(1, total // 12)
+    opts = {
+        "path": sf_dir,
+        "n_shards": "2",
+        "topology_file": topo,
+        "limit": str(limit),
+        "available_now": "true",
+    }
+    r = ds.SimKinesisStreamReader(opts)
+    prev = r.initialOffset()
+    seen: list[str] = []
+    n_batches = 0
+    for _ in range(200):
+        end = r.latestOffset()
+        seen += _proto_batch(r, prev, end)
+        if end == prev:
+            break
+        prev = end
+        n_batches += 1
+        if n_batches == 1:
+            ds.write_topology(topo, 4)  # first split between batches
+        elif n_batches == 2:
+            ds.write_topology(topo, 8)  # second split: layer-on-layer
+    else:
+        raise AssertionError("drain did not converge in 200 batches")
+    assert len(seen) == len(set(seen)), "successive splits duplicated"
+    assert len(seen) == total
+    assert r._prev_layers == []
