@@ -222,6 +222,15 @@ def _kmeans_par_C(
     return np.stack([cand[v] for v in order])
 
 
+# Driver-side reduction bound for the Lloyd update's partial sums
+# (k·d·n_partitions slim rows, 4 int64 each — 256k rows ≈ 8 MB): below
+# it the cross-partition sum runs on the driver (single-stage job per
+# iteration, exact arbitrary-precision addition); above it the
+# distributed groupBy aggregate. The DRIVER_CC_MAX_EDGES pattern —
+# tests can force the distributed path by setting this to -1.
+DRIVER_SUM_MAX_ROWS = 262_144
+
+
 def kmeans_embeddings(
     spark: SparkSession,
     emb: DataFrame,
@@ -275,20 +284,43 @@ def kmeans_embeddings(
             _partial_sums_fn(np.asarray(cls), C),
             "cl long, dim long, s long, cnt long",
         )
-        rows = (
-            parts.groupBy("cl", "dim")
-            .agg(F.sum("s").alias("s"), F.sum("cnt").alias("cnt"))
-            .collect()
-        )
-        by_cl: dict[int, list] = {}
-        for r in rows:
-            by_cl.setdefault(r["cl"], []).append(r)
+        # Cross-partition reduction of the per-partition partials
+        # (≤ k·d rows each). When the total partial-row volume is
+        # driver-bounded, collect them directly and sum in Python —
+        # one SINGLE-STAGE job per Lloyd iteration instead of
+        # shuffle + AQE final-agg stage (the DRIVER_CC_MAX_EDGES
+        # precedent: identical output, bounded driver bytes; exact
+        # arbitrary-precision integer addition is bit-identical to
+        # the int64 F.sum and immune to its overflow). Above the
+        # bound — production k ≈ √n over thousands of partitions —
+        # the distributed aggregate stays.
+        if len(cls) * C.shape[1] * n_part <= DRIVER_SUM_MAX_ROWS:
+            rows = parts.collect()
+            acc: dict[tuple[int, int], list] = {}
+            for r in rows:
+                slot = acc.setdefault((r["cl"], r["dim"]), [0, 0])
+                slot[0] += r["s"]
+                slot[1] += r["cnt"]
+            by_cl: dict[int, list] = {}
+            for (cl, dim), (s, cnt) in acc.items():
+                by_cl.setdefault(cl, []).append((dim, s, cnt))
+        else:
+            rows = (
+                parts.groupBy("cl", "dim")
+                .agg(F.sum("s").alias("s"), F.sum("cnt").alias("cnt"))
+                .collect()
+            )
+            by_cl = {}
+            for r in rows:
+                by_cl.setdefault(r["cl"], []).append(
+                    (r["dim"], r["s"], r["cnt"])
+                )
         cls = sorted(by_cl)  # empty clusters vanish from the agg
         d = C.shape[1]
         C = np.empty((len(cls), d), dtype=np.int64)
         for j, cl in enumerate(cls):
-            for r in by_cl[cl]:
-                C[j, r["dim"]] = _round_div(int(r["s"]), int(r["cnt"]))
+            for dim, s, cnt in by_cl[cl]:
+                C[j, dim] = _round_div(int(s), int(cnt))
 
     assignment = src.mapInPandas(
         _assign_fn(np.asarray(cls), C), "vec_id long, cluster long"

@@ -101,12 +101,24 @@ def bm25_scores(
         .groupBy("doc_id", "term")
         .agg(F.count("*").cast("long").alias("tf"))
     )
-    df_rel = postings.groupBy("term").agg(
-        F.count("*").cast("long").alias("df")
-    )
+    # df as a window count over the scoring frame itself (r17, guide
+    # §2.4): a separate `postings.groupBy(term)` relation made Catalyst
+    # duplicate the postings lineage — the corpus was scanned and
+    # EXPLODED TWICE per query (two Generate subtrees in the before-
+    # plan; an inferred isnotnull plus column pruning desync the copies
+    # so ReuseExchange never fires). The dl join is inner on the same
+    # source, so it drops no postings rows — count(*) per term over the
+    # joined frame IS df, value-identical, and the second corpus pass
+    # is gone (one small by-term exchange on |matching postings| rows
+    # replaces it).
+    from pyspark.sql.window import Window
+
     joined = (
         postings.join(dl, "doc_id")
-        .join(F.broadcast(df_rel), "term")
+        .withColumn(
+            "df",
+            F.count("*").over(Window.partitionBy("term")).cast("long"),
+        )
         .join(F.broadcast(totals))
     )
     return _finish_scores(joined, k1, b)
