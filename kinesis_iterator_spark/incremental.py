@@ -156,6 +156,20 @@ def _write_band_files(
         marked.unpersist()
 
 
+# Format-pinned schemas of the stored dedup-index relations. Passing
+# them to the hot read paths skips Spark's parquet schema inference,
+# which costs one distributed footer-read JOB per spark.read.parquet
+# call (r17, guide §1/§5: measured 3-4 inference jobs per
+# dedup_against_index construction, ~26 across the asof suite's serve
+# legs — pure driver-blocking scheduling overhead at batch scale).
+# Scoped to INDEX relations only: data-of-record dirs (corpus/store)
+# may schema-evolve across generations and keep inferring. Pinned
+# against the writers' inferred schemas in tests/test_layer_schemas.py.
+DIGESTS_SCHEMA = "doc_id bigint, digest string"
+BANDS_SCHEMA = "doc_id bigint, band_id bigint, band_key string"
+DROPPED_SCHEMA = "band_id bigint, band_key string"
+
+
 def _read_dropped(
     spark: SparkSession, index_dir: str, as_of: int | None = None
 ) -> DataFrame | None:
@@ -168,14 +182,18 @@ def _read_dropped(
         return None
     if as_of is not None:
         try:
-            return snapshot_read(spark, d, as_of).select(
+            return snapshot_read(spark, d, as_of, schema=DROPPED_SCHEMA).select(
                 "band_id", "band_key"
             )
         except ValueError as e:
             if "no data files" in str(e):
                 return None  # no tombstones recorded by generation as_of
             raise
-    return spark.read.parquet(d).select("band_id", "band_key")
+    return (
+        spark.read.schema(DROPPED_SCHEMA)
+        .parquet(d)
+        .select("band_id", "band_key")
+    )
 
 
 def _dir_rows(d: str) -> int:
@@ -416,13 +434,19 @@ def dedup_against_index(
     meta = _check_meta(index_dir)
     _warn_if_drifted(index_dir, meta)
     if as_of is None:
-        stored_digests = spark.read.parquet(f"{index_dir}/digests")
-        stored_bands = spark.read.parquet(f"{index_dir}/bands")
+        stored_digests = spark.read.schema(DIGESTS_SCHEMA).parquet(
+            f"{index_dir}/digests"
+        )
+        stored_bands = spark.read.schema(BANDS_SCHEMA).parquet(
+            f"{index_dir}/bands"
+        )
     else:
         stored_digests = snapshot_read(
-            spark, f"{index_dir}/digests", as_of
+            spark, f"{index_dir}/digests", as_of, schema=DIGESTS_SCHEMA
         )
-        stored_bands = snapshot_read(spark, f"{index_dir}/bands", as_of)
+        stored_bands = snapshot_read(
+            spark, f"{index_dir}/bands", as_of, schema=BANDS_SCHEMA
+        )
     # Honor tombstones: a bucket the cap rule dropped in ANY batch is
     # boilerplate; its remnant rows from other batches must not pair
     # (the union-corpus rebuild would drop the whole bucket). The
@@ -753,10 +777,16 @@ def embedding_dedup_against_index(
         _check_vec_ids(new_emb)
     tau = COSINE_TAU if tau is None else tau
     par = spark.sparkContext.defaultParallelism
+    from .queries.similarity import _SIG_SCHEMA
+
     stored_sig = (
-        spark.read.parquet(f"{index_dir}/lsh_signatures")
+        spark.read.schema(_SIG_SCHEMA).parquet(
+            f"{index_dir}/lsh_signatures"
+        )
         if as_of is None
-        else snapshot_read(spark, f"{index_dir}/lsh_signatures", as_of)
+        else snapshot_read(
+            spark, f"{index_dir}/lsh_signatures", as_of, schema=_SIG_SCHEMA
+        )
     )
     new_sig = batch_sig
     if new_sig is None:
@@ -1203,16 +1233,23 @@ def snapshot_extra(data_dir: str, as_of: int) -> dict | None:
     return recs[as_of - 1]["extra"]
 
 
-def snapshot_read(spark: SparkSession, data_dir: str, as_of: int) -> DataFrame:
+def snapshot_read(
+    spark: SparkSession,
+    data_dir: str,
+    as_of: int,
+    schema: str | None = None,
+) -> DataFrame:
     """The layer/store as it stood at generation ``as_of`` — a parquet
     read over exactly the manifest's files. ``basePath`` pins the
     table root so hive-partitioned layers (``lsh_signatures/
     table_id=K/``) keep their partition column when individual files
-    are listed."""
-    return (
-        spark.read.option("basePath", data_dir)
-        .parquet(*snapshot_files(data_dir, as_of))
-    )
+    are listed. ``schema``: pass the layer's format-pinned schema to
+    skip the distributed footer-inference job (hot serve/admit paths
+    only — a schema-evolvable data-of-record dir must keep inferring)."""
+    reader = spark.read.option("basePath", data_dir)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(*snapshot_files(data_dir, as_of))
 
 
 def export_snapshot(data_dir: str, as_of: int, dest_dir: str) -> dict:

@@ -58,6 +58,15 @@ PQ_M = 8
 PQ_KS = 16
 _SLOT_BITS = 8
 
+# Format-pinned schemas of the stored code layers, passed to the hot
+# SERVING reads to skip Spark's distributed footer-inference job (one
+# per spark.read.parquet call — r17, same class as the BM25/ANN index
+# reads). Build/compact paths keep inferring. Pinned in
+# tests/test_layer_schemas.py.
+_PQ_CODES_SCHEMA = "vec_id bigint, pq_code bigint"
+_IVFPQ_CODES_SCHEMA = "vec_id bigint, cell bigint, pq_code bigint"
+_IVF_ASSIGN_SCHEMA = "vec_id bigint, cell bigint, rk bigint"
+
 
 class PQResult(NamedTuple):
     m: int
@@ -825,9 +834,16 @@ def ivfpq_topk_from_index(
         _check_ivfpq_layer(index_dir)
     crows = read_ann_codebook(index_dir)
     codes = (
-        spark.read.parquet(f"{index_dir}/ivfpq_codes")
+        spark.read.schema(_IVFPQ_CODES_SCHEMA).parquet(
+            f"{index_dir}/ivfpq_codes"
+        )
         if as_of is None
-        else snapshot_read(spark, f"{index_dir}/ivfpq_codes", as_of)
+        else snapshot_read(
+            spark,
+            f"{index_dir}/ivfpq_codes",
+            as_of,
+            schema=_IVFPQ_CODES_SCHEMA,
+        )
     )
     if shortlist is None:
         shortlist = proportional_shortlist(
@@ -940,9 +956,13 @@ def pq_topk_from_index(
             topk,
         )
     codes = (
-        spark.read.parquet(f"{index_dir}/pq_codes")
+        spark.read.schema(_PQ_CODES_SCHEMA).parquet(
+            f"{index_dir}/pq_codes"
+        )
         if as_of is None
-        else snapshot_read(spark, f"{index_dir}/pq_codes", as_of)
+        else snapshot_read(
+            spark, f"{index_dir}/pq_codes", as_of, schema=_PQ_CODES_SCHEMA
+        )
     )
     perm = read_pq_perm(index_dir)
     if perm is not None:
@@ -1040,18 +1060,29 @@ def pq_ivf_topk_from_index(
     # unrotated store, so the probe ranks cells with the unrotated query.
     cells = _rank_cells(crows, query, nprobe)
     inv = (
-        spark.read.parquet(f"{index_dir}/ivf_assignment")
+        spark.read.schema(_IVF_ASSIGN_SCHEMA).parquet(
+            f"{index_dir}/ivf_assignment"
+        )
         if as_of is None
-        else snapshot_read(spark, f"{index_dir}/ivf_assignment", as_of)
+        else snapshot_read(
+            spark,
+            f"{index_dir}/ivf_assignment",
+            as_of,
+            schema=_IVF_ASSIGN_SCHEMA,
+        )
     )
     members = (
         inv.filter((F.col("rk") == 1) & F.col("cell").isin(cells))
         .select("vec_id")
     )
     base_codes = (
-        spark.read.parquet(f"{index_dir}/pq_codes")
+        spark.read.schema(_PQ_CODES_SCHEMA).parquet(
+            f"{index_dir}/pq_codes"
+        )
         if as_of is None
-        else snapshot_read(spark, f"{index_dir}/pq_codes", as_of)
+        else snapshot_read(
+            spark, f"{index_dir}/pq_codes", as_of, schema=_PQ_CODES_SCHEMA
+        )
     )
     codes = base_codes.join(members, "vec_id", "leftsemi")
     perm = read_pq_perm(index_dir)

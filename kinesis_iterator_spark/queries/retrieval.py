@@ -300,6 +300,19 @@ BM25_INDEX_FORMAT = 1
 # bearing here.
 _BM25_RELATIONS = ("df", "doclen", "postings")
 
+# Format-pinned relation schemas (BM25_INDEX_FORMAT versions them):
+# passed to the SERVING reads so they skip Spark's parquet schema
+# inference — one distributed footer-read job per spark.read.parquet
+# call otherwise (r17; measured 3 inference jobs per
+# bm25_scores_from_index construction). Maintenance rewrites
+# (compact_bm25_index) deliberately keep inferring: they are job-count
+# bounded already and a wrong schema there would rewrite the relation.
+# Pinned against the writer's inferred schemas in
+# tests/test_layer_schemas.py.
+_POSTINGS_SCHEMA = "doc_id bigint, term string, tf bigint"
+_DF_SCHEMA = "term string, df bigint"
+_DOCLEN_SCHEMA = "doc_id bigint, dl bigint"
+
 
 def _bm25_marker(index_dir: str) -> str:
     return f"{index_dir}/extend.inprogress"
@@ -496,14 +509,24 @@ def bm25_scores_from_index(
         raise ValueError("query_terms must be non-empty")
     meta = _check_bm25_meta(index_dir)
     if as_of is None:
-        post = spark.read.parquet(f"{index_dir}/postings")
-        dfr_raw = spark.read.parquet(f"{index_dir}/df")
-        dl = spark.read.parquet(f"{index_dir}/doclen")
+        post = spark.read.schema(_POSTINGS_SCHEMA).parquet(
+            f"{index_dir}/postings"
+        )
+        dfr_raw = spark.read.schema(_DF_SCHEMA).parquet(f"{index_dir}/df")
+        dl = spark.read.schema(_DOCLEN_SCHEMA).parquet(
+            f"{index_dir}/doclen"
+        )
         n_docs, t_tokens = int(meta["n_docs"]), int(meta["t_tokens"])
     else:
-        post = snapshot_read(spark, f"{index_dir}/postings", as_of)
-        dfr_raw = snapshot_read(spark, f"{index_dir}/df", as_of)
-        dl = snapshot_read(spark, f"{index_dir}/doclen", as_of)
+        post = snapshot_read(
+            spark, f"{index_dir}/postings", as_of, schema=_POSTINGS_SCHEMA
+        )
+        dfr_raw = snapshot_read(
+            spark, f"{index_dir}/df", as_of, schema=_DF_SCHEMA
+        )
+        dl = snapshot_read(
+            spark, f"{index_dir}/doclen", as_of, schema=_DOCLEN_SCHEMA
+        )
         totals = snapshot_extra(f"{index_dir}/postings", as_of)
         if not totals:
             raise ValueError(
@@ -1449,7 +1472,11 @@ def asof_serving_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _drift_leg(tag: str, g: int):
         row = corpus_drift_from_hists(
             spark,
-            incremental.snapshot_read(spark, dr_dir, g),
+            # (b, c) is the drift layer's pinned histogram shape —
+            # passing it skips the per-leg footer-inference job (r17).
+            incremental.snapshot_read(
+                spark, dr_dir, g, schema="b bigint, c bigint"
+            ),
             probe_hist,
             _DRIFT_BUCKETS,
         )

@@ -1138,9 +1138,11 @@ def stored_bucket_sizes(
     if not os.path.isdir(f"{index_dir}/bucket_sizes"):
         return None
     seg = (
-        spark.read.parquet(f"{index_dir}/bucket_sizes")
+        spark.read.schema(_BSZ_SCHEMA).parquet(f"{index_dir}/bucket_sizes")
         if as_of is None
-        else snapshot_read(spark, f"{index_dir}/bucket_sizes", as_of)
+        else snapshot_read(
+            spark, f"{index_dir}/bucket_sizes", as_of, schema=_BSZ_SCHEMA
+        )
     )
     return (
         seg.groupBy("table_id", "bucket")
@@ -1353,6 +1355,17 @@ def ann_index_drift(index_dir: str) -> float:
     return int(meta.get("n_extended", 0)) / max(int(meta["n"]), 1)
 
 
+# Format-pinned schemas of the stored ANN relations, passed to the hot
+# SERVING/admit reads to skip Spark's distributed footer-inference job
+# (one per spark.read.parquet call — r17, same class as the BM25/dedup
+# index reads). lsh_signatures is hive-partitioned by table_id: the
+# partition column rides last, matching the inferred layout.
+# Maintenance rewrites (compact_ann_index) and the build-time derived
+# writes keep inferring. Pinned in tests/test_layer_schemas.py.
+_SIG_SCHEMA = "vec_id bigint, bucket bigint, table_id int"
+_IVF_SCHEMA = "vec_id bigint, cell bigint, rk bigint"
+_BSZ_SCHEMA = "table_id int, bucket bigint, bsz bigint"
+
 # The stored ANN relations `compact_ann_index` rewrites, in swap order.
 # Each rewrite is independently content-equivalent (signatures/inverted
 # file keep their exact rows, bucket_sizes sums its segments and readers
@@ -1453,9 +1466,13 @@ def similarity_lsh_topk_from_index(
 
     meta = _read_ann_meta(index_dir)
     sig = (
-        spark.read.parquet(f"{index_dir}/lsh_signatures")
+        spark.read.schema(_SIG_SCHEMA).parquet(
+            f"{index_dir}/lsh_signatures"
+        )
         if as_of is None
-        else snapshot_read(spark, f"{index_dir}/lsh_signatures", as_of)
+        else snapshot_read(
+            spark, f"{index_dir}/lsh_signatures", as_of, schema=_SIG_SCHEMA
+        )
     )
     emb = load_table(spark, sf_dir, "embeddings")
     return _score_pairs_topk(
@@ -1491,9 +1508,13 @@ def similarity_ivf_topk_from_index(
 
     meta = _read_ann_meta(index_dir)
     ranked = (
-        spark.read.parquet(f"{index_dir}/ivf_assignment")
+        spark.read.schema(_IVF_SCHEMA).parquet(
+            f"{index_dir}/ivf_assignment"
+        )
         if as_of is None
-        else snapshot_read(spark, f"{index_dir}/ivf_assignment", as_of)
+        else snapshot_read(
+            spark, f"{index_dir}/ivf_assignment", as_of, schema=_IVF_SCHEMA
+        )
     )
     emb = load_table(spark, sf_dir, "embeddings")
     return _score_pairs_topk(

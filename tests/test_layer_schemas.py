@@ -1,0 +1,117 @@
+"""Pin the format-pinned stored-layer schema constants against the
+WRITERS' actual output (r17 optimization: the hot serving/admit reads
+pass these schemas so `spark.read.parquet` skips its distributed
+footer-inference job — one job per read call otherwise; measured 3-4
+inference jobs per `dedup_against_index` construction and ~26 across
+the asof suite's serve legs).
+
+A declared schema that drifts from what the writer produces would make
+Spark silently null mismatched columns — this test makes that a loud CI
+failure instead. Data-of-record dirs (corpus/store) deliberately have
+NO constant: they may schema-evolve across generations and must keep
+inferring (the compactor groups files by footer schema for the same
+reason)."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from kinesis_iterator_spark import incremental
+from kinesis_iterator_spark.queries import release_persists
+from kinesis_iterator_spark.queries import quantization as Q
+from kinesis_iterator_spark.queries import retrieval as R
+from kinesis_iterator_spark.queries import similarity as S
+from kinesis_iterator_spark.tables import load_table
+
+
+def _type_map(spark, path):
+    """{column: simple type} of the inferred schema — order-insensitive
+    on purpose: a user-specified schema selects by name downstream, and
+    the partitioned signatures layer appends table_id last either way."""
+    return {f.name: f.dataType.simpleString() for f in
+            spark.read.parquet(path).schema.fields}
+
+
+def _declared(spark, ddl):
+    from pyspark.sql.types import StructType
+
+    return {f.name: f.dataType.simpleString() for f in
+            StructType.fromDDL(ddl).fields}
+
+
+@pytest.fixture(scope="module")
+def built(spark, sf_dir):
+    from kinesis_iterator_spark.pipeline import CorpusWriter, EmbeddingWriter
+
+    t = tempfile.mkdtemp(prefix="ki_layer_schemas_")
+    doc = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    CorpusWriter(
+        spark, f"{t}/corpus", f"{t}/index", bm25_index=True,
+        drift_monitor=True,
+    ).admit(doc.filter(F.col("doc_id") % 2 == 0))
+    release_persists()
+    EmbeddingWriter(spark, f"{t}/store", f"{t}/ann").admit(
+        emb.filter(F.col("vec_id") % 2 == 0)
+    )
+    release_persists()
+    from kinesis_iterator_spark.queries.quantization import (
+        write_ivfpq_layer,
+        write_pq_layer,
+    )
+
+    write_pq_layer(spark, f"{t}/ann", emb, iters=1)
+    write_ivfpq_layer(spark, f"{t}/ann", emb, iters=1)
+    release_persists()
+    return t
+
+
+@pytest.mark.parametrize(
+    "rel,const",
+    [
+        ("index/digests", incremental.DIGESTS_SCHEMA),
+        ("index/bands", incremental.BANDS_SCHEMA),
+        ("index/dropped", incremental.DROPPED_SCHEMA),
+        ("index/bm25/postings", R._POSTINGS_SCHEMA),
+        ("index/bm25/df", R._DF_SCHEMA),
+        ("index/bm25/doclen", R._DOCLEN_SCHEMA),
+        ("index/drift_ref", "b bigint, c bigint"),
+        ("ann/lsh_signatures", S._SIG_SCHEMA),
+        ("ann/ivf_assignment", S._IVF_SCHEMA),
+        ("ann/bucket_sizes", S._BSZ_SCHEMA),
+        ("ann/pq_codes", Q._PQ_CODES_SCHEMA),
+        ("ann/ivfpq_codes", Q._IVFPQ_CODES_SCHEMA),
+        ("ann/ivf_assignment", Q._IVF_ASSIGN_SCHEMA),
+    ],
+)
+def test_declared_schema_matches_writer_output(spark, built, rel, const):
+    import os
+
+    path = f"{built}/{rel}"
+    if not os.path.isdir(path):
+        pytest.skip(f"{rel} not produced by this writer configuration")
+    assert _declared(spark, const) == _type_map(spark, path), rel
+
+
+def test_schema_read_values_equal_inferred(spark, built):
+    """Belt and braces on the partitioned layer: the schema-passed read
+    returns the same rows as the inferred read (partition column values
+    come from the directory names either way)."""
+    path = f"{built}/ann/lsh_signatures"
+    a = sorted(
+        tuple(r)
+        for r in spark.read.schema(S._SIG_SCHEMA)
+        .parquet(path)
+        .select("vec_id", "table_id", "bucket")
+        .collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in spark.read.parquet(path)
+        .select("vec_id", "table_id", "bucket")
+        .collect()
+    )
+    assert a == b and a
