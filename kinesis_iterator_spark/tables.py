@@ -32,6 +32,49 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # truly fixed ones are always-broadcast).
 ALWAYS_BROADCAST = {"region", "nation"}
 
+# Pinned fixture schemas (r17, guide §1/§5): every bare
+# `spark.read.parquet` runs a distributed footer-read job for schema
+# inference, and load_table sits inside the timed region of every
+# bench entry (1-3 calls per query build). The fixtures are
+# deterministic test data with identical schemas at every scale factor
+# (verified sf0.001/0.01/0.1; pinned per-SF in
+# tests/test_layer_schemas.py), so the read passes the schema and the
+# job disappears. `events` is NOT here: its TIMESTAMP(NANOS) column's
+# read shape is version-dependent and the loader's normalization must
+# see what the reader actually surfaced (the round-5 lesson).
+FIXTURE_SCHEMAS = {
+    "region": "r_regionkey int, r_name string",
+    "nation": "n_nationkey int, n_name string, n_regionkey int",
+    "customer": (
+        "c_custkey bigint, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string"
+    ),
+    "supplier": (
+        "s_suppkey bigint, s_name string, s_nationkey int, "
+        "s_acctbal double"
+    ),
+    "part": (
+        "p_partkey bigint, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double"
+    ),
+    "orders": (
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp_ntz, "
+        "o_orderpriority string"
+    ),
+    "lineitem": (
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp_ntz"
+    ),
+    "documents": (
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint"
+    ),
+    "embeddings": "vec_id bigint, embedding array<float>, label int",
+}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
@@ -63,7 +106,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         elif ts_type == "timestamp_ntz":
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return spark.read.schema(FIXTURE_SCHEMAS[name]).parquet(
+        os.path.join(sf_dir, f"{name}.parquet")
+    )
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

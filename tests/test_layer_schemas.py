@@ -115,3 +115,15 @@ def test_schema_read_values_equal_inferred(spark, built):
         .collect()
     )
     assert a == b and a
+
+
+@pytest.mark.parametrize("sf", ["0.001", "0.01", "0.1"])
+def test_fixture_schemas_match_inferred(spark, sf):
+    """The load_table schema constants vs the parquet footers, at every
+    scale factor the driver touches (events excluded by design — its
+    TIMESTAMP(NANOS) normalization must see the reader's own shape)."""
+    from kinesis_iterator_spark.tables import FIXTURE_SCHEMAS
+
+    for name, ddl in FIXTURE_SCHEMAS.items():
+        path = f"/root/testdata/sf{sf}/{name}.parquet"
+        assert _declared(spark, ddl) == _type_map(spark, path), (sf, name)
