@@ -51,23 +51,19 @@ def _h60(c: Column) -> Column:
 _H60_SQL = "CAST('0x' || substring(md5({x}), 1, 15) AS BIGINT)"
 
 
-def _shingles(text: Column) -> Column:
-    """Distinct 3-word shingles of a single-space-tokenized text."""
-    words = F.split(text, " ")
-    n = F.size(words)
-    idx = F.when(n >= 3, F.sequence(F.lit(1), n - 2)).otherwise(
-        F.array().cast("array<int>")
-    )
-    return F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(words, i),
-                F.element_at(words, i + 1),
-                F.element_at(words, i + 2),
-            ),
-        )
+def _shingles(col: str) -> Column:
+    """Distinct 3-word shingles of a single-space-tokenized text column
+    (referenced by NAME). Built as ONE F.expr SQL string: the ~12
+    Column-operator py4j round trips of the builder form are a real
+    per-call-site driver cost at batch scale (the r9 minhash_bands
+    lesson); the resolved expression is identical."""
+    w = f"split({col}, ' ')"
+    return F.expr(
+        "array_distinct(transform("
+        f"CASE WHEN size({w}) >= 3 THEN sequence(1, size({w}) - 2) "
+        "ELSE CAST(array() AS array<int>) END, "
+        f"i -> concat_ws(' ', element_at({w}, i), "
+        f"element_at({w}, i + 1), element_at({w}, i + 2))))"
     )
 
 
@@ -105,7 +101,7 @@ def _with_minhash_signature(doc: DataFrame) -> DataFrame:
         ),
     )
     return (
-        doc.select("doc_id", _shingles(F.col("text")).alias("shingles"))
+        doc.select("doc_id", _shingles("text").alias("shingles"))
         .withColumn("h60s", F.transform(F.col("shingles"), _h60))
         .withColumn("sig", sigs)
         .drop("h60s")
@@ -452,8 +448,8 @@ def verify_jaccard(
     return (
         pairs.join(ta, "doc_a")
         .join(tb, "doc_b")
-        .withColumn("sa", _shingles(F.col("ta")))
-        .withColumn("sb", _shingles(F.col("tb")))
+        .withColumn("sa", _shingles("ta"))
+        .withColumn("sb", _shingles("tb"))
         .withColumn("jaccard", jaccard)
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")

@@ -1507,46 +1507,55 @@ def asof_serving_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         if os.path.isdir(d) and incremental.snapshot_gens(d) >= 2:
             incremental.prune_snapshots(d, 2)
     incremental.prune_snapshots(dr_dir, 2)
-    # PRUNE-ONLY serving legs (ADVICE r15: built BEFORE the vacuum so
-    # they exercise manifest-collapse-with-files-intact serving — the
-    # vacuum below would make them plan-identical to v2).
-    p2 = bm25_topk_from_index(
-        spark, bm_idx, _REGISTRY_TERMS, topk=10, as_of=2
-    ).select(
-        F.lit("p2").alias("part"),
-        "doc_id",
-        "n_terms",
-        "bm25_fix",
-        "bm25",
-        *pad_bm,
+    # Materialize every pre-vacuum leg BEFORE the vacuum (the v2 leg
+    # below runs a real VACUUM, which physically deletes the
+    # pre-horizon files these legs' resolved file lists point at — a
+    # lazy union would crash at the final action). r17 (guide §2.6):
+    # the pre-prune union's eager checkpoint is CLUSTER work and the
+    # prune-only legs' construction is ~1.5 s of DRIVER py4j — overlap
+    # them in two threads. The prune-only legs (ADVICE r15: built
+    # BEFORE the vacuum so they exercise manifest-collapse-with-files-
+    # intact serving) read the post-prune manifests, which exist —
+    # the prunes above are synchronous driver-side manifest rewrites.
+    box: dict = {}
+
+    def _ck_pre():
+        box["pre"] = out.localCheckpoint(eager=True)
+
+    def _ck_post():
+        p2 = bm25_topk_from_index(
+            spark, bm_idx, _REGISTRY_TERMS, topk=10, as_of=2
+        ).select(
+            F.lit("p2").alias("part"),
+            "doc_id",
+            "n_terms",
+            "bm25_fix",
+            "bm25",
+            *pad_bm,
+        )
+        pc2 = incremental.dedup_against_index(
+            spark,
+            probe,
+            dd_idx,
+            doc.filter(F.col("doc_id") % 10 < 2),
+            batch_bands=probe_bands,
+            as_of=2,
+        ).select(
+            F.lit("pc2").alias("part"),
+            "doc_id",
+            *pad_cl,
+            "verdict",
+            F.col("dup_of").cast("long").alias("dup_of"),
+            F.col("jaccard").cast("double").alias("jaccard"),
+        )
+        post = p2.unionByName(pc2).unionByName(_drift_leg("dp2", 2))
+        box["post"] = post.localCheckpoint(eager=True)
+
+    incremental._concurrently(_ck_pre, _ck_post)
+    # managed_checkpoint registration stays on the main thread.
+    out = managed_checkpoint(box["pre"]).unionByName(
+        managed_checkpoint(box["post"])
     )
-    pc2 = incremental.dedup_against_index(
-        spark,
-        probe,
-        dd_idx,
-        doc.filter(F.col("doc_id") % 10 < 2),
-        batch_bands=probe_bands,
-        as_of=2,
-    ).select(
-        F.lit("pc2").alias("part"),
-        "doc_id",
-        *pad_cl,
-        "verdict",
-        F.col("dup_of").cast("long").alias("dup_of"),
-        F.col("jaccard").cast("double").alias("jaccard"),
-    )
-    out = (
-        out.unionByName(p2)
-        .unionByName(pc2)
-        .unionByName(_drift_leg("dp2", 2))
-    )
-    # Materialize every pre-vacuum leg NOW (ONE eager checkpoint,
-    # harness-released): the v2 leg below runs a real VACUUM, which
-    # physically deletes the pre-horizon files these legs' resolved
-    # file lists point at — a lazy union would crash at the final
-    # action. Same total compute: the final consume reads these rows
-    # from the checkpoint and computes only the post-vacuum leg.
-    out = managed_checkpoint(out.localCheckpoint(eager=True))
     # VACUUM under the gate (r15): physically rewrite the POSTINGS
     # relation's merged pre-horizon base (the byte-reclamation op; the
     # scoring-dominant, term-pushdown relation) and re-serve at the
