@@ -58,8 +58,10 @@ def test_minhash_hot_bucket_cap(spark):
 
 
 def test_shingles_shape(spark):
+    # _shingles takes the column NAME since r17 (one F.expr SQL string
+    # instead of ~12 Column-operator py4j round trips per call site).
     df = spark.createDataFrame([(1, "a b c d"), (2, "a b")], "id long, text string")
-    out = df.select(_shingles(F.col("text")).alias("s")).collect()
+    out = df.select(_shingles("text").alias("s")).collect()
     assert sorted(out[0]["s"]) == ["a b c", "b c d"]
     assert out[1]["s"] == []  # shorter than one shingle
 
