@@ -1233,6 +1233,46 @@ def snapshot_extra(data_dir: str, as_of: int) -> dict | None:
     return recs[as_of - 1]["extra"]
 
 
+# Spark launches a distributed LISTING job for explicit multi-path
+# reads above parallelPartitionDiscovery.threshold (default 32). On a
+# driver-LOCAL filesystem the job's scheduling overhead dominates the
+# ~µs stat calls (r16: 2.6-3.6 s driver-side vs 8.5-10.3 s with the job
+# at 5×10³ paths; r17: a 64-path classifier leg was 1.46 s + 0 jobs
+# driver-side vs 3.26 s + 1 job). r18 (VERDICT r17 #4): the raised
+# threshold is scoped HERE, per read, and only when every path is
+# local — an object-store deployment's snapshot_read keeps Spark's
+# default and gets the parallel listing job it wants. 512 is a floor;
+# genuinely huge local manifests raise it to cover themselves (local
+# driver listing stays ~linear at ~0.6 ms/path, cheaper than the job
+# well past 10⁴ paths per the r16 measurement).
+_LOCAL_DISCOVERY_THRESHOLD = 512
+_SPARK_DISCOVERY_DEFAULT = 32
+
+
+def _local_listing_scope(spark: SparkSession, paths: list[str]):
+    """Context manager scoping a raised discovery threshold around an
+    explicit many-path read of LOCAL files; no-op (and zero py4j
+    traffic) when the path count can't trigger the listing job or any
+    path lives on a non-local scheme. Conf scoping is session-global
+    for the duration — concurrent reader threads may transiently see
+    the raised value, which only moves WHERE their listing runs, never
+    what it returns."""
+    from contextlib import nullcontext
+
+    if len(paths) <= _SPARK_DISCOVERY_DEFAULT or any(
+        "://" in p and not p.startswith("file:") for p in paths
+    ):
+        return nullcontext()
+    return _scoped_confs(
+        spark,
+        {
+            "spark.sql.sources.parallelPartitionDiscovery.threshold": str(
+                max(_LOCAL_DISCOVERY_THRESHOLD, len(paths) + 1)
+            )
+        },
+    )
+
+
 def snapshot_read(
     spark: SparkSession,
     data_dir: str,
@@ -1249,7 +1289,12 @@ def snapshot_read(
     reader = spark.read.option("basePath", data_dir)
     if schema is not None:
         reader = reader.schema(schema)
-    return reader.parquet(*snapshot_files(data_dir, as_of))
+    files = snapshot_files(data_dir, as_of)
+    # File listing happens eagerly inside reader.parquet() (the
+    # InMemoryFileIndex is built at relation resolution), so scoping
+    # the conf around the call covers the listing decision.
+    with _local_listing_scope(spark, files):
+        return reader.parquet(*files)
 
 
 def export_snapshot(data_dir: str, as_of: int, dest_dir: str) -> dict:

@@ -1906,8 +1906,11 @@ class CorpusWriter:
             incremental._recover_staged(
                 self.index_dir, ("drift_ref",), discard_stage=False
             )
+            from .queries.text import DRIFT_HIST_SCHEMA
+
             ref = incremental.snapshot_read(
-                self.spark, self._drift_dir(), as_of
+                self.spark, self._drift_dir(), as_of,
+                schema=DRIFT_HIST_SCHEMA,
             )
         row = corpus_drift_from_hists(
             self.spark,
@@ -2939,8 +2942,11 @@ class EmbeddingWriter:
             incremental._recover_staged(
                 self.index_dir, ("cell_hist",), discard_stage=False
             )
+            from .queries.text import DRIFT_HIST_SCHEMA
+
             ref = incremental.snapshot_read(
-                self.spark, self._cell_hist_dir(), as_of
+                self.spark, self._cell_hist_dir(), as_of,
+                schema=DRIFT_HIST_SCHEMA,
             )
         row = corpus_drift_from_hists(
             self.spark,

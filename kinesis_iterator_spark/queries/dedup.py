@@ -56,8 +56,10 @@ def _shingles(col: str) -> Column:
     (referenced by NAME). Built as ONE F.expr SQL string: the ~12
     Column-operator py4j round trips of the builder form are a real
     per-call-site driver cost at batch scale (the r9 minhash_bands
-    lesson); the resolved expression is identical."""
-    w = f"split({col}, ' ')"
+    lesson); the resolved expression is identical. The name is
+    backtick-quoted so identifiers that need quoting parse (ADVICE
+    r17); backticks inside a name are escaped by doubling, per SQL."""
+    w = f"split(`{col.replace('`', '``')}`, ' ')"
     return F.expr(
         "array_distinct(transform("
         f"CASE WHEN size({w}) >= 3 THEN sequence(1, size({w}) - 2) "

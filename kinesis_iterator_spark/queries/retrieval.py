@@ -1385,7 +1385,12 @@ def asof_serving_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from .. import incremental
-    from .text import _DRIFT_BUCKETS, corpus_drift_from_hists, corpus_hist
+    from .text import (
+        _DRIFT_BUCKETS,
+        DRIFT_HIST_SCHEMA,
+        corpus_drift_from_hists,
+        corpus_hist,
+    )
 
     # Unique parent per INVOCATION (ADVICE r14): clearing a shared
     # per-PID dir at entry would delete the parquet under any lazy
@@ -1475,7 +1480,7 @@ def asof_serving_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             # (b, c) is the drift layer's pinned histogram shape —
             # passing it skips the per-leg footer-inference job (r17).
             incremental.snapshot_read(
-                spark, dr_dir, g, schema="b bigint, c bigint"
+                spark, dr_dir, g, schema=DRIFT_HIST_SCHEMA
             ),
             probe_hist,
             _DRIFT_BUCKETS,

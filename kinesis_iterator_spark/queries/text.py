@@ -1059,6 +1059,12 @@ def corpus_drift_oracle(
 
 _DRIFT_BUCKETS = 256
 
+# Format-pinned schema of a stored (b, c) histogram layer — what
+# `corpus_hist` (text writer's drift_ref) and the embedding writer's
+# cell_hist persist per segment. Hoisted to ONE constant (ADVICE r17)
+# so the snapshot_read call sites and the test pin cannot drift apart.
+DRIFT_HIST_SCHEMA = "b bigint, c bigint"
+
 
 @query(
     "corpus_drift_stats",

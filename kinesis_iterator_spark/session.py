@@ -38,19 +38,15 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
-        # Explicit many-path reads (snapshot_read's manifests ARE the
-        # file list) launch a parallel-partition-discovery Spark JOB
-        # above this many paths. On driver-local storage the job's
-        # scheduling overhead dominates the ~µs stat calls (r16
-        # measured 2.6-3.6 s driver-side vs 8.5-10.3 s with the job at
-        # 5,000 paths; r17: one classifier-leg construction at 64
-        # manifest paths was 3.26 s + 1 job at the default 32 vs
-        # 1.46 s + 0 jobs at 512). 512 keeps every per-admit manifest
-        # read driver-side locally while still handing genuinely huge
-        # listings to the cluster; an object-store deployment at scale
-        # overrides this via extra_conf/spark-submit — it is an engine
-        # conf, not a hard-coded behavior.
-        .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "512")
+        # parallelPartitionDiscovery.threshold stays at the Spark
+        # default here (r18, VERDICT r17 #4): the r17 session-wide 512
+        # encoded a local-disk latency assumption into every session
+        # (an object-store deployment WANTS the parallel listing job).
+        # The raised value is now scoped per-read to local-scheme
+        # many-path reads in incremental._local_listing_scope
+        # (snapshot_read) and _MAINTENANCE_SCAN_CONFS, preserving the
+        # measured local wins (64-path leg: 1.46 s + 0 jobs vs 3.26 s
+        # + 1 job) without a blanket default.
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -76,6 +76,77 @@ FIXTURE_SCHEMAS = {
 }
 
 
+# (sf_dir, table) pairs whose parquet footer has been checked against
+# FIXTURE_SCHEMAS this process — the guard below runs once per pair.
+_VERIFIED_FIXTURES: set[tuple[str, str]] = set()
+
+
+def _arrow_ddl(t) -> str:
+    """A pyarrow DataType rendered as the Spark DDL type name used in
+    FIXTURE_SCHEMAS (only the types the fixtures actually use)."""
+    import pyarrow as pa
+
+    if pa.types.is_int32(t):
+        return "int"
+    if pa.types.is_int64(t):
+        return "bigint"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_float64(t):
+        return "double"
+    if pa.types.is_float32(t):
+        return "float"
+    if pa.types.is_timestamp(t):
+        return "timestamp_ntz" if t.tz is None else "timestamp"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"array<{_arrow_ddl(t.value_type)}>"
+    return str(t)
+
+
+def _split_ddl(ddl: str) -> list[tuple[str, str]]:
+    """'a int, b array<float>' → [('a','int'), ('b','array<float>')].
+    Depth-aware on <> so nested generics never split; pure Python, no
+    py4j."""
+    fields, depth, start = [], 0, 0
+    for i, ch in enumerate(ddl + ","):
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            col, typ = ddl[start:i].strip().split(" ", 1)
+            fields.append((col, typ.strip()))
+            start = i + 1
+    return fields
+
+
+def _assert_fixture_schema(sf_dir: str, name: str, path: str) -> None:
+    """Fail LOUDLY if the fixture file's footer schema drifted from the
+    pinned FIXTURE_SCHEMAS entry (r18, VERDICT r17 #3): an explicit
+    read schema makes Spark null-fill missing columns silently, so a
+    future fixture drop with a renamed/retyped column would otherwise
+    read as nulls instead of an error. One driver-side pyarrow footer
+    read per (process, sf_dir, table) — zero Spark jobs."""
+    key = (sf_dir, name)
+    if key in _VERIFIED_FIXTURES:
+        return
+    import pyarrow.parquet as pq
+
+    actual = [
+        (f.name, _arrow_ddl(f.type))
+        for f in pq.ParquetFile(path).schema_arrow
+    ]
+    pinned = _split_ddl(FIXTURE_SCHEMAS[name])
+    if actual != pinned:
+        raise ValueError(
+            f"fixture {path} footer schema {actual} does not match the "
+            f"pinned FIXTURE_SCHEMAS[{name!r}] {pinned} — update the pin "
+            "(and tests/test_layer_schemas.py) rather than reading "
+            "null-filled columns"
+        )
+    _VERIFIED_FIXTURES.add(key)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}; known: {TABLES}")
@@ -106,9 +177,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         elif ts_type == "timestamp_ntz":
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
-    return spark.read.schema(FIXTURE_SCHEMAS[name]).parquet(
-        os.path.join(sf_dir, f"{name}.parquet")
-    )
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    _assert_fixture_schema(sf_dir, name, path)
+    return spark.read.schema(FIXTURE_SCHEMAS[name]).parquet(path)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -292,3 +292,27 @@ def test_kmeans_duplicate_points_drop_empty_clusters(spark, sf_dir):
     for v in range(9):
         assert got[v] == got[v % 3]
     assert kmeans_sse(derived, res.clusters, res.centroids) == 0
+
+
+def test_kmeans_distributed_partial_sum_path_identical(spark, sf_dir):
+    # ADVICE r17: the distributed else-branch of the Lloyd update's
+    # cross-partition reduction (groupBy(cl, dim) F.sum) must produce
+    # centroids/assignment identical to the driver-sum fast path. At
+    # fixture scale k*d*n_part stays far below DRIVER_SUM_MAX_ROWS, so
+    # only this forced run exercises the branch (the DRIVER_CC_MAX_EDGES
+    # test pattern).
+    from kinesis_iterator_spark.queries import clustering as C
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    fast = kmeans_embeddings(spark, emb, k=K, iters=ITERS)
+    fast_assign = sorted(tuple(r) for r in fast.assignment.collect())
+    orig = C.DRIVER_SUM_MAX_ROWS
+    C.DRIVER_SUM_MAX_ROWS = -1
+    try:
+        dist = kmeans_embeddings(spark, emb, k=K, iters=ITERS)
+        dist_assign = sorted(tuple(r) for r in dist.assignment.collect())
+    finally:
+        C.DRIVER_SUM_MAX_ROWS = orig
+    assert dist.clusters == fast.clusters
+    assert (dist.centroids == fast.centroids).all()
+    assert dist_assign == fast_assign

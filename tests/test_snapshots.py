@@ -566,3 +566,34 @@ def test_writer_export_store_serves_equal(spark, tmp_path):
     assert _digest(incremental.snapshot_read(spark, dest, 1)) == want
     w.vacuum(2)
     assert _digest(incremental.snapshot_read(spark, dest, 1)) == want
+
+
+def test_snapshot_read_many_local_paths_no_listing_job(spark, tmp_path):
+    # r18 (VERDICT r17 #4): a snapshot_read whose manifest resolves to
+    # MORE paths than Spark's parallel-partition-discovery default (32)
+    # must keep the file listing driver-side on a local filesystem —
+    # zero Spark jobs at construction (the threshold raise is scoped
+    # per-read now, not a session default). Values are unaffected.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "layer")
+    os.makedirs(d)
+    n_files = 40
+    for i in range(n_files):
+        pq.write_table(
+            pa.table({"a": pa.array([i], type=pa.int64())}),
+            os.path.join(d, f"part-{i:03d}.parquet"),
+        )
+    incremental.record_snapshot(d)
+    tracker = spark.sparkContext.statusTracker()
+    j0 = len(tracker.getJobIdsForGroup(None))
+    df = incremental.snapshot_read(spark, d, 1, schema="a bigint")
+    j_construct = len(tracker.getJobIdsForGroup(None)) - j0
+    assert j_construct == 0, (
+        f"snapshot_read over {n_files} local paths launched "
+        f"{j_construct} job(s) at construction — the scoped discovery "
+        "threshold regressed"
+    )
+    assert df.count() == n_files
+    assert df.agg(F.sum("a")).collect()[0][0] == sum(range(n_files))
