@@ -109,7 +109,11 @@ def _digests(doc: DataFrame) -> DataFrame:
 
 
 def _write_band_files(
-    doc: DataFrame, index_dir: str, mode: str, bands: DataFrame | None = None
+    doc: DataFrame,
+    index_dir: str,
+    mode: str,
+    bands: DataFrame | None = None,
+    bands_restricted: bool = False,
 ) -> None:
     """One signature pipeline, two outputs: the capped band rows to
     ``bands/`` and the over-cap bucket keys (tombstones — one row per
@@ -141,17 +145,55 @@ def _write_band_files(
     batch (CorpusWriter.admit) skip a full signature pipeline."""
     if bands is None:
         bands = minhash_bands(doc)
-    else:
+    elif not bands_restricted:
+        # bands_restricted (r18): the caller GUARANTEES the band rows
+        # cover exactly ``doc``'s ids — skip the restriction semijoin
+        # (one broadcast stage-job per append; the asof suite's
+        # generation builder pre-filters its one banding pass by the
+        # slice predicate). Superset bands without the flag keep it.
         bands = bands.join(doc.select("doc_id"), "doc_id", "leftsemi")
     n_in_bucket = F.count("*").over(W.partitionBy("band_id", "band_key"))
-    marked = bands.withColumn("_n", n_in_bucket).persist()
+    marked = bands.withColumn("_n", n_in_bucket)
+    spark = doc.sparkSession
     try:
-        marked.filter(F.col("_n") <= MAX_BUCKET).drop("_n").write.mode(
-            mode
-        ).parquet(f"{index_dir}/bands")
-        marked.filter(F.col("_n") > MAX_BUCKET).select(
-            "band_id", "band_key"
-        ).distinct().write.mode(mode).parquet(f"{index_dir}/dropped")
+        # Size-based output partitioning (r18, VERDICT r17 #2 / guide
+        # §6): the window's shuffle otherwise lands on the session's
+        # shuffle-partition count and every per-admit append inherits it
+        # as ~core-count TINY files per generation (measured 32/gen at
+        # local[32]; every later snapshot_read then marshals
+        # generations×32 paths and bins tiny files at scan time).
+        # parallelismFirst=false makes AQE coalesce these post-shuffle
+        # partitions to its advisory byte target instead of stopping at
+        # the parallelism floor — batch-scale appends become ~1
+        # size-based file per generation, huge batches keep
+        # size-proportional counts, and NO extra job or exchange is
+        # introduced (the window's existing exchange is reused; A/B:
+        # jobs-per-admit unchanged, bands files 32→1 per generation).
+        # Scoped: restored on exit, so query-path shuffles keep the
+        # parallelism-first default.
+        # canChangeCachedPlanOutputPartitioning: AQE is OFF inside
+        # cached plans by default (cache partitioning determinism), so
+        # without it the persisted window shuffle ignores the coalesce
+        # conf entirely (measured: 32 files either way). Scoped on for
+        # exactly this persist-and-write window.
+        with _scoped_confs(
+            spark,
+            {
+                "spark.sql.adaptive.coalescePartitions.parallelismFirst": (
+                    "false"
+                ),
+                "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": (
+                    "true"
+                ),
+            },
+        ):
+            marked = marked.persist()
+            marked.filter(F.col("_n") <= MAX_BUCKET).drop("_n").write.mode(
+                mode
+            ).parquet(f"{index_dir}/bands")
+            marked.filter(F.col("_n") > MAX_BUCKET).select(
+                "band_id", "band_key"
+            ).distinct().write.mode(mode).parquet(f"{index_dir}/dropped")
     finally:
         marked.unpersist()
 
@@ -209,7 +251,10 @@ def _dir_rows(d: str) -> int:
 
 
 def write_index(
-    doc: DataFrame, index_dir: str, bands: DataFrame | None = None
+    doc: DataFrame,
+    index_dir: str,
+    bands: DataFrame | None = None,
+    bands_restricted: bool = False,
 ) -> dict:
     """Build the dedup index for a (doc_id, text) corpus frame. One pass
     for digests, one signature pipeline for bands (+ its tombstones);
@@ -224,7 +269,13 @@ def write_index(
         lambda: _digests(doc)
         .write.mode("overwrite")
         .parquet(f"{index_dir}/digests"),
-        lambda: _write_band_files(doc, index_dir, "overwrite", bands=bands),
+        lambda: _write_band_files(
+            doc,
+            index_dir,
+            "overwrite",
+            bands=bands,
+            bands_restricted=bands_restricted,
+        ),
     )
     meta = _current_meta()
     meta["base_band_rows"] = _dir_rows(f"{index_dir}/bands")
@@ -398,6 +449,7 @@ def dedup_against_index(
     corpus_doc: DataFrame,
     batch_bands: DataFrame | None = None,
     as_of: int | None = None,
+    batch_bands_restricted: bool = False,
 ) -> DataFrame:
     """Classify each NEW document against the indexed corpus.
 
@@ -422,6 +474,13 @@ def dedup_against_index(
     superset of ``new_doc`` — filtered to the non-exact remainder here.
     Band rows are per-document, so the subset equals a fresh banding;
     an admit loop that also extends the index bands the batch ONCE.
+
+    ``batch_bands_restricted``: the caller GUARANTEES ``batch_bands``
+    holds rows for exactly ``new_doc``'s ids (no superset) — skips the
+    per-call restriction semijoin (one broadcast stage-job; the asof
+    replay legs band the probe itself and pass this). Passing superset
+    bands with this flag fabricates candidates from stale rows — only
+    set it when the band frame was built from ``new_doc``.
 
     ``as_of`` (r13): replay the classification against the index
     exactly as it stood after recorded admission ``as_of`` —
@@ -459,6 +518,11 @@ def dedup_against_index(
 
     # Exact: smallest corpus doc sharing the digest. AQE broadcasts the
     # batch-side digest frame (small by construction) under the join.
+    # NOT persisted despite three consumers (A/B'd r18: persisting the
+    # frame cost +3/+4 stage-jobs per classifier leg — the
+    # InMemoryRelation splits AQE stages — vs letting the tiny
+    # digest-join lineage recompute; the r6 "persist is plan-shape
+    # dependent" lesson).
     exact = (
         _digests(new_doc)
         .join(
@@ -484,9 +548,14 @@ def dedup_against_index(
         # Precomputed bands may cover a SUPERSET of new_doc (e.g. the
         # curate stage's eligible set): restrict to the batch before
         # dropping the exact dups, or stale band rows would fabricate
-        # candidates.
-        remainder_bands = batch_bands.join(
-            new_doc.select("doc_id"), "doc_id", "leftsemi"
+        # candidates. Callers that built the bands from new_doc itself
+        # declare it (batch_bands_restricted) and skip the semijoin.
+        remainder_bands = (
+            batch_bands
+            if batch_bands_restricted
+            else batch_bands.join(
+                new_doc.select("doc_id"), "doc_id", "leftsemi"
+            )
         ).join(exact.select("doc_id"), "doc_id", "left_anti")
     cand = (
         remainder_bands
@@ -500,16 +569,37 @@ def dedup_against_index(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    best = W.partitionBy("doc_a").orderBy(F.desc("jaccard"), F.asc("doc_b"))
+    # Best corpus match per new doc: (max jaccard, min doc_b) selected
+    # with a struct-min AGGREGATE instead of row_number over a window
+    # (r18; the r8 first-occurrence-per-key pattern) — the aggregate
+    # guarantees a map-side partial (a viral near-dup doc's candidates
+    # reduce before the shuffle instead of sorting in one window task)
+    # and drops the window's Sort. min(struct(-jaccard, doc_b)) picks
+    # exactly the window's rank-1 row: double negation is a sign flip
+    # (exact), jaccard > 0 here so no -0.0 ambiguity, and the carried
+    # jaccard field is inert (doc_b already breaks every tie).
+    best = F.min(
+        F.struct(
+            (-F.col("jaccard")).alias("_nj"),
+            F.col("doc_b").alias("dup_of"),
+            F.col("jaccard").alias("jaccard"),
+        )
+    ).alias("_best")
+    # Text attach for the batch side uses new_doc, not remainder: cand's
+    # doc_a values are already exact-free (remainder_bands anti-joined
+    # exact above), and the attach is an inner equi-join, so the
+    # superset frame yields identical rows while dropping one consumer
+    # of exact's lineage (a groupBy frame re-derives per consumer —
+    # measured −2 stage-jobs per classifier leg, r18).
     near = (
-        verify_jaccard(cand, remainder, corpus_doc)
-        .withColumn("_rk", F.row_number().over(best))
-        .filter(F.col("_rk") == 1)
+        verify_jaccard(cand, new_doc, corpus_doc)
+        .groupBy("doc_a")
+        .agg(best)
         .select(
             F.col("doc_a").alias("doc_id"),
-            F.col("doc_b").alias("dup_of"),
+            F.col("_best.dup_of").alias("dup_of"),
             F.lit("near_dup").alias("verdict"),
-            "jaccard",
+            F.col("_best.jaccard").alias("jaccard"),
         )
     )
 
@@ -583,7 +673,10 @@ def _warn_if_drifted(index_dir: str, meta: dict) -> None:
 
 
 def extend_index(
-    accepted_doc: DataFrame, index_dir: str, bands: DataFrame | None = None
+    accepted_doc: DataFrame,
+    index_dir: str,
+    bands: DataFrame | None = None,
+    bands_restricted: bool = False,
 ) -> None:
     """Append the ACCEPTED (novel) documents' digest and band rows to the
     index — the post-batch "checkpoint save". Append-mode parquet: no
@@ -607,7 +700,11 @@ def extend_index(
         .write.mode("append")
         .parquet(f"{index_dir}/digests"),
         lambda: _write_band_files(
-            accepted_doc, index_dir, "append", bands=bands
+            accepted_doc,
+            index_dir,
+            "append",
+            bands=bands,
+            bands_restricted=bands_restricted,
         ),
     )
 

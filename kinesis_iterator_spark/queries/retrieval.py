@@ -376,7 +376,12 @@ def _postings_frame(doc: DataFrame) -> DataFrame:
     )
 
 
-def write_bm25_index(spark: SparkSession, doc: DataFrame, index_dir: str) -> dict:
+def write_bm25_index(
+    spark: SparkSession,
+    doc: DataFrame,
+    index_dir: str,
+    postings: DataFrame | None = None,
+) -> dict:
     """Materialize the inverted index for ``doc`` (doc_id, text) —
     bootstrap and reconcile path (mode overwrite).
 
@@ -385,7 +390,12 @@ def write_bm25_index(spark: SparkSession, doc: DataFrame, index_dir: str) -> dic
     slim scans — the stored-column discipline: never recompute the
     explode, never persist the token-scale frame), with the two derived
     writes overlapped in driver threads. n_docs comes from the doclen
-    parquet footers (zero jobs); t_tokens is a 1-row aggregate."""
+    parquet footers (zero jobs); t_tokens is a 1-row aggregate.
+
+    ``postings`` (r18): precomputed ``_postings_frame`` rows of EXACTLY
+    ``doc``'s documents (postings are a pure per-document function —
+    the ``bands=`` reuse discipline). A caller building several
+    generations tokenizes once and hands each build its slice."""
     import os
 
     from ..incremental import _concurrently, _dir_rows
@@ -393,10 +403,17 @@ def write_bm25_index(spark: SparkSession, doc: DataFrame, index_dir: str) -> dic
     os.makedirs(index_dir, exist_ok=True)
     with open(_bm25_marker(index_dir), "w") as fh:
         fh.write("")
-    _postings_frame(doc).write.mode("overwrite").parquet(
+    (_postings_frame(doc) if postings is None else postings).write.mode(
+        "overwrite"
+    ).parquet(f"{index_dir}/postings")
+    # Read-backs of THIS function's own freshly-written relations:
+    # their schemas are known by construction, so pinning them skips
+    # two footer-inference jobs per build (r18; the r17 "never pin a
+    # maintenance rewrite" rule is about foreign/evolved data — these
+    # bytes were written three lines up).
+    post = spark.read.schema(_POSTINGS_SCHEMA).parquet(
         f"{index_dir}/postings"
     )
-    post = spark.read.parquet(f"{index_dir}/postings")
     _concurrently(
         lambda: post.groupBy("doc_id")
         .agg(F.sum("tf").cast("long").alias("dl"))
@@ -408,7 +425,8 @@ def write_bm25_index(spark: SparkSession, doc: DataFrame, index_dir: str) -> dic
         .parquet(f"{index_dir}/df"),
     )
     t_tokens = int(
-        spark.read.parquet(f"{index_dir}/doclen")
+        spark.read.schema(_DOCLEN_SCHEMA)
+        .parquet(f"{index_dir}/doclen")
         .agg(F.sum("dl").alias("t"))
         .collect()[0]["t"]
         or 0
@@ -425,7 +443,10 @@ def write_bm25_index(spark: SparkSession, doc: DataFrame, index_dir: str) -> dic
 
 
 def extend_bm25_index(
-    spark: SparkSession, new_doc: DataFrame, index_dir: str
+    spark: SparkSession,
+    new_doc: DataFrame,
+    index_dir: str,
+    postings: DataFrame | None = None,
 ) -> dict:
     """Append a batch's postings/doclen/df rows and roll the totals —
     the per-admit extension (`incremental.extend_index`'s discipline:
@@ -433,48 +454,72 @@ def extend_bm25_index(
 
     Precondition (the CorpusWriter contract): ``new_doc``'s doc_ids are
     NOT already in the index — the admission layer's exact-dedup
-    guarantees it; a re-extended id would double-count its postings."""
+    guarantees it; a re-extended id would double-count its postings.
+
+    ``postings`` (r18): precomputed ``_postings_frame`` rows of EXACTLY
+    ``new_doc``'s documents, with a MATERIALIZED-or-cheap lineage (the
+    three appends consume it once each — a caller building several
+    generations checkpoints one tokenize pass and hands each extend a
+    filtered slice, skipping this function's per-batch checkpoint job)."""
     import os
 
     from ..incremental import _concurrently
 
     meta = _check_bm25_meta(index_dir)
-    batch = _postings_frame(new_doc).localCheckpoint(eager=True)
+    batch = (
+        _postings_frame(new_doc).localCheckpoint(eager=True)
+        if postings is None
+        else postings
+    )
     try:
         with open(_bm25_marker(index_dir), "w") as fh:
             fh.write("")
-        box: dict = {}
-
-        def _totals():
-            r = batch.agg(
-                F.count_distinct("doc_id").alias("n"),
-                F.sum("tf").alias("t"),
-            ).collect()[0]
-            box["n"], box["t"] = int(r["n"] or 0), int(r["t"] or 0)
-
+        # Batch totals come from the doclen files THIS extend appends
+        # (r18): n = their row count, t = the sum of their dl column —
+        # identical by construction to the r17 count_distinct/sum
+        # aggregate over the batch (dl IS sum(tf) per doc), read
+        # driver-side via pyarrow from batch-bounded rows instead of
+        # one more Spark job per admit. The writer lease makes the
+        # before/after listing diff race-free.
+        doclen_dir = f"{index_dir}/doclen"
+        before = set(os.listdir(doclen_dir))
         _concurrently(
-            _totals,
             lambda: batch.write.mode("append").parquet(
                 f"{index_dir}/postings"
             ),
             lambda: batch.groupBy("doc_id")
             .agg(F.sum("tf").cast("long").alias("dl"))
             .write.mode("append")
-            .parquet(f"{index_dir}/doclen"),
+            .parquet(doclen_dir),
             lambda: batch.groupBy("term")
             .agg(F.count("*").cast("long").alias("df"))
             .write.mode("append")
             .parquet(f"{index_dir}/df"),
         )
-        meta["n_docs"] += box["n"]
-        meta["t_tokens"] += box["t"]
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        n_new, t_new = 0, 0
+        for f in sorted(set(os.listdir(doclen_dir)) - before):
+            if not f.endswith(".parquet"):
+                continue
+            tbl = pq.read_table(
+                os.path.join(doclen_dir, f), columns=["dl"]
+            )
+            n_new += tbl.num_rows
+            t_new += int(pc.sum(tbl["dl"]).as_py() or 0)
+        meta["n_docs"] += n_new
+        meta["t_tokens"] += t_new
         _write_bm25_meta(index_dir, meta)
         os.remove(_bm25_marker(index_dir))
         return meta
     finally:
-        from . import release_local_checkpoint
+        if postings is None:
+            # Only release a checkpoint THIS call created — a passed-in
+            # frame belongs to the caller (and may feed later extends).
+            from . import release_local_checkpoint
 
-        release_local_checkpoint(batch)
+            release_local_checkpoint(batch)
 
 
 def bm25_scores_from_index(
@@ -766,6 +811,7 @@ def hybrid_topk(
     k0: int = RRF_K0,
     k1: tuple[int, int] = (6, 5),
     b: tuple[int, int] = (3, 4),
+    eager_overlap: bool = False,
 ) -> DataFrame:
     """Hybrid corpus mining: the BM25 lexical ranking and the exact-
     cosine semantic ranking (documents and their embeddings share ids:
@@ -774,6 +820,15 @@ def hybrid_topk(
     (doc_id, lex_rnk, sem_rnk, rrf_fix, rrf) — ranks NULL where a
     ranker did not retrieve the document — ``topk`` best by
     (rrf_fix DESC, doc_id).
+
+    ``eager_overlap`` (r18, guide §2.6): materialize the two ranker
+    legs NOW as concurrent eager checkpoints (driver threads) and fuse
+    the ≤candidates-row results lazily. The legs are independent
+    scans of different tables, but as two sides of one lazy plan their
+    AQE stages run back-to-back — overlapping them costs the wall of
+    the slower leg instead of the sum. Values identical (a checkpoint
+    only materializes); block storage rides the managed-release
+    harness contract.
 
     100 TB posture: each ranker reduces to its own top-``candidates``
     via orderBy+limit (TakeOrdered — no global sort materializes), the
@@ -804,6 +859,21 @@ def hybrid_topk(
         )
         .select("doc_id", "sem_rnk")
     )
+    if eager_overlap:
+        from ..incremental import _concurrently
+        from . import managed_checkpoint
+
+        box: dict = {}
+        _concurrently(
+            lambda: box.__setitem__(
+                "lex", lex.localCheckpoint(eager=True)
+            ),
+            lambda: box.__setitem__(
+                "sem", sem.localCheckpoint(eager=True)
+            ),
+        )
+        lex = managed_checkpoint(box["lex"])
+        sem = managed_checkpoint(box["sem"])
     return rrf_fuse(lex, sem, topk=topk, k0=k0)
 
 
@@ -1103,7 +1173,14 @@ def hybrid_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spark jobs, O(one row group) driver bytes (`read_query_vec`).
     qv = read_query_vec(f"{sf_dir}/embeddings.parquet", 0)
     return hybrid_topk(
-        spark, doc, emb, _REGISTRY_TERMS, qv, topk=10, candidates=50
+        spark,
+        doc,
+        emb,
+        _REGISTRY_TERMS,
+        qv,
+        topk=10,
+        candidates=50,
+        eager_overlap=True,
     )
 
 
@@ -1160,23 +1237,37 @@ def _asof_suite_index(
     os.makedirs(parent, exist_ok=True)
     idx = tempfile.mkdtemp(dir=parent)
     doc = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    for g in range(1, _ASOF_SLICES + 1):
-        batch = doc.filter(F.col("doc_id") % 10 == g - 1)
-        meta = (
-            write_bm25_index(spark, batch, idx)
-            if g == 1
-            else extend_bm25_index(spark, batch, idx)
-        )
-        totals = {
-            "n_docs": int(meta["n_docs"]),
-            "t_tokens": int(meta["t_tokens"]),
-        }
-        for name in _BM25_RELATIONS:
-            incremental.record_aligned_snapshot(
-                f"{idx}/{name}",
-                g,
-                extra=totals if name == "postings" else None,
+    # Tokenize ALL three slices in ONE postings pipeline and hand each
+    # generation its filtered slice (r18 — the `_asof_dedup_index`
+    # all_bands discipline: postings are a pure per-document function,
+    # so the filtered subset equals a fresh tokenize). Saves one
+    # shuffle job for the g1 write and one checkpoint job per extend.
+    from . import release_local_checkpoint
+
+    all_post = _postings_frame(
+        doc.filter(F.col("doc_id") % 10 < _ASOF_SLICES)
+    ).localCheckpoint(eager=True)
+    try:
+        for g in range(1, _ASOF_SLICES + 1):
+            batch = doc.filter(F.col("doc_id") % 10 == g - 1)
+            post_g = all_post.filter(F.col("doc_id") % 10 == g - 1)
+            meta = (
+                write_bm25_index(spark, batch, idx, postings=post_g)
+                if g == 1
+                else extend_bm25_index(spark, batch, idx, postings=post_g)
             )
+            totals = {
+                "n_docs": int(meta["n_docs"]),
+                "t_tokens": int(meta["t_tokens"]),
+            }
+            for name in _BM25_RELATIONS:
+                incremental.record_aligned_snapshot(
+                    f"{idx}/{name}",
+                    g,
+                    extra=totals if name == "postings" else None,
+                )
+    finally:
+        release_local_checkpoint(all_post)
     return idx
 
 
@@ -1214,10 +1305,19 @@ def _asof_dedup_index(spark: SparkSession, sf_dir: str, parent: str) -> str:
     try:
         for g in range(1, _ASOF_SLICES + 1):
             batch = doc.filter(F.col("doc_id") % 10 == g - 1)
+            # Pre-filter the one banding pass by the slice predicate —
+            # exactly batch's ids, so the restriction semijoin inside
+            # _write_band_files is skipped (r18: one broadcast
+            # stage-job per generation).
+            bands_g = all_bands.filter(F.col("doc_id") % 10 == g - 1)
             if g == 1:
-                incremental.write_index(batch, idx, bands=all_bands)
+                incremental.write_index(
+                    batch, idx, bands=bands_g, bands_restricted=True
+                )
             else:
-                incremental.extend_index(batch, idx, bands=all_bands)
+                incremental.extend_index(
+                    batch, idx, bands=bands_g, bands_restricted=True
+                )
             for name in ("digests", "bands", "dropped"):
                 d = f"{idx}/{name}"
                 if os.path.isdir(d):
@@ -1459,7 +1559,15 @@ def asof_serving_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     for g in _ASOF_SERVE_GENS:
         corpus_g = doc.filter(F.col("doc_id") % 10 < g)
         leg = incremental.dedup_against_index(
-            spark, probe, dd_idx, corpus_g, batch_bands=probe_bands, as_of=g
+            spark,
+            probe,
+            dd_idx,
+            corpus_g,
+            batch_bands=probe_bands,
+            as_of=g,
+            # probe_bands was banded from probe itself — exactly
+            # new_doc's ids, no restriction semijoin needed (r18).
+            batch_bands_restricted=True,
         ).select(
             F.lit(f"c{g}").alias("part"),
             "doc_id",
@@ -1545,6 +1653,7 @@ def asof_serving_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             doc.filter(F.col("doc_id") % 10 < 2),
             batch_bands=probe_bands,
             as_of=2,
+            batch_bands_restricted=True,
         ).select(
             F.lit("pc2").alias("part"),
             "doc_id",

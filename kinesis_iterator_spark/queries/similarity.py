@@ -489,7 +489,29 @@ def _planes_sql(n_tables: int) -> str:
     return f"(VALUES {rows}) p(table_id, bit_id, plane)"
 
 
-def lsh_signatures(emb: DataFrame, b: int, par: int) -> DataFrame:
+# Extension-path task sizing (r18, VERDICT r17 #2): a batch append's
+# kernel repartition otherwise lands on the session parallelism and
+# every per-admit signature/assignment append inherits ~core-count TINY
+# files per generation (measured 32/gen ivf_assignment, 16/gen/table
+# lsh_signatures at local[32]). Callers that KNOW the batch row count
+# (extend_ann_index's n_new — the admit loop's verdict aggregate) get a
+# row-proportional task count instead: files become size-based (one
+# task per EXTEND_ROWS_PER_TASK rows, floor 1), kernels keep full
+# parallelism for any batch ≥ par·32k rows, and no job or exchange is
+# added or removed. Bootstrap/full-build paths pass no count and keep
+# the parallelism-first repartition (corpus-scale kernels want it).
+EXTEND_ROWS_PER_TASK = 32_768
+
+
+def _batch_partitions(par: int, n_rows: int | None) -> int:
+    if n_rows is None:
+        return par
+    return min(par, max(1, -(-n_rows // EXTEND_ROWS_PER_TASK)))
+
+
+def lsh_signatures(
+    emb: DataFrame, b: int, par: int, n_rows: int | None = None
+) -> DataFrame:
     """(vec_id, table_id, bucket) LSH signature rows via ONE Arrow kernel
     pass: bucket t = b sign bits of dots against literal plane vectors
     (plane index t*B_CAP + i — b-independent, matching the oracle's
@@ -541,7 +563,7 @@ def lsh_signatures(emb: DataFrame, b: int, par: int) -> DataFrame:
             yield pd.concat(frames, ignore_index=True)
 
     return (
-        emb.repartition(par)
+        emb.repartition(_batch_partitions(par, n_rows))
         .select("vec_id", "embedding")
         .mapInPandas(kern, "vec_id long, table_id int, bucket long")
     )
@@ -899,7 +921,10 @@ def _ivf_centroids(emb: DataFrame) -> DataFrame:
 
 
 def _ivf_ranked_assignment(
-    spark: SparkSession, emb: DataFrame, crows=None
+    spark: SparkSession,
+    emb: DataFrame,
+    crows=None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Codebook + 2-nearest-cell ranked assignment (vec_id, cell, rk) —
     the IVF inverted-file structure. Factored so the stored-index writer
@@ -955,7 +980,11 @@ def _ivf_ranked_assignment(
             )
 
     return (
-        emb.repartition(spark.sparkContext.defaultParallelism)
+        emb.repartition(
+            _batch_partitions(
+                spark.sparkContext.defaultParallelism, n_rows
+            )
+        )
         .select("vec_id", "embedding")
         .mapInPandas(assign, "vec_id long, cell long, rk long")
     )
@@ -1220,9 +1249,25 @@ def extend_ann_index(
             "layout — rebuild it with write_ann_index before extending."
         )
     par = spark.sparkContext.defaultParallelism
+    # Row-proportional append layout (r18, VERDICT r17 #2): when the
+    # caller knows the batch size, the signature/assignment writes use
+    # size-based task counts (see EXTEND_ROWS_PER_TASK) instead of
+    # inheriting ~par tiny files per generation. The precomputed-sig
+    # path coalesces the slim projection — its kernel already ran
+    # behind the caller's checkpoint, so narrowing the write tasks
+    # moves no compute and adds no exchange.
+    n_parts = _batch_partitions(par, n_new)
     if sig is None:
         sig = lsh_signatures(
-            new_emb.select("vec_id", "embedding"), meta["b"], par
+            new_emb.select("vec_id", "embedding"),
+            meta["b"],
+            par,
+            n_rows=n_new,
+        )
+        sig_rows = sig.select("vec_id", "table_id", "bucket")
+    else:
+        sig_rows = sig.select("vec_id", "table_id", "bucket").coalesce(
+            n_parts
         )
     if crows is None:
         crows = read_ann_codebook(index_dir)
@@ -1233,11 +1278,12 @@ def extend_ann_index(
     from ..incremental import _concurrently
 
     appends = [
-        lambda: sig.select("vec_id", "table_id", "bucket")
-        .write.mode("append")
+        lambda: sig_rows.write.mode("append")
         .partitionBy("table_id")
         .parquet(f"{index_dir}/lsh_signatures"),
-        lambda: _ivf_ranked_assignment(spark, new_emb, crows=crows)
+        lambda: _ivf_ranked_assignment(
+            spark, new_emb, crows=crows, n_rows=n_new
+        )
         .write.mode("append")
         .parquet(f"{index_dir}/ivf_assignment"),
     ]

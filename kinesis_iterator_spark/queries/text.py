@@ -935,24 +935,50 @@ def corpus_drift_from_hists(
     if n_buckets < 1:
         raise ValueError("n_buckets must be >= 1")
     B = n_buckets
-    rh = ref_hist.groupBy("b").agg(F.sum("c").cast("long").alias("rc"))
-    nh = new_hist.groupBy("b").agg(F.sum("c").cast("long").alias("nc"))
+    # One lineage, two exchanges (r18, guide §2.4). The r17 shape
+    # grouped each side separately, joined both against range(B), and
+    # broadcast-joined a SEPARATE `tot` aggregate back — and since that
+    # `tot` subtree re-derived the whole hist lineage (the groupBy
+    # frame re-derivation class), the ≤B·segments-row computation cost
+    # ~8 AQE stage-jobs per drift leg. Now: one tagged union is
+    # aggregated ONCE per bucket (exact integer sums, identical to the
+    # per-side groupBys), and the rt/nt totals ride an unpartitioned
+    # window over the ≤B-row hist — single-partition by construction
+    # and bounded by n_buckets at any corpus size (5 jobs/leg, same
+    # values bit-for-bit).
+    tagged = ref_hist.select(
+        "b", F.col("c").cast("long").alias("c"), F.lit(0).alias("_s")
+    ).unionByName(
+        new_hist.select(
+            "b", F.col("c").cast("long").alias("c"), F.lit(1).alias("_s")
+        )
+    )
+    g = tagged.groupBy("b").agg(
+        F.sum(F.when(F.col("_s") == 0, F.col("c")))
+        .cast("long")
+        .alias("_rc"),
+        F.sum(F.when(F.col("_s") == 1, F.col("c")))
+        .cast("long")
+        .alias("_nc"),
+    )
     hist = (
         spark.range(B)
         .select(F.col("id").alias("b"))
-        .join(rh, "b", "left")
-        .join(nh, "b", "left")
+        .join(g, "b", "left")
         .select(
             "b",
-            F.coalesce("rc", F.lit(0)).cast("long").alias("rc"),
-            F.coalesce("nc", F.lit(0)).cast("long").alias("nc"),
+            F.coalesce("_rc", F.lit(0)).cast("long").alias("rc"),
+            F.coalesce("_nc", F.lit(0)).cast("long").alias("nc"),
         )
     )
-    tot = hist.agg(
-        F.sum("rc").cast("long").alias("rt"),
-        F.sum("nc").cast("long").alias("nt"),
-    )
-    per = hist.join(F.broadcast(tot)).select(
+    wall = W.partitionBy()
+    per = hist.select(
+        "b",
+        "rc",
+        "nc",
+        F.sum("rc").over(wall).cast("long").alias("rt"),
+        F.sum("nc").over(wall).cast("long").alias("nt"),
+    ).select(
         "rc",
         "nc",
         "rt",

@@ -147,6 +147,7 @@ def test_lsh_recall_floor(frames):
     assert float(row["micro_recall"]) >= 0.90
 
 
+@pytest.mark.slow
 def test_pq_and_ivfpq_recall_floors(spark, sf_dir, frames):
     """PQ-ADC (shortlist=64) ≥ 0.6 and residual IVFPQ monotone in
     nprobe with a 0.45 floor at nprobe=4 — the shipped read paths
@@ -307,6 +308,7 @@ def test_from_index_omitted_knobs_resolve_proportionally(
     assert got == want and len(got) == 5
 
 
+@pytest.mark.slow
 def test_reconcile_growth_recall_floor(spark, sf_dir, tmp_path):
     """Recall under reconcile-growth, end-to-end (VERDICT r12 #6): a 4x
     label-skewed growth admitted with drift_reconcile=True must (a)

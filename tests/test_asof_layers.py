@@ -59,6 +59,7 @@ def _rows(df):
 @pytest.mark.parametrize(
     "sf", [SF, "/root/testdata/sf0.01"], ids=["sf0.001", "sf0.01"]
 )
+@pytest.mark.slow
 def test_bm25_generations_pin_history_then_collapse(spark, sf, tmp_path):
     doc = load_table(spark, sf, "documents").select(
         "doc_id", "lang", "source", "text"
@@ -262,6 +263,7 @@ def test_store_compaction_preserves_every_generation(spark, tmp_path):
     ) + s3["n_admitted"]
 
 
+@pytest.mark.slow
 def test_hybrid_serving_as_of_both_legs(spark, tmp_path):
     """`hybrid_topk_ann(as_of=g)` pins BOTH stored legs — the BM25
     relations and the residual-IVFPQ layers — plus the re-rank store
@@ -341,6 +343,7 @@ def test_hybrid_serving_as_of_both_legs(spark, tmp_path):
 @pytest.mark.parametrize(
     "sf", [SF, "/root/testdata/sf0.01"], ids=["sf0.001", "sf0.01"]
 )
+@pytest.mark.slow
 def test_classifier_replay_as_of(spark, sf, tmp_path):
     """Generation-pinned classifier REPLAY (r13, closing the round-13
     open edge): `dedup_against_index(..., as_of=g)` re-answers "was
@@ -470,6 +473,7 @@ def _two_para(base, ids, left_off, right_off, id_off):
     )
 
 
+@pytest.mark.slow
 def test_prestage_layers_replay_as_of(spark, tmp_path):
     """VERDICT r13 #1 (SURVEY §8's recorded open edge): the paragraph /
     exact-substr digest layers are generation-pinned like every other

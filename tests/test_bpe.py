@@ -349,6 +349,7 @@ def test_batched_distributed_truncates_unfaithful_batches(
     )
 
 
+@pytest.mark.slow
 def test_batched_distributed_matches_reference_adversarial(
     spark, monkeypatch
 ):

@@ -103,6 +103,7 @@ def test_kmeans_objective_non_increasing(spark, sf_dir):
 
 
 @pytest.mark.parametrize("sf_dir2", SF_DIRS)
+@pytest.mark.slow
 def test_kmeans_par_matches_duckdb_oracle(spark, sf_dir2):
     """The hashed-oversampling seeding chain is as oracle-exact as the
     Lloyd rounds: assignment AND centroids bit-identical with the

@@ -212,6 +212,7 @@ def test_pq_codes_compaction_is_query_invisible(spark, sf_dir, emb, tmp_path):
 # -- writer composition --------------------------------------------------
 
 
+@pytest.mark.slow
 def test_corpus_writer_compact_preserves_admission_semantics(
     spark, sf_dir, tmp_path
 ):

@@ -149,6 +149,7 @@ def test_bootstrap_crash_does_not_overwrite_corpus(spark, run, tmp_path):
     assert os.path.exists(f"{root}/index/meta.json")
 
 
+@pytest.mark.slow
 def test_stream_feeds_corpus_writer_checkpoint_resume(spark, sf_dir, tmp_path):
     """The composition the repo exists for (VERDICT r7 #5): the
     reference's consumption loop (A5 handler / A6 post-handler
@@ -295,6 +296,7 @@ def test_admit_decontaminates_against_benchmark(spark, batches, tmp_path):
     bench.unpersist()
 
 
+@pytest.mark.slow
 def test_auto_compact_bounds_index_drift(spark, batches, tmp_path):
     """auto_compact=True: an admit that leaves band-row growth past
     COMPACT_DRIFT_FACTOR must compact in-loop — the index afterwards
@@ -334,6 +336,7 @@ def test_auto_compact_bounds_index_drift(spark, batches, tmp_path):
         w.admit(b2.limit(5))
 
 
+@pytest.mark.slow
 def test_structured_stream_feeds_corpus_writer(spark, sf_dir, tmp_path):
     """The Spark-native shape of the stream→curation composition (the
     Iterator form is pinned above): the sim_kinesis DataSource's paged

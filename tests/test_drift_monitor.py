@@ -386,6 +386,7 @@ def test_drift_policy_guards(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_drift_buckets_mismatch_rebuilds_under_new_domain(
     spark, batches, tmp_path_factory
 ):
@@ -454,6 +455,7 @@ def test_embedding_drift_refuse_before_state_change(
     assert _dir_rows(w.store_dir) == before
 
 
+@pytest.mark.slow
 def test_embedding_drift_reconcile_retrains_codebook(
     spark, tmp_path_factory
 ):
@@ -501,6 +503,7 @@ def test_embedding_drift_reconcile_retrains_codebook(
     assert s3["drift_kl_fix"] < s2["drift_kl_fix"]
 
 
+@pytest.mark.slow
 def test_stream_drift_trips_policy_and_retrain_rearms_guardrail(
     spark, tmp_path_factory
 ):

@@ -245,6 +245,7 @@ def test_admit_validates_uint32_ids_at_bootstrap(spark, emb, tmp_path):
         w.admit(bad)
 
 
+@pytest.mark.slow
 def test_stream_feeds_embedding_writer_checkpoint_resume(
     spark, sf_dir, tmp_path
 ):

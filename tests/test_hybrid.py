@@ -253,6 +253,7 @@ def test_hybrid_ann_lexical_leg_served_from_stored_bm25(
     assert "PushedFilters" in plan and "In(term" in plan
 
 
+@pytest.mark.slow
 def test_stream_fed_two_writer_hybrid_serving(spark, tmp_path):
     """The ingestion→serving loop end-to-end (the 100 TB story in one
     test): ONE stream feeds BOTH writer families — every trigger batch

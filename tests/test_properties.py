@@ -8,6 +8,7 @@ jobs); the pure-numpy kernel property runs many examples.
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import given, settings, strategies as st
 
 from pyspark.sql import functions as F
@@ -658,6 +659,7 @@ def test_manifest_lifecycle_matches_model(tmp_path_factory, data):
 
 @settings(max_examples=6, deadline=None)
 @given(data=st.data())
+@pytest.mark.slow
 def test_data_dir_maintenance_interleavings_preserve_asof(
     spark, tmp_path_factory, data
 ):

@@ -346,6 +346,7 @@ def _two_para_batch(base, ids, left_off, right_off, id_off):
     )
 
 
+@pytest.mark.slow
 def test_corpus_writer_paragraph_layer_dedups_across_batches(
     spark, sf_dir, tmp_path
 ):

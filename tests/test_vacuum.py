@@ -381,6 +381,7 @@ def test_vacuum_drops_masked_band_rows_serve_equal(spark, doc, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_embedding_writer_vacuum(spark, tmp_path):
     emb = load_table(spark, SF, "embeddings")
     w = EmbeddingWriter(
