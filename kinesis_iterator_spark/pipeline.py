@@ -633,13 +633,19 @@ def curate_frame(
                 bands = minhash_bands(eligible).localCheckpoint(eager=True)
                 if on_bands is not None:
                     on_bands(bands, eligible)
-            raw_edges = minhash_pairs(eligible, bands=bands)
+            # text_source=doc: the verify attach re-derived the eligible
+            # semijoin once per side otherwise; candidate ids all come
+            # from eligible ⊆ doc, so the superset attach is identical
+            # (r18, −2 AQE stage-jobs per curate).
+            raw_edges = minhash_pairs(eligible, bands=bands, text_source=doc)
         else:
             raw_edges = ngram_jaccard_edges(eligible, tau=config.jaccard_tau)
         edges = raw_edges.select(
             F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
         )
-        cc = connected_components(edges)  # (node, component), O(log n) rounds
+        # Both edge generators emit distinct doc_a < doc_b rows by
+        # construction — skip CC's defensive filter+distinct exchange.
+        cc = connected_components(edges, edges_distinct=True)
         labels = (
             labels.join(cc, labels["doc_id"] == cc["node"], "left")
             .drop("node")
@@ -3638,11 +3644,16 @@ def leakage_safe_split(
 
     if not 0 <= val_permille <= 1000:
         raise ValueError("val_permille must be in [0, 1000]")
-    if edges is None:
+    internal_edges = edges is None
+    if internal_edges:
         edges = ngram_jaccard_edges(
             doc.select("doc_id", "lang", "text"), tau=tau
         )
-    comp = connected_components(edges, src="doc_a", dst="doc_b")
+    # Internally generated edges are distinct doc_a < doc_b rows by
+    # construction; caller-supplied edges keep the defensive distinct.
+    comp = connected_components(
+        edges, src="doc_a", dst="doc_b", edges_distinct=internal_edges
+    )
     mod = 1 << 20
     return (
         doc.select("doc_id")

@@ -279,14 +279,26 @@ def minhash_bands(doc: DataFrame) -> DataFrame:
     return bands
 
 
-def minhash_pairs(doc: DataFrame, bands: DataFrame | None = None) -> DataFrame:
+def minhash_pairs(
+    doc: DataFrame,
+    bands: DataFrame | None = None,
+    text_source: DataFrame | None = None,
+) -> DataFrame:
     """The MinHash-LSH pipeline over any (doc_id, text) DataFrame — split
     out so tests can plant degenerate buckets (see
     tests/test_llm_ops.py).
 
     ``bands``: optional precomputed ``minhash_bands(doc)`` rows (e.g. a
     checkpointed frame a caller also reuses elsewhere — band rows are a
-    pure per-document function, so substitution is exact)."""
+    pure per-document function, so substitution is exact).
+
+    ``text_source`` (r18): optional SUPERSET (doc_id, text) frame to
+    attach the verify texts from. Every candidate id comes from ``doc``,
+    and the verify attach is an inner equi-join on unique doc_ids, so a
+    superset yields identical rows — while a ``doc`` that is itself a
+    filter/semijoin over the superset (curate's eligible set) would be
+    re-derived TWICE by the two attach sides (one AQE stage-job each,
+    measured in pipeline_curate_minhash)."""
     if bands is None:
         bands = minhash_bands(doc)
     bucket = (
@@ -308,7 +320,8 @@ def minhash_pairs(doc: DataFrame, bands: DataFrame | None = None) -> DataFrame:
     # shingle→sig→band subtree per query stage. Registered with
     # managed_persist so the harness releases it post-materialization.
     pairs = managed_persist(pairs)
-    return verify_jaccard(pairs, doc, doc)
+    tsrc = doc if text_source is None else text_source
+    return verify_jaccard(pairs, tsrc, tsrc)
 
 
 def dedup_replay_oracle_sql(

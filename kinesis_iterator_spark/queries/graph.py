@@ -118,10 +118,22 @@ def _small_star(edges: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    edges_distinct: bool = False,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``;
     ``component`` = the minimum node id of its connected component.
+
+    ``edges_distinct`` (r18): the caller GUARANTEES the edge rows are
+    already distinct with ``src != dst`` on every row — skips the
+    defensive filter+distinct (one full exchange of the edge lineage;
+    both internal edge generators emit distinct ``doc_a < doc_b`` rows
+    by construction). The algorithm is insensitive to duplicates/self
+    -edges in VALUE (union-find and the star rounds both absorb them),
+    so a wrong claim costs only the work the flag was meant to save —
+    but keep it False for arbitrary caller-supplied edges.
 
     Each round materializes the new edge set with an EAGER
     ``localCheckpoint`` — not a plain persist: persist caches data but
@@ -153,11 +165,9 @@ def connected_components(
     # long cast here silently NULLed non-numeric ids and dropped their
     # edges, turning a wrong input type into an empty "no duplicates"
     # answer instead of an error.
-    dedup = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-    )
+    dedup = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    if not edges_distinct:
+        dedup = dedup.filter(F.col("u") != F.col("v")).distinct()
     if DRIVER_CC_MAX_EDGES > 0:
         # Size-gated driver path as ONE bounded action: collect at most
         # gate+1 distinct edges (limit short-circuits; ≤ ~3 MB Arrow at
@@ -218,14 +228,17 @@ def connected_components(
 
 
 def dedup_survivors(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    edges_distinct: bool = False,
 ) -> DataFrame:
     """Union-find survivor policy over near-dup ``edges``: one survivor
     per connected component (its minimum id). Returns
     (node, component, is_survivor); nodes with no edges are their own
     survivors and simply don't appear (``label_corpus`` joins the
     labeling back over a full corpus)."""
-    cc = connected_components(edges, src, dst)
+    cc = connected_components(edges, src, dst, edges_distinct=edges_distinct)
     return cc.withColumn("is_survivor", F.col("node") == F.col("component"))
 
 
@@ -235,6 +248,7 @@ def label_corpus(
     id_col: str,
     src: str = "src",
     dst: str = "dst",
+    edges_distinct: bool = False,
 ) -> DataFrame:
     """Every corpus row + (component, is_survivor): the end-to-end dedup
     labeling a pipeline writes back. Rows absent from ``edges`` are their
@@ -243,7 +257,7 @@ def label_corpus(
     a LEFT join against only the edge-touched nodes (tiny next to the
     corpus at near-dup rates — AQE broadcasts it), so the corpus itself
     never shuffles."""
-    cc = connected_components(edges, src, dst)
+    cc = connected_components(edges, src, dst, edges_distinct=edges_distinct)
     return (
         corpus.join(cc, corpus[id_col] == cc["node"], "left")
         .drop("node")
@@ -305,4 +319,6 @@ def dedup_survivors_labeling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     corpus = load_table(spark, sf_dir, "documents").select("doc_id")
-    return label_corpus(corpus, edges, "doc_id")
+    # ngram_jaccard_edges emits distinct doc_a < doc_b rows by
+    # construction — skip CC's defensive filter+distinct exchange.
+    return label_corpus(corpus, edges, "doc_id", edges_distinct=True)
