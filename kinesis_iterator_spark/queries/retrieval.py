@@ -313,6 +313,54 @@ _POSTINGS_SCHEMA = "doc_id bigint, term string, tf bigint"
 _DF_SCHEMA = "term string, df bigint"
 _DOCLEN_SCHEMA = "doc_id bigint, dl bigint"
 
+# Size gate for the driver-side per-term document-frequency read in
+# `bm25_scores_from_index` (r18): at or below this many BYTES of df/
+# relation files, the ≤|terms| sums run driver-side via a term-filtered
+# pyarrow read and enter the plan as integer literals (exact Python-int
+# addition ≡ the distributed long F.sum), saving the groupBy exchange
+# and the broadcast build — 2 AQE stage-jobs per from-index query. A
+# corpus-scale df relation exceeds the gate and keeps the distributed
+# aggregate (the DRIVER_SUM_MAX_ROWS / DRIVER_CC_MAX_EDGES dual-path
+# rule); tests force that path by monkeypatching this to -1.
+DRIVER_DF_MAX_BYTES = 4 << 20
+
+
+def _driver_df(
+    index_dir: str, terms: list[str], as_of: int | None = None
+) -> dict[str, int] | None:
+    """Per-term summed df via a driver-side pyarrow read of the df/
+    relation's (generation-selected) files, or None when the relation
+    exceeds DRIVER_DF_MAX_BYTES. Caller has already resolved the same
+    file set through snapshot_read/spark.read, so listing here cannot
+    newly fail."""
+    df_dir = f"{index_dir}/df"
+    if as_of is None:
+        files = [
+            os.path.join(df_dir, f)
+            for f in sorted(os.listdir(df_dir))
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        ]
+    else:
+        from ..incremental import snapshot_files
+
+        files = snapshot_files(df_dir, as_of)
+    total = 0
+    for f in files:
+        total += os.path.getsize(f)
+        if total > DRIVER_DF_MAX_BYTES:
+            return None
+    import pyarrow.parquet as pq
+
+    out: dict[str, int] = {}
+    tlist = sorted(set(terms))
+    for f in files:
+        tbl = pq.read_table(
+            f, columns=["term", "df"], filters=[("term", "in", tlist)]
+        )
+        for t, d in zip(tbl["term"].to_pylist(), tbl["df"].to_pylist()):
+            out[t] = out.get(t, 0) + int(d)
+    return out
+
 
 def _bm25_marker(index_dir: str) -> str:
     return f"{index_dir}/extend.inprogress"
@@ -582,6 +630,47 @@ def bm25_scores_from_index(
             )
         n_docs, t_tokens = int(totals["n_docs"]), int(totals["t_tokens"])
     post = post.filter(F.col("term").isin(terms))
+    # Per-term document frequencies: the df/ relation is slim
+    # (term, df) per segment, and a query touches ≤ |terms| of its
+    # rows. Below DRIVER_DF_MAX_BYTES the summation runs driver-side
+    # via a term-filtered pyarrow read and enters the plan as integer
+    # literals — exact Python-int sums, identical to the distributed
+    # F.sum, minus the groupBy exchange AND the broadcast build (−2
+    # AQE stage-jobs per from-index query; ×4 legs in
+    # asof_serving_suite). The established size-gated dual-path rule
+    # (DRIVER_SUM_MAX_ROWS / DRIVER_CC_MAX_EDGES): a corpus-scale df
+    # relation exceeds the gate and keeps the distributed aggregate.
+    df_map = _driver_df(index_dir, terms, as_of=as_of)
+    if df_map is not None:
+        found = sorted(df_map)
+        # Inner-join semantics preserved: postings rows whose term has
+        # no df row would have been dropped by the join (impossible by
+        # construction — both relations extend together — but exact).
+        if len(found) < len(terms):
+            post = post.filter(
+                F.col("term").isin(found)
+                if found
+                else F.lit(False)
+            )
+        case = (
+            "CAST(CASE term "
+            + " ".join(
+                "WHEN '{t}' THEN {v}".format(
+                    t=t.replace("'", "''"), v=df_map[t]
+                )
+                for t in found
+            )
+            + " END AS BIGINT)"
+            if found
+            else "CAST(NULL AS BIGINT)"
+        )
+        joined = (
+            post.join(dl, "doc_id")
+            .withColumn("df", F.expr(case))
+            .withColumn("n_docs", F.lit(n_docs).cast("long"))
+            .withColumn("t_tokens", F.lit(t_tokens).cast("long"))
+        )
+        return _finish_scores(joined, k1, b)
     dfr = (
         dfr_raw.filter(F.col("term").isin(terms))
         .groupBy("term")

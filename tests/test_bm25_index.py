@@ -58,6 +58,21 @@ def test_from_index_equals_scan(spark, sf2, tmp_path_factory):
     assert want and got == want
 
 
+def test_distributed_df_path_equals_driver(
+    spark, doc, index_dir, monkeypatch
+):
+    """The size-gated dual path for per-term document frequencies
+    (r18): forcing the DISTRIBUTED groupBy+broadcast branch (gate -1,
+    the DRIVER_CC_MAX_EDGES test discipline) must score bit-equal to
+    the default driver-side pyarrow literal branch."""
+    from kinesis_iterator_spark.queries import retrieval as R
+
+    want = _rows(bm25_scores_from_index(spark, index_dir, TERMS))
+    monkeypatch.setattr(R, "DRIVER_DF_MAX_BYTES", -1)
+    got = _rows(bm25_scores_from_index(spark, index_dir, TERMS))
+    assert want and got == want
+
+
 def test_topk_from_index_equals_scan_order(spark, doc, index_dir):
     want = [tuple(r) for r in bm25_topk(doc, TERMS, topk=10).collect()]
     got = [
