@@ -1233,6 +1233,12 @@ class CorpusWriter:
                         self.index_dir,
                         self.corpus(),
                         batch_bands=bands,
+                        # curate banded exactly this eligible set (the
+                        # on_bands contract) — no restriction semijoin
+                        # needed (r18; extend_index below still filters:
+                        # its bands cover the eligible SUPERSET of the
+                        # novel survivors).
+                        batch_bands_restricted=True,
                     ).localCheckpoint(eager=True)
                 except BaseException as e:  # noqa: BLE001 — re-raised on join
                     vbox["err"] = e
