@@ -1277,27 +1277,36 @@ def extend_ann_index(
     # reconcile rebuilds both from the store).
     from ..incremental import _concurrently
 
-    appends = [
+    sig_dir = f"{index_dir}/lsh_signatures"
+    has_bsz = os.path.isdir(f"{index_dir}/bucket_sizes")
+    # Per-segment occupancy (readers sum segments; absent on a
+    # pre-layout index — readers then fall back to the window form).
+    # r18: at batch scale the segment's counts come from the signature
+    # files THIS extend just wrote — a driver-side pyarrow read over
+    # the before/after listing diff (race-free under the writer lease;
+    # the bm25 extend-totals pattern) instead of one more Spark
+    # groupBy+write job chain per admit. Identical rows by
+    # construction: the written files ARE sig_rows. Over the size gate
+    # the Spark aggregate appends as before.
+    before = _sig_file_set(sig_dir) if has_bsz else set()
+    _concurrently(
         lambda: sig_rows.write.mode("append")
         .partitionBy("table_id")
-        .parquet(f"{index_dir}/lsh_signatures"),
+        .parquet(sig_dir),
         lambda: _ivf_ranked_assignment(
             spark, new_emb, crows=crows, n_rows=n_new
         )
         .write.mode("append")
         .parquet(f"{index_dir}/ivf_assignment"),
-    ]
-    if os.path.isdir(f"{index_dir}/bucket_sizes"):
-        # Per-segment occupancy append (readers sum segments). Absent on
-        # a pre-layout index: readers then fall back to the window form,
-        # so extension stays compatible without maintaining the layer.
-        appends.append(
-            lambda: sig.groupBy("table_id", "bucket")
-            .agg(F.count("*").cast("long").alias("bsz"))
-            .write.mode("append")
-            .parquet(f"{index_dir}/bucket_sizes")
-        )
-    _concurrently(*appends)
+    )
+    if has_bsz:
+        new_files = sorted(_sig_file_set(sig_dir) - before)
+        if not _driver_bucket_sizes(
+            f"{index_dir}/bucket_sizes", new_files
+        ):
+            sig.groupBy("table_id", "bucket").agg(
+                F.count("*").cast("long").alias("bsz")
+            ).write.mode("append").parquet(f"{index_dir}/bucket_sizes")
     meta["n_extended"] = int(meta.get("n_extended", 0)) + int(
         new_emb.count() if n_new is None else n_new
     )
@@ -1411,6 +1420,77 @@ def ann_index_drift(index_dir: str) -> float:
 _SIG_SCHEMA = "vec_id bigint, bucket bigint, table_id int"
 _IVF_SCHEMA = "vec_id bigint, cell bigint, rk bigint"
 _BSZ_SCHEMA = "table_id int, bucket bigint, bsz bigint"
+
+# Size gate for the driver-side per-segment bucket-occupancy count in
+# `extend_ann_index` (r18): at or below this many bytes of freshly
+# written signature files, the (table_id, bucket) counts run
+# driver-side via pyarrow (exact integer counts over exactly the rows
+# the Spark groupBy would have aggregated) and the segment commits as
+# one atomically renamed parquet file — no groupBy+write job chain per
+# admit. Above the gate the distributed aggregate appends as before
+# (the DRIVER_SUM_MAX_ROWS dual-path rule); tests force that path by
+# monkeypatching this to -1.
+DRIVER_BSZ_MAX_BYTES = 8 << 20
+
+
+def _sig_file_set(sig_dir: str) -> set[str]:
+    """Data-file paths under the hive-partitioned signature dir
+    (skipping _/. components — the `_data_files` discipline)."""
+    import os
+
+    out: set[str] = set()
+    for root, dirs, files in os.walk(sig_dir):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for f in files:
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                out.add(os.path.join(root, f))
+    return out
+
+
+def _driver_bucket_sizes(bsz_dir: str, sig_files: list[str]) -> bool:
+    """Write this segment's (table_id, bucket, bsz) occupancy rows from
+    the just-written signature files, driver-side. Returns False when
+    the files exceed DRIVER_BSZ_MAX_BYTES (caller falls back to the
+    distributed aggregate). The segment file is staged with a reader-
+    invisible ``_`` name and renamed into place (atomic on one fs)."""
+    import os
+    import re
+    import uuid
+
+    total = 0
+    for f in sig_files:
+        total += os.path.getsize(f)
+        if total > DRIVER_BSZ_MAX_BYTES:
+            return False
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    counts: dict[tuple[int, int], int] = {}
+    for f in sig_files:
+        m = re.search(r"table_id=(-?\d+)", f)
+        if m is None:  # non-hive layout — let Spark handle it
+            return False
+        tid = int(m.group(1))
+        vc = pc.value_counts(
+            pq.read_table(f, columns=["bucket"])["bucket"]
+        )
+        for rec in vc.to_pylist():
+            key = (tid, int(rec["values"]))
+            counts[key] = counts.get(key, 0) + int(rec["counts"])
+    keys = sorted(counts)
+    seg = pa.table(
+        {
+            "table_id": pa.array([k[0] for k in keys], pa.int32()),
+            "bucket": pa.array([k[1] for k in keys], pa.int64()),
+            "bsz": pa.array([counts[k] for k in keys], pa.int64()),
+        }
+    )
+    name = f"part-bsz-{uuid.uuid4().hex}.parquet"
+    tmp = os.path.join(bsz_dir, f"_stage-{name}")
+    pq.write_table(seg, tmp)
+    os.rename(tmp, os.path.join(bsz_dir, name))
+    return True
 
 # The stored ANN relations `compact_ann_index` rewrites, in swap order.
 # Each rewrite is independently content-equivalent (signatures/inverted

@@ -220,6 +220,35 @@ def test_bucket_sizes_layer_equals_window_form(spark, sf_dir, tmp_path):
     release_persists()
 
 
+def test_bucket_sizes_distributed_path_equals_driver(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The size-gated dual path for the per-segment occupancy append
+    (r18): forcing the DISTRIBUTED groupBy+write branch (gate -1) must
+    leave the summed layer identical to the default driver-side
+    pyarrow segment."""
+    from pyspark.sql import functions as F
+
+    from kinesis_iterator_spark.queries import similarity as S
+    from kinesis_iterator_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    odd = emb.filter(F.col("vec_id") % 2 == 1)
+
+    def build(dirname):
+        d = str(tmp_path / dirname)
+        S.write_ann_index(spark, sf_dir, d, emb=even)
+        S.extend_ann_index(spark, odd, d)
+        return _rows(S.stored_bucket_sizes(spark, d))
+
+    want = build("drv")
+    monkeypatch.setattr(S, "DRIVER_BSZ_MAX_BYTES", -1)
+    got = build("dist")
+    assert want and got == want
+    release_persists()
+
+
 def test_stored_bucket_sizes_absent_on_pre_layer_index(spark, sf_dir, tmp_path):
     import shutil
 
