@@ -1131,8 +1131,12 @@ def _semantic_dedup_impl(
             .mapInPandas(edge_gathered, "vec_a long, vec_b long")
         )
 
+    # Each vector sits in exactly one cell and cand enforces
+    # vec_a < vec_b, so the verified edges are distinct with no self
+    # edges by construction — skip CC's defensive distinct (r18).
     labeled = label_corpus(
-        cosed, edges, "vec_id", src="vec_a", dst="vec_b"
+        cosed, edges, "vec_id", src="vec_a", dst="vec_b",
+        edges_distinct=True,
     ).drop("is_survivor")
     win = W.partitionBy("component").orderBy(
         F.col("cos_cent").asc(), F.col("vec_id").asc()
