@@ -640,7 +640,17 @@ def bm25_scores_from_index(
     # asof_serving_suite). The established size-gated dual-path rule
     # (DRIVER_SUM_MAX_ROWS / DRIVER_CC_MAX_EDGES): a corpus-scale df
     # relation exceeds the gate and keeps the distributed aggregate.
-    df_map = _driver_df(index_dir, terms, as_of=as_of)
+    # Terms reach the plan as SQL string literals below: a quote,
+    # backslash, or control character would need parser-version-exact
+    # escaping — route such terms to the distributed branch instead of
+    # guessing (plain words, i.e. every real query, keep the fast path).
+    if any(
+        "'" in t or "\\" in t or any(ord(c) < 0x20 for c in t)
+        for t in terms
+    ):
+        df_map = None
+    else:
+        df_map = _driver_df(index_dir, terms, as_of=as_of)
     if df_map is not None:
         found = sorted(df_map)
         # Inner-join semantics preserved: postings rows whose term has
@@ -655,10 +665,7 @@ def bm25_scores_from_index(
         case = (
             "CAST(CASE term "
             + " ".join(
-                "WHEN '{t}' THEN {v}".format(
-                    t=t.replace("'", "''"), v=df_map[t]
-                )
-                for t in found
+                f"WHEN '{t}' THEN {df_map[t]}" for t in found
             )
             + " END AS BIGINT)"
             if found
