@@ -146,11 +146,12 @@ def _write_band_files(
     if bands is None:
         bands = minhash_bands(doc)
     elif not bands_restricted:
-        # bands_restricted (r18): the caller GUARANTEES the band rows
-        # cover exactly ``doc``'s ids — skip the restriction semijoin
+        # bands_restricted (r18): the caller GUARANTEES no band row's
+        # id falls outside ``doc`` — skip the restriction semijoin
         # (one broadcast stage-job per append; the asof suite's
         # generation builder pre-filters its one banding pass by the
-        # slice predicate). Superset bands without the flag keep it.
+        # slice predicate). A subset is fine (banding drops
+        # zero-shingle docs anyway); superset bands keep the semijoin.
         bands = bands.join(doc.select("doc_id"), "doc_id", "leftsemi")
     n_in_bucket = F.count("*").over(W.partitionBy("band_id", "band_key"))
     marked = bands.withColumn("_n", n_in_bucket)
@@ -476,11 +477,14 @@ def dedup_against_index(
     an admit loop that also extends the index bands the batch ONCE.
 
     ``batch_bands_restricted``: the caller GUARANTEES ``batch_bands``
-    holds rows for exactly ``new_doc``'s ids (no superset) — skips the
-    per-call restriction semijoin (one broadcast stage-job; the asof
-    replay legs band the probe itself and pass this). Passing superset
-    bands with this flag fabricates candidates from stale rows — only
-    set it when the band frame was built from ``new_doc``.
+    holds NO rows for ids outside ``new_doc`` — skips the per-call
+    restriction semijoin (one broadcast stage-job; the asof replay
+    legs band the probe itself and pass this). A SUBSET is fine (the
+    semijoin only ever removes superset strays, and banding itself
+    drops zero-shingle docs); passing SUPERSET bands with this flag
+    fabricates candidates from stale rows — only set it when the band
+    frame was built from ``new_doc`` or filtered by its exact
+    predicate.
 
     ``as_of`` (r13): replay the classification against the index
     exactly as it stood after recorded admission ``as_of`` —
