@@ -1350,6 +1350,11 @@ _LOCAL_DISCOVERY_THRESHOLD = 512
 _SPARK_DISCOVERY_DEFAULT = 32
 
 
+_LISTING_SCOPE_LOCK = __import__("threading").RLock()
+_LISTING_SCOPE_STATE: dict = {"depth": 0, "saved": None}
+_DISCOVERY_CONF = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+
+
 def _local_listing_scope(spark: SparkSession, paths: list[str]):
     """Context manager scoping a raised discovery threshold around an
     explicit many-path read of LOCAL files; no-op (and zero py4j
@@ -1357,21 +1362,51 @@ def _local_listing_scope(spark: SparkSession, paths: list[str]):
     path lives on a non-local scheme. Conf scoping is session-global
     for the duration — concurrent reader threads may transiently see
     the raised value, which only moves WHERE their listing runs, never
-    what it returns."""
-    from contextlib import nullcontext
+    what it returns. Unlike the lease-guarded `_scoped_confs`, this is
+    a public-read-path scope: a ref-counted depth under a module lock
+    makes overlapping scopes restore the ORIGINAL value exactly once,
+    at the last exit (r18 review — naive save/restore from two threads
+    leaked a raised threshold into the session forever). The raised
+    value only ratchets UP while any scope is open; readers that need
+    the parallel job (object-store paths) are no-ops here and never
+    enter."""
+    from contextlib import contextmanager, nullcontext
 
     if len(paths) <= _SPARK_DISCOVERY_DEFAULT or any(
         "://" in p and not p.startswith("file:") for p in paths
     ):
         return nullcontext()
-    return _scoped_confs(
-        spark,
-        {
-            "spark.sql.sources.parallelPartitionDiscovery.threshold": str(
-                max(_LOCAL_DISCOVERY_THRESHOLD, len(paths) + 1)
-            )
-        },
-    )
+    want = max(_LOCAL_DISCOVERY_THRESHOLD, len(paths) + 1)
+
+    @contextmanager
+    def _cm():
+        with _LISTING_SCOPE_LOCK:
+            st = _LISTING_SCOPE_STATE
+            if st["depth"] == 0:
+                try:
+                    st["saved"] = spark.conf.get(_DISCOVERY_CONF)
+                except Exception:
+                    st["saved"] = None
+                cur = -1
+            else:
+                cur = int(spark.conf.get(_DISCOVERY_CONF))
+            if want > cur:
+                spark.conf.set(_DISCOVERY_CONF, str(want))
+            st["depth"] += 1
+        try:
+            yield
+        finally:
+            with _LISTING_SCOPE_LOCK:
+                st = _LISTING_SCOPE_STATE
+                st["depth"] -= 1
+                if st["depth"] == 0:
+                    if st["saved"] is None:
+                        spark.conf.unset(_DISCOVERY_CONF)
+                    else:
+                        spark.conf.set(_DISCOVERY_CONF, st["saved"])
+                    st["saved"] = None
+
+    return _cm()
 
 
 def snapshot_read(

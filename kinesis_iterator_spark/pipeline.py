@@ -812,9 +812,12 @@ class CorpusWriter:
         incremental.recover_data_dir(self.corpus_dir)
         if as_of is None:
             return self.spark.read.parquet(self.corpus_dir)
-        return self.spark.read.parquet(
-            *incremental.snapshot_files(self.corpus_dir, as_of)
-        )
+        files = incremental.snapshot_files(self.corpus_dir, as_of)
+        # Explicit many-path LOCAL reads skip the distributed listing
+        # job (r18 — the snapshot_read discipline; schema inference
+        # stays, this is a schema-evolvable data-of-record dir).
+        with incremental._local_listing_scope(self.spark, files):
+            return self.spark.read.parquet(*files)
 
     def snapshots(self) -> int:
         """Recorded admission-snapshot generations (0 for a corpus
@@ -2362,9 +2365,10 @@ class EmbeddingWriter:
         incremental.recover_data_dir(self.store_dir)
         if as_of is None:
             return self.spark.read.parquet(self.store_dir)
-        return self.spark.read.parquet(
-            *incremental.snapshot_files(self.store_dir, as_of)
-        )
+        files = incremental.snapshot_files(self.store_dir, as_of)
+        # Same listing-scope discipline as CorpusWriter.corpus (r18).
+        with incremental._local_listing_scope(self.spark, files):
+            return self.spark.read.parquet(*files)
 
     def snapshots(self) -> int:
         """Recorded admission-snapshot generations (0 for a store

@@ -323,6 +323,13 @@ _DOCLEN_SCHEMA = "doc_id bigint, dl bigint"
 # aggregate (the DRIVER_SUM_MAX_ROWS / DRIVER_CC_MAX_EDGES dual-path
 # rule); tests force that path by monkeypatching this to -1.
 DRIVER_DF_MAX_BYTES = 4 << 20
+# File-count companion bound (r18 review): a long-running ingestion
+# loop leaves one tiny df/ segment per admit (~10^4 at a year of
+# hourly extends) — under the byte gate but ~0.5-1 ms of serial
+# driver-side open per file per query. Past this many segments the
+# distributed aggregate wins regardless of bytes; compact_bm25_index
+# collapses the segments and restores the fast path.
+DRIVER_DF_MAX_FILES = 256
 
 
 def _driver_df(
@@ -344,6 +351,8 @@ def _driver_df(
         from ..incremental import snapshot_files
 
         files = snapshot_files(df_dir, as_of)
+    if len(files) > DRIVER_DF_MAX_FILES:
+        return None
     total = 0
     for f in files:
         total += os.path.getsize(f)
@@ -960,14 +969,26 @@ def hybrid_topk(
         from . import managed_checkpoint
 
         box: dict = {}
-        _concurrently(
-            lambda: box.__setitem__(
-                "lex", lex.localCheckpoint(eager=True)
-            ),
-            lambda: box.__setitem__(
-                "sem", sem.localCheckpoint(eager=True)
-            ),
-        )
+        try:
+            _concurrently(
+                lambda: box.__setitem__(
+                    "lex", lex.localCheckpoint(eager=True)
+                ),
+                lambda: box.__setitem__(
+                    "sem", sem.localCheckpoint(eager=True)
+                ),
+            )
+        except BaseException:
+            # One leg's checkpoint failed AFTER the other's eager
+            # blocks materialized: nothing downstream will ever reach
+            # managed_checkpoint, so free the survivor here or a
+            # retrying caller pins one candidates-sized checkpoint per
+            # failed build (the curate_frame bands discipline).
+            from . import release_local_checkpoint
+
+            for ck in box.values():
+                release_local_checkpoint(ck)
+            raise
         lex = managed_checkpoint(box["lex"])
         sem = managed_checkpoint(box["sem"])
     return rrf_fuse(lex, sem, topk=topk, k0=k0)

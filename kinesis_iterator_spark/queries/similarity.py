@@ -1278,7 +1278,8 @@ def extend_ann_index(
     from ..incremental import _concurrently
 
     sig_dir = f"{index_dir}/lsh_signatures"
-    has_bsz = os.path.isdir(f"{index_dir}/bucket_sizes")
+    bsz_dir = f"{index_dir}/bucket_sizes"
+    has_bsz = os.path.isdir(bsz_dir)
     # Per-segment occupancy (readers sum segments; absent on a
     # pre-layout index — readers then fall back to the window form).
     # r18: at batch scale the segment's counts come from the signature
@@ -1286,10 +1287,25 @@ def extend_ann_index(
     # the before/after listing diff (race-free under the writer lease;
     # the bm25 extend-totals pattern) instead of one more Spark
     # groupBy+write job chain per admit. Identical rows by
-    # construction: the written files ARE sig_rows. Over the size gate
-    # the Spark aggregate appends as before.
-    before = _sig_file_set(sig_dir) if has_bsz else set()
-    _concurrently(
+    # construction: the written files ARE sig_rows. The driver path is
+    # attempted only when the caller declared the batch size (the
+    # writer path, whose ``sig`` is checkpoint-backed and cheap to
+    # re-consume on the rare over-gate fallback); with n_new unknown
+    # the distributed aggregate keeps its place INSIDE the concurrent
+    # group — serializing it after the appends would add its full wall
+    # time to exactly the large extends where it is longest.
+    try_driver_bsz = has_bsz and n_new is not None
+    if has_bsz:
+        # Single-writer contract: any `_stage-` file present at entry
+        # is a dead crashed stage (readers skip `_` names) — sweep it
+        # so crash litter never accumulates.
+        for f in os.listdir(bsz_dir):
+            if f.startswith("_stage-"):
+                try:
+                    os.remove(os.path.join(bsz_dir, f))
+                except OSError:
+                    pass
+    appends = [
         lambda: sig_rows.write.mode("append")
         .partitionBy("table_id")
         .parquet(sig_dir),
@@ -1298,15 +1314,22 @@ def extend_ann_index(
         )
         .write.mode("append")
         .parquet(f"{index_dir}/ivf_assignment"),
-    )
-    if has_bsz:
+    ]
+    if has_bsz and not try_driver_bsz:
+        appends.append(
+            lambda: sig.groupBy("table_id", "bucket")
+            .agg(F.count("*").cast("long").alias("bsz"))
+            .write.mode("append")
+            .parquet(bsz_dir)
+        )
+    before = _sig_file_set(sig_dir) if try_driver_bsz else set()
+    _concurrently(*appends)
+    if try_driver_bsz:
         new_files = sorted(_sig_file_set(sig_dir) - before)
-        if not _driver_bucket_sizes(
-            f"{index_dir}/bucket_sizes", new_files
-        ):
+        if not _driver_bucket_sizes(bsz_dir, new_files):
             sig.groupBy("table_id", "bucket").agg(
                 F.count("*").cast("long").alias("bsz")
-            ).write.mode("append").parquet(f"{index_dir}/bucket_sizes")
+            ).write.mode("append").parquet(bsz_dir)
     meta["n_extended"] = int(meta.get("n_extended", 0)) + int(
         new_emb.count() if n_new is None else n_new
     )

@@ -236,10 +236,14 @@ def test_bucket_sizes_distributed_path_equals_driver(
     even = emb.filter(F.col("vec_id") % 2 == 0)
     odd = emb.filter(F.col("vec_id") % 2 == 1)
 
+    n_odd = odd.count()
+
     def build(dirname):
         d = str(tmp_path / dirname)
         S.write_ann_index(spark, sf_dir, d, emb=even)
-        S.extend_ann_index(spark, odd, d)
+        # n_new declared: the driver path is only attempted when the
+        # caller knows the batch size (the writer path).
+        S.extend_ann_index(spark, odd, d, n_new=n_odd)
         return _rows(S.stored_bucket_sizes(spark, d))
 
     want = build("drv")

@@ -162,6 +162,13 @@ def test_fixture_schema_guard_accepts_real_fixtures(spark):
     # (one footer read per pair; cached after).
     from kinesis_iterator_spark import tables
 
-    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+    # sf0.1 included (r18 review): it is the bench/sweep default — a
+    # footer the pin round-trips differently there would abort every
+    # sf0.1 run while a two-SF test stayed green.
+    for sf in (
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+    ):
         for name in tables.FIXTURE_SCHEMAS:
             tables.load_table(spark, sf, name)
