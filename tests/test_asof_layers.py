@@ -197,6 +197,7 @@ def test_interrupted_layer_swap_heals_with_manifest(spark, tmp_path):
         w.bm25_topk(TERMS, topk=10, as_of=1)
 
 
+@pytest.mark.slow
 def test_corpus_compaction_preserves_every_generation(spark, tmp_path):
     """`compact_corpus` (VERDICT r12 #4): per-generation rewrite keeps
     EVERY as_of bit-equal (the data of record never trades history for
@@ -626,6 +627,7 @@ def test_writer_prune_snapshots_lockstep(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_embedding_writer_prune_snapshots_lockstep(spark, tmp_path):
     """`EmbeddingWriter.prune_snapshots`: store + every stored ANN
     layer (signatures, inverted file, occupancy, PQ codes) prune

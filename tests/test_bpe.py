@@ -201,6 +201,7 @@ def test_driver_path_engages_below_gate(spark, trained):
     assert bpe_train_driver(wf, N_MERGES) == trained
 
 
+@pytest.mark.slow
 def test_distributed_path_matches_driver(spark, trained, monkeypatch):
     """Force the above-gate loop (gate = -1, the DRIVER_CC_MAX_EDGES
     discipline): the delta-maintained distributed trainer is

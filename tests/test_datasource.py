@@ -386,6 +386,7 @@ def test_register_guard_optional_and_removable(spark, sf_dir):
     assert ds.remove_under_drain_guard(spark) is False
 
 
+@pytest.mark.slow
 def test_session_teardown_after_register_is_clean(sf_dir):
     """VERDICT r7 #1/#2 pin, end to end in a SUBPROCESS: a session that
     registered sim_kinesis (guard ON), ran a streaming drain, then

@@ -665,6 +665,7 @@ def test_drift_layers_replay_as_of(spark, batches, tmp_path):
         w2.drift_stats(probe)
 
 
+@pytest.mark.slow
 def test_embedding_drift_layer_replay_as_of(spark, tmp_path):
     """The vector twin: cell_hist is generation-pinned;
     `EmbeddingWriter.drift_stats(emb, as_of=g)` replays the cell-drift

@@ -17,6 +17,7 @@ import subprocess
 import sys
 import time
 import uuid
+import pytest
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -167,6 +168,7 @@ def _append_gen(d: str, gen_no: int) -> None:
     incremental.record_snapshot(d, n=ROWS_PER_GEN)
 
 
+@pytest.mark.slow
 def test_multiprocess_readers_race_maintenance(spark, tmp_path):
     d = str(tmp_path / "data")
     os.makedirs(d)

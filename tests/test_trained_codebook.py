@@ -201,6 +201,7 @@ def test_proportional_train_k_rule():
         proportional_train_k(0)
 
 
+@pytest.mark.slow
 def test_writer_default_train_k_grows_cells_on_reconcile(
     spark, sf_dir, tmp_path
 ):
